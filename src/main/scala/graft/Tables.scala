@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table access + cross-engine-exact numeric helpers.
+  *
+  * The driver's correctness gate compares our query results against DuckDB
+  * running [[SparkEntry.oracleSql]] on the same parquet files, hashing cell
+  * values. Floating-point aggregation order differs between engines, so any
+  * `sum(double)` is bit-unstable. All money-like columns in the testdata
+  * carry exactly two decimal digits, so the exactness strategy is:
+  *
+  *   1. cast to `DecimalType` before aggregating  -> exact, order-independent
+  *   2. aggregate in decimal                      -> identical in both engines
+  *   3. cast the final value to `double`          -> identical bits
+  *
+  * Averages are computed as `cast(sum(decimal) as double) / count` so that
+  * the division happens on identical doubles in both engines (decimal
+  * division scale rules differ between Spark and DuckDB, IEEE-754 division
+  * does not).
+  *
+  * At 100 TB this strategy also happens to be the right one for correctness:
+  * decimal sums don't accumulate float error across millions of partial
+  * aggregates.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table. Column pruning + predicate pushdown reach the
+    * parquet scan because this is a plain file-source relation.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so SQL-surface queries
+    * (NATURAL JOIN, etc.) can run via `spark.sql`.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- exact numeric helpers -------------------------------------------
+
+  /** Two-decimal money value -> exact decimal. 18 digits of precision keeps
+    * products (price * (1-disc) * (1+tax)) inside Spark's 38-digit cap even
+    * after the sum widens.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a 2-decimal double column, returned as
+    * double (bit-identical across engines).
+    */
+  def exactSum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact average: decimal sum cast to double, divided by count in IEEE
+    * double arithmetic — identical across engines, unlike decimal division.
+    */
+  def exactAvg(c: Column): Column =
+    sum(dec(c)).cast(DoubleType) / count(lit(1))
+}
