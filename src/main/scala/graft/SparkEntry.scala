@@ -16,10 +16,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.entries
+    graft.queries.Relational.entries ++
+      graft.ext.TextOps.entries ++
+      graft.ext.Dedup.entries ++
+      graft.ext.Similarity.entries ++
+      graft.ext.EventOps.entries ++
+      graft.ext.Multimodal.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.ext.TextOps.oracles ++
+      graft.ext.Dedup.oracles ++
+      graft.ext.Similarity.oracles ++
+      graft.ext.EventOps.oracles ++
+      graft.ext.Multimodal.oracles
 }

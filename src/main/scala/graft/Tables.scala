@@ -33,9 +33,20 @@ object Tables {
 
   /** Read one testdata table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain file-source relation.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; it is read as a nanosecond long
+    * (legacy.parquet.nanosAsLong) and truncated to microseconds — the same
+    * ns->us truncation DuckDB applies, so oracle values agree.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register every table as a temp view so SQL-surface queries
     * (NATURAL JOIN, etc.) can run via `spark.sql`.

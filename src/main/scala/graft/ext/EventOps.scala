@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-stream-shaped operators over the `events` table, run as batch
+  * event-time processing (the reference has no streaming surface —
+  * SURVEY §2.8; the Structured Streaming path over the same parquet is
+  * exercised in the test suite with identical semantics).
+  *
+  * Scale notes: tumbling windows group on a derived time bucket — a single
+  * hash shuffle; sessionization is one shuffle on user_id with an
+  * in-partition sort, the canonical "gap > threshold" cumulative-flag
+  * formulation (no iterative driver loop).
+  */
+object EventOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour event-time windows: count / exact sum / exact avg per
+    * (window, event_type). `window().start` equals `date_trunc('hour')` for
+    * tumbling windows, which is the oracle formulation. */
+  def eventsWindowTumbling(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("value")).as("sum_value"),
+        exactAvg(col("value")).as("avg_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization: a new session starts when the gap since the user's
+    * previous event exceeds 30 minutes; session id = running count of
+    * session starts. One shuffle (user_id), sort within partition. */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = load(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        exactSum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction from the `props` column (semi-structured
+    * payload — standard event-pipeline surface). */
+  def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
+      .orderBy("k_bucket")
+
+  val entries: Map[String, Q] = Map(
+    "events_window_tumbling" -> (eventsWindowTumbling _),
+    "events_sessionize"      -> (eventsSessionize _),
+    "events_json_extract"    -> (eventsJsonExtract _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |       THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "events_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |COUNT(*) AS n,
+        |SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

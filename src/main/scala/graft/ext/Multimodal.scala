@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in batched per-partition kernels.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB deriving metadata from the payload
+  * bytes; everything around it — binary column handling, the
+  * `mapPartitions` batch shape (one kernel invocation per partition, not
+  * per row, exactly how a real decoder amortizes model/codec init), schema
+  * of the decoded struct, and downstream frame-sampling — is real and
+  * tested. Swapping the stub for a JNI/codec call changes one function.
+  *
+  * Scale notes: payloads stay columnar in parquet until the kernel;
+  * partition size governs kernel batch memory (`maxPartitionBytes`); the
+  * frame-sample explode multiplies rows only after metadata pruning.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decoded-media metadata, STUB-derived from byte length only (so the
+    * DuckDB oracle can mirror it from octet_length). */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: a real implementation would parse the container header /
+    * run a codec here. Deterministic on the payload length. */
+  private def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val len = payload.length
+    MediaMeta(
+      doc_id = docId,
+      byte_len = len,
+      width = 64 + len % 448,
+      height = 64 + (len / 7) % 448,
+      n_frames = 1 + len % 30)
+  }
+
+  /** Media "decode": text payload cast to binary (stand-in for image/audio
+    * bytes), decoded per partition in batches. */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // One iterator per partition: codec/model init would happen here,
+        // amortized over the whole batch.
+        batch.map { case (id, payload) => decodeStub(id, payload) }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: every 5th frame index from the decoded metadata —
+    * metadata-only row expansion (explode of a generated sequence). */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame =
+    multimodalDecode(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_no"))
+      .orderBy("doc_id", "frame_no")
+
+  val entries: Map[String, Q] = Map(
+    "multimodal_decode"       -> (multimodalDecode _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |CAST(64 + octet_length(encode(text)) % 448 AS INTEGER) AS width,
+        |CAST(64 + (octet_length(encode(text)) // 7) % 448 AS INTEGER) AS height,
+        |CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_no
+        |FROM m ORDER BY doc_id, frame_no""".stripMargin,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table: token statistics, quality scoring, language-ID
+  * heuristic, and document fingerprinting.
+  *
+  * All operators are per-row projections (no shuffle at all) — they scale
+  * embarrassingly: at 100 TB each parquet split maps independently and the
+  * expressions stay inside whole-stage codegen (builtin functions + higher-
+  * order array lambdas only, no UDFs).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token counting: whitespace tokenization + distinct-token counts and
+    * type-token ratio. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_types"),
+        (size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " "))).as("type_token_ratio"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length checks, mean token length, stopword ratio,
+    * long-word ratio — the standard cheap pre-filter signals. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stop = size(expr(
+      "filter(split(text, ' '), t -> t IN ('a', 'the'))"))
+    val longw = size(expr(
+      "filter(split(text, ' '), t -> length(t) > 5)"))
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        (length(col("text")) === col("n_chars")).as("n_chars_ok"),
+        nTok.as("n_tokens"),
+        ((length(col("text")) - nTok + 1) / nTok).as("mean_token_len"),
+        (stop / nTok).as("stopword_ratio"),
+        (longw / nTok).as("long_word_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: frequency of per-language marker tokens; argmax
+    * with a fixed tie-break order. On this synthetic corpus the languages
+    * share one vocabulary, so the value of the operator is its deterministic
+    * cross-engine semantics, not classifier accuracy. */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    def score(words: Seq[String]) = size(expr(
+      s"filter(split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))"))
+    val sEn = score(Seq("the", "a", "fast", "slow"))
+    val sEs = score(Seq("data", "query", "table", "row"))
+    val sDe = score(Seq("hash", "join", "merge", "sort"))
+    val sFr = score(Seq("window", "agg", "group", "order"))
+    val sZh = score(Seq("vector", "batch", "stream", "line"))
+    load(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
+        sFr.as("s_fr"), sZh.as("s_zh"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+              col("s_es") >= col("s_zh"), "es")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: content hash of the raw and normalized text.
+    * MD5 keeps the oracle cross-engine; the scalable rolling-hash variant
+    * lives in [[graft.functions]] (no SQL analog). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp_norm"))
+      .orderBy("doc_id")
+
+  val entries: Map[String, Q] = Map(
+    "text_tokens"      -> (textTokens _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |  len(string_split(text, ' ')) AS type_token_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |length(text) = n_chars AS n_chars_ok,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |(length(text) - len(string_split(text, ' ')) + 1) * 1.0 /
+        |  len(string_split(text, ' ')) AS mean_token_len,
+        |len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) * 1.0 /
+        |  len(string_split(text, ' ')) AS stopword_ratio,
+        |len(list_filter(string_split(text, ' '), t -> length(t) > 5)) * 1.0 /
+        |  len(string_split(text, ' ')) AS long_word_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast','slow'))) AS INTEGER) AS s_en,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('data','query','table','row'))) AS INTEGER) AS s_es,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('hash','join','merge','sort'))) AS INTEGER) AS s_de,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('window','agg','group','order'))) AS INTEGER) AS s_fr,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('vector','batch','stream','line'))) AS INTEGER) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        |CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |     WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |     WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |     WHEN s_fr >= s_zh THEN 'fr'
+        |     ELSE 'zh' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
