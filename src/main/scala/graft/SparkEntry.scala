@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.entries ++
+      graft.queries.Lifecycle.entries ++
       graft.ext.TextOps.entries ++
       graft.ext.Dedup.entries ++
       graft.ext.Similarity.entries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Lifecycle.oracles ++
       graft.ext.TextOps.oracles ++
       graft.ext.Dedup.oracles ++
       graft.ext.Similarity.oracles ++

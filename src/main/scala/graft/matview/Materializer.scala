@@ -1,0 +1,78 @@
+package graft.matview
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized-view lifecycle: persist a query result under a name, track
+  * the dependency DAG, and tear down in dependents-first order — the
+  * engine-side equivalent of the reference's CREATE/DROP MATERIALIZED VIEW
+  * ... CASCADE chain of 15 MVs (assignment-5.sql:70–80, 17–27; SURVEY §7.8).
+  *
+  * Persistence is parquet at a scratch location (`saveAsTable` semantics
+  * without requiring a warehouse-backed catalog): downstream reads plan a
+  * plain FileSourceScan — the MV is *not* re-expanded, matching PG
+  * (assignment-5.md:552). Refresh = recompute + overwrite. At scale the
+  * same object works over any shared filesystem; writes are
+  * mode("overwrite") so a refresh is atomic per directory.
+  */
+final class Materializer(spark: SparkSession, scratchDir: String) {
+
+  /** name -> direct dependencies (upstream MV names). Insertion-ordered so
+    * rebuilds replay in creation order. */
+  private val deps = mutable.LinkedHashMap.empty[String, Seq[String]]
+
+  private def path(name: String): String = s"$scratchDir/$name"
+
+  /** CREATE MATERIALIZED VIEW name AS df (S5). Returns the persisted
+    * relation (a fresh scan, not the in-memory plan). */
+  def create(name: String, df: DataFrame, dependsOn: Seq[String] = Nil): DataFrame = {
+    require(dependsOn.forall(deps.contains), s"unknown dependency in $dependsOn")
+    df.write.mode("overwrite").parquet(path(name))
+    deps(name) = dependsOn
+    table(name)
+  }
+
+  /** Read a materialized view back (plans a parquet scan). */
+  def table(name: String): DataFrame = {
+    require(deps.contains(name), s"no such materialized view: $name")
+    spark.read.parquet(path(name))
+  }
+
+  def exists(name: String): Boolean = deps.contains(name)
+
+  private def dependentsOf(name: String): Seq[String] =
+    deps.collect { case (n, ds) if ds.contains(name) => n }.toSeq
+
+  /** DROP ... CASCADE (S3): removes `name` and everything downstream,
+    * dependents first; returns the drop order. Deterministic: DFS over the
+    * insertion-ordered registry. */
+  def dropCascade(name: String): Seq[String] = {
+    require(deps.contains(name), s"no such materialized view: $name")
+    val order = mutable.LinkedHashSet.empty[String]
+    def visit(n: String): Unit = {
+      dependentsOf(n).foreach(visit)
+      order += n
+    }
+    visit(name)
+    order.foreach { n =>
+      deps.remove(n)
+      // best-effort storage cleanup; the registry is the source of truth
+      val p = java.nio.file.Paths.get(path(n))
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    order.toSeq
+  }
+}
+
+object Materializer {
+  /** Scratch root: inside the repo's target dir (gitignored, writable). */
+  def defaultScratch: String =
+    sys.props.getOrElse("graft.scratch", "/root/repo/target/scratch")
+
+  def apply(spark: SparkSession): Materializer =
+    new Materializer(spark, defaultScratch)
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.matview.Materializer
+
+/** SURVEY §2.1 sources/sinks/DDL lifecycle (S1–S7) and §2.7 introspection /
+  * maintenance (X1–X2), exercised as driver-checkable queries: each entry
+  * performs the lifecycle operation for real (write + read back through
+  * storage) and returns the resulting relation, so the oracle verifies the
+  * round-trip, not just the transformation.
+  */
+object Lifecycle {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S1 ingest: schema-declared delimited-text load (the COPY-from-stdin
+    * analog, BookOrdersDatabaseDump_17.sql:123–1648): parquet -> TSV ->
+    * schema-checked read; returns the re-ingested relation. No header, no
+    * inference — the schema is declared, as in the reference DDL. */
+  def ingestTsv(s: SparkSession, d: String): DataFrame = {
+    val scratch = s"${Materializer.defaultScratch}/ingest_tsv"
+    load(s, d, "nation")
+      .write.mode("overwrite").option("sep", "\t").csv(scratch)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("sep", "\t").csv(scratch)
+      .orderBy("n_nationkey")
+  }
+
+  /** S2+S4 DDL: CREATE TABLE with declared types + INSERT INTO ... SELECT
+    * (assignment-5.sql:90–112), against the session catalog; returns the
+    * table scanned back from storage. */
+  def ddlCreateInsert(s: SparkSession, d: String): DataFrame = {
+    val loc = s"${Materializer.defaultScratch}/g_region"
+    s.sql("DROP TABLE IF EXISTS g_region")
+    s.sql(s"""CREATE TABLE g_region (r_regionkey INT, r_name STRING)
+             |USING parquet LOCATION '$loc'""".stripMargin)
+    load(s, d, "region").createOrReplaceTempView("src_region")
+    s.sql("INSERT OVERWRITE g_region SELECT r_regionkey, r_name FROM src_region")
+    s.table("g_region").orderBy("r_regionkey")
+  }
+
+  /** S5: CREATE MATERIALIZED VIEW — persist an aggregate, read it back as a
+    * base relation (assignment-5.sql:70–78; scan-not-expand semantics per
+    * assignment-5.md:552). */
+  def createMatview(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s)
+    val agg = load(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("revenue"))
+    m.create("mv_revenue_by_priority", agg)
+      .orderBy("o_orderpriority")
+  }
+
+  /** S6: data-cleaning point update (UPDATE ... SET ... WHERE,
+    * assignment-5.sql:13–15) as a declarative rewrite + overwrite through
+    * the materializer. */
+  def updateWhere(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s)
+    val cleaned = load(s, d, "customer")
+      .withColumn("c_mktsegment",
+        when(col("c_mktsegment") === "AUTOMOBILE", "AUTO")
+          .otherwise(col("c_mktsegment")))
+    m.create("mv_customer_clean", cleaned)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** S3: DROP ... CASCADE over a real dependency chain: base MV <- derived
+    * MV; dropping the base removes both, dependents first
+    * (assignment-5.sql:17–27; SURVEY §7.8). Returns the drop order. */
+  def ddlDropCascade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Materializer(s)
+    val base = load(s, d, "orders").groupBy("o_custkey")
+      .agg(exactSum(col("o_totalprice")).as("spend"))
+    m.create("mv_base_spend", base)
+    val derived = m.table("mv_base_spend")
+      .agg(max(col("spend")).as("max_spend"))
+    m.create("mv_top_spend", derived, dependsOn = Seq("mv_base_spend"))
+    val order = m.dropCascade("mv_base_spend")
+    val survived = m.exists("mv_base_spend") || m.exists("mv_top_spend")
+    order.zipWithIndex
+      .map { case (n, i) => (n, i + 1, survived) }
+      .toDF("name", "drop_order", "any_survived")
+      .orderBy("drop_order")
+  }
+
+  /** X2: statistics maintenance (VACUUM ANALYZE analog,
+    * assignment-5.sql:348): ANALYZE TABLE ... COMPUTE STATISTICS, then
+    * verify the catalog row count against the data. */
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    ddlCreateInsert(s, d) // ensure g_region exists & is current
+    s.sql("ANALYZE TABLE g_region COMPUTE STATISTICS")
+    val statsRows = s.sql("DESCRIBE EXTENDED g_region")
+      .filter(col("col_name") === "Statistics")
+      .select("data_type").collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val claimed = "(\\d+) rows".r.findFirstMatchIn(statsRows)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    import s.implicits._
+    Seq((claimed, s.table("g_region").count()))
+      .toDF("rowcount_stats", "rowcount_actual")
+      .withColumn("stats_match", col("rowcount_stats") === col("rowcount_actual"))
+  }
+
+  /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff).
+    * Rows-only check (plan text is engine-specific by nature); the test
+    * suite asserts the plan shape (broadcast joins, pushed filters). */
+  def explainPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val plan = Relational.joinNatural5Way(s, d)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.zipWithIndex
+      .map { case (l, i) => (i, l) }.toSeq
+      .toDF("line_no", "line")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "ingest_tsv"        -> (ingestTsv _),
+    "ddl_create_insert" -> (ddlCreateInsert _),
+    "create_matview"    -> (createMatview _),
+    "update_where"      -> (updateWhere _),
+    "ddl_drop_cascade"  -> (ddlDropCascade _),
+    "analyze_stats"     -> (analyzeStats _),
+    "explain_plan"      -> (explainPlan _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ingest_tsv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "ddl_create_insert" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "create_matview" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "update_where" ->
+      """SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO'
+        |ELSE c_mktsegment END AS c_mktsegment, COUNT(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ddl_drop_cascade" ->
+      """SELECT * FROM (VALUES ('mv_top_spend', 1, false), ('mv_base_spend', 2, false))
+        |t(name, drop_order, any_survived) ORDER BY drop_order""".stripMargin,
+    "analyze_stats" ->
+      """SELECT (SELECT COUNT(*) FROM region) AS rowcount_stats,
+        |(SELECT COUNT(*) FROM region) AS rowcount_actual,
+        |true AS stats_match""".stripMargin,
+    // explain_plan: rows-only (plan text is engine-specific).
+  )
+}
