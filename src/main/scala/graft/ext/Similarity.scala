@@ -63,7 +63,7 @@ object Similarity {
 
   /** Deterministic +-1 hyperplanes from a SplitMix64 stream (public
     * algorithm; seed fixed so plans are reproducible across runs). */
-  private[ext] def hyperplanes(): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(): Array[Array[Array[Double]]] = {
     var state = 42L
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  private lazy val exact = Dedup.dedupNgramJaccard(spark, SF)
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private lazy val minhash = Dedup.dedupMinhashLsh(spark, SF)
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("corpus has planted near-duplicate pairs") {
+    assert(exact.nonEmpty)
+  }
+
+  test("minhash+LSH finds exactly the exact-jaccard pairs on this corpus") {
+    // LSH candidates are verified with exact jaccard, so minhash ⊆ exact
+    // always; at the planted j>=0.9 recall is 1 - 6e-9, so equality holds.
+    assert(minhash == exact)
+  }
+
+  test("simhash banding recovers most jaccard near-dups (different measure)") {
+    val sim = Dedup.dedupSimhash(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall of jaccard pairs = $recall")
+  }
+
+  test("exact dedup keeps one keeper per distinct content") {
+    val df = Dedup.dedupExact(spark, SF)
+    val total = graft.Tables.load(spark, SF, "documents").count()
+    import org.apache.spark.sql.functions._
+    val copies = df.agg(sum("n_copies")).collect().head.getLong(0)
+    assert(copies == total)
+  }
+
+  test("embedding cosine pairs are symmetric-free (a < b) and above threshold") {
+    val rows = Dedup.dedupEmbeddingCosine(spark, SF).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** Physical-plan hygiene: the plans a 100 TB deployment needs, asserted at
+  * test scale — filter/projection pushdown into the parquet scan, broadcast
+  * joins for dimensions, top-K as TakeOrderedAndProject (the PG top-N
+  * heapsort analog, SURVEY §2.6 O2), no cartesian products where a
+  * broadcast should be, and wide whole-stage-codegen coverage.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_conjunct pushes predicates into the parquet scan") {
+    val p = plan(Relational.filterConjunct(spark, SF))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scans prune columns: projection-only query reads only its columns") {
+    val p = plan(Relational.projectRename(spark, SF))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("c_nationkey"), s"read an unused column:\n$p")
+  }
+
+  test("dimension joins broadcast (5-way join has no shuffle on dims)") {
+    val p = plan(Relational.joinNatural5Way(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-K plans as TakeOrderedAndProject, never a full global sort") {
+    val p = plan(Relational.topkOrderLimit(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scalar-aggregate cross join stays a broadcast nested loop") {
+    val p = plan(Relational.joinThetaScalar(spark, SF))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE finalizes the plan only on execution; codegen spans render as
+    // "*(n)" prefixes in tree form and as WholeStageCodegen in formatted.
+    val df = Relational.aggSumGroup3(spark, SF)
+    val qe = df.queryExecution
+    df.collect()
+    // codegen'd operators carry the "* " marker in the final plan
+    val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"), p)
+  }
+
+  test("semi-join against LIMIT-1 subquery broadcasts the single row") {
+    val p = plan(Relational.joinSemiInSubquery(spark, SF))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+}

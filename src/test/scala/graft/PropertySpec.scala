@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Mix64
+
+/** Property tests for the aggregation algebra the reference demonstrates by
+  * example (SURVEY §5.3) and for the hash kernels. Raw scalacheck driven
+  * from funsuite (no scalatestplus bridge in the offline dep set).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val groups: Gen[List[List[Double]]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.choose(0, 10000000).map(_ / 100.0)))
+
+  test("sum is re-aggregable over any grouping") {
+    check("sum-reagg")(Prop.forAll(groups) { gs =>
+      val flat = gs.flatten
+      math.abs(gs.map(_.sum).sum - flat.sum) < 1e-4
+    })
+  }
+
+  test("weighted recombination of group averages recovers the global average") {
+    check("weighted-avg")(Prop.forAll(groups) { gs =>
+      val flat = gs.flatten
+      val recombined = gs.map(g => (g.sum / g.size) * g.size).sum / flat.size
+      math.abs(recombined - flat.sum / flat.size) < 1e-4
+    })
+  }
+
+  test("avg-of-avgs differs from the global avg when group sizes are skewed") {
+    // the reference's Q2 lesson (assignment-5.md:160–187), pinned concretely
+    val gs = List(List(1.0), List(100.0, 100.0, 100.0))
+    val avgOfAvgs = gs.map(g => g.sum / g.size).sum / gs.size
+    val global = gs.flatten.sum / gs.flatten.size
+    assert(math.abs(avgOfAvgs - global) > 1.0)
+  }
+
+  test("cumulative sum's final element equals the total") {
+    check("cumsum")(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))) { xs =>
+      math.abs(xs.scanLeft(0.0)(_ + _).tail.last - xs.sum) < 1e-6
+    })
+  }
+
+  test("Mix64.mix is injective on samples (bijective finalizer)") {
+    check("mix64-injective")(Prop.forAll(Gen.listOfN(500, Gen.long)) { xs =>
+      xs.map(Mix64.mix).distinct.size == xs.distinct.size
+    })
+  }
+
+  test("Mix64 seeded streams decorrelate") {
+    check("mix64-seeds")(Prop.forAll(Gen.long) { x =>
+      Mix64.mix(x ^ 1L) != Mix64.mix(x ^ 2L)
+    })
+  }
+}

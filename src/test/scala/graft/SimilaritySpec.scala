@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  private lazy val brute = Similarity.similarityTopkBruteforce(spark, SF).collect()
+  private lazy val ann = Similarity.similarityAnnLsh(spark, SF).collect()
+
+  test("brute force: 5 ranked neighbors per query, scores non-increasing") {
+    val byQuery = brute.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getInt(2))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("ANN recall@5 vs brute force is useful on this corpus") {
+    val bSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bSet.count(aSet.contains).toDouble / bSet.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
+  test("ANN never invents scores: its pairs score <= brute-force kth score") {
+    val bruteKth = brute.groupBy(_.getLong(0)).map { case (q, rows) =>
+      q -> rows.map(_.getAs[Double]("score")).min
+    }
+    ann.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val maxAnn = rows.map(_.getAs[Double]("score")).max
+      val bruteBest = brute.filter(_.getLong(0) == q).map(_.getAs[Double]("score")).max
+      assert(maxAnn <= bruteBest + 1e-12)
+    }
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes()
+    val b = Similarity.hyperplanes()
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+  }
+}
