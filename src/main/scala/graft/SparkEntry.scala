@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.entries ++
       graft.queries.Lifecycle.entries ++
+      graft.queries.BookOrdersKeys.entries ++
       graft.ext.TextOps.entries ++
       graft.ext.Dedup.entries ++
       graft.ext.Similarity.entries ++
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Lifecycle.oracles ++
+      graft.queries.BookOrdersKeys.oracles ++
       graft.ext.TextOps.oracles ++
       graft.ext.Dedup.oracles ++
       graft.ext.Similarity.oracles ++
