@@ -1,24 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — the driver's per-round BENCH harness.
+  *
+  * Methodology (mirrors the reference's EXPLAIN ANALYZE loop, SURVEY §6,
+  * adapted to JVM reality):
+  *   - one shared session (the reference also reuses one backend);
+  *   - an untimed warmup query absorbs JVM/codegen/classloading cost;
+  *   - each headline query materializes fully through the `noop` sink, so
+  *     column pruning can't skip computing the result values the way a
+  *     bare count() would;
+  *   - two timed iterations, best-of taken — matching how the reference
+  *     re-runs each EXPLAIN ANALYZE after VACUUM (steady-state number).
+  *
+  * Prints exactly one JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  */
 object Bench {
+
+  /** Headline subset: one per operator family, weighted toward the
+    * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
+  val headline: Seq[String] = Seq(
+    "agg_sum_group3",        // TPC-H Q1 shape: scan + 2-key agg
+    "filter_conjunct",       // pushdown-dominated scan
+    "join_natural_5way",     // fact-fact shuffle + broadcast dims
+    "topk_order_limit",      // agg + TakeOrderedAndProject
+    "window_cumulative",     // shuffle + in-partition running sum
+    "agg_count_distinct",    // distinct aggregation expansion
+    "dedup_ngram_jaccard",   // inverted-index self-join
+    "dedup_minhash_lsh",     // signature + banded candidate join
+    "similarity_topk_bruteforce", // dot-product scoring loop
+    "text_quality",          // per-row lambda pipeline
+    "events_sessionize",     // user-keyed window + session agg
+    "events_window_tumbling")// event-time bucketing
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // warmup: touch codegen, parquet footers, shuffle machinery. Guarded —
+    // the bench must emit its JSON line even if a query can't run.
+    try materialize("agg_sum_group3")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val queries = headline.filter(SparkEntry.queries.contains)
+    val results = queries.map { name =>
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Relational.entries ++
       graft.queries.Lifecycle.entries ++
       graft.queries.BookOrdersKeys.entries ++
+      graft.queries.Extras.entries ++
       graft.ext.TextOps.entries ++
       graft.ext.Dedup.entries ++
       graft.ext.Similarity.entries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Lifecycle.oracles ++
       graft.queries.BookOrdersKeys.oracles ++
+      graft.queries.Extras.oracles ++
       graft.ext.TextOps.oracles ++
       graft.ext.Dedup.oracles ++
       graft.ext.Similarity.oracles ++

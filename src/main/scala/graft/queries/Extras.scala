@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Completion surface beyond the reference's own operator set (SURVEY §2
+  * extension notes): scalar function families, grouping sets, min/max
+  * aggregates, ntile, sliding event-time windows, approximate distinct —
+  * the pieces a user expects from a general OLAP engine.
+  *
+  * Scalar functions chosen for cross-engine IEEE determinism: sqrt is
+  * correctly rounded (identical everywhere); transcendental libm functions
+  * (ln/exp/pow) are NOT and are deliberately absent from the oracle-checked
+  * surface.
+  */
+object Extras {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String function family: case, substring, concat, pad, trim, LIKE,
+    * regexp_replace, translate (the to_char/bpchar-adjacent surface). */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    load(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lower(col("c_mktsegment")).as("lower_seg"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        rpad(col("c_mktsegment"), 12, " ").as("seg_padded"),
+        trim(rpad(col("c_mktsegment"), 12, " ")).as("seg_trimmed"),
+        col("c_name").like("%1%").as("has_one"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"))
+      .orderBy("c_custkey")
+
+  /** Math function family over exact-deterministic operations. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 50000.0).as("abs_centered"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        floor(col("l_tax") * 100).as("tax_pct_floor"),
+        round(col("l_extendedprice") / 1000, 1).as("price_k"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** NULL handling: nullif / coalesce / null-aware counts (the DEFAULT /
+    * NOT NULL constraint surface, SURVEY §1). */
+  def exprNullHandling(s: SparkSession, d: String): DataFrame = {
+    val withNulls = load(s, d, "customer")
+      .withColumn("seg_or_null", nullif(col("c_mktsegment"), lit("BUILDING")))
+    withNulls.groupBy(coalesce(col("seg_or_null"), lit("(defaulted)")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("seg_or_null")).as("n_nonnull"),
+        sum(col("seg_or_null").isNull.cast("int")).as("n_null"))
+      .orderBy("segment")
+  }
+
+  /** CUBE grouping sets (roll-up's sibling; reference names the OLAP
+    * concept, assignment-5.md:278–283). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("revenue"))
+      .orderBy("yr", "status")
+
+  /** min/max over numeric, string, and temporal types. */
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        min(col("o_orderpriority")).as("min_priority"),
+        max(col("o_orderpriority")).as("max_priority"))
+      .orderBy("o_orderstatus")
+
+  /** ntile quartiles within nation (ranking-window completion). */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    load(s, d, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("balance_quartile"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  /** Sliding event-time windows: 1-hour windows every 15 minutes — each
+    * event lands in four windows (the streaming-shaped overlap case). */
+  def eventsWindowSliding(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** HyperLogLog++ approximate distinct next to the exact count — sketch
+    * implementations differ across engines by design, so the oracle checks
+    * only the exact column; the test suite bounds the approximation error. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  val entries: Map[String, Q] = Map(
+    "fn_string"             -> (fnString _),
+    "fn_math"               -> (fnMath _),
+    "expr_null_handling"    -> (exprNullHandling _),
+    "agg_cube"              -> (aggCube _),
+    "agg_min_max"           -> (aggMinMax _),
+    "window_ntile"          -> (windowNtile _),
+    "events_window_sliding" -> (eventsWindowSliding _),
+    "agg_approx_distinct"   -> (aggApproxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |upper(c_name) AS upper_name,
+        |lower(c_mktsegment) AS lower_seg,
+        |substr(c_name, 1, 8) AS name_prefix,
+        |concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |rpad(c_mktsegment, 12, ' ') AS seg_padded,
+        |trim(rpad(c_mktsegment, 12, ' ')) AS seg_trimmed,
+        |c_name LIKE '%1%' AS has_one,
+        |regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_extendedprice - 50000.0) AS abs_centered,
+        |sqrt(l_extendedprice) AS sqrt_price,
+        |CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |round(l_extendedprice / 1000, 1) AS price_k,
+        |l_quantity * l_quantity AS qty_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "expr_null_handling" ->
+      """WITH t AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+        |           FROM customer)
+        |SELECT coalesce(seg_or_null, '(defaulted)') AS segment,
+        |COUNT(*) AS n_rows,
+        |COUNT(seg_or_null) AS n_nonnull,
+        |SUM(CAST(seg_or_null IS NULL AS INTEGER))::BIGINT AS n_null
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS yr,
+        |coalesce(o_orderstatus, 'ALL') AS status,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+        |ORDER BY yr, status""".stripMargin,
+    "agg_min_max" ->
+      """SELECT o_orderstatus,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |min(o_orderpriority) AS min_priority, max(o_orderpriority) AS max_priority
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_nationkey, c_custkey,
+        |CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS balance_quartile
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "events_window_sliding" ->
+      """WITH w AS (
+        |  SELECT e.*, make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+        |    AS win_start
+        |  FROM events e, unnest(range(0, 4)) AS t(k)
+        |  WHERE ((epoch_us(ts) // 900000000) - k) * 900000000
+        |        > epoch_us(ts) - 3600000000)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // agg_approx_distinct: sketches differ across engines by design —
+    // rows-only; the exact column is cross-checked by agg_count_distinct
+    // and the error bound by the test suite.
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Extras
+
+class ExtrasSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  test("approx_count_distinct within 2 sigma of exact (HLL++ rsd=0.05)") {
+    val rows = Extras.aggApproxDistinct(spark, SF).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getAs[String]("l_returnflag")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("sliding windows: every event lands in exactly 4 windows") {
+    val total = graft.Tables.load(spark, SF, "events").count()
+    val windowed = Extras.eventsWindowSliding(spark, SF)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(windowed == 4 * total)
+  }
+
+  test("cube emits all four grouping-set combinations") {
+    val df = Extras.aggCube(spark, SF)
+    assert(df.filter(col("yr") === -1 && col("status") === "ALL").count() == 1)
+    assert(df.filter(col("yr") === -1 && col("status") =!= "ALL").count() > 0)
+    assert(df.filter(col("yr") =!= -1 && col("status") === "ALL").count() > 0)
+    // grand total consistency
+    val grand = df.filter(col("yr") === -1 && col("status") === "ALL")
+      .collect().head.getAs[Long]("n")
+    assert(grand == graft.Tables.load(spark, SF, "orders").count())
+  }
+
+  test("ntile quartiles are balanced within each nation") {
+    val df = Extras.windowNtile(spark, SF)
+    val spread = df.groupBy("c_nationkey", "balance_quartile").count()
+      .groupBy("c_nationkey")
+      .agg((max("count") - min("count")).as("spread"))
+      .filter(col("spread") > 1)
+    assert(spread.count() == 0)
+  }
+}
