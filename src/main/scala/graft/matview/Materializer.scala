@@ -33,10 +33,32 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     table(name)
   }
 
-  /** Read a materialized view back (plans a parquet scan). */
+  /** Bucketed materialization into the session catalog: co-locates future
+    * joins/aggregations on the bucket columns — two tables bucketed the same
+    * way join with NO exchange (pinned by BucketedJoinSpec). This is the
+    * 100 TB answer to repeated fact-fact joins: pay the shuffle once at
+    * write time, never again at read time.
+    */
+  def createBucketed(
+      name: String, df: DataFrame,
+      bucketCols: Seq[String], numBuckets: Int): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path(name))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    deps(name) = Nil
+    spark.table(name)
+  }
+
+  /** Read a materialized view back (plans a parquet scan; bucketed MVs go
+    * through the catalog so bucketing metadata survives). */
   def table(name: String): DataFrame = {
     require(deps.contains(name), s"no such materialized view: $name")
-    spark.read.parquet(path(name))
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(path(name))
   }
 
   def exists(name: String): Boolean = deps.contains(name)
@@ -57,6 +79,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     visit(name)
     order.foreach { n =>
       deps.remove(n)
+      if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
       // best-effort storage cleanup; the registry is the source of truth
       val p = java.nio.file.Paths.get(path(n))
       if (java.nio.file.Files.exists(p)) {

@@ -119,7 +119,27 @@ object Extras {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** As-of join: align each purchase with the same user's most recent click
+    * at or before it — composed via [[graft.operators.AsOfJoin]] (one
+    * shuffle), oracled against DuckDB's native ASOF JOIN. Clicks are
+    * deduplicated per (user, ts) for tie determinism. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOfJoin.asofBackward(
+        purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_ts").as("click_ts"), col("click_id"))
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "join_asof"             -> (joinAsof _),
     "fn_string"             -> (fnString _),
     "fn_math"               -> (fnMath _),
     "expr_null_handling"    -> (exprNullHandling _),
@@ -131,6 +151,16 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey,
         |upper(c_name) AS upper_name,

@@ -123,7 +123,30 @@ object Lifecycle {
       .toDF("line_no", "line")
   }
 
+  /** Constraint validation as data (PK / NOT NULL / CHECK / FK over the
+    * testdata star schema) — the engine-side stand-in for PG's declarative
+    * constraints (SURVEY §1; graft.ingest.Constraints). */
+  def constraintValidate(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Constraints._
+    val orders = load(s, d, "orders")
+    val customer = load(s, d, "customer")
+    val lineitem = load(s, d, "lineitem")
+    report(s, Seq(
+      "pk_orders" -> (() => primaryKeyViolations(orders, Seq("o_orderkey"))),
+      "pk_lineitem" -> (() =>
+        primaryKeyViolations(lineitem, Seq("l_orderkey", "l_linenumber"))),
+      "notnull_custkey" -> (() => notNullViolations(orders, Seq("o_custkey"))),
+      "check_price_positive" -> (() =>
+        checkViolations(orders, col("o_totalprice") > 0)),
+      "fk_orders_customer" -> (() =>
+        foreignKeyViolations(orders, Seq("o_custkey"), customer, Seq("c_custkey"))),
+      "fk_lineitem_orders" -> (() =>
+        foreignKeyViolations(lineitem, Seq("l_orderkey"), orders, Seq("o_orderkey")))))
+      .orderBy("constraint_name")
+  }
+
   val entries: Map[String, Q] = Map(
+    "constraint_validate" -> (constraintValidate _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "create_matview"    -> (createMatview _),
@@ -134,6 +157,26 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "constraint_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'pk_orders' AS constraint_name, COALESCE((
+        |    SELECT SUM(c - 1) FROM (SELECT COUNT(*) AS c FROM orders
+        |      GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0)::BIGINT AS violations
+        |  UNION ALL SELECT 'pk_lineitem', COALESCE((
+        |    SELECT SUM(c - 1) FROM (SELECT COUNT(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)::BIGINT
+        |  UNION ALL SELECT 'notnull_custkey',
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'check_price_positive',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT (o_totalprice > 0) OR o_totalprice IS NULL)::BIGINT
+        |  UNION ALL SELECT 'fk_orders_customer',
+        |    (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer WHERE c_custkey = o_custkey))::BIGINT
+        |  UNION ALL SELECT 'fk_lineitem_orders',
+        |    (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))::BIGINT
+        |) ORDER BY constraint_name""".stripMargin,
     "ingest_tsv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "ddl_create_insert" ->

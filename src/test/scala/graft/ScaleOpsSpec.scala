@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.matview.Materializer
+import graft.operators.SaltedJoin
+
+/** Scale-machinery specs: skew salting and bucketed co-located joins. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  test("salted join returns exactly the rows of the plain join") {
+    val orders = graft.Tables.load(spark, SF, "orders")
+    val customer = graft.Tables.load(spark, SF, "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val salted = SaltedJoin.saltedInner(orders, customer,
+        "o_custkey", "c_custkey", salts = 8)
+      .select("o_orderkey", "c_custkey")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("same-bucketed tables join without a shuffle exchange") {
+    val m = new Materializer(spark, "/root/repo/target/scratch-test/bucketed")
+    val orders = graft.Tables.load(spark, SF, "orders")
+    val li = graft.Tables.load(spark, SF, "lineitem")
+    m.createBucketed("b_orders", orders, Seq("o_orderkey"), 4)
+    m.createBucketed("b_lineitem", li, Seq("l_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = m.table("b_lineitem").join(m.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val qe = joined.queryExecution
+      assert(joined.count() == li.count())
+      val p = qe.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffled:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("as-of join: every matched click is at or before its purchase") {
+    val df = graft.queries.Extras.joinAsof(spark, SF)
+    assert(df.count() > 0)
+    assert(df.filter(col("click_ts") > col("ts")).count() == 0)
+    // purchases before any click have null matches, others the latest click
+    val firstClick = graft.Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val bad = df.join(firstClick, "user_id")
+      .filter(col("click_ts").isNull && col("ts") >= col("first_click"))
+    assert(bad.count() == 0)
+  }
+}
