@@ -22,6 +22,16 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * rebuilds replay in creation order. */
   private val deps = mutable.LinkedHashMap.empty[String, Seq[String]]
 
+  private var rewrite: Option[MvRewrite] = None
+
+  /** Turn on automatic MV substitution (SURVEY §4 stretch goal): queries on
+    * this session that recompute a registered MV's exact relation are
+    * rewritten to scan the persisted MV instead. */
+  def enableAutoRewrite(): this.type = {
+    rewrite = Some(MvRewrite.forSession(spark))
+    this
+  }
+
   private def path(name: String): String = s"$scratchDir/$name"
 
   /** CREATE MATERIALIZED VIEW name AS df (S5). Returns the persisted
@@ -30,6 +40,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     require(dependsOn.forall(deps.contains), s"unknown dependency in $dependsOn")
     df.write.mode("overwrite").parquet(path(name))
     deps(name) = dependsOn
+    rewrite.foreach(_.register(name, df, () => table(name)))
     table(name)
   }
 
@@ -79,6 +90,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     visit(name)
     order.foreach { n =>
       deps.remove(n)
+      rewrite.foreach(_.deregister(n))
       if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
       // best-effort storage cleanup; the registry is the source of truth
       val p = java.nio.file.Paths.get(path(n))

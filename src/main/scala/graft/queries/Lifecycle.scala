@@ -145,8 +145,25 @@ object Lifecycle {
       .orderBy("constraint_name")
   }
 
+  /** Automatic MV substitution through the driver surface: materialize an
+    * aggregate, rebuild the logically-identical query from base tables, and
+    * report whether the optimizer answered it from the MV
+    * (graft.matview.MvRewrite; SURVEY §4 stretch goal, automated). */
+  def matviewAutoRewrite(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    def agg = load(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
+    m.create("mv_auto_rw", agg)
+    val q = agg // fresh logically-identical plan
+    val servedFromMv = q.queryExecution.executedPlan.toString.contains("mv_auto_rw")
+    q.withColumn("served_from_mv", lit(servedFromMv))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Map[String, Q] = Map(
     "constraint_validate" -> (constraintValidate _),
+    "matview_auto_rewrite" -> (matviewAutoRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "create_matview"    -> (createMatview _),
@@ -157,6 +174,11 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "matview_auto_rewrite" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |true AS served_from_mv
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "constraint_validate" ->
       """SELECT * FROM (
         |  SELECT 'pk_orders' AS constraint_name, COALESCE((
