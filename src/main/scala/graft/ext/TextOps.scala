@@ -18,8 +18,10 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Token counting: whitespace tokenization + distinct-token counts and
-    * type-token ratio. */
+  /** Token counting: whitespace tokenization, distinct-token counts,
+    * type-token ratio, and a BPE-ish subword proxy (alpha runs / digit runs
+    * / single other-chars — the usual cheap stand-in for a real tokenizer's
+    * token count when budgeting training data). */
   def textTokens(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
       .select(
@@ -27,7 +29,9 @@ object TextOps {
         size(split(col("text"), " ")).as("n_tokens"),
         size(array_distinct(split(col("text"), " "))).as("n_types"),
         (size(array_distinct(split(col("text"), " "))) /
-          size(split(col("text"), " "))).as("type_token_ratio"))
+          size(split(col("text"), " "))).as("type_token_ratio"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)"))
+          .as("n_subword_tokens"))
       .orderBy("doc_id")
 
   /** Quality scoring: length checks, mean token length, stopword ratio,
@@ -90,8 +94,22 @@ object TextOps {
         md5(lower(trim(col("text"))).cast("binary")).as("fp_norm"))
       .orderBy("doc_id")
 
+  /** Scalable fingerprint: native rolling-hash expression
+    * ([[graft.functions.RollingHash]], codegen'd 61-bit Rabin fingerprint) —
+    * cheaper than md5 at 100 TB and usable as a shingle hash. Not
+    * SQL-expressible: rows-only check + pinned values in the test suite. */
+  def textFingerprintRolling(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp_rolling"),
+        graft.functions.RollingHash.rolling_hash(lower(trim(col("text"))))
+          .as("fp_rolling_norm"))
+      .orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "text_tokens"      -> (textTokens _),
+    "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -103,7 +121,9 @@ object TextOps {
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
         |len(list_distinct(string_split(text, ' '))) * 1.0 /
-        |  len(string_split(text, ' ')) AS type_token_ratio
+        |  len(string_split(text, ' ')) AS type_token_ratio,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)) AS INTEGER)
+        |  AS n_subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
