@@ -61,9 +61,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index candidate
     * generation: |intersection| from a self-join on shingle, set sizes from
-    * a per-doc count; j = ix / (|a| + |b| - ix) in exact integer division. */
+    * a per-doc count; j = ix / (|a| + |b| - ix) in exact integer division.
+    *
+    * The join key is the shingle's xxhash64, not the string: an 8-byte
+    * shuffle payload instead of ~20-byte grams (64-bit collisions are
+    * negligible at any realistic shingle count, and the minhash path
+    * already identifies shingles by this hash). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val g = shingles(s, d)
+    val g = shingles(s, d).select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     val n = g.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val inter = g.as("ga").join(g.as("gb"),
         col("ga.gram") === col("gb.gram") &&

@@ -67,13 +67,32 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
       .orderBy("k_bucket")
 
+  /** The tumbling aggregation as a REAL Structured Streaming query (file
+    * source, watermark, memory sink, drained to completion) — proves the
+    * stream/batch semantic equivalence through the driver gate: the oracle
+    * is the same batch SQL. */
+  def eventsStreamTumbling(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    StreamingOps.runToCompletion(s,
+        StreamingOps.tumblingAgg(StreamingOps.eventsStream(s, d)),
+        "verify_stream_tumbling")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .orderBy("hour_start", "event_type")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_stream_tumbling" -> (eventsStreamTumbling _),
     "events_window_tumbling" -> (eventsWindowTumbling _),
     "events_sessionize"      -> (eventsSessionize _),
     "events_json_extract"    -> (eventsJsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
+    "events_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |COUNT(*) AS n,
