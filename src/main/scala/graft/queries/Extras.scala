@@ -138,8 +138,27 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the native custom operator stack
+    * (graft.plans.AsOfJoinNative: LogicalPlan + SparkStrategy +
+    * BinaryExecNode per-partition merge) — same oracle as the composed
+    * form. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsOfJoinNative.asofBackward(
+        purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "click_ts")
+      .select("event_id", "user_id", "ts", "click_ts", "click_id")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "join_asof"             -> (joinAsof _),
+    "join_asof_native"      -> (joinAsofNative _),
     "fn_string"             -> (fnString _),
     "fn_math"               -> (fnMath _),
     "expr_null_handling"    -> (exprNullHandling _),
@@ -152,6 +171,16 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_native" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),

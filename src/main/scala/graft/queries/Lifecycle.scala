@@ -161,8 +161,41 @@ object Lifecycle {
       .orderBy("o_orderpriority")
   }
 
+  /** Constraint detection on deliberately-corrupted data: duplicate PKs,
+    * nulled keys, negative prices, and orphaned FKs are planted in-query,
+    * and the validators must count each exactly — the failure paths of
+    * [[graft.ingest.Constraints]] through the driver gate. */
+  def constraintDetect(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Constraints._
+    val orders = load(s, d, "orders")
+    val customer = load(s, d, "customer")
+    // plant: 7 duplicated orderkeys, 5 null custkeys, 3 negative prices,
+    // 11 orders pointing at a customer key that cannot exist
+    val corrupted = orders
+      .unionByName(orders.orderBy("o_orderkey").limit(7))
+      .unionByName(orders.orderBy("o_orderkey").limit(5)
+        .withColumn("o_custkey", lit(null).cast("bigint"))
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      .unionByName(orders.orderBy("o_orderkey").limit(3)
+        .withColumn("o_totalprice", lit(-1.0))
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+      .unionByName(orders.orderBy("o_orderkey").limit(11)
+        .withColumn("o_custkey", lit(-42L))
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+    report(s, Seq(
+      "pk_dupes" -> (() => primaryKeyViolations(corrupted, Seq("o_orderkey"))),
+      "null_custkey" -> (() => notNullViolations(corrupted, Seq("o_custkey"))),
+      "negative_price" -> (() =>
+        checkViolations(corrupted, col("o_totalprice") > 0)),
+      "orphan_fk" -> (() => foreignKeyViolations(
+        corrupted.filter(col("o_custkey").isNotNull), Seq("o_custkey"),
+        customer, Seq("c_custkey")))))
+      .orderBy("constraint_name")
+  }
+
   val entries: Map[String, Q] = Map(
     "constraint_validate" -> (constraintValidate _),
+    "constraint_detect" -> (constraintDetect _),
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
@@ -174,6 +207,13 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "constraint_detect" ->
+      """SELECT * FROM (VALUES
+        |  ('negative_price', 3::BIGINT),
+        |  ('null_custkey', 5::BIGINT),
+        |  ('orphan_fk', 11::BIGINT),
+        |  ('pk_dupes', 7::BIGINT)
+        |) t(constraint_name, violations) ORDER BY constraint_name""".stripMargin,
     "matview_auto_rewrite" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -23,6 +23,18 @@ object StreamDemo {
       "demo_tumbling")
     out.orderBy("hour_start", "event_type").show(12, truncate = false)
     println(s"[stream-demo] windows=${out.count()}")
+
+    // stateful sessionization (flatMapGroupsWithState + event-time timeout)
+    val sessions = StreamingOps.sessionizeStream(
+      StreamingOps.eventsStreamWithFlush(spark, dir))
+    val sq = sessions.writeStream
+      .outputMode("append").format("memory").queryName("demo_sessions")
+      .start()
+    try sq.processAllAvailable() finally sq.stop()
+    val sess = spark.table("demo_sessions")
+      .filter(org.apache.spark.sql.functions.col("user_id") =!= -1)
+    sess.orderBy("user_id", "session_id").show(8, truncate = false)
+    println(s"[stream-demo] sessions=${sess.count()}")
     spark.stop()
   }
 }

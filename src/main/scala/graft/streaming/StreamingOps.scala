@@ -59,6 +59,126 @@ object StreamingOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  // ---- stateful sessionization (flatMapGroupsWithState) ----------------
+
+  /** Per-user session accumulator carried across micro-batches. */
+  final case class SessionState(
+      nextSessionId: Long, startUs: Long, lastUs: Long,
+      count: Long, sumCents: Long)
+
+  /** Closed session record; times in epoch micros (exact integers). */
+  final case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, session_value: Double)
+
+  final case class Ev(
+      user_id: Long, event_id: Long, ts: java.time.Instant, value: Double) {
+    def tsUs: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+
+  private val GAP_US: Long = 1800L * 1000000L
+
+  /** Incremental sessionization over an unbounded stream: custom state via
+    * `flatMapGroupsWithState` with event-time timeout — sessions close
+    * either when a later event exceeds the 30-minute gap (in-batch) or when
+    * the watermark passes lastEvent + gap (timeout). Exact-cent value
+    * accumulation keeps sums bit-identical to the batch operator.
+    *
+    * Scale: state is one fixed-size record per active user; the watermark
+    * timeout bounds it to users active within the last gap+delay window.
+    */
+  def sessionizeStream(events: DataFrame): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // the watermark column must survive into the typed Dataset for
+    // event-time timeout to resolve
+    val typed = events
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Ev]
+
+    def close(uid: Long, sid: Long, st: SessionState): Session =
+      Session(uid, sid, st.count, st.startUs, st.lastUs, st.sumCents / 100.0)
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(close(uid, st.nextSessionId, st))
+          } else {
+            val events = batch.toArray.sortBy(e => (e.tsUs, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            events.foreach { e =>
+              val cents = math.round(e.value * 100)
+              val us = e.tsUs
+              st = if (st == null)
+                SessionState(1L, us, us, 1L, cents)
+              else if (us - st.lastUs > GAP_US) {
+                closed += close(uid, st.nextSessionId, st)
+                SessionState(st.nextSessionId + 1, us, us, 1L, cents)
+              } else
+                st.copy(lastUs = us, count = st.count + 1,
+                  sumCents = st.sumCents + cents)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastUs + GAP_US) / 1000 + 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Bounded-stream harness for the stateful operators: stages the events
+    * file plus a later "flush" sentinel file (one event, user_id = -1, far
+    * past the last real timestamp), processed one file per micro-batch so
+    * the sentinel batch advances the watermark and times out every
+    * remaining session state. Production streams run forever and need no
+    * sentinel; this exists so bounded tests observe the timeout path. */
+  def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val staged = Paths.get(
+      s"${graft.matview.Materializer.defaultScratch}/stream_events_flush")
+    if (Files.exists(staged)) {
+      Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    Files.createDirectories(staged)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      staged.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxNs = spark.read.parquet(staged.toString)
+      .agg(max(col("ts"))).collect().head.getLong(0)
+    val flushNs = maxNs + (GAP_US + 7200L * 1000000L) * 1000L
+    val tmp = staged.resolve("tmp_flush")
+    Seq((-1L, flushNs, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, staged.resolve("10_flush.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    // one file per trigger; source orders by modification time, so pin it
+    Files.setLastModifiedTime(staged.resolve("00_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run a streaming aggregation to completion against a bounded file
     * source and return the final result — used by tests to prove
     * batch/stream semantic equivalence. */
