@@ -72,10 +72,61 @@ object Bench {
       name -> best
     }
 
+    // physical plan node counts — the reference's secondary metric
+    // ("loops" per query, BASELINE.md): structural plan size per query
+    val planNodes = queries.map { name =>
+      val n = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect { case p => p }.size
+      } catch { case _: Throwable => -1 }
+      name -> n
+    }
+
+    // the reference's Q4 ordering invariant at bench scale: the same
+    // question (top-10 spenders with names) against raw base tables, the
+    // joined mart, and a pre-aggregated MV (builds excluded, as in the
+    // reference where MVs pre-exist)
+    val mvTriplet = {
+      import org.apache.spark.sql.functions._
+      import graft.Tables._
+      val m = new graft.matview.Materializer(spark,
+        graft.matview.Materializer.defaultScratch + "/bench_mv")
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("spend").desc, col("o_custkey")).limit(10)
+      def rawQ = topk(load(spark, sfDir, "orders")
+        .join(broadcast(load(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(min(col("c_name")).as("name"), exactSum(col("o_totalprice")).as("spend")))
+      m.create("bench_fact", load(spark, sfDir, "orders")
+        .join(broadcast(load(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_custkey", "c_name", "o_totalprice"))
+      m.create("bench_preagg", load(spark, sfDir, "orders")
+        .join(broadcast(load(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(min(col("c_name")).as("name"), exactSum(col("o_totalprice")).as("spend")))
+      def martQ = topk(m.table("bench_fact").groupBy("o_custkey")
+        .agg(min(col("c_name")).as("name"), exactSum(col("o_totalprice")).as("spend")))
+      def viewQ = topk(m.table("bench_preagg"))
+      def time(mk: => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      Seq("raw" -> time(rawQ), "mart" -> time(martQ), "view" -> time(viewQ))
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
+    val pn = planNodes.map { case (k, v) => "\"" + k + s"""\":$v""" }
+      .mkString("{", ",", "}")
+    val mv = mvTriplet.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"plan_nodes":$pn,"mv_speedup":$mv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point for the engine's custom Catalyst layer:
+  *
+  *   - [[graft.plans.AsOfJoinStrategy]] — plans the native as-of join exec
+  *   - [[graft.plans.FdGroupByRule]] — PostgreSQL-style functional-
+  *     dependency GROUP BY (resolution-phase first() injection)
+  *
+  * Use via `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`. (The MV-substitution rule
+  * attaches per-Materializer instead — it needs the MV registry — via
+  * `Materializer.enableAutoRewrite()`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectResolutionRule(s => graft.plans.FdGroupByRule(s))
+  }
+}
