@@ -193,10 +193,34 @@ object Lifecycle {
       .orderBy("constraint_name")
   }
 
+  /** Containment MV rewrite through the driver surface: a per-(custkey,
+    * status) MV answers the coarser per-status question by re-aggregation
+    * (sum of counts, min of mins, max of maxes) — the reference's Q4
+    * View2/View3 technique, automated. */
+  def matviewRollupRewrite(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    def fine = load(s, d, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    m.create("mv_rollup_fine", fine)
+    val coarse = load(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    val servedFromMv = coarse.queryExecution.executedPlan.toString
+      .contains("mv_rollup_fine")
+    coarse.withColumn("served_from_mv", lit(servedFromMv))
+      .orderBy("o_orderstatus")
+  }
+
   val entries: Map[String, Q] = Map(
     "constraint_validate" -> (constraintValidate _),
     "constraint_detect" -> (constraintDetect _),
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
+    "matview_rollup_rewrite" -> (matviewRollupRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "create_matview"    -> (createMatview _),
@@ -214,6 +238,11 @@ object Lifecycle {
         |  ('orphan_fk', 11::BIGINT),
         |  ('pk_dupes', 7::BIGINT)
         |) t(constraint_name, violations) ORDER BY constraint_name""".stripMargin,
+    "matview_rollup_rewrite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |true AS served_from_mv
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "matview_auto_rewrite" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
