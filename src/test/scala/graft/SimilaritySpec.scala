@@ -40,6 +40,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: recall vs brute force, deterministic, probes bound the work") {
+    val ivf = Similarity.similarityIvf(spark, SF).collect()
+    val bSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bSet.count(iSet.contains).toDouble / bSet.size
+    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+    // two runs identical (deterministic quantizer)
+    val again = Similarity.similarityIvf(spark, SF).collect()
+    assert(ivf.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes()
     val b = Similarity.hyperplanes()
