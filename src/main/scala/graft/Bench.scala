@@ -75,9 +75,11 @@ object Bench {
     // physical plan node counts — the reference's secondary metric
     // ("loops" per query, BASELINE.md): structural plan size per query
     val planNodes = queries.map { name =>
+      // sparkPlan (pre-AQE): the adaptive wrapper hides its subtree from
+      // collect, reporting 1 node for everything
       val n = try {
         SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.collect { case p => p }.size
+          .queryExecution.sparkPlan.collect { case p => p }.size
       } catch { case _: Throwable => -1 }
       name -> n
     }
