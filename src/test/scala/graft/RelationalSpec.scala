@@ -18,6 +18,10 @@ class RelationalSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
   }
 
+  test("the flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("topk_order_limit: descending, deterministic, exactly 10") {
     val rows = Relational.topkOrderLimit(spark, SF).collect()
     assert(rows.length == 10)
