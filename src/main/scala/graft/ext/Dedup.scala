@@ -126,16 +126,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature from tf-weighted token hash
-    * bits; 8x8-bit banding guarantees recall for Hamming distance <= 7;
-    * exact Hamming (bit_count of xor) verified on candidates. Not
-    * SQL-expressible — rows-only check; cross-validated against the Jaccard
-    * pairs in the test suite. */
+    * bits; 8x8-bit banding guarantees recall for Hamming distance <= 7
+    * (pigeonhole), so the exact all-pairs Hamming filter is its oracle —
+    * the token hash is mix64(rolling_hash(tok)), which the oracle replays
+    * with HUGEINT/UBIGINT arithmetic. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val toks = load(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("tf"), mix64(xxhash64(col("tok"))).as("h"))
-      // (mix on top of xxhash64 decorrelates the per-bit streams)
+      .select(col("doc_id"), col("tf"),
+        mix64(graft.functions.RollingHash.rolling_hash(col("tok"))).as("h"))
+      // (mix on top of the 61-bit Rabin hash decorrelates the per-bit streams)
 
     // v_k = sum(tf * (bit_k ? 1 : -1)); bit k of the signature = v_k > 0
     val bitSums = (0 until 64).map(k =>
@@ -214,6 +215,42 @@ object Dedup {
     // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
     // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
     "dedup_minhash_lsh" -> exactJaccardSql,
+    // Replays the token hash (61-bit Rabin poly → SplitMix64 finalizer,
+    // wrap-around multiplies emulated via HUGEINT split multiplication),
+    // then the tf-weighted bit sums and exact all-pairs Hamming. Banding
+    // in the Spark plan has guaranteed recall at hamming <= 7, so the
+    // brute-force filter is exact.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |t0 AS (SELECT doc_id, tf,
+        |  CASE WHEN tok = '' THEN 0::UBIGINT ELSE
+        |  list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT)),
+        |    (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951)::UBIGINT END AS z0
+        |  FROM toks),
+        |t1 AS (SELECT doc_id, tf, CAST((
+        |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+        |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM t0),
+        |t2 AS (SELECT doc_id, tf, CAST((
+        |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+        |th AS (SELECT doc_id, tf, xor(z2, z2 >> 31) AS h FROM t2),
+        |bits AS (SELECT doc_id, k,
+        |  SUM(CASE WHEN (h >> k) & 1 = 1 THEN tf ELSE -tf END) AS vk
+        |  FROM th, unnest(range(64)) AS t(k) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  bit_or(CASE WHEN vk > 0 THEN 1::UBIGINT << k ELSE 0::UBIGINT END) AS sig
+        |  FROM bits GROUP BY 1)
+        |SELECT a, b, hamming FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+        |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id)
+        |WHERE hamming <= 7 ORDER BY a, b""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cosine

@@ -96,8 +96,9 @@ object TextOps {
 
   /** Scalable fingerprint: native rolling-hash expression
     * ([[graft.functions.RollingHash]], codegen'd 61-bit Rabin fingerprint) —
-    * cheaper than md5 at 100 TB and usable as a shingle hash. Not
-    * SQL-expressible: rows-only check + pinned values in the test suite. */
+    * cheaper than md5 at 100 TB and usable as a shingle hash. The oracle
+    * replays the same polynomial per character with HUGEINT intermediates
+    * (the corpus is ASCII, so codepoints == UTF-8 bytes). */
   def textFingerprintRolling(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
       .select(
@@ -154,6 +155,22 @@ object TextOps {
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // 61-bit Rabin fingerprint, h = (h*257 + byte + 1) mod 2^61-1, replayed
+    // per character with HUGEINT intermediates (ASCII corpus: codepoint ==
+    // UTF-8 byte; RollingHashSpec pins the byte-level semantics).
+    "text_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        |  list_prepend(0::HUGEINT,
+        |    list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+        |  (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951) END::BIGINT
+        |  AS fp_rolling,
+        |CASE WHEN length(trim(text)) = 0 THEN 0 ELSE list_reduce(
+        |  list_prepend(0::HUGEINT,
+        |    list_transform(string_split(lower(trim(text)), ''), c -> unicode(c)::HUGEINT)),
+        |  (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951) END::BIGINT
+        |  AS fp_rolling_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
