@@ -34,6 +34,8 @@ object Similarity {
   private val TABLES = 12
   private val BITS = 6
   private val DIM = 64
+  private val NLISTS = 16
+  private val NPROBE = 4
 
   private def norm(embedding: Column): Column = sqrt(expr(
     s"aggregate(transform(${embedding.toString}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
@@ -78,8 +80,9 @@ object Similarity {
   }
 
   /** ANN via random-hyperplane LSH; same output shape as the brute-force
-    * baseline. Approximate — no SQL oracle; the test suite asserts recall
-    * against [[similarityTopkBruteforce]]. */
+    * baseline. Approximate in recall but fully deterministic: the planes
+    * come from a closed-form SplitMix64 stream, and the oracle replays
+    * them (and the sequential-fold dot products) exactly in DuckDB. */
   def similarityAnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planes = hyperplanes()
@@ -139,12 +142,14 @@ object Similarity {
     * their nearest centroid's inverted list, queries probing the NPROBE
     * nearest lists with exact rerank. At 100 TB the inverted lists are
     * bucketed tables keyed by centroid id: a probe reads NPROBE/K of the
-    * corpus instead of scanning it. Approximate — rows-only check; recall
-    * vs the exact baseline is asserted in the test suite. */
+    * corpus instead of scanning it. Approximate in recall but fully
+    * deterministic (seeded centroids, vec_id-ordered mean folds), so the
+    * oracle replays the whole pipeline: assignment, one Lloyd pass,
+    * probe, exact rerank. */
   def similarityIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val NLISTS = 16
-    val NPROBE = 4
+    val NLISTS = Similarity.NLISTS
+    val NPROBE = Similarity.NPROBE
 
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -168,13 +173,17 @@ object Similarity {
     }
     val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
     val refined: Array[Array[Double]] = assigned0
-      .select(col("cid"), col("embedding")).as[(Int, Array[Float])]
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
       .collect()
       .groupBy(_._1)
-      .map { case (cid, vs) =>
-        val dim = vs.head._2.length
+      .map { case (cid, vs0) =>
+        // accumulate in vec_id order: the mean is then a deterministic
+        // sequential double fold the oracle can replay exactly
+        val vs = vs0.sortBy(_._2)
+        val dim = vs.head._3.length
         val mean = Array.ofDim[Double](dim)
-        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v._2(i)))
+        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v._3(i)))
         (0 until dim).foreach(i => mean(i) /= vs.length)
         cid -> mean
       }
@@ -224,7 +233,90 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings e ON q.vec_id < $NUM_QUERIES
          |    AND e.vec_id <> q.vec_id) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
-    // similarity_ann_lsh: approximate — rows-only check + recall test in
-    // the scalatest suite.
+    // Replays the hyperplane generation (n-th SplitMix64 draw is the
+    // closed form mix(42 + n*GOLDEN); wrap-around multiplies emulated via
+    // HUGEINT split multiplication) and the per-row signature dots as the
+    // identical sequential double fold (list_reduce == Column aggregate()
+    // fold order), then the same bucket join + exact rerank.
+    "similarity_ann_lsh" ->
+      s"""WITH nums AS (SELECT t, b, i, ((t*$BITS+b)*$DIM + i + 1)::HUGEINT AS n
+         |  FROM range($TABLES) AS rt(t), range($BITS) AS rb(b), range($DIM) AS ri(i)),
+         |s0 AS (SELECT t, b, i,
+         |  CAST((42 + n * 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM nums),
+         |s1 AS (SELECT t, b, i, CAST((
+         |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+         |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+         |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM s0),
+         |s2 AS (SELECT t, b, i, CAST((
+         |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+         |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+         |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM s1),
+         |planes AS (SELECT t, b,
+         |  list(CASE WHEN (xor(z2, z2 >> 31) & 1) = 0 THEN -1.0 ELSE 1.0 END ORDER BY i) AS plane
+         |  FROM s2 GROUP BY 1, 2),
+         |sigbits AS (SELECT e.vec_id, p.t, p.b,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * p.plane[i+1])),
+         |    (acc, x) -> acc + x) > 0 AS bit
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sigs AS (SELECT vec_id, t AS tbl,
+         |  SUM(CASE WHEN bit THEN (1 << b) ELSE 0 END)::INTEGER AS sig
+         |  FROM sigbits GROUP BY 1, 2),
+         |qs AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < $NUM_QUERIES),
+         |cand AS (SELECT DISTINCT q.query_id, s.vec_id
+         |  FROM qs q JOIN sigs s USING (tbl, sig) WHERE s.vec_id <> q.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // Replays IVF end to end: seed centroids = first NLISTS vectors,
+    // argmax-dot assignment (strict > keeps the first max -> row_number
+    // tie-break on cid), one Lloyd refinement whose per-dim means fold in
+    // vec_id order, reassignment against the refined centroids, NPROBE
+    // nearest lists per query, exact rerank. All dots are the same
+    // sequential double fold as the Spark plan's imperative loops.
+    "similarity_ivf" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $NLISTS),
+         |assign1 AS (SELECT e.vec_id, s.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign1) WHERE rn = 1),
+         |dimsums AS (SELECT a1.cid, i,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i+1]::DOUBLE ORDER BY e.vec_id)),
+         |    (acc, x) -> acc + x) / COUNT(*) AS c
+         |  FROM a1 JOIN embeddings e USING (vec_id), range($DIM) AS r(i)
+         |  GROUP BY a1.cid, i),
+         |cents AS (SELECT cid, list(c ORDER BY i) AS cent FROM dimsums GROUP BY cid),
+         |assign2 AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+         |  FROM probe p JOIN a2 USING (cid) WHERE a2.vec_id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -119,6 +119,28 @@ object Extras {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** K-minimum-values approximate distinct (Bar-Yossef et al., RANDOM 2002):
+    * est = (K-1) * 2^63 / h_(K) over SplitMix64-hashed keys. Unlike the
+    * HLL++ sketch it is cross-engine deterministic — the oracle replays the
+    * hash and the order statistic exactly. At scale the K smallest hashes
+    * per group come from a partial top-K (here a window over distinct
+    * hashes, which Spark executes as partial sort + shuffle on the group). */
+  def aggKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    import graft.functions.Mix64.mix64
+    val w = Window.partitionBy("l_returnflag").orderBy("h")
+    load(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        shiftrightunsigned(mix64(col("l_orderkey")), 1).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === K)
+      .select(col("l_returnflag"),
+        round(lit((K - 1).toDouble) * lit(9.223372036854775808e18) / col("h"), 6)
+          .as("approx_distinct"))
+      .orderBy("l_returnflag")
+  }
+
   /** As-of join: align each purchase with the same user's most recent click
     * at or before it — composed via [[graft.operators.AsOfJoin]] (one
     * shuffle), oracled against DuckDB's native ASOF JOIN. Clicks are
@@ -167,9 +189,28 @@ object Extras {
     "window_ntile"          -> (windowNtile _),
     "events_window_sliding" -> (eventsWindowSliding _),
     "agg_approx_distinct"   -> (aggApproxDistinct _),
+    "agg_kmv_distinct"      -> (aggKmvDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    // SplitMix64 replay (wrap-around multiplies via HUGEINT split
+    // multiplication), then the K-th order statistic of the distinct
+    // hashes per group and the closed-form KMV estimate.
+    "agg_kmv_distinct" ->
+      """WITH z0s AS (SELECT DISTINCT l_returnflag, l_orderkey::UBIGINT AS z0 FROM lineitem),
+        |t1 AS (SELECT l_returnflag, CAST((
+        |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+        |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM z0s),
+        |t2 AS (SELECT l_returnflag, CAST((
+        |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+        |hx AS (SELECT DISTINCT l_returnflag, xor(z2, z2 >> 31) >> 1 AS h FROM t2),
+        |r AS (SELECT l_returnflag, h,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
+        |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
+        |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
