@@ -35,14 +35,22 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Quality scoring: length checks, mean token length, stopword ratio,
-    * long-word ratio — the standard cheap pre-filter signals. */
+    * long-word ratio — the standard cheap pre-filter signals.
+    *
+    * Formulated entirely in codegen'd string primitives: higher-order
+    * array lambdas (filter/transform) are CodegenFallback in Spark, so a
+    * split+filter formulation drops the whole projection out of
+    * whole-stage codegen and allocates an array per row. Token count =
+    * space count + 1; token-predicate counts = regexp_count over the
+    * space-padded text with a lookahead so consecutive matches both
+    * count. Semantics identical to the list formulation (empty tokens
+    * from doubled spaces match neither predicate), which stays as the
+    * oracle. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val stop = size(expr(
-      "filter(split(text, ' '), t -> t IN ('a', 'the'))"))
-    val longw = size(expr(
-      "filter(split(text, ' '), t -> length(t) > 5)"))
+    val nTok = length(col("text")) - length(translate(col("text"), " ", "")) + 1
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stop = regexp_count(padded, lit(" (a|the)(?= )"))
+    val longw = regexp_count(padded, lit(" [^ ]{6,}(?= )"))
     load(s, d, "documents")
       .select(
         col("doc_id"),
