@@ -3,10 +3,10 @@ package graft.matview
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSeq, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSeq, Cast, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Automatic materialized-view substitution — a Catalyst optimizer rule
@@ -44,23 +44,42 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   def deregister(name: String): Unit = registry.remove(name)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    registry.foldLeft(plan) { case (p, (_, (defining, readRelation))) =>
-      p.transformUp {
-        case subtree if subtree.sameResult(defining) =>
-          val relation = readRelation()
-          // map the MV relation's output attributes onto the subtree's
-          // expected output (same schema by sameResult; ids differ)
-          val projections: Seq[NamedExpression] =
-            subtree.output.zip(relation.output).map { case (want, have) =>
-              Alias(have, want.name)(exprId = want.exprId,
-                qualifier = want.qualifier)
-            }
-          Project(projections, relation)
-        case agg: Aggregate =>
-          rollupFromMv(agg, defining, readRelation).getOrElse(agg)
-        case other => other
-      }
+    if (registry.isEmpty) plan
+    else plan.transformUp {
+      case subtree =>
+        exactSubstitution(subtree).getOrElse(subtree match {
+          case agg: Aggregate => bestContainment(agg).getOrElse(agg)
+          case other => other
+        })
     }
+
+  /** Exact-equivalence substitution: first registered MV whose defining
+    * plan sameResult-matches the subtree. */
+  private def exactSubstitution(subtree: LogicalPlan): Option[LogicalPlan] =
+    registry.values.collectFirst {
+      case (defining, readRelation) if subtree.sameResult(defining) =>
+        val relation = readRelation()
+        // map the MV relation's output attributes onto the subtree's
+        // expected output (same schema by sameResult; ids differ)
+        val projections: Seq[NamedExpression] =
+          subtree.output.zip(relation.output).map { case (want, have) =>
+            Alias(have, want.name)(exprId = want.exprId,
+              qualifier = want.qualifier)
+          }
+        Project(projections, relation)
+    }
+
+  /** Containment rewrite over ALL registered MVs; when several can answer
+    * the aggregate, pick the cheapest by the optimizer's own size
+    * estimate (a pre-aggregated MV beats a denormalized one). */
+  private def bestContainment(agg: Aggregate): Option[LogicalPlan] = {
+    val candidates = registry.values.flatMap { case (defining, read) =>
+      rollupFromMv(agg, defining, read)
+    }.toSeq
+    if (candidates.isEmpty) None
+    else Some(candidates.minBy(p =>
+      try p.stats.sizeInBytes catch { case _: Throwable => BigInt(Long.MaxValue) }))
+  }
 
   /** Containment rewrite: answer `Aggregate(g2, a2, base')` from an MV
     * defined as `Aggregate(g1, a1, base)` when base' computes base, g2 is a
@@ -85,12 +104,31 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       def sub(e: Expression): Expression = e.transformUp {
         case ar: Attribute if subs.contains(ar.exprId.id) => subs(ar.exprId.id)
       }
+      // Top-level outputs must keep their identity: an output Attribute
+      // whose substitution is a different expression (renamed column or a
+      // computed alias body) is re-wrapped under its ORIGINAL name and
+      // exprId — ancestors reference that id, and the substituted body
+      // need not even be a NamedExpression.
+      val newAggExprs = agg.aggregateExpressions.map { ne =>
+        sub(ne) match {
+          case n: NamedExpression if n.exprId == ne.exprId => n
+          case e => Alias(e, ne.name)(exprId = ne.exprId,
+            qualifier = ne.qualifier)
+        }
+      }
       inlineChildProjects(agg.copy(
         groupingExpressions = agg.groupingExpressions.map(sub),
-        aggregateExpressions =
-          agg.aggregateExpressions.map(sub(_).asInstanceOf[NamedExpression]),
+        aggregateExpressions = newAggExprs,
         child = grandchild))
     case _ => agg
+  }
+
+  /** Strip column-pruning Projects (attribute-only) so differently-pruned
+    * plans over the same relation still compare equal. */
+  private def stripPruning(p: LogicalPlan): LogicalPlan = p match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
+      stripPruning(child)
+    case other => other
   }
 
   private def rollupFromMv(
@@ -100,13 +138,21 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case mvAgg: Aggregate =>
       val mv = inlineChildProjects(mvAgg)
       val query = inlineChildProjects(query0)
-      val (g1, a1, base) = (mv.groupingExpressions, mv.aggregateExpressions, mv.child)
-      if (!query.child.sameResult(base)) return None
+      val a1 = mv.aggregateExpressions
+      val base = stripPruning(mv.child)
+      // filter containment: Aggregate(Filter(pred, base')) answers from
+      // the MV when pred maps onto stored grouping columns (the filter
+      // then runs over the MV's — far smaller — grouped relation)
+      val (qchild, qfilter) = stripPruning(query.child) match {
+        case Filter(cond, fc) => (stripPruning(fc), Some(cond))
+        case c => (c, None)
+      }
+      if (!qchild.sameResult(base)) return None
       // canonical form of an expression relative to its plan's input
       def canon(e: Expression, input: Seq[Attribute]): Expression =
         QueryPlan.normalizeExpressions(e, AttributeSeq(input)).canonicalized
       val baseIn = base.output
-      val queryIn = query.child.output
+      val queryIn = qchild.output
       val relation = readRelation()
       // position i of a1  <->  relation.output(i)
       def findStored(pred: Expression => Boolean): Option[Attribute] =
@@ -114,59 +160,98 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case (Alias(child, _), i) if pred(child) => relation.output(i)
           case (a: Attribute, i) if pred(a) => relation.output(i)
         }
+      // Only aggregate-free stored outputs are addressable as grouping
+      // values: a stored aggregate column is valid to read directly only
+      // at the MV's own grain (the exact-substitution path) — mapping it
+      // from inside a coarser Aggregate would reference a non-grouping
+      // column outside any aggregate function.
       def storedGroup(e2: Expression): Option[Attribute] =
-        findStored(e1 => canon(e1, baseIn) == canon(e2, queryIn))
+        if (e2.exists(_.isInstanceOf[AggregateExpression])) None
+        else findStored(e1 =>
+          !e1.exists(_.isInstanceOf[AggregateExpression]) &&
+            canon(e1, baseIn) == canon(e2, queryIn))
       def storedAgg(pred: AggregateExpression => Boolean): Option[Attribute] =
         findStored {
           case ae: AggregateExpression => pred(ae)
           case _ => false
         }
 
-      val g2Mapped = query.groupingExpressions.map(storedGroup)
+      /** Re-aggregate one aggregate call from stored measures; inserts a
+        * cast when re-aggregation widens the type (sum of decimal sums),
+        * which is value-safe — the total provably fits the query's own
+        * output type. */
+      def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
+        if (ae.isDistinct || ae.filter.nonEmpty) return None
+        val re: Option[Expression] = ae.aggregateFunction match {
+          case Sum(x, _) =>
+            storedAgg(_.aggregateFunction match {
+              case Sum(x1, _) => canon(x1, baseIn) == canon(x, queryIn)
+              case _ => false
+            }).map(m => Sum(m).toAggregateExpression())
+          case Count(Seq(l)) if l.foldable =>
+            storedAgg(_.aggregateFunction match {
+              case Count(Seq(l1)) => l1.foldable
+              case _ => false
+            }).map(m => Sum(m).toAggregateExpression())
+          case Min(x) =>
+            storedAgg(_.aggregateFunction match {
+              case Min(x1) => canon(x1, baseIn) == canon(x, queryIn)
+              case _ => false
+            }).map(m => Min(m).toAggregateExpression())
+          case Max(x) =>
+            storedAgg(_.aggregateFunction match {
+              case Max(x1) => canon(x1, baseIn) == canon(x, queryIn)
+              case _ => false
+            }).map(m => Max(m).toAggregateExpression())
+          case _ => None
+        }
+        re.map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
+      }
+
+      /** Rewrite a whole output expression: aggregate calls re-aggregate,
+        * any subexpression matching a stored grouping column maps to it
+        * (including derived groupings like year(g) over a date-grained
+        * MV), and remaining scalar structure is preserved. Covers
+        * composites like sum(x)/count(*) — the exact-average shape. */
+      def rewriteTree(e: Expression): Option[Expression] = e match {
+        case ae: AggregateExpression => rewriteAggFn(ae)
+        case other =>
+          storedGroup(other).orElse(other match {
+            case _: Attribute => None
+            case leaf if leaf.children.isEmpty => Some(leaf)
+            case _ =>
+              val kids = other.children.map(rewriteTree)
+              if (kids.exists(_.isEmpty)) None
+              else Some(other.withNewChildren(kids.map(_.get)))
+          })
+      }
+
+      val g2Mapped = query.groupingExpressions.map(rewriteTree)
       if (g2Mapped.exists(_.isEmpty)) return None
 
       val rewritten: Seq[Option[NamedExpression]] = query.aggregateExpressions.map {
         case a: Attribute =>
           storedGroup(a).map(m => Alias(m, a.name)(exprId = a.exprId))
-        case al @ Alias(ae: AggregateExpression, name) =>
-          def out(e: Expression): Option[NamedExpression] =
-            Some(Alias(e, name)(exprId = al.exprId))
-          (ae.aggregateFunction, ae.isDistinct, ae.filter) match {
-            case (Sum(x, _), false, None) =>
-              storedAgg(_.aggregateFunction match {
-                case Sum(x1, _) => canon(x1, baseIn) == canon(x, queryIn)
-                case _ => false
-              }).flatMap(m => out(Sum(m).toAggregateExpression()))
-            case (Count(Seq(lit)), false, None) if lit.foldable =>
-              storedAgg(_.aggregateFunction match {
-                case Count(Seq(l1)) => l1.foldable
-                case _ => false
-              }).flatMap(m => out(Sum(m).toAggregateExpression()))
-            case (Min(x), false, None) =>
-              storedAgg(_.aggregateFunction match {
-                case Min(x1) => canon(x1, baseIn) == canon(x, queryIn)
-                case _ => false
-              }).flatMap(m => out(Min(m).toAggregateExpression()))
-            case (Max(x), false, None) =>
-              storedAgg(_.aggregateFunction match {
-                case Max(x1) => canon(x1, baseIn) == canon(x, queryIn)
-                case _ => false
-              }).flatMap(m => out(Max(m).toAggregateExpression()))
-            case _ => None
-          }
+        case al @ Alias(child, name) =>
+          rewriteTree(child).map(e =>
+            Alias(e, name)(exprId = al.exprId, qualifier = al.qualifier))
         case _ => None
       }
-      if (rewritten.exists(_.isEmpty)) None
-      else {
-        val newAgg = Aggregate(
-          g2Mapped.map(_.get), rewritten.map(_.get), relation)
-        // type guard: the re-aggregated output must match exactly (sum over
-        // a wider decimal changes type); bail out when it doesn't
-        val ok = newAgg.output.zip(query.output).forall { case (n, o) =>
-          n.dataType == o.dataType
-        }
-        if (ok) Some(newAgg) else None
+      if (rewritten.exists(_.isEmpty)) return None
+
+      val mappedFilter = qfilter.map(rewriteTree)
+      if (mappedFilter.exists(_.isEmpty)) return None
+
+      val newChild = mappedFilter.flatten
+        .map(pred => Filter(pred, relation): LogicalPlan)
+        .getOrElse(relation)
+      val newAgg = Aggregate(g2Mapped.map(_.get), rewritten.map(_.get), newChild)
+      // type guard: the rewritten output must match exactly; bail out
+      // when a cast could not reconcile it
+      val ok = newAgg.output.zip(query.output).forall { case (n, o) =>
+        n.dataType == o.dataType
       }
+      if (ok) Some(newAgg) else None
     case _ => None
   }
 }

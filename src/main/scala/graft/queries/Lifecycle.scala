@@ -216,7 +216,84 @@ object Lifecycle {
       .orderBy("o_orderstatus")
   }
 
+  /** Average containment: the MV stores (decimal sum, count) per priority;
+    * the exact-average query (cast(sum)/count composite) re-aggregates both
+    * from the MV — the rewrite walks arbitrary expression trees over
+    * re-aggregable calls and inserts width-reconciling casts (a re-summed
+    * decimal widens; the total provably fits the original type). */
+  def matviewAvgRewrite(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    m.create("mv_avg_parts",
+      load(s, d, "orders").groupBy("o_orderpriority")
+        .agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("c")))
+    val q = load(s, d, "orders").groupBy("o_orderpriority")
+      .agg(exactAvg(col("o_totalprice")).as("avg_revenue"),
+        count(lit(1)).as("n"))
+    // the substantive claim: the fact table is not scanned (which MV wins
+    // is the cost chooser's call when several are registered in-session)
+    val served = !q.queryExecution.executedPlan.toString.contains("orders.parquet")
+    q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
+  }
+
+  /** Filter containment: a predicate over a stored grouping column is
+    * remapped onto the MV, so the filter runs over the grouped relation
+    * instead of the fact table (the reference's "query the view WHERE ..."
+    * pattern, assignment-5.sql:362 ff, automated). */
+  def matviewFilterRewrite(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    m.create("mv_filter_src",
+      load(s, d, "orders").groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s")))
+    val q = load(s, d, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
+    val served = q.queryExecution.executedPlan.toString.contains("mv_filter_src")
+    q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
+  }
+
+  /** Cost-based MV choice: two registered MVs both answer the rollup; the
+    * rule picks the cheaper one by the optimizer's own size estimate —
+    * the narrow pre-aggregation, not the wide one (the reference picks
+    * View2 over View1 for Q4a by the same reasoning, assignment-5.md:
+    * 555–627). */
+  def matviewCostChoice(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    m.create("mv_li_wide",
+      load(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("s")))
+    m.create("mv_li_narrow",
+      load(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("s")))
+    val q = load(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"))
+    val plan = q.queryExecution.executedPlan.toString
+    val chose = plan.contains("mv_li_narrow") && !plan.contains("mv_li_wide")
+    q.withColumn("chose_narrow_mv", lit(chose)).orderBy("l_returnflag")
+  }
+
+  /** Derived-grouping rollup: a date-grained MV answers the year-grained
+    * question — the grouping year(g) rewrites onto the stored date column
+    * and the measures re-aggregate (the mart's time-dimension hierarchy,
+    * Assignment5_17.pdf Table 2, exploited automatically). */
+  def matviewTimeRollup(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s).enableAutoRewrite()
+    m.create("mv_daily_rev",
+      load(s, d, "orders").groupBy("o_orderdate")
+        .agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("c")))
+    val q = load(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(exactSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val served = q.queryExecution.executedPlan.toString.contains("mv_daily_rev")
+    q.withColumn("served_from_mv", lit(served)).orderBy("yr")
+  }
+
   val entries: Map[String, Q] = Map(
+    "matview_avg_rewrite" -> (matviewAvgRewrite _),
+    "matview_filter_rewrite" -> (matviewFilterRewrite _),
+    "matview_cost_choice" -> (matviewCostChoice _),
+    "matview_time_rollup" -> (matviewTimeRollup _),
     "constraint_validate" -> (constraintValidate _),
     "constraint_detect" -> (constraintDetect _),
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
@@ -231,6 +308,24 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "matview_avg_rewrite" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_revenue,
+        |COUNT(*) AS n, true AS served_from_mv
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "matview_filter_rewrite" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |true AS served_from_mv
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "matview_cost_choice" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items, true AS chose_narrow_mv
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "matview_time_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders, true AS served_from_mv
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "constraint_detect" ->
       """SELECT * FROM (VALUES
         |  ('negative_price', 3::BIGINT),
