@@ -80,12 +80,74 @@ object EventOps {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Native session windows in batch (session_window(ts, gap)) — the
+    * built-in counterpart of [[eventsSessionize]]'s cumulative-flag
+    * formulation. Boundary semantics differ deliberately: session extent
+    * is [first, last + gap) and an event at exactly gap distance starts a
+    * NEW session (half-open window), which the oracle replays with >=. */
+  def eventsSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    StreamingOps.sessionWindowAgg(load(s, d, "events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** The same session-window aggregation as a REAL Structured Streaming
+    * query: flush-sentinel source so the watermark closes every session,
+    * append mode (finalized sessions only), memory sink. Same oracle as
+    * the batch form — stream/batch parity for merging session state. */
+  def eventsStreamSession(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val src = StreamingOps.eventsStreamWithFlush(s, d)
+      .withWatermark("ts", "1 second")
+    StreamingOps.runToCompletion(s, StreamingOps.sessionWindowAgg(src),
+        "verify_stream_session", mode = "append")
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Sliding windows over the stream (1 hour every 15 minutes) — each
+    * event feeds four windows' state; oracle shared with the batch
+    * sliding query. */
+  def eventsStreamSliding(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    StreamingOps.runToCompletion(s,
+        StreamingOps.slidingAgg(StreamingOps.eventsStream(s, d)),
+        "verify_stream_sliding")
+      .orderBy("win_start", "event_type")
+  }
+
   val entries: Map[String, Q] = Map(
     "events_stream_tumbling" -> (eventsStreamTumbling _),
     "events_window_tumbling" -> (eventsWindowTumbling _),
     "events_sessionize"      -> (eventsSessionize _),
+    "events_session_window"  -> (eventsSessionWindow _),
+    "events_stream_session"  -> (eventsStreamSession _),
+    "events_stream_sliding"  -> (eventsStreamSliding _),
     "events_json_extract"    -> (eventsJsonExtract _),
   )
+
+  /** session_window semantics replayed: a gap of EXACTLY 30 minutes
+    * starts a new session (half-open [first, last + gap) windows), hence
+    * >= where the cumulative-flag operator uses >. */
+  private val sessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+      |       THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |COUNT(*) AS n_events,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "events_stream_tumbling" ->
@@ -117,6 +179,20 @@ object EventOps {
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "events_session_window" -> sessionWindowSql,
+    "events_stream_session" -> sessionWindowSql,
+    // identical to the batch sliding-window oracle: the stream drains to
+    // the same relation
+    "events_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT e.*, make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+        |    AS win_start
+        |  FROM events e, unnest(range(0, 4)) AS t(k)
+        |  WHERE ((epoch_us(ts) // 900000000) - k) * 900000000
+        |        > epoch_us(ts) - 3600000000)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
         |COUNT(*) AS n,

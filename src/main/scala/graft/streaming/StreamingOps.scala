@@ -182,9 +182,10 @@ object StreamingOps {
   /** Run a streaming aggregation to completion against a bounded file
     * source and return the final result — used by tests to prove
     * batch/stream semantic equivalence. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
@@ -192,4 +193,26 @@ object StreamingOps {
     finally q.stop()
     spark.table(name)
   }
+
+  /** Native session windows (session_window(ts, gap)): state merges
+    * adjacent windows per key; at scale this is the built-in, watermark-
+    * bounded replacement for hand-rolled gap logic. Shared by the batch
+    * and streaming session queries so both provably compute the same
+    * relation. Session extent is [first event, last event + gap). */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Sliding 1-hour windows every 15 minutes over the stream — the
+    * overlap case: each event feeds four windows' state. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
 }
