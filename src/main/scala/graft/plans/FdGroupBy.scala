@@ -134,15 +134,21 @@ case class FdGroupByRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (derivable.isEmpty) agg
       else {
         var changed = false
+        def fdDerived(a: Attribute): Boolean =
+          !groupedNames.contains(a.name.toLowerCase) &&
+            derivable.exists { case (dep, scope) =>
+              dep == a.name.toLowerCase &&
+                (scope == "*" || aliasesOf(a, child).contains(scope))
+            }
         val fixed: Seq[NamedExpression] = aggExprs.map {
-          case a: AttributeReference
-              if !groupedNames.contains(a.name.toLowerCase) &&
-                derivable.exists { case (dep, scope) =>
-                  dep == a.name.toLowerCase &&
-                    (scope == "*" || aliasesOf(a, child).contains(scope))
-                } =>
+          case a: AttributeReference if fdDerived(a) =>
             changed = true
             Alias(new First(a).toAggregateExpression(), a.name)()
+          // SQL `SELECT dep AS x` arrives as an Alias over the attribute
+          case al @ Alias(a: AttributeReference, name) if fdDerived(a) =>
+            changed = true
+            Alias(new First(a).toAggregateExpression(), name)(
+              exprId = al.exprId, qualifier = al.qualifier)
           case other => other
         }
         if (changed) agg.copy(aggregateExpressions = fixed) else agg

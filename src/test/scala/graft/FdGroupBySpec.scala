@@ -73,6 +73,43 @@ class FdGroupBySpec extends AnyFunSuite
     assert(FdRegistry.dependentsOf(Set("city")) == Set("district", "country"))
   }
 
+  test("table-scoped FDs do not leak onto same-named columns elsewhere") {
+    setup()
+    graft.Tables.load(spark, TestSpark.SF, "customer")
+      .createOrReplaceTempView("customer2_fd")
+    FdRegistry.clear()
+    FdRegistry.declareFor("customer_fd", Set("c_custkey"), Set("c_name"))
+    // scoped view resolves...
+    val ok = spark.sql(
+      """SELECT c_custkey, c_name, COUNT(*) AS n FROM customer_fd
+        |GROUP BY c_custkey""".stripMargin)
+    assert(ok.collect().nonEmpty)
+    // ...the other view (same columns, different relation alias) must not
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT c_custkey, c_name, COUNT(*) AS n FROM customer2_fd
+          |GROUP BY c_custkey""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("GROUP BY") ||
+      e.getMessage.contains("MISSING_AGGREGATION"))
+  }
+
+  test("model primary keys auto-derive FDs, composite keys jointly") {
+    FdRegistry.clear()
+    FdRegistry.declarePrimaryKeys(
+      graft.bookorders.Model.all, graft.bookorders.Model.primaryKeys)
+    val fromCustomerPk =
+      FdRegistry.closure(Set(("customerid", Set("customer"))))
+    assert(fromCustomerPk.contains(("f_name", "customer")))
+    assert(fromCustomerPk.contains(("country", "customer")))
+    // composite PK: both parts needed
+    val both = FdRegistry.closure(
+      Set(("orderid", Set("order_detail")), ("item_no", Set("order_detail"))))
+    assert(both.contains(("quantity", "order_detail")))
+    val half = FdRegistry.closure(Set(("orderid", Set("order_detail"))))
+    assert(!half.exists(_._1 == "quantity"))
+  }
+
   test("without the FD declaration the plan still fails analysis") {
     setup()
     FdRegistry.clear()
