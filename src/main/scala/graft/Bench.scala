@@ -121,14 +121,78 @@ object Bench {
       Seq("raw" -> time(rawQ), "mart" -> time(martQ), "view" -> time(viewQ))
     }
 
+    // skew-join triplet: one hot key holds ~80% of the fact rows; compare
+    // an unmitigated shuffle join, AQE's skew split (thresholds scaled to
+    // bench SF), and explicit salting (graft.operators.SaltedJoin).
+    // Broadcast is disabled throughout — at 100 TB neither side fits, and
+    // the point is reducer balance, not join-strategy selection.
+    val skewTriplet = {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      import graft.Tables._
+      def time(mk: => DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      // x8 amplification so the hot reducer's share is large enough to
+      // dominate wall-clock at bench SF (at production scale the raw
+      // fact already is)
+      val skewed = load(spark, sfDir, "lineitem")
+        .withColumn("rep", explode(sequence(lit(0), lit(7))))
+        .select(
+          when(col("l_orderkey") % 100 < 80, 0L)
+            .otherwise(col("l_orderkey") % 10000 + col("rep") * 10000).as("k"),
+          col("l_extendedprice").as("v"))
+      val dim = spark.range(80000).select(col("id").as("dk"),
+        (col("id") % 97).cast("double").as("w"))
+      def agg(j: DataFrame) = j.groupBy(col("k") % 7)
+        .agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("s"))
+      def set(k: String, v: String): Unit = spark.conf.set(k, v)
+      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = time(agg(skewed.join(dim, col("k") === col("dk"))))
+      set("spark.sql.adaptive.skewJoin.enabled", "true")
+      set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val aqe = time(agg(skewed.join(dim, col("k") === col("dk"))))
+      val salted = time(agg(
+        graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 32)))
+      set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      Seq("plain" -> plain, "aqe_split" -> aqe, "salted" -> salted)
+    }
+
+    // ANN quality at bench SF: recall of each approximate path against the
+    // exact brute-force top-k, over the same (query, neighbor) pairs.
+    val annRecall = {
+      def pairs(name: String): Set[(Long, Long)] =
+        try SparkEntry.queries(name)(spark, sfDir)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        catch { case _: Throwable => Set.empty }
+      val exact = pairs("similarity_topk_bruteforce")
+      def recall(approx: Set[(Long, Long)]): Double =
+        if (exact.isEmpty) 0.0
+        else approx.intersect(exact).size.toDouble / exact.size
+      Seq("lsh" -> recall(pairs("similarity_ann_lsh")),
+        "ivf" -> recall(pairs("similarity_ivf")))
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val pn = planNodes.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     val mv = mvTriplet.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
+    val sk = skewTriplet.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
+    val ar = annRecall.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"plan_nodes":$pn,"mv_speedup":$mv,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,11 +28,13 @@ object Similarity {
 
   private val K = 5
   private val NUM_QUERIES = 10
-  // 6-bit signatures x 12 tables: sized for moderate-similarity corpora
-  // (top-neighbor cosine ~0.45 here). At web scale, bits grows with
-  // log2(corpus/bucket-target) and tables with the recall target.
-  private val TABLES = 12
-  private val BITS = 6
+  // 5-bit signatures x 20 tables: sized for moderate-similarity corpora
+  // (top-neighbor cosine ~0.45 here, where each hyperplane flips with
+  // p ~ 0.35 — recall per table (1-p)^BITS is low, so tables do the
+  // work). At web scale, bits grows with log2(corpus/bucket-target) and
+  // tables with the recall target.
+  private val TABLES = 20
+  private val BITS = 5
   private val DIM = 64
   private val NLISTS = 16
   private val NPROBE = 4
