@@ -2,7 +2,8 @@ package graft.matview
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 
 /** Materialized-view lifecycle: persist a query result under a name, track
   * the dependency DAG, and tear down in dependents-first order — the
@@ -41,6 +42,53 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     df.write.mode("overwrite").parquet(path(name))
     deps(name) = dependsOn
     rewrite.foreach(_.register(name, df, () => table(name)))
+    table(name)
+  }
+
+  // ---- incremental refresh ----------------------------------------------
+
+  /** (keys, measures) of MVs created via [[createAggregated]]. */
+  private val aggSpecs =
+    mutable.Map.empty[String, (Seq[String], Seq[Materializer.Measure])]
+
+  /** CREATE MATERIALIZED VIEW name AS base GROUP BY keys with declared
+    * re-aggregable measures — the declaration is what makes
+    * [[refreshIncremental]] possible (sum/count merge by re-summing,
+    * min/max by re-min/maxing; the same algebra MvRewrite's containment
+    * path exploits). */
+  def createAggregated(name: String, base: DataFrame, keys: Seq[String],
+      measures: Seq[Materializer.Measure]): DataFrame = {
+    val aggCols = measures.map(m => m.initial.as(m.alias))
+    aggSpecs(name) = (keys, measures)
+    create(name, base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** REFRESH ... WITH DELTA: aggregate only the delta rows, merge into the
+    * stored groups by the measures' merge functions, atomically swap the
+    * storage. At 100 TB this touches |delta groups| + |stored MV| rows —
+    * never the full base fact. Merged measures are cast back to the stored
+    * column types (a re-summed decimal widens; the merged total provably
+    * fits the stored type). */
+  def refreshIncremental(name: String, deltaBase: DataFrame): DataFrame = {
+    require(aggSpecs.contains(name), s"$name was not created via createAggregated")
+    val (keys, measures) = aggSpecs(name)
+    val stored = table(name)
+    val storedTypes = stored.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggCols = measures.map(m => m.initial.as(m.alias))
+    val delta = deltaBase.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val mergeCols = measures.map(m =>
+      m.merge(col(m.alias)).cast(storedTypes(m.alias)).as(m.alias))
+    val merged = stored.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
+    // the merged plan READS the current storage — stage to a tmp dir, then
+    // swap, so the overwrite never truncates its own input
+    val tmp = path(name) + "__stage"
+    merged.write.mode("overwrite").parquet(tmp)
+    val p = java.nio.file.Paths.get(path(name))
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
     table(name)
   }
 
@@ -110,4 +158,21 @@ object Materializer {
 
   def apply(spark: SparkSession): Materializer =
     new Materializer(spark, defaultScratch)
+
+  /** A re-aggregable measure: how to compute it over base rows and how to
+    * merge two already-aggregated partials (the standard distributive-
+    * aggregate algebra; averages are stored as sum+count pairs). */
+  final case class Measure(
+      alias: String, initial: Column, merge: Column => Column)
+
+  object Measure {
+    def sumOf(c: Column, alias: String): Measure =
+      Measure(alias, sum(c), m => sum(m))
+    def countAll(alias: String): Measure =
+      Measure(alias, count(lit(1)), m => sum(m))
+    def minOf(c: Column, alias: String): Measure =
+      Measure(alias, min(c), m => min(m))
+    def maxOf(c: Column, alias: String): Measure =
+      Measure(alias, max(c), m => max(m))
+  }
 }

@@ -289,7 +289,59 @@ object Lifecycle {
     q.withColumn("served_from_mv", lit(served)).orderBy("yr")
   }
 
+  /** Bucketed co-located join through the driver gate: both sides
+    * materialized bucketed+sorted on the join key (same bucket count), so
+    * the sort-merge join plans with NO exchange on either side — the pay-
+    * the-shuffle-once-at-write-time answer to repeated fact-fact joins at
+    * 100 TB (ScaleOpsSpec pins the plan shape; this query proves it
+    * end-to-end with values). MERGE hint pins SMJ so the no-exchange
+    * claim is about bucketing, not broadcast. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s)
+    m.createBucketed("bkt_orders",
+      load(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_custkey"), 8)
+    m.createBucketed("bkt_customer",
+      load(s, d, "customer").select("c_custkey", "c_mktsegment"),
+      Seq("c_custkey"), 8)
+    val joined = s.table("bkt_orders").hint("MERGE")
+      .join(s.table("bkt_customer").hint("MERGE"),
+        col("o_custkey") === col("c_custkey"))
+    val noExchange =
+      !joined.queryExecution.executedPlan.toString.contains("Exchange")
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
+      .withColumn("bucket_join_no_exchange", lit(noExchange))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Incremental MV refresh through the driver gate: the MV is built from
+    * the pre-1997 orders only, then the 1997+ delta is merged via
+    * refreshIncremental (delta aggregated, groups merged, atomic swap) —
+    * and the result must hash-match DuckDB aggregating ALL orders from
+    * scratch. Touches |delta| + |MV| rows, never the full fact. */
+  def matviewIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.matview.Materializer.Measure
+    val m = Materializer(s)
+    val o = load(s, d, "orders")
+    m.createAggregated("mv_inc_rev",
+      o.filter(year(col("o_orderdate")) < 1997),
+      Seq("o_orderpriority"),
+      Seq(Measure.sumOf(dec(col("o_totalprice")), "rev_dec"),
+        Measure.countAll("n_orders"),
+        Measure.maxOf(col("o_totalprice"), "max_price")))
+    m.refreshIncremental("mv_inc_rev",
+      o.filter(year(col("o_orderdate")) >= 1997))
+    m.table("mv_inc_rev")
+      .select(col("o_orderpriority"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        col("n_orders"), col("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Map[String, Q] = Map(
+    "matview_incremental_refresh" -> (matviewIncrementalRefresh _),
+    "join_bucketed" -> (joinBucketed _),
     "matview_avg_rewrite" -> (matviewAvgRewrite _),
     "matview_filter_rewrite" -> (matviewFilterRewrite _),
     "matview_cost_choice" -> (matviewCostChoice _),
@@ -308,6 +360,18 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute over ALL orders — equality proves the delta merge
+    "matview_incremental_refresh" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |true AS bucket_join_no_exchange
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "matview_avg_rewrite" ->
       """SELECT o_orderpriority,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_revenue,

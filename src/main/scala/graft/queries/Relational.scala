@@ -139,15 +139,26 @@ object Relational {
     val c  = load(s, d, "customer")
     val n  = load(s, d, "nation")
     val r  = load(s, d, "region")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Partial aggregation below the join: lineitem collapses to one exact
+    // decimal (revenue, line-count) pair per orderkey BEFORE the fact-fact
+    // join, so the join and everything downstream move |orders| rows, not
+    // |lineitem| — and the aggregate's hash partitioning on l_orderkey is
+    // exactly the join's, so the agg side joins with no extra exchange.
+    // Decimal partials re-sum exactly (order-independent), so the result
+    // is bit-identical to aggregating after the join.
+    val liAgg = li.groupBy(col("l_orderkey"))
+      .agg(
+        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .as("rev_dec"),
+        count(lit(1)).as("nl"))
+    liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
-          .cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_lines"))
+        sum(col("rev_dec")).cast(DoubleType).as("revenue"),
+        sum(col("nl")).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
 

@@ -50,4 +50,33 @@ class MaterializerSpec extends AnyFunSuite {
       m.create("x", r, Seq("nope"))
     }
   }
+
+  test("refreshIncremental merges deltas; repeated refreshes stay exact") {
+    import graft.matview.Materializer.Measure
+    import org.apache.spark.sql.functions._
+    val m = freshMat("incr")
+    val o = graft.Tables.load(spark, SF, "orders")
+    // build from one status, merge the others in TWO separate deltas —
+    // the second delta introduces brand-new groups
+    m.createAggregated("mv_incr", o.filter(col("o_orderstatus") === "F"),
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(Measure.sumOf(graft.Tables.dec(col("o_totalprice")), "rev"),
+        Measure.countAll("n"),
+        Measure.minOf(col("o_totalprice"), "lo"),
+        Measure.maxOf(col("o_totalprice"), "hi")))
+    m.refreshIncremental("mv_incr", o.filter(col("o_orderstatus") === "O"))
+    m.refreshIncremental("mv_incr", o.filter(col("o_orderstatus") === "P"))
+    val got = m.table("mv_incr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDecimal(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_.toString)
+    val want = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum(graft.Tables.dec(col("o_totalprice"))).as("rev"),
+        count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDecimal(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_.toString)
+    assert(got.map(t => (t._1, t._2, BigDecimal(t._3), t._4, t._5, t._6)).toSeq
+      == want.map(t => (t._1, t._2, BigDecimal(t._3), t._4, t._5, t._6)).toSeq)
+  }
 }
