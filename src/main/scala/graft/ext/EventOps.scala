@@ -116,7 +116,19 @@ object EventOps {
       .orderBy("win_start", "event_type")
   }
 
+  /** Stream-stream attribution join (purchases x clicks within 30
+    * minutes), drained through the gate; inner joins emit in append mode
+    * as matches arrive, so a plain drain completes the bounded stream. */
+  def eventsStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    StreamingOps.runToCompletion(s,
+        StreamingOps.clickAttributionJoin(StreamingOps.eventsStream(s, d)),
+        "verify_stream_join", mode = "append")
+      .orderBy("event_id", "click_ts")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_stream_join"     -> (eventsStreamJoin _),
     "events_stream_tumbling" -> (eventsStreamTumbling _),
     "events_window_tumbling" -> (eventsWindowTumbling _),
     "events_sessionize"      -> (eventsSessionize _),
@@ -181,6 +193,13 @@ object EventOps {
         |ORDER BY user_id, session_id""".stripMargin,
     "events_session_window" -> sessionWindowSql,
     "events_stream_session" -> sessionWindowSql,
+    "events_stream_join" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY p.event_id, c.ts""".stripMargin,
     // identical to the batch sliding-window oracle: the stream drains to
     // the same relation
     "events_stream_sliding" ->

@@ -65,9 +65,45 @@ object Multimodal {
         explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_no"))
       .orderBy("doc_id", "frame_no")
 
+  /** Resampled audio summary, STUB-derived: samples are the payload's
+    * byte values (ASCII corpus: byte == codepoint, which is what lets the
+    * oracle replay the DSP exactly). */
+  final case class ResampleOut(
+      doc_id: Long, n_samples_in: Int, n_samples_out: Int, checksum: Double)
+
+  /** STUB resample kernel: a real implementation would decode PCM and
+    * polyphase-resample here. Takes the first 128 "samples" (bytes),
+    * averages adjacent pairs (2:1 decimation), checksums sequentially —
+    * every operation exact in IEEE doubles (x.5 fractions), so the
+    * oracle's list_reduce replay is bit-identical. */
+  private def resampleStub(docId: Long, payload: Array[Byte]): ResampleOut = {
+    val n = math.min(payload.length, 128)
+    val nOut = n / 2
+    var checksum = 0.0
+    var k = 0
+    while (k < nOut) {
+      checksum += ((payload(2 * k) & 0xFF) + (payload(2 * k + 1) & 0xFF)) / 2.0
+      k += 1
+    }
+    ResampleOut(docId, n, nOut, checksum)
+  }
+
+  /** Audio-shaped kernel: fixed-rate 2:1 resample of the payload's sample
+    * stream in the same batched mapPartitions shape as the decoder. */
+  def multimodalResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => resampleStub(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "multimodal_decode"       -> (multimodalDecode _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
+    "multimodal_resample"     -> (multimodalResample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +120,19 @@ object Multimodal {
         |  FROM documents)
         |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_no
         |FROM m ORDER BY doc_id, frame_no""".stripMargin,
+    // replays the 2:1 decimation + sequential checksum over codepoints
+    // (== bytes on this ASCII corpus); all values exact in doubles
+    "multimodal_resample" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes,
+        |  least(length(text), 128) AS n FROM documents)
+        |SELECT doc_id,
+        |CAST(n AS INTEGER) AS n_samples_in,
+        |CAST(n // 2 AS INTEGER) AS n_samples_out,
+        |list_reduce(list_prepend(0.0::DOUBLE,
+        |  list_transform(range(n // 2),
+        |    k -> (codes[2*k+1] + codes[2*k+2]) / 2.0)),
+        |  (acc, x) -> acc + x) AS checksum
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -206,6 +206,27 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks within the preceding 30 minutes. Both sides carry watermarks
+    * and the join condition carries the time range — that pair is what
+    * lets Spark bound the buffered state on BOTH sides (clicks older
+    * than watermark - 30min are provably unmatchable and get evicted).
+    * At 100 TB of events this is the canonical attribution join. */
+  def clickAttributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes over the stream — the
     * overlap case: each event feeds four windows' state. */
   def slidingAgg(events: DataFrame): DataFrame =
