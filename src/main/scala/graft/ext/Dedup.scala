@@ -199,7 +199,44 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Near-dup CLUSTERING: connected components over the verified pair
+    * graph via iterative min-label propagation — the step that turns
+    * pairwise matches into keep/drop decisions (keeper = min doc_id per
+    * component). The driver loop converges in O(component diameter)
+    * rounds; each round is one shuffle join + aggregate, and
+    * localCheckpoint cuts the growing lineage — the standard Spark shape
+    * for iterative graph algorithms (GraphX's cc does the same dance).
+    * At 100 TB the pair graph is tiny relative to the corpus (only
+    * near-dups appear), so the loop runs on the small relation. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "dedup_cluster"          -> (dedupCluster _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
@@ -224,6 +261,22 @@ object Dedup {
       |ORDER BY a, b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // components via transitive closure (recursive CTE), labeled by the
+    // minimum reachable doc_id — equality with the propagation loop's
+    // fixpoint proves the clustering
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r
+         |                JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |          FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size
+         |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
