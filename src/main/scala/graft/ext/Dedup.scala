@@ -235,7 +235,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus-cleaning plan — the composition a training-data
+    * pipeline actually runs: exact dedup (keep min doc per content hash),
+    * near-dup clustering (keep the cluster keeper), then quality
+    * filtering; every doc gets a disposition with the FIRST failing rule
+    * as its reason. Each stage is one of this module's scale-designed
+    * operators; the composition itself adds only broadcast-sized joins. */
+  def corpusCleanPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(s, d, "documents")
+    val exact = docs.select(col("doc_id"),
+      min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text").cast("binary"))))
+        .as("exact_keeper"))
+    val clusters = dedupCluster(s, d)
+      .select(col("doc_id").as("c_doc"), col("cluster_id"))
+    val nTok = length(col("text")) - length(translate(col("text"), " ", "")) + 1
+    val stop = regexp_count(
+      concat(lit(" "), col("text"), lit(" ")), lit(" (a|the)(?= )"))
+    val q = docs.select(col("doc_id").as("q_doc"),
+      nTok.as("n_tokens"), (stop / nTok).as("stop_ratio"))
+    docs.select("doc_id")
+      .join(exact, "doc_id")
+      .join(broadcast(clusters), col("doc_id") === col("c_doc"), "left")
+      .join(q, col("doc_id") === col("q_doc"))
+      .select(col("doc_id"),
+        when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
+          .when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("doc_id"), "near_dup")
+          .when(col("n_tokens") < 20 || col("stop_ratio") > 0.15, "low_quality")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "corpus_clean_plan"      -> (corpusCleanPlan _),
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
@@ -280,6 +314,35 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    // the full cleaning composition: exact-dup window, near-dup closure,
+    // quality thresholds, first-failing-rule disposition
+    "corpus_clean_plan" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r
+         |                JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |ex AS (SELECT doc_id,
+         |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+         |       FROM documents),
+         |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+         |        * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+         |      FROM documents)
+         |SELECT d.doc_id,
+         |CASE WHEN ex.exact_keeper <> d.doc_id THEN 'exact_dup'
+         |     WHEN lab.cluster_id IS NOT NULL AND lab.cluster_id <> d.doc_id
+         |       THEN 'near_dup'
+         |     WHEN q.n_tokens < 20 OR q.stop_ratio > 0.15 THEN 'low_quality'
+         |     ELSE 'kept' END AS status
+         |FROM documents d
+         |JOIN ex USING (doc_id)
+         |LEFT JOIN lab ON lab.doc_id = d.doc_id
+         |JOIN q USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
     // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
