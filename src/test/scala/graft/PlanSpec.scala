@@ -35,6 +35,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("5-way join pre-aggregates lineitem BELOW the fact-fact join") {
+    // the partial agg must sit under the orderkey join so the join moves
+    // |orders| rows, not |lineitem| — regression pin for the pushed-down
+    // aggregation rewrite
+    val df = Relational.joinNatural5Way(spark, SF)
+    val text = df.queryExecution.optimizedPlan.toString
+    val aggIdx = text.indexOf("Aggregate [l_orderkey")
+    val joinIdx = text.indexOf("Join Inner")
+    assert(aggIdx >= 0, s"no per-orderkey partial aggregate:\n$text")
+    assert(joinIdx >= 0 && joinIdx < aggIdx,
+      s"partial aggregate is not below the join:\n$text")
+  }
+
   test("top-K plans as TakeOrderedAndProject, never a full global sort") {
     val p = plan(Relational.topkOrderLimit(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)
