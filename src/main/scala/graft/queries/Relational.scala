@@ -255,6 +255,14 @@ object Relational {
   /** A1: multi-key sum aggregation — the TPC-H Q1 shape (fact build,
     * assignment-5.sql:71–78). Decimal aggregation: exact and
     * order-independent under any partitioning. */
+  /** Measured tradeoff (graft.tools.Prof, sf0.1): the exact decimal sums
+    * cost ~1.31s vs ~0.44s for a long-cents fixed-point formulation and
+    * ~0.34s for the bare scan. Long cents were rejected deliberately:
+    * the charge product (cents x (100-d) x (100+t)) reaches ~1.2e11 per
+    * row, so a per-group Long sum overflows around 8e7 rows/group —
+    * roughly sf50, far below the 100 TB design point. The wide-decimal
+    * (Int128) accumulator is the smallest representation that is exact
+    * AND cannot overflow there; the 3x is the price of that guarantee. */
   def aggSumGroup3(s: SparkSession, d: String): DataFrame =
     load(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
