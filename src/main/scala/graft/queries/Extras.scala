@@ -75,6 +75,38 @@ object Extras {
         col("n"), col("revenue"))
       .orderBy("yr", "status")
 
+  /** PIVOT: status values become columns (count per priority x status).
+    * The pivoted values are declared, not discovered — at scale an
+    * undeclared pivot needs a driver-side distinct pass first, so the
+    * declared form is the one that survives 100 TB. */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      // empty combinations pivot to null; the conditional-count oracle
+      // (and any sane consumer) wants 0
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+
+  /** GROUPING SETS beyond rollup/cube: an explicit, non-hierarchical set
+    * list ((status, priority), (status), ()) via the SQL surface. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    load(s, d, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -190,6 +222,8 @@ object Extras {
     "events_window_sliding" -> (eventsWindowSliding _),
     "agg_approx_distinct"   -> (aggApproxDistinct _),
     "agg_kmv_distinct"      -> (aggKmvDistinct _),
+    "agg_pivot"             -> (aggPivot _),
+    "agg_grouping_sets"     -> (aggGroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +245,22 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    // conditional counts == declared pivot (quoted aliases keep case)
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id

@@ -59,4 +59,41 @@ class PropertySpec extends AnyFunSuite {
       Mix64.mix(x ^ 1L) != Mix64.mix(x ^ 2L)
     })
   }
+
+  // ---- FD closure algebra ------------------------------------------------
+
+  private val attrNames: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "f")
+  private val fdGen: Gen[(String, Set[String])] = for {
+    det <- attrNames
+    deps <- Gen.nonEmptyListOf(attrNames)
+  } yield (det, deps.toSet)
+
+  test("FD closure is monotone: adding declarations never shrinks it") {
+    check("fd-monotone")(Prop.forAll(Gen.listOf(fdGen), fdGen, Gen.someOf("a", "b", "c")) {
+      (fds, extra, grouped) =>
+        import graft.plans.FdRegistry
+        FdRegistry.synchronized {
+          FdRegistry.clear()
+          fds.foreach { case (d, deps) => FdRegistry.declare(d, deps) }
+          val before = FdRegistry.dependentsOf(grouped.toSet)
+          FdRegistry.declare(extra._1, extra._2)
+          val after = FdRegistry.dependentsOf(grouped.toSet)
+          FdRegistry.clear()
+          before.subsetOf(after)
+        }
+    })
+  }
+
+  test("composite determinants fire only when every part is grouped") {
+    import graft.plans.FdRegistry
+    FdRegistry.synchronized {
+      FdRegistry.clear()
+      FdRegistry.declareFor("t", Set("a", "b"), Set("x"))
+      assert(FdRegistry.closure(Set(("a", Set("t")))).isEmpty)
+      assert(FdRegistry.closure(Set(("b", Set("t")))).isEmpty)
+      assert(FdRegistry.closure(Set(("a", Set("t")), ("b", Set("t"))))
+        == Set(("x", "t")))
+      FdRegistry.clear()
+    }
+  }
 }
