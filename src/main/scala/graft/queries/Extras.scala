@@ -107,6 +107,45 @@ object Extras {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** RANGE frame over an interval: per-customer trailing-7-day spend.
+    * The frame is value-based (RANGE, not ROWS): all orders within 6 days
+    * before the current order's day count, regardless of row count —
+    * expressed over an integer day number so both engines share frame
+    * semantics exactly. */
+  def windowRangeInterval(s: SparkSession, d: String): DataFrame = {
+    val day = (unix_micros(col("o_orderdate").cast("timestamp")) /
+      86400000000L).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+        dec(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("p")).over(w).cast("double").as("trailing_7d_spend"))
+      .orderBy("o_orderkey")
+  }
+
+  /** UNPIVOT: the pivoted (F, O, P) count columns melted back to
+    * (priority, status, n) rows — schema-to-rows reshaping. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    aggPivot(s, d).unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an outer
+    * aggregate join; the surface matters for SQL users porting from PG. */
+  def joinCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
+    load(s, d, "customer").createOrReplaceTempView("customer_cs")
+    load(s, d, "orders").createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders_cs o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_cs c ORDER BY c_custkey""".stripMargin)
+  }
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -224,6 +263,9 @@ object Extras {
     "agg_kmv_distinct"      -> (aggKmvDistinct _),
     "agg_pivot"             -> (aggPivot _),
     "agg_grouping_sets"     -> (aggGroupingSets _),
+    "agg_unpivot"           -> (aggUnpivot _),
+    "window_range_interval" -> (windowRangeInterval _),
+    "join_correlated_scalar" -> (joinCorrelatedScalar _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,6 +287,29 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "window_range_interval" ->
+      """SELECT o_orderkey, o_custkey,
+        |epoch_us(o_orderdate) // 86400000000 AS day,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY epoch_us(o_orderdate) // 86400000000
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS trailing_7d_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT g.o_orderpriority, s.o_orderstatus,
+        |COALESCE(p.cnt, 0)::BIGINT AS n
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) g
+        |CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(o_orderstatus)
+        |LEFT JOIN p USING (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "join_correlated_scalar" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
     // conditional counts == declared pivot (quoted aliases keep case)
     "agg_pivot" ->
       """SELECT o_orderpriority,
