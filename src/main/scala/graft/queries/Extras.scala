@@ -146,6 +146,20 @@ object Extras {
         |FROM customer_cs c ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Discrete median per group: percentile_disc picks an actual element,
+    * so the result is engine-exact (no interpolation arithmetic). p=0.5
+    * is deliberate — it is the one percentile where Spark's
+    * cume_dist-based selection and DuckDB's index-based selection
+    * provably pick the same element for every group size; other p
+    * values can differ by one element between the two rules. */
+  def aggMedianDisc(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -264,6 +278,7 @@ object Extras {
     "agg_pivot"             -> (aggPivot _),
     "agg_grouping_sets"     -> (aggGroupingSets _),
     "agg_unpivot"           -> (aggUnpivot _),
+    "agg_median_disc"       -> (aggMedianDisc _),
     "window_range_interval" -> (windowRangeInterval _),
     "join_correlated_scalar" -> (joinCorrelatedScalar _),
   )
@@ -287,6 +302,11 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "agg_median_disc" ->
+      """SELECT o_orderstatus,
+        |quantile_disc(o_totalprice, 0.5) AS median_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_range_interval" ->
       """SELECT o_orderkey, o_custkey,
         |epoch_us(o_orderdate) // 86400000000 AS day,
