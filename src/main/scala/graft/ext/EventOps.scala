@@ -127,7 +127,25 @@ object EventOps {
       .orderBy("event_id", "click_ts")
   }
 
+  /** Streaming deduplication: two copies of the stream unioned (every
+    * event genuinely duplicated), dropDuplicates on the event key with a
+    * watermark bounding the dedup state, then aggregated — the drained
+    * result must equal the batch aggregation over the SINGLE copy, which
+    * is exactly what the oracle computes. */
+  def eventsStreamDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val doubled = StreamingOps.eventsStream(s, d)
+      .unionByName(StreamingOps.eventsStream(s, d))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+    val agg = doubled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    StreamingOps.runToCompletion(s, agg, "verify_stream_dedup")
+      .orderBy("event_type")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_stream_dedup"    -> (eventsStreamDedup _),
     "events_stream_join"     -> (eventsStreamJoin _),
     "events_stream_tumbling" -> (eventsStreamTumbling _),
     "events_window_tumbling" -> (eventsWindowTumbling _),
@@ -193,6 +211,10 @@ object EventOps {
         |ORDER BY user_id, session_id""".stripMargin,
     "events_session_window" -> sessionWindowSql,
     "events_stream_session" -> sessionWindowSql,
+    "events_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_stream_join" ->
       """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
         |FROM events p JOIN events c
