@@ -523,6 +523,37 @@ object Relational {
     custkeysOfYear(s, d, 1995).except(custkeysOfYear(s, d, 1996))
       .orderBy("o_custkey")
 
+  /** Bag-semantics set ops: multiplicities preserved (INTERSECT ALL /
+    * EXCEPT ALL), the variants the DISTINCT forms silently lose. Inputs
+    * keep one row per ORDER (not per key), so multiplicities are real;
+    * grouped to (key, multiplicity) for deterministic output. */
+  private def orderRowsOfYear(s: SparkSession, d: String, yr: Int): DataFrame =
+    load(s, d, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+
+  def setopIntersectAll(s: SparkSession, d: String): DataFrame =
+    orderRowsOfYear(s, d, 1995).intersectAll(orderRowsOfYear(s, d, 1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
+  def setopExceptAll(s: SparkSession, d: String): DataFrame =
+    orderRowsOfYear(s, d, 1995).exceptAll(orderRowsOfYear(s, d, 1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
+  /** Ordered string aggregation (LISTAGG/string_agg): the classic report
+    * column — deterministic because the ORDER BY is part of the
+    * aggregate. */
+  def aggStringAgg(s: SparkSession, d: String): DataFrame =
+    load(s, d, "nation")
+      .select(col("n_regionkey"), col("n_name"))
+      .groupBy("n_regionkey")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+        .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
   // --------------------------------------------------------------------
   // Registry
   // --------------------------------------------------------------------
@@ -566,6 +597,9 @@ object Relational {
     "setop_union"           -> (setopUnion _),
     "setop_intersect"       -> (setopIntersect _),
     "setop_except"          -> (setopExcept _),
+    "setop_intersect_all"   -> (setopIntersectAll _),
+    "setop_except_all"      -> (setopExceptAll _),
+    "agg_string_agg"        -> (aggStringAgg _),
   )
 
   // Shared SQL fragments for the oracles.
@@ -807,5 +841,22 @@ object Relational {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "setop_except_all" ->
+      """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT n_regionkey,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |COUNT(*) AS n
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
