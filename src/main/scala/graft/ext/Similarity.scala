@@ -174,22 +174,25 @@ object Similarity {
       best
     }
     val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
+    // Lloyd refinement stays distributed: per-centroid sums fold on the
+    // executors (collect_list is bounded by the largest inverted list, not
+    // the corpus), and only the K centroid rows — the coarse quantizer
+    // itself — ever reach the driver. The fold runs over the vec_id-sorted
+    // list so the per-dimension mean is the same deterministic sequential
+    // double fold the oracle replays (`list(... ORDER BY vec_id)`).
     val refined: Array[Array[Double]] = assigned0
-      .select(col("cid"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("vs"))
+      .select(col("cid"), expr(
+        s"""transform(
+           |  aggregate(vs, array_repeat(CAST(0 AS DOUBLE), $DIM),
+           |    (acc, v) -> zip_with(acc, v.embedding,
+           |      (a, x) -> a + CAST(x AS DOUBLE))),
+           |  m -> m / size(vs))""".stripMargin).as("cent"))
+      .as[(Int, Array[Double])]
       .collect()
-      .groupBy(_._1)
-      .map { case (cid, vs0) =>
-        // accumulate in vec_id order: the mean is then a deterministic
-        // sequential double fold the oracle can replay exactly
-        val vs = vs0.sortBy(_._2)
-        val dim = vs.head._3.length
-        val mean = Array.ofDim[Double](dim)
-        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v._3(i)))
-        (0 until dim).foreach(i => mean(i) /= vs.length)
-        cid -> mean
-      }
-      .toSeq.sortBy(_._1).map(_._2).toArray
+      .sortBy(_._1).map(_._2)
     val lists = e.withColumn("cid", assignUdf(refined)(col("embedding")))
 
     // probe: rank centroids per query, take NPROBE nearest lists
