@@ -150,7 +150,15 @@ object Bench {
       def agg(j: DataFrame) = j.groupBy(col("k") % 7)
         .agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("s"))
       def set(k: String, v: String): Unit = spark.conf.set(k, v)
-      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // save/restore every config the triplet touches, so the 1 MB advisory
+      // partitions and skew thresholds don't leak into later measurements
+      val touched = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      val saved = touched.map(k => k -> spark.conf.getOption(k))
       set("spark.sql.autoBroadcastJoinThreshold", "-1")
       set("spark.sql.adaptive.skewJoin.enabled", "false")
       val plain = time(agg(skewed.join(dim, col("k") === col("dk"))))
@@ -159,26 +167,38 @@ object Bench {
       set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       val aqe = time(agg(skewed.join(dim, col("k") === col("dk"))))
+      // salted runs with AQE skew-split OFF so the two mitigations are
+      // measured in isolation
+      set("spark.sql.adaptive.skewJoin.enabled", "false")
       val salted = time(agg(
         graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 32)))
-      set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
       Seq("plain" -> plain, "aqe_split" -> aqe, "salted" -> salted)
     }
 
     // ANN quality at bench SF: recall of each approximate path against the
     // exact brute-force top-k, over the same (query, neighbor) pairs.
     val annRecall = {
-      def pairs(name: String): Set[(Long, Long)] =
-        try SparkEntry.queries(name)(spark, sfDir)
+      // a crashed ANN query must be distinguishable from a bad-recall one:
+      // failures log to stderr and emit the -1.0 sentinel
+      def pairs(name: String): Option[Set[(Long, Long)]] =
+        try Some(SparkEntry.queries(name)(spark, sfDir)
           .select("query_id", "neighbor_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        catch { case _: Throwable => Set.empty }
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       val exact = pairs("similarity_topk_bruteforce")
-      def recall(approx: Set[(Long, Long)]): Double =
-        if (exact.isEmpty) 0.0
-        else approx.intersect(exact).size.toDouble / exact.size
-      Seq("lsh" -> recall(pairs("similarity_ann_lsh")),
-        "ivf" -> recall(pairs("similarity_ivf")))
+      def recall(name: String): Double = (exact, pairs(name)) match {
+        case (Some(ex), Some(ap)) if ex.nonEmpty =>
+          ap.intersect(ex).size.toDouble / ex.size
+        case _ => -1.0
+      }
+      Seq("lsh" -> recall("similarity_ann_lsh"),
+        "ivf" -> recall("similarity_ivf"))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }

@@ -3,35 +3,74 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew-resistant equi-join: salt the skewed side's key into N sub-keys and
-  * replicate the other side across all salts, so one hot key spreads over N
-  * tasks instead of stalling a single reducer — the classic remedy when one
-  * join key holds a disproportionate share of rows (AQE's skew-join split
-  * covers sort-merge cases; explicit salting also covers hash aggregation
-  * feeding joins and gives deterministic partitioning control).
+/** Skew-resistant equi-join via key-selective salting: detect the hot keys,
+  * salt only their rows into N sub-keys (replicating the compact side's
+  * matching rows across the salts), while cold keys ride the same single
+  * join un-replicated on salt 0 — so one hot key spreads over N tasks
+  * instead of stalling a single reducer, and the cold majority pays no
+  * replication at all. (AQE's
+  * skew-join split covers sort-merge cases at runtime; explicit salting is
+  * the deterministic-partitioning answer, and the one that composes with
+  * downstream keyed aggregation.)
   *
-  * The join result is identical to the unsalted join for any salt count —
-  * pinned by SaltedJoinSpec.
+  * Scale notes:
+  *   - hot-key detection is a groupBy count over the skewed side — itself
+  *     skew-proof, because partial aggregation collapses the hot key
+  *     map-side; the detected set is then bounded by construction
+  *     (a key must exceed `hotFactor` x an average reducer's share, so at
+  *     most shufflePartitions / hotFactor keys qualify) — always
+  *     driver-collectable, never corpus-sized;
+  *   - only hot-key rows of the compact side replicate (x salts), so the
+  *     replication cost is |compact ∩ hot| x salts, not |compact| x salts.
+  *
+  * The join result is identical to the unsalted join for any salt count and
+  * any hot-key set — pinned by SaltedJoinSpec.
   */
 object SaltedJoin {
 
-  /** Inner equi-join of `skewed` (salted) against `compact` (replicated).
-    * `salts` multiplies the compact side's rows — keep it small (8–32) and
-    * the compact side dimension-sized. */
+  /** Inner equi-join of `skewed` against `compact` with key-selective
+    * salting. `salts` spreads each hot key over that many reducers (8–32 is
+    * plenty); a key is hot when it holds more than `hotFactor` x the
+    * average per-reducer row share. */
   def saltedInner(
       skewed: DataFrame,
       compact: DataFrame,
       skewedKey: String,
       compactKey: String,
-      salts: Int): DataFrame = {
-    require(salts > 0)
-    // deterministic per-row salt: hash of the whole row spreads a hot key
-    // uniformly; any per-row value works — correctness is salt-independent
-    val l = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
-    val r = compact.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, l("__salt") === r("__salt") && col(skewedKey) === col(compactKey))
-      .drop("__salt")
+      salts: Int,
+      hotFactor: Int = 4): DataFrame = {
+    require(salts > 0 && hotFactor > 0)
+    val spark = skewed.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions.max(1)
+
+    val counts = skewed.groupBy(col(skewedKey)).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    try {
+      val total = counts.agg(sum(col("__cnt"))).collect()(0).getLong(0)
+      val threshold = ((total.toDouble / nPart) * hotFactor).toLong.max(1L)
+      val hot = counts.filter(col("__cnt") > threshold)
+        .select(col(skewedKey)).collect().map(_.get(0)).toSeq
+
+      if (hot.isEmpty) {
+        skewed.join(compact, col(skewedKey) === col(compactKey))
+      } else {
+        // ONE join, one scan per side: hot rows get a deterministic per-row
+        // salt (hash of the whole row spreads a hot key uniformly; any
+        // per-row value works — correctness is salt-independent), cold rows
+        // all take salt 0; the compact side explodes across the salts only
+        // for hot keys and emits the single salt 0 otherwise.
+        val ls = skewed.withColumn("__salt",
+          when(col(skewedKey).isin(hot: _*),
+            pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
+            .otherwise(lit(0)))
+        val rs = compact.withColumn("__salt",
+          explode(when(col(compactKey).isin(hot: _*),
+            sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0)))))
+        ls.join(rs,
+            ls("__salt") === rs("__salt") && col(skewedKey) === col(compactKey))
+          .drop("__salt")
+      }
+    } finally counts.unpersist()
   }
 }

@@ -22,6 +22,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
   }
 
+  test("salted join matches plain join on a genuinely hot key") {
+    import spark.implicits._
+    // key 0 holds ~80% of the rows — well past any hot threshold
+    val skewed = spark.range(20000)
+      .select(when(col("id") % 10 < 8, 0L).otherwise(col("id") % 500).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(500).select(col("id").as("dk"),
+      (col("id") * 3).as("w"))
+    val plain = skewed.join(dim, col("k") === col("dk"))
+      .select("k", "v", "w")
+    val salted = SaltedJoin.saltedInner(skewed, dim, "k", "dk", salts = 8)
+      .select("k", "v", "w")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/bucketed")
     val orders = graft.Tables.load(spark, SF, "orders")
