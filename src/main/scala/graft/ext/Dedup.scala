@@ -255,9 +255,12 @@ object Dedup {
       concat(lit(" "), col("text"), lit(" ")), lit(" (a|the)(?= )"))
     val q = docs.select(col("doc_id").as("q_doc"),
       nTok.as("n_tokens"), (stop / nTok).as("stop_ratio"))
+    // no broadcast hint on the cluster relation: near-dup clusters are
+    // corpus-proportional (every doc in a dup cluster appears), not
+    // dimension-sized — AQE picks the strategy from the actual size
     docs.select("doc_id")
       .join(exact, "doc_id")
-      .join(broadcast(clusters), col("doc_id") === col("c_doc"), "left")
+      .join(clusters, col("doc_id") === col("c_doc"), "left")
       .join(q, col("doc_id") === col("q_doc"))
       .select(col("doc_id"),
         when(col("exact_keeper") =!= col("doc_id"), "exact_dup")

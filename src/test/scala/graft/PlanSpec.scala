@@ -74,4 +74,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.joinSemiInSubquery(spark, SF))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("corpus clean plan does not hint-broadcast the cluster relation") {
+    // the near-dup cluster relation is corpus-proportional; the logical
+    // plan must not carry a broadcast hint on it (AQE may still choose a
+    // runtime broadcast at test scale from actual sizes — that's its call)
+    val lp = graft.ext.Dedup.corpusCleanPlan(spark, SF)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("UnresolvedHint") && !lp.contains("ResolvedHint"),
+      s"broadcast hint found in corpus_clean_plan:\n$lp")
+  }
 }
