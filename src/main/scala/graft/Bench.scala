@@ -197,8 +197,25 @@ object Bench {
           ap.intersect(ex).size.toDouble / ex.size
         case _ => -1.0
       }
+      // embedding-dedup recall: the LSH-bucketed near-dup join vs the exact
+      // all-pairs baseline (which is deliberately not a registered key)
+      def dedupPairs(mk: => org.apache.spark.sql.DataFrame): Option[Set[(Long, Long)]] =
+        try Some(mk.select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] embedding dedup failed: ${e.getMessage}")
+          None
+        }
+      val dedupRecall =
+        (dedupPairs(graft.ext.Dedup.dedupEmbeddingCosineExact(spark, sfDir)),
+          dedupPairs(graft.ext.Dedup.dedupEmbeddingCosine(spark, sfDir))) match {
+          case (Some(ex), Some(ap)) if ex.nonEmpty =>
+            ap.intersect(ex).size.toDouble / ex.size
+          case _ => -1.0
+        }
       Seq("lsh" -> recall("similarity_ann_lsh"),
-        "ivf" -> recall("similarity_ivf"))
+        "ivf" -> recall("similarity_ivf"),
+        "embedding_dedup" -> dedupRecall)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }

@@ -39,11 +39,11 @@ object Similarity {
   private val NLISTS = 16
   private val NPROBE = 4
 
-  private def norm(embedding: Column): Column = sqrt(expr(
+  private[graft] def norm(embedding: Column): Column = sqrt(expr(
     s"aggregate(transform(${embedding.toString}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
 
-  private def dot(a: String, b: String): Column = expr(
+  private[graft] def dot(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
@@ -66,8 +66,11 @@ object Similarity {
   }
 
   /** Deterministic +-1 hyperplanes from a SplitMix64 stream (public
-    * algorithm; seed fixed so plans are reproducible across runs). */
-  private[graft] def hyperplanes(): Array[Array[Array[Double]]] = {
+    * algorithm; seed fixed so plans are reproducible across runs). The
+    * n-th draw is the closed form mix(42 + n*GOLDEN), which the DuckDB
+    * oracles replay exactly. */
+  private[graft] def hyperplanes(
+      tables: Int = TABLES, bits: Int = BITS): Array[Array[Array[Double]]] = {
     var state = 42L
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L
@@ -76,32 +79,29 @@ object Similarity {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    Array.fill(TABLES, BITS) {
+    Array.fill(tables, bits) {
       Array.fill(DIM)(if ((next() & 1L) == 0L) -1.0 else 1.0)
     }
   }
 
-  /** ANN via random-hyperplane LSH; same output shape as the brute-force
-    * baseline. Approximate in recall but fully deterministic: the planes
-    * come from a closed-form SplitMix64 stream, and the oracle replays
-    * them (and the sequential-fold dot products) exactly in DuckDB. */
-  def similarityAnnLsh(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, tbl, sig) hyperplane signatures for every vector — the shared
+    * kernel of the ANN bucket join and the LSH-bucketed embedding dedup.
+    * Per-row imperative math over a fixed-size array: the one place a typed
+    * Dataset map beats an expression tree (tables x bits aggregate()
+    * expressions would defeat codegen). */
+  private[graft] def signatures(
+      s: SparkSession, d: String, tables: Int, bits: Int): DataFrame = {
     import s.implicits._
-    val planes = hyperplanes()
-    val bPlanes = s.sparkContext.broadcast(planes)
-
-    // Signature computation is per-row imperative math over a fixed-size
-    // array — the one place a typed Dataset map beats an expression tree
-    // (128 aggregate() expressions would defeat codegen).
-    val sigs = load(s, d, "embeddings")
+    val bPlanes = s.sparkContext.broadcast(hyperplanes(tables, bits))
+    load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         val ps = bPlanes.value
-        (0 until TABLES).map { t =>
+        (0 until tables).map { t =>
           var sig = 0
           var b = 0
-          while (b < BITS) {
+          while (b < bits) {
             val plane = ps(t)(b)
             var acc = 0.0
             var i = 0
@@ -113,9 +113,29 @@ object Similarity {
         }
       }
       .toDF("vec_id", "tbl", "sig")
+  }
 
+  /** ANN via random-hyperplane LSH with multi-probe; same output shape as
+    * the brute-force baseline. Approximate in recall but fully
+    * deterministic: the planes come from a closed-form SplitMix64 stream,
+    * and the oracle replays them (and the sequential-fold dot products)
+    * exactly in DuckDB.
+    *
+    * Multi-probe (Lv et al., VLDB 2007): each query also probes the BITS
+    * 1-bit-flip neighbors of its signature — the buckets a near neighbor
+    * most likely fell into when exactly one hyperplane disagreed. This
+    * multiplies per-table recall ~4x at the corpus' neighbor similarity
+    * while costing only (BITS+1)x more QUERY-side bucket rows (the corpus
+    * side — the 100 TB side — is untouched). */
+  def similarityAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d, TABLES, BITS)
+
+    val probes = array((lit(0) +: (0 until BITS).map(b => lit(1 << b))): _*)
     val qs = sigs.filter(col("vec_id") < NUM_QUERIES)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(probes).as("flip"), col("sig"))
+      .select(col("query_id"), col("tbl"),
+        col("sig").bitwiseXOR(col("flip")).as("sig"))
     val cand = broadcast(qs).join(sigs, Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
@@ -227,6 +247,35 @@ object Similarity {
     "similarity_ivf"             -> (similarityIvf _),
   )
 
+  /** DuckDB CTE chain replaying the deterministic hyperplane draw and the
+    * per-vector signatures for a (tables x bits) LSH family — shared by the
+    * ANN oracle and the embedding-dedup oracle. Yields a `sigs(vec_id, tbl,
+    * sig)` relation bit-identical to [[signatures]]. */
+  private[graft] def lshSigsCte(tables: Int, bits: Int): String =
+    s"""nums AS (SELECT t, b, i, ((t*$bits+b)*$DIM + i + 1)::HUGEINT AS n
+       |  FROM range($tables) AS rt(t), range($bits) AS rb(b), range($DIM) AS ri(i)),
+       |s0 AS (SELECT t, b, i,
+       |  CAST((42 + n * 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM nums),
+       |s1 AS (SELECT t, b, i, CAST((
+       |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+       |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+       |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM s0),
+       |s2 AS (SELECT t, b, i, CAST((
+       |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+       |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+       |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM s1),
+       |planes AS (SELECT t, b,
+       |  list(CASE WHEN (xor(z2, z2 >> 31) & 1) = 0 THEN -1.0 ELSE 1.0 END ORDER BY i) AS plane
+       |  FROM s2 GROUP BY 1, 2),
+       |sigbits AS (SELECT e.vec_id, p.t, p.b,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * p.plane[i+1])),
+       |    (acc, x) -> acc + x) > 0 AS bit
+       |  FROM embeddings e CROSS JOIN planes p),
+       |sigs AS (SELECT vec_id, t AS tbl,
+       |  SUM(CASE WHEN bit THEN (1 << b) ELSE 0 END)::INTEGER AS sig
+       |  FROM sigbits GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "similarity_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, score FROM (
@@ -242,34 +291,14 @@ object Similarity {
     // closed form mix(42 + n*GOLDEN); wrap-around multiplies emulated via
     // HUGEINT split multiplication) and the per-row signature dots as the
     // identical sequential double fold (list_reduce == Column aggregate()
-    // fold order), then the same bucket join + exact rerank.
+    // fold order), then the same multi-probe bucket join + exact rerank.
     "similarity_ann_lsh" ->
-      s"""WITH nums AS (SELECT t, b, i, ((t*$BITS+b)*$DIM + i + 1)::HUGEINT AS n
-         |  FROM range($TABLES) AS rt(t), range($BITS) AS rb(b), range($DIM) AS ri(i)),
-         |s0 AS (SELECT t, b, i,
-         |  CAST((42 + n * 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM nums),
-         |s1 AS (SELECT t, b, i, CAST((
-         |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
-         |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
-         |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM s0),
-         |s2 AS (SELECT t, b, i, CAST((
-         |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
-         |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
-         |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM s1),
-         |planes AS (SELECT t, b,
-         |  list(CASE WHEN (xor(z2, z2 >> 31) & 1) = 0 THEN -1.0 ELSE 1.0 END ORDER BY i) AS plane
-         |  FROM s2 GROUP BY 1, 2),
-         |sigbits AS (SELECT e.vec_id, p.t, p.b,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * p.plane[i+1])),
-         |    (acc, x) -> acc + x) > 0 AS bit
-         |  FROM embeddings e CROSS JOIN planes p),
-         |sigs AS (SELECT vec_id, t AS tbl,
-         |  SUM(CASE WHEN bit THEN (1 << b) ELSE 0 END)::INTEGER AS sig
-         |  FROM sigbits GROUP BY 1, 2),
+      s"""WITH ${lshSigsCte(TABLES, BITS)},
          |qs AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < $NUM_QUERIES),
+         |qprobe AS (SELECT DISTINCT query_id, tbl, xor(sig, f)::INTEGER AS sig
+         |  FROM qs, unnest([${(0 +: (0 until BITS).map(1 << _)).mkString(",")}]) AS t(f)),
          |cand AS (SELECT DISTINCT q.query_id, s.vec_id
-         |  FROM qs q JOIN sigs s USING (tbl, sig) WHERE s.vec_id <> q.query_id),
+         |  FROM qprobe q JOIN sigs s USING (tbl, sig) WHERE s.vec_id <> q.query_id),
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
          |  FROM cand c

@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("embedding dedup has no cartesian product in the physical plan") {
+    val p = plan(graft.ext.Dedup.dedupEmbeddingCosine(spark, SF))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup planned an all-pairs join:\n$p")
+  }
+
   test("corpus clean plan does not hint-broadcast the cluster relation") {
     // the near-dup cluster relation is corpus-proportional; the logical
     // plan must not carry a broadcast hint on it (AQE may still choose a
