@@ -71,6 +71,11 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * fits the stored type). */
   def refreshIncremental(name: String, deltaBase: DataFrame): DataFrame = {
     require(aggSpecs.contains(name), s"$name was not created via createAggregated")
+    // the stored relation is about to diverge from the defining plan the
+    // rewrite registry holds (storage will cover base+delta while the
+    // registered plan describes base only) — deregister, or a later query
+    // matching the stale defining plan would be rewritten to merged data
+    rewrite.foreach(_.deregister(name))
     val (keys, measures) = aggSpecs(name)
     val stored = table(name)
     val storedTypes = stored.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -82,15 +87,27 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     val merged = stored.unionByName(delta)
       .groupBy(keys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
     // the merged plan READS the current storage — stage to a tmp dir, then
-    // swap, so the overwrite never truncates its own input
-    val tmp = path(name) + "__stage"
-    merged.write.mode("overwrite").parquet(tmp)
+    // swap old-aside-first: a crash can orphan a directory but never lose
+    // the MV (old data survives until the stage has fully moved in)
+    val tmp = java.nio.file.Paths.get(path(name) + "__stage")
+    val old = java.nio.file.Paths.get(path(name) + "__old")
     val p = java.nio.file.Paths.get(path(name))
-    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    Materializer.deleteRecursively(old) // leftovers from a prior crash
+    try {
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(p, old)
+      java.nio.file.Files.move(tmp, p)
+      Materializer.deleteRecursively(old)
+    } finally Materializer.deleteRecursively(tmp)
     table(name)
   }
+
+  /** Drop every rewrite-registry entry this materializer created — scopes
+    * MV substitution to the query that registered the MVs, so a rewrite-
+    * enabled query can't silently re-plan later unrelated queries in the
+    * same session. */
+  def deregisterAll(): Unit =
+    rewrite.foreach(r => deps.keys.foreach(r.deregister))
 
   /** Bucketed materialization into the session catalog: co-locates future
     * joins/aggregations on the bucket columns — two tables bucketed the same
@@ -142,16 +159,19 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
       if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
       // best-effort storage cleanup; the registry is the source of truth
       val p = java.nio.file.Paths.get(path(n))
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      Materializer.deleteRecursively(p)
     }
     order.toSeq
   }
 }
 
 object Materializer {
+  private[matview] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
   /** Scratch root: inside the repo's target dir (gitignored, writable). */
   def defaultScratch: String =
     sys.props.getOrElse("graft.scratch", "/root/repo/target/scratch")

@@ -193,10 +193,21 @@ object Extras {
         col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
-  /** HyperLogLog++ approximate distinct next to the exact count — sketch
-    * implementations differ across engines by design, so the oracle checks
-    * only the exact column; the test suite bounds the approximation error. */
+  /** HyperLogLog++ approximate distinct next to the exact count. Sketch
+    * VALUES differ across engines by design, so the oracle-checkable
+    * surface is (exact count, error-bound flag): within_bound asserts the
+    * HLL estimate lands inside 3x its configured rsd (0.05) of the exact
+    * count — a deterministic predicate DuckDB states as `true` from the
+    * exact count alone. The raw estimate stays visible to the test suite
+    * via [[aggApproxDistinctRaw]]. */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    aggApproxDistinctRaw(s, d)
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("within_bound"))
+      .orderBy("l_returnflag")
+
+  private[graft] def aggApproxDistinctRaw(s: SparkSession, d: String): DataFrame =
     load(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -423,8 +434,12 @@ object Extras {
         |SELECT win_start, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // agg_approx_distinct: sketches differ across engines by design —
-    // rows-only; the exact column is cross-checked by agg_count_distinct
-    // and the error bound by the test suite.
+    // agg_approx_distinct: sketch values differ across engines by design;
+    // the oracle checks the exact counts and the error-bound flag (which
+    // must be true — DuckDB derives it from the exact count alone)
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |true AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

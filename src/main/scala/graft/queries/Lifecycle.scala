@@ -111,16 +111,23 @@ object Lifecycle {
       .withColumn("stats_match", col("rowcount_stats") === col("rowcount_actual"))
   }
 
-  /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff).
-    * Rows-only check (plan text is engine-specific by nature); the test
-    * suite asserts the plan shape (broadcast joins, pushed filters). */
+  /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff;
+    * the reference's instrumented path reports per-node operators,
+    * assignment-5.md:481–522). Emits the operator multiset of the 5-way
+    * join's initial physical plan — (operator, n_nodes) rows, normalized
+    * class names — so the oracle pins the plan SHAPE value-exactly: the
+    * broadcast-dim join strategy, the partial/final aggregate split, and
+    * the pushed scan count are all visible in the counts. (The initial
+    * sparkPlan is deterministic given data + config; AQE's runtime
+    * re-planning is intentionally excluded.) */
   def explainPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val plan = Relational.joinNatural5Way(s, d)
-      .queryExecution.executedPlan.toString
-    plan.linesIterator.zipWithIndex
-      .map { case (l, i) => (i, l) }.toSeq
-      .toDF("line_no", "line")
+    val plan = Relational.joinNatural5Way(s, d).queryExecution.sparkPlan
+    plan.collect { case p => p.getClass.getSimpleName.stripSuffix("Exec") }
+      .groupBy(identity)
+      .map { case (op, v) => (op, v.size.toLong) }
+      .toSeq.sortBy(_._1)
+      .toDF("operator", "n_nodes")
   }
 
   /** Constraint validation as data (PK / NOT NULL / CHECK / FK over the
@@ -157,6 +164,7 @@ object Lifecycle {
     m.create("mv_auto_rw", agg)
     val q = agg // fresh logically-identical plan
     val servedFromMv = q.queryExecution.executedPlan.toString.contains("mv_auto_rw")
+    m.deregisterAll() // scope the rewrite to this query
     q.withColumn("served_from_mv", lit(servedFromMv))
       .orderBy("o_orderpriority")
   }
@@ -212,6 +220,7 @@ object Lifecycle {
         max(col("o_totalprice")).as("max_price"))
     val servedFromMv = coarse.queryExecution.executedPlan.toString
       .contains("mv_rollup_fine")
+    m.deregisterAll() // scope the rewrite to this query
     coarse.withColumn("served_from_mv", lit(servedFromMv))
       .orderBy("o_orderstatus")
   }
@@ -232,6 +241,7 @@ object Lifecycle {
     // the substantive claim: the fact table is not scanned (which MV wins
     // is the cost chooser's call when several are registered in-session)
     val served = !q.queryExecution.executedPlan.toString.contains("orders.parquet")
+    m.deregisterAll() // scope the rewrite to this query
     q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
   }
 
@@ -249,6 +259,7 @@ object Lifecycle {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
     val served = q.queryExecution.executedPlan.toString.contains("mv_filter_src")
+    m.deregisterAll() // scope the rewrite to this query
     q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
   }
 
@@ -269,6 +280,7 @@ object Lifecycle {
       .agg(count(lit(1)).as("n_items"))
     val plan = q.queryExecution.executedPlan.toString
     val chose = plan.contains("mv_li_narrow") && !plan.contains("mv_li_wide")
+    m.deregisterAll() // scope the rewrite to this query
     q.withColumn("chose_narrow_mv", lit(chose)).orderBy("l_returnflag")
   }
 
@@ -286,6 +298,7 @@ object Lifecycle {
       .agg(exactSum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
     val served = q.queryExecution.executedPlan.toString.contains("mv_daily_rev")
+    m.deregisterAll() // scope the rewrite to this query
     q.withColumn("served_from_mv", lit(served)).orderBy("yr")
   }
 
@@ -446,6 +459,17 @@ object Lifecycle {
       """SELECT (SELECT COUNT(*) FROM region) AS rowcount_stats,
         |(SELECT COUNT(*) FROM region) AS rowcount_actual,
         |true AS stats_match""".stripMargin,
-    // explain_plan: rows-only (plan text is engine-specific).
+    // golden operator multiset of the 5-way join's initial physical plan:
+    // 4 broadcast dim joins, 5 scans, partial+final HashAggregate pairs
+    // for the pre-join and final aggregations, and the output sort
+    "explain_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('BroadcastHashJoin', 4::BIGINT),
+        |  ('FileSourceScan', 5::BIGINT),
+        |  ('Filter', 5::BIGINT),
+        |  ('HashAggregate', 4::BIGINT),
+        |  ('Project', 9::BIGINT),
+        |  ('Sort', 1::BIGINT)
+        |) t(operator, n_nodes) ORDER BY operator""".stripMargin,
   )
 }

@@ -9,13 +9,16 @@ class ExtrasSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
 
   test("approx_count_distinct within 2 sigma of exact (HLL++ rsd=0.05)") {
-    val rows = Extras.aggApproxDistinct(spark, SF).collect()
+    val rows = Extras.aggApproxDistinctRaw(spark, SF).collect()
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_orders").toDouble
       val approx = r.getAs[Long]("approx_orders").toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"${r.getAs[String]("l_returnflag")}: approx=$approx exact=$exact")
     }
+    // the registered key reports the bound flag — it must hold
+    assert(Extras.aggApproxDistinct(spark, SF).collect()
+      .forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("sliding windows: every event lands in exactly 4 windows") {
