@@ -130,6 +130,38 @@ object Lifecycle {
       .toDF("operator", "n_nodes")
   }
 
+  /** X1 (instrumented): EXPLAIN ANALYZE — the reference's instrumented
+    * path reports ACTUAL rows per plan node (assignment-5.md:481–522,
+    * driven by assignment-5.sql:328–470). This key executes the 5-way
+    * join and emits, per operator class, the node count and the total
+    * rows the nodes actually produced (the numOutputRows SQLMetric) —
+    * value-exact and oracle-pinned, since row flow at a fixed SF is
+    * deterministic. AQE is disabled for the measurement so the executed
+    * plan (and therefore the operator multiset) is the static one
+    * explain_plan pins; codegen/adapter wrapper nodes are excluded. */
+  def explainAnalyze(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val saved = s.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Relational.joinNatural5Way(s, d)
+      df.collect() // populate SQLMetrics on THIS QueryExecution
+      val nodes = df.queryExecution.executedPlan.collect {
+        case p if !p.getClass.getSimpleName.startsWith("WholeStageCodegen") &&
+          p.getClass.getSimpleName != "InputAdapter" =>
+          (p.getClass.getSimpleName.stripSuffix("Exec"),
+            p.metrics.get("numOutputRows").map(_.value))
+      }
+      nodes.groupBy(_._1).toSeq
+        .map { case (op, v) =>
+          val rows = v.flatMap(_._2)
+          (op, v.size.toLong, if (rows.isEmpty) None else Some(rows.sum))
+        }
+        .sortBy(_._1)
+        .toDF("operator", "n_nodes", "rows_out")
+    } finally s.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   /** Constraint validation as data (PK / NOT NULL / CHECK / FK over the
     * testdata star schema) — the engine-side stand-in for PG's declarative
     * constraints (SURVEY §1; graft.ingest.Constraints). */
@@ -199,6 +231,41 @@ object Lifecycle {
         corrupted.filter(col("o_custkey").isNotNull), Seq("o_custkey"),
         customer, Seq("c_custkey")))))
       .orderBy("constraint_name")
+  }
+
+  /** FK referential ACTIONS through the driver gate — the reference
+    * declares ON UPDATE CASCADE / ON DELETE actions on its FK web
+    * (BookOrdersDatabaseDump_17.sql:1700–1736) without ever firing them;
+    * here each action actually executes over orders(o_custkey) →
+    * customer(c_custkey): customers with keys divisible by 97 are
+    * deleted (or renumbered, for the update case) and the observable
+    * outcome per action is reported — rows affected, rows surviving,
+    * NULLed FKs, and whether the delete was allowed (RESTRICT refuses
+    * while referencing rows exist). */
+  def fkReferentialActions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ingest.ReferentialActions._
+    val orders = load(s, d, "orders")
+    val deleted = load(s, d, "customer")
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    val total = orders.count()
+    val surviving = onDeleteCascade(orders, Seq("o_custkey"), deleted).count()
+    val nulls = onDeleteSet(orders, Seq("o_custkey"), deleted,
+        lit(null).cast("bigint"))
+      .filter(col("o_custkey").isNull).count()
+    val blocking = onDeleteRestrictViolations(orders, Seq("o_custkey"), deleted)
+    val remap = deleted.select(col("c_custkey").as("old_key"),
+      (col("c_custkey") + 10000000L).as("new_key"))
+    val recascaded = onUpdateCascade(orders, "o_custkey", remap)
+      .filter(col("o_custkey") >= 10000000L).count()
+    Seq(
+      ("delete_cascade", total - surviving, surviving, 0L, true),
+      ("delete_restrict", 0L, total, 0L, blocking == 0L),
+      ("delete_set_null", nulls, total, nulls, true),
+      ("update_cascade", recascaded, total, 0L, true))
+      .toDF("action", "affected_rows", "remaining_child_rows",
+        "null_fk_rows", "delete_allowed")
+      .orderBy("action")
   }
 
   /** Containment MV rewrite through the driver surface: a per-(custkey,
@@ -370,6 +437,8 @@ object Lifecycle {
     "ddl_drop_cascade"  -> (ddlDropCascade _),
     "analyze_stats"     -> (analyzeStats _),
     "explain_plan"      -> (explainPlan _),
+    "explain_analyze"   -> (explainAnalyze _),
+    "fk_referential_actions" -> (fkReferentialActions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,6 +528,41 @@ object Lifecycle {
       """SELECT (SELECT COUNT(*) FROM region) AS rowcount_stats,
         |(SELECT COUNT(*) FROM region) AS rowcount_actual,
         |true AS stats_match""".stripMargin,
+    // each action's outcome is derivable from the referencing-row count
+    "fk_referential_actions" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |ref AS (SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |tot AS (SELECT COUNT(*) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'delete_cascade' AS action, ref.n AS affected_rows,
+        |         tot.n - ref.n AS remaining_child_rows,
+        |         0::BIGINT AS null_fk_rows, true AS delete_allowed
+        |  FROM ref, tot
+        |  UNION ALL SELECT 'delete_restrict', 0::BIGINT, tot.n, 0::BIGINT,
+        |         ref.n = 0 FROM ref, tot
+        |  UNION ALL SELECT 'delete_set_null', ref.n, tot.n, ref.n, true
+        |  FROM ref, tot
+        |  UNION ALL SELECT 'update_cascade', ref.n, tot.n, 0::BIGINT, true
+        |  FROM ref, tot
+        |) ORDER BY action""".stripMargin,
+    // golden instrumented plan of the 5-way join: per-operator node count
+    // and actual rows produced (sf-determined, hence value-exact): 76530
+    // rows enter from the 5 scans, the broadcast joins emit 58972, the
+    // partial+final aggregate pairs 29636; exchanges/sort/project expose
+    // no row metric (NULL)
+    "explain_analyze" ->
+      """SELECT * FROM (VALUES
+        |  ('BroadcastExchange', 4::BIGINT, 16530::BIGINT),
+        |  ('BroadcastHashJoin', 4::BIGINT, 58972::BIGINT),
+        |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT),
+        |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT),
+        |  ('Filter', 5::BIGINT, 76530::BIGINT),
+        |  ('HashAggregate', 4::BIGINT, 29636::BIGINT),
+        |  ('Project', 4::BIGINT, NULL::BIGINT),
+        |  ('ShuffleExchange', 3::BIGINT, NULL::BIGINT),
+        |  ('Sort', 1::BIGINT, NULL::BIGINT)
+        |) t(operator, n_nodes, rows_out) ORDER BY operator""".stripMargin,
     // golden operator multiset of the 5-way join's initial physical plan:
     // 4 broadcast dim joins, 5 scans, partial+final HashAggregate pairs
     // for the pre-join and final aggregations, and the output sort

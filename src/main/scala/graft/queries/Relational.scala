@@ -118,6 +118,26 @@ object Relational {
         date_format(col("o_orderdate"), "EEEE").as("day_name"))
       .orderBy("o_orderkey")
 
+  /** PG bpchar fidelity: `to_char(d,'Month')` blank-pads to 9 chars (the
+    * longest English month), and char(n) comparisons are byte-exact — so
+    * the reference's `Month IN ('April','May')` trap
+    * (assignment-5.sql:495) matches nothing except 9-char names. This key
+    * executes the padded semantics end-to-end: the padded name, the
+    * PG-faithful IN outcome (only 'September' survives the padded
+    * compare), and the trimmed compare a porting user needs instead —
+    * retiring SURVEY §7.1's documented divergence as a tested behavior. */
+  def fnCharPadding(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .select(rpad(date_format(col("o_orderdate"), "MMMM"), 9, " ")
+        .as("month_padded"))
+      .groupBy("month_padded")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("padded_in_list",
+        col("month_padded").isin("April", "May", "September"))
+      .withColumn("trimmed_in_list",
+        rtrim(col("month_padded")).isin("April", "May", "September"))
+      .orderBy("month_padded")
+
   /** P8: DISTINCT row dedup (assignment-5.sql:55, 466–468). */
   def distinctRows(s: SparkSession, d: String): DataFrame =
     load(s, d, "customer")
@@ -566,6 +586,7 @@ object Relational {
     "expr_cast"             -> (exprCast _),
     "expr_case"             -> (exprCase _),
     "fn_date"               -> (fnDate _),
+    "fn_char_padding"       -> (fnCharPadding _),
     "distinct_rows"         -> (distinctRows _),
     "join_natural_5way"     -> (joinNatural5Way _),
     "join_fact_dim"         -> (joinFactDim _),
@@ -647,6 +668,13 @@ object Relational {
         |monthname(o_orderdate) AS month_name,
         |dayname(o_orderdate) AS day_name
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_char_padding" ->
+      """SELECT month_padded, COUNT(*) AS n_orders,
+        |month_padded IN ('April','May','September') AS padded_in_list,
+        |rtrim(month_padded) IN ('April','May','September') AS trimmed_in_list
+        |FROM (SELECT rpad(monthname(o_orderdate), 9, ' ') AS month_padded
+        |      FROM orders)
+        |GROUP BY month_padded ORDER BY month_padded""".stripMargin,
     "distinct_rows" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
