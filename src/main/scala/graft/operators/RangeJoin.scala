@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join: match points to intervals ("which promotions cover
+  * this order date", "which maintenance window contains this event") as an
+  * EQUI-join on a bin key plus a residual range filter — the standard
+  * interval-join decomposition (the same binning trick production engines
+  * use for their range-join optimizations).
+  *
+  * Spark's native answer to `p >= s AND p < e` with no equi-key is a
+  * nested-loop join — quadratic when both sides are large. Binning makes
+  * it shuffle-shaped: each point lands in exactly one bin of width W; each
+  * interval replicates into the ceil(len/W)+1 bins it overlaps; the join
+  * key is the bin. Cost is |points| + |intervals| x (len/W + 1) shuffled
+  * rows and the residual predicate evaluates only within matching bins.
+  * Each (point, interval) pair meets in exactly one bin (the point's), so
+  * no post-join dedup is needed. Pick W near the typical interval length:
+  * larger W = fewer replicas but fatter bins (more residual filtering);
+  * at 100 TB both sides partition by bin and the shuffle is even as long
+  * as points spread across bins — a hot bin is a SaltedJoin case.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` (long column `pointCol`) against `intervals`
+    * (long columns `startCol` inclusive, `endCol` exclusive) on
+    * containment: start <= point < end. */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth),
+        floor((col(endCol) - 1) / binWidth))))
+    p.join(iv, p("__bin") === iv("__bin") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

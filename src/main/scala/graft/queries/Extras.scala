@@ -274,7 +274,61 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** Range join through the driver gate: 60 overlapping 14-day promotion
+    * windows (spaced 10 days apart, so an order date can fall inside two)
+    * matched to orders by date containment via
+    * [[graft.operators.RangeJoin]] — an equi-join on date bins plus a
+    * residual filter, never a nested loop (the plan shape is pinned in
+    * PlanSpec). Reports orders and revenue captured per promotion. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    // 1996-01-01 is epoch day 9496; windows cover 1996-01 .. 1997-08
+    // (orders span 1995-01 .. 2001-08)
+    val promos = s.range(60).select(col("id").as("promo_id"),
+      (col("id") * 10 + 9496L).as("start_day"),
+      (col("id") * 10 + 9510L).as("end_day"))
+    val pts = load(s, d, "orders").select(
+      unix_date(col("o_orderdate").cast("date")).cast("long").as("day"),
+      col("o_totalprice"))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, "day", promos, "start_day", "end_day", 14L)
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("promo_id")
+  }
+
+  /** floor(rate x 2^63): the unsigned-hash acceptance threshold for a
+    * sampling rate, computed in exact decimal so the Spark plan and the
+    * DuckDB oracle inject the SAME integer literal. */
+  private def sampleThreshold(rate: String): Long =
+    (BigDecimal(rate) * BigDecimal(2).pow(63)).toLong
+
+  /** Deterministic stratified Bernoulli sample: a row is kept iff
+    * mix64(key) >>> 1 < floor(rate(stratum) x 2^63) — a pure map-side
+    * filter (no shuffle, no RNG state), reproducible across runs and
+    * engines, with per-stratum rates (the keep-more-rare-strata shape a
+    * training-data pipeline uses for rebalancing). The oracle replays the
+    * hash and thresholds bit-exactly. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Mix64.mix64
+    val h = shiftrightunsigned(mix64(col("o_orderkey")), 1)
+    val threshold =
+      when(col("o_orderpriority") === "1-URGENT",
+        sampleThreshold("0.5"))
+        .when(col("o_orderpriority") === "2-HIGH",
+          sampleThreshold("0.25"))
+        .otherwise(sampleThreshold("0.05"))
+    load(s, d, "orders")
+      .filter(h < threshold)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Map[String, Q] = Map(
+    "join_range"            -> (joinRange _),
+    "sample_stratified"     -> (sampleStratified _),
     "join_asof"             -> (joinAsof _),
     "join_asof_native"      -> (joinAsofNative _),
     "fn_string"             -> (fnString _),
@@ -295,6 +349,38 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range" ->
+      """WITH promos AS (SELECT i AS promo_id, i*10 + 9496 AS start_day,
+        |  i*10 + 9510 AS end_day FROM range(60) t(i)),
+        |pts AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+        |  o_totalprice FROM orders)
+        |SELECT promo_id, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM promos JOIN pts ON day >= start_day AND day < end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays mix64(o_orderkey) >>> 1 and the identical integer
+    // thresholds, so the sampled set is bit-identical across engines
+    "sample_stratified" ->
+      s"""WITH z0s AS (SELECT o_orderkey::UBIGINT AS z0, o_orderpriority,
+         |  o_totalprice FROM orders),
+         |t1 AS (SELECT *, CAST((
+         |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+         |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+         |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM z0s),
+         |t2 AS (SELECT *, CAST((
+         |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+         |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+         |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+         |hx AS (SELECT o_orderpriority, o_totalprice,
+         |  xor(z2, z2 >> 31) >> 1 AS h FROM t2)
+         |SELECT o_orderpriority, COUNT(*) AS n_sampled,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM hx
+         |WHERE h < CASE WHEN o_orderpriority = '1-URGENT'
+         |    THEN ${sampleThreshold("0.5")}
+         |  WHEN o_orderpriority = '2-HIGH' THEN ${sampleThreshold("0.25")}
+         |  ELSE ${sampleThreshold("0.05")} END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SplitMix64 replay (wrap-around multiplies via HUGEINT split
     // multiplication), then the K-th order statistic of the distinct
     // hashes per group and the closed-form KMV estimate.

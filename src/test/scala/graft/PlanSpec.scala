@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
       s"embedding dedup planned an all-pairs join:\n$p")
   }
 
+  test("range join plans as an equi-join on bins, never a nested loop") {
+    val p = plan(graft.queries.Extras.joinRange(spark, SF))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
+  test("stratified sample is a map-side filter: no shuffle before the agg") {
+    // only the aggregation + output-sort exchanges — the sampling itself
+    // is a Filter directly over the scan
+    val p = plan(graft.queries.Extras.sampleStratified(spark, SF))
+    assert(p.split("Exchange").length - 1 <= 2, s"extra shuffle:\n$p")
+    assert("Filter \\(shiftrightunsigned\\(graft_mix64".r
+      .findFirstIn(p).isDefined, s"sample filter missing from plan:\n$p")
+  }
+
   test("corpus clean plan does not hint-broadcast the cluster relation") {
     // the near-dup cluster relation is corpus-proportional; the logical
     // plan must not carry a broadcast hint on it (AQE may still choose a
