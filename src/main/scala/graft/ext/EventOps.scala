@@ -144,7 +144,16 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Streaming-maintained MV through the driver gate: 4 time-ordered
+    * micro-batches upsert their hourly-aggregate deltas into a persisted
+    * parquet MV (StreamingOps.streamingMatviewRefresh); the final MV must
+    * equal the batch aggregation over ALL events — proving the per-batch
+    * merges compose to the full relation. */
+  def matviewStreamRefresh(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.streamingMatviewRefresh(s, d)
+
   val entries: Map[String, Q] = Map(
+    "matview_stream_refresh" -> (matviewStreamRefresh _),
     "events_stream_dedup"    -> (eventsStreamDedup _),
     "events_stream_join"     -> (eventsStreamJoin _),
     "events_stream_tumbling" -> (eventsStreamTumbling _),
@@ -180,6 +189,12 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streamed upserts must compose to the full batch aggregation
+    "matview_stream_refresh" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |COUNT(*) AS n,

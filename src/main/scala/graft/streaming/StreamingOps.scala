@@ -227,6 +227,87 @@ object StreamingOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Streaming MV maintenance — the streaming analog of
+    * [[graft.matview.Materializer.refreshIncremental]]: an update-mode
+    * hourly aggregation feeds `foreachBatch`, and each micro-batch
+    * UPSERTS its changed groups into a persisted parquet MV (anti-join
+    * out the stale rows, union the fresh totals, stage + swap). Per batch
+    * this touches |changed groups| + |MV| rows — never the full history;
+    * watermark eviction is safe under upsert because update mode drops
+    * sub-watermark late rows entirely rather than re-opening partial
+    * state. The events file is staged time-sorted into 4 chunk files
+    * processed one per trigger, so the merge path executes repeatedly
+    * before the final MV is read back (bounded-test scaffolding; a real
+    * deployment points the same query at an arriving directory). */
+  def streamingMatviewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    val scratch = graft.matview.Materializer.defaultScratch
+    val staged = Paths.get(s"$scratch/stream_mv_src")
+    val mvPath = Paths.get(s"$scratch/mv_stream_hourly")
+    val ckpt = Paths.get(s"$scratch/mv_stream_ckpt")
+    Seq(staged, mvPath, ckpt).foreach(del)
+    Files.createDirectories(staged)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val chunked = raw.withColumn("__chunk",
+      ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val tmp = staged.resolve(s"tmp_$i")
+      chunked.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(f"chunk_$i%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      del(tmp)
+      Files.setLastModifiedTime(staged.resolve(f"chunk_$i%02d.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * i))
+    }
+
+    val events = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = tumblingAgg(events)
+
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upserts = batch.persist()
+        try {
+          if (upserts.count() > 0) {
+            if (Files.exists(mvPath)) {
+              val merged = spark.read.parquet(mvPath.toString)
+                .join(upserts.select("hour_start", "event_type"),
+                  Seq("hour_start", "event_type"), "left_anti")
+                .unionByName(upserts)
+              val tmp = Paths.get(mvPath.toString + "__stage")
+              merged.write.mode("overwrite").parquet(tmp.toString)
+              del(mvPath)
+              Files.move(tmp, mvPath)
+            } else upserts.write.parquet(mvPath.toString)
+          }
+        } finally upserts.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(mvPath.toString)
+      .orderBy("hour_start", "event_type")
+  }
+
+  private def del(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
   /** Sliding 1-hour windows every 15 minutes over the stream — the
     * overlap case: each event feeds four windows' state. */
   def slidingAgg(events: DataFrame): DataFrame =
