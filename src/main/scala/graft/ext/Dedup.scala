@@ -228,13 +228,10 @@ object Dedup {
   private[graft] def dedupEmbeddingCosineExact(
       s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-      sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")).as("nrm"))
+      Similarity.norm(col("embedding")).as("nrm"))
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        round(expr("aggregate(zip_with(l.embedding, r.embedding, " +
-          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+        round(Similarity.dot("l.embedding", "r.embedding") /
           (col("l.nrm") * col("r.nrm")), 9).as("cosine"))
       .filter(col("cosine") >= COSINE_THRESHOLD)
       .orderBy("a", "b")

@@ -39,13 +39,16 @@ object Similarity {
   private val NLISTS = 16
   private val NPROBE = 4
 
-  private[graft] def norm(embedding: Column): Column = sqrt(expr(
-    s"aggregate(transform(${embedding.toString}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+  // norm/dot run through the native codegen'd VectorDot expression — the
+  // element-ordered double fold is bit-identical to the
+  // aggregate(zip_with(...)) lambda formulation it replaced, but stays
+  // inside whole-stage codegen (HOF lambdas are CodegenFallback, which
+  // broke codegen exactly in the rerank hot loop)
+  private[graft] def norm(embedding: Column): Column =
+    sqrt(graft.functions.VectorDot.vector_dot(embedding, embedding))
 
-  private[graft] def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  private[graft] def dot(a: String, b: String): Column =
+    graft.functions.VectorDot.vector_dot(col(a), col(b))
 
   /** Exact cosine top-K for the first [[NUM_QUERIES]] vectors against the
     * whole corpus. */
