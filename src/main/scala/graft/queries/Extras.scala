@@ -326,7 +326,41 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  /** Array function family: per-order line numbers collected into a
+    * deterministically-sorted array, then size / element_at /
+    * array_contains / array_max / array_join exercised over it. The
+    * emitted columns are scalars (the array itself renders as CSV) so the
+    * gate's row-hash sees engine-neutral values. */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("line_nos"))
+      .select(col("l_orderkey"),
+        size(col("line_nos")).as("n_lines"),
+        element_at(col("line_nos"), 1).as("first_line"),
+        expr("array_max(line_nos)").as("max_line"),
+        array_contains(col("line_nos"), 3).as("has_line3"),
+        array_join(col("line_nos"), ",").as("lines_csv"))
+      .orderBy("l_orderkey")
+
+  /** first_value / last_value / nth_value over a full-partition frame:
+    * each order annotated with its customer's first, last, and second
+    * order price (NULL second for single-order customers). */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, Q] = Map(
+    "fn_array"              -> (fnArray _),
+    "window_first_last"     -> (windowFirstLast _),
     "join_range"            -> (joinRange _),
     "sample_stratified"     -> (sampleStratified _),
     "join_asof"             -> (joinAsof _),
@@ -349,6 +383,27 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_array" ->
+      """WITH g AS (SELECT l_orderkey,
+        |  list(l_linenumber ORDER BY l_linenumber) AS line_nos
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |CAST(len(line_nos) AS INTEGER) AS n_lines,
+        |line_nos[1] AS first_line,
+        |list_max(line_nos) AS max_line,
+        |list_contains(line_nos, 3) AS has_line3,
+        |array_to_string(line_nos, ',') AS lines_csv
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |first_value(o_totalprice) OVER w AS first_price,
+        |last_value(o_totalprice) OVER w AS last_price,
+        |nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "join_range" ->
       """WITH promos AS (SELECT i AS promo_id, i*10 + 9496 AS start_day,
         |  i*10 + 9510 AS end_day FROM range(60) t(i)),
