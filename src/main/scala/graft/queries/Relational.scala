@@ -166,11 +166,24 @@ object Relational {
     // exactly the join's, so the agg side joins with no extra exchange.
     // Decimal partials re-sum exactly (order-independent), so the result
     // is bit-identical to aggregating after the join.
+    // The per-order partial runs in LONG ten-thousandth-dollar units:
+    // cents(price) x (100 - cents(discount)) is the same rational value as
+    // decimal(12,2) x decimal(4,2), but the sum buffer stays a compact
+    // long (the decimal buffer exceeds precision 18 and falls back to
+    // BigDecimal — measurably 36% slower, Prof5Way). Overflow safety is
+    // STRUCTURAL, not SF-dependent: an order has at most 7 lines, so the
+    // per-order sum is bounded by 7 x 10^9 at any corpus size. The
+    // unbounded downstream sum converts to decimal first — exactness is
+    // preserved end to end.
     val liAgg = li.groupBy(col("l_orderkey"))
       .agg(
-        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
-          .as("rev_dec"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"),
         count(lit(1)).as("nl"))
+      .withColumn("rev_dec", col("rev_e4").cast(DecimalType(18, 0)) *
+        lit(new java.math.BigDecimal("0.0001")))
+      .drop("rev_e4")
     liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
