@@ -5,6 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Dedup
 
 class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark => tsSpark, SF => tsSF}
+
+  test("prefix-filtered jaccard equals the inverted-index plan exactly") {
+    val a = graft.ext.Dedup.dedupNgramJaccardInverted(tsSpark, tsSF).collect()
+    val b = graft.ext.Dedup.dedupNgramJaccardPrefix(tsSpark, tsSF).collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
   import TestSpark.{spark, SF}
 
   private lazy val exact = Dedup.dedupNgramJaccard(spark, SF)
