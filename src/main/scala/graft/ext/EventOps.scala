@@ -152,7 +152,15 @@ object EventOps {
   def matviewStreamRefresh(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingOps.streamingMatviewRefresh(s, d)
 
+  /** Late-data semantics through the driver gate: 100 genuinely-late
+    * duplicate events (below the watermark) stream through the update-
+    * mode aggregation and must ALL be dropped — the final MV equals the
+    * on-time aggregation (see StreamingOps.streamingLateDrop). */
+  def eventsStreamLateDrop(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.streamingLateDrop(s, d)
+
   val entries: Map[String, Q] = Map(
+    "events_stream_late_drop" -> (eventsStreamLateDrop _),
     "matview_stream_refresh" -> (matviewStreamRefresh _),
     "events_stream_dedup"    -> (eventsStreamDedup _),
     "events_stream_join"     -> (eventsStreamJoin _),
@@ -189,6 +197,14 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the late duplicates must be dropped: the MV equals the aggregation
+    // over the ORIGINAL events alone
+    "events_stream_late_drop" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |100::BIGINT AS n_late_injected
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streamed upserts must compose to the full batch aggregation
     "matview_stream_refresh" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

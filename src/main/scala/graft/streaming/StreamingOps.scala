@@ -267,6 +267,19 @@ object StreamingOps {
         java.nio.file.attribute.FileTime.fromMillis(1000000L * i))
     }
 
+    upsertMvRun(spark, staged, mvPath, ckpt)
+  }
+
+  /** Drive the update-mode hourly aggregation over a staged file-stream
+    * directory, upserting each micro-batch's changed groups into the MV
+    * at `mvPath`; returns the final MV. Shared by the streaming-refresh
+    * and late-drop keys. */
+  private def upsertMvRun(
+      spark: SparkSession,
+      staged: java.nio.file.Path,
+      mvPath: java.nio.file.Path,
+      ckpt: java.nio.file.Path): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val events = spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", 1)
@@ -300,6 +313,62 @@ object StreamingOps {
     finally q.stop()
     spark.read.parquet(mvPath.toString)
       .orderBy("hour_start", "event_type")
+  }
+
+  /** Watermark late-drop semantics, PROVEN — with the eviction nuance
+    * made explicit. Three micro-batches: (1) the whole events file
+    * (advances the watermark to max(ts) - 2h); (2) one sentinel event 4h
+    * past the end — during this batch the aggregation EVICTS all expired
+    * window state (the watermark alone does not drop late input while
+    * its window's state is still live: probed in ProfLate, a late row
+    * arriving one batch after the watermark passed still merges); (3)
+    * the 100 EARLIEST events replayed under fresh event_ids — their
+    * windows' state is now gone, so the update-mode aggregation drops
+    * every one (ProfLate: zero upserts from this batch). The final MV
+    * therefore equals the batch aggregation over the ORIGINAL events
+    * alone — exactly what the oracle computes — even though the late
+    * duplicates really were fed through the stream. */
+  def streamingLateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val scratch = graft.matview.Materializer.defaultScratch
+    val staged = Paths.get(s"$scratch/stream_late_src")
+    val mvPath = Paths.get(s"$scratch/mv_stream_late")
+    val ckpt = Paths.get(s"$scratch/mv_stream_late_ckpt")
+    Seq(staged, mvPath, ckpt).foreach(del)
+    Files.createDirectories(staged)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = staged.resolve("tmp_" + name)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      del(tmp)
+      Files.setLastModifiedTime(staged.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      staged.resolve("chunk_01.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(staged.resolve("chunk_01.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts"))).collect().head.getLong(0)
+    writeChunk(
+      Seq((-1L, maxNs + 4L * 3600 * 1000000000L, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "chunk_02.parquet", 2000000L)
+    writeChunk(
+      spark.read.parquet(s"$dir/events.parquet")
+        .orderBy(col("ts"), col("event_id")).limit(100)
+        .withColumn("event_id", col("event_id") + 1000000000L),
+      "chunk_03.parquet", 3000000L)
+
+    upsertMvRun(spark, staged, mvPath, ckpt)
+      .filter(col("event_type") =!= "flush") // the sentinel's own group
+      .withColumn("n_late_injected", lit(100L))
   }
 
   private def del(p: java.nio.file.Path): Unit =
