@@ -225,10 +225,15 @@ object Bench {
       set("spark.sql.adaptive.skewJoin.enabled", "false")
       val salted = time(agg(
         graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 32)))
+      // salts = 0 derives the replication factor from the measured
+      // hottest-key share instead of a hardcoded 32
+      val saltedAuto = time(agg(
+        graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 0)))
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
-      Seq("plain" -> plain, "aqe_split" -> aqe, "salted" -> salted)
+      Seq("plain" -> plain, "aqe_split" -> aqe, "salted" -> salted,
+        "salted_auto" -> saltedAuto)
     }
 
     // ANN quality at bench SF: recall of each approximate path against the

@@ -116,7 +116,34 @@ object TextOps {
           .as("fp_rolling_norm"))
       .orderBy("doc_id")
 
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before a corpus ships. The synthetic corpus contains no PII, so each
+    * doc is first DETERMINISTICALLY contaminated in-query (an email and a
+    * phone number derived from doc_id), then the scrub kernel redacts by
+    * pattern: emails -> <EMAIL>, +d-ddd-dddd phone shapes -> <PHONE>. The
+    * kernel is two codegen'd regexp_replace calls (patterns chosen inside
+    * the Java-regex/RE2 common subset so the oracle replays them
+    * verbatim); redaction counts come from regexp_count on the same
+    * patterns. */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"
+    val phoneRe = "\\+[0-9]-[0-9]{3}-[0-9]{4}"
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    load(s, d, "documents")
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"),
+        (regexp_count(col("dirty"), lit(emailRe)) +
+          regexp_count(col("dirty"), lit(phoneRe))).as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "text_pii_scrub"   -> (textPiiScrub _),
     "text_tokens"      -> (textTokens _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "text_quality"     -> (textQuality _),
@@ -125,6 +152,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same contamination, same patterns, same replacement order
+    "text_pii_scrub" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |  lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(dirty, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+',
+        |    '<EMAIL>', 'g'),
+        |  '\+[0-9]-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        |CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+', 0)) +
+        |  len(regexp_extract_all(dirty, '\+[0-9]-[0-9]{3}-[0-9]{4}', 0))
+        |  AS INTEGER) AS n_redactions
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

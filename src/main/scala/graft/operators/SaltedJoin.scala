@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /** Inner equi-join of `skewed` against `compact` with key-selective
-    * salting. `salts` spreads each hot key over that many reducers (8–32 is
-    * plenty); a key is hot when it holds more than `hotFactor` x the
+    * salting. `salts` spreads each hot key over that many reducers (8–32
+    * is plenty); pass `salts = 0` to derive it from the measured
+    * imbalance — enough sub-keys that the hottest key's per-task share
+    * shrinks to one average reducer's share, capped at 4 x the shuffle
+    * parallelism. A key is hot when it holds more than `hotFactor` x the
     * average per-reducer row share. */
   def saltedInner(
       skewed: DataFrame,
@@ -39,15 +42,21 @@ object SaltedJoin {
       compactKey: String,
       salts: Int,
       hotFactor: Int = 4): DataFrame = {
-    require(salts > 0 && hotFactor > 0)
+    require(salts >= 0 && hotFactor > 0)
     val spark = skewed.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions.max(1)
 
     val counts = skewed.groupBy(col(skewedKey)).agg(count(lit(1)).as("__cnt"))
       .persist()
     try {
-      val total = counts.agg(sum(col("__cnt"))).collect()(0).getLong(0)
-      val threshold = ((total.toDouble / nPart) * hotFactor).toLong.max(1L)
+      val stats = counts.agg(sum(col("__cnt")), max(col("__cnt"))).collect()(0)
+      val total = stats.getLong(0)
+      val maxCnt = stats.getLong(1)
+      val avgShare = (total.toDouble / nPart).max(1.0)
+      val threshold = (avgShare * hotFactor).toLong.max(1L)
+      val chosenSalts =
+        if (salts > 0) salts
+        else math.ceil(maxCnt / avgShare).toLong.min(4L * nPart).max(2L).toInt
       val hot = counts.filter(col("__cnt") > threshold)
         .select(col(skewedKey)).collect().map(_.get(0)).toSeq
 
@@ -61,11 +70,11 @@ object SaltedJoin {
         // for hot keys and emits the single salt 0 otherwise.
         val ls = skewed.withColumn("__salt",
           when(col(skewedKey).isin(hot: _*),
-            pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
+            pmod(xxhash64(skewed.columns.map(col): _*), lit(chosenSalts)).cast("int"))
             .otherwise(lit(0)))
         val rs = compact.withColumn("__salt",
           explode(when(col(compactKey).isin(hot: _*),
-            sequence(lit(0), lit(salts - 1)))
+            sequence(lit(0), lit(chosenSalts - 1)))
             .otherwise(array(lit(0)))))
         ls.join(rs,
             ls("__salt") === rs("__salt") && col(skewedKey) === col(compactKey))

@@ -36,6 +36,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("k", "v", "w")
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assert(salted.count() == plain.count())
+    // auto-derived salt count: same rows
+    val auto = SaltedJoin.saltedInner(skewed, dim, "k", "dk", salts = 0)
+      .select("k", "v", "w")
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
   }
 
   test("same-bucketed tables join without a shuffle exchange") {
