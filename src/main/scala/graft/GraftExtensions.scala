@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   - [[graft.plans.AsOfJoinStrategy]] — plans the native as-of join exec
   *   - [[graft.plans.FdGroupByRule]] — PostgreSQL-style functional-
   *     dependency GROUP BY (resolution-phase first() injection)
+  *   - [[graft.plans.RangeJoinRule]] — rewrites naive range-condition
+  *     joins into binned equi-joins (kills the nested loop)
   *
   * Use via `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`. (The MV-substitution rule
@@ -17,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectResolutionRule(s => graft.plans.FdGroupByRule(s))
+    e.injectOptimizerRule(s => graft.plans.RangeJoinRule(s))
   }
 }

@@ -280,20 +280,44 @@ object Extras {
     * [[graft.operators.RangeJoin]] — an equi-join on date bins plus a
     * residual filter, never a nested loop (the plan shape is pinned in
     * PlanSpec). Reports orders and revenue captured per promotion. */
-  def joinRange(s: SparkSession, d: String): DataFrame = {
-    // 1996-01-01 is epoch day 9496; windows cover 1996-01 .. 1997-08
-    // (orders span 1995-01 .. 2001-08)
-    val promos = s.range(60).select(col("id").as("promo_id"),
+  // 1996-01-01 is epoch day 9496; windows cover 1996-01 .. 1997-08
+  // (orders span 1995-01 .. 2001-08)
+  private def promoWindows(s: SparkSession): DataFrame =
+    s.range(60).select(col("id").as("promo_id"),
       (col("id") * 10 + 9496L).as("start_day"),
       (col("id") * 10 + 9510L).as("end_day"))
-    val pts = load(s, d, "orders").select(
+
+  private def orderDays(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders").select(
       unix_date(col("o_orderdate").cast("date")).cast("long").as("day"),
       col("o_totalprice"))
+
+  def joinRange(s: SparkSession, d: String): DataFrame =
     graft.operators.RangeJoin
-      .pointInInterval(pts, "day", promos, "start_day", "end_day", 14L)
+      .pointInInterval(orderDays(s, d), "day",
+        promoWindows(s), "start_day", "end_day", 14L)
       .groupBy("promo_id")
       .agg(count(lit(1)).as("n_orders"),
         exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("promo_id")
+
+  /** The same range join written NAIVELY (plain join on the containment
+    * condition — stock Spark plans this as a nested loop) with
+    * [[graft.plans.RangeJoinRule]] installed: the optimizer rewrites it
+    * into the binned equi-join automatically, and the key reports whether
+    * the nested loop was actually eliminated from the physical plan. */
+  def joinRangeAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRule.ensureInstalled(s)
+    s.conf.set("spark.graft.rangeJoin.binWidth", "14")
+    val naive = orderDays(s, d).join(promoWindows(s),
+      col("day") >= col("start_day") && col("day") < col("end_day"))
+    val plan = naive.queryExecution.executedPlan.toString
+    val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    naive.groupBy("promo_id")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .withColumn("rewrote_to_equi_join", lit(rewrote))
       .orderBy("promo_id")
   }
 
@@ -359,6 +383,7 @@ object Extras {
   }
 
   val entries: Map[String, Q] = Map(
+    "join_range_auto"       -> (joinRangeAuto _),
     "fn_array"              -> (fnArray _),
     "window_first_last"     -> (windowFirstLast _),
     "join_range"            -> (joinRange _),
@@ -404,6 +429,16 @@ object Extras {
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "join_range_auto" ->
+      """WITH promos AS (SELECT i AS promo_id, i*10 + 9496 AS start_day,
+        |  i*10 + 9510 AS end_day FROM range(60) t(i)),
+        |pts AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+        |  o_totalprice FROM orders)
+        |SELECT promo_id, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |true AS rewrote_to_equi_join
+        |FROM promos JOIN pts ON day >= start_day AND day < end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range" ->
       """WITH promos AS (SELECT i AS promo_id, i*10 + 9496 AS start_day,
         |  i*10 + 9510 AS end_day FROM range(60) t(i)),

@@ -127,4 +127,17 @@ class FdGroupBySpec extends AnyFunSuite
       spark.sessionState.planner.extraPlanningStrategies
         .exists(_.getClass.getName.contains("AsOfJoinStrategy")))
   }
+
+  test("RangeJoinRule rewrites a naive range join to a binned equi join") {
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(1000).select(col("id").as("p"))
+    val ivs = spark.range(50).select((col("id") * 20).as("s"),
+      (col("id") * 20 + 10).as("e"))
+    val j = pts.join(ivs, col("p") >= col("s") && col("p") < col("e"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop survived:\n$plan")
+    // each interval [20i, 20i+10) holds exactly 10 points
+    assert(j.count() == 500)
+  }
 }
