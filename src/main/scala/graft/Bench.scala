@@ -87,7 +87,7 @@ object Bench {
       val dir = graft.matview.Materializer.defaultScratch + "/sf10x"
       val copies = spark.range(10).select(col("id").as("cp"))
       def span(t: String, k: String): Long =
-        load(spark, sfDir, t).agg(max(col(k).cast("long"))).head.getLong(0) + 1
+        load(spark, sfDir, t).agg(max(col(k).cast("long"))).head().getLong(0) + 1
       val okSpan = span("orders", "o_orderkey")
       val ckSpan = span("customer", "c_custkey")
       val dSpan = span("documents", "doc_id")

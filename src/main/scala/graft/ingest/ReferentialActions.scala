@@ -40,10 +40,10 @@ object ReferentialActions {
   def onDeleteSet(child: DataFrame, fk: Seq[String],
       deletedKeys: DataFrame, value: Column): DataFrame = {
     val marked = child.join(
-      deletedKeys.select(deletedKeys.columns.map(col): _*)
+      deletedKeys.select(deletedKeys.columns.toIndexedSeq.map(col): _*)
         .withColumn("__deleted", lit(true)),
       fkMatch(child, fk, deletedKeys), "left")
-      .drop(deletedKeys.columns: _*)
+      .drop(deletedKeys.columns.toIndexedSeq: _*)
     fk.foldLeft(marked) { case (df, c) =>
       df.withColumn(c, when(col("__deleted"), value).otherwise(col(c)))
     }.drop("__deleted")

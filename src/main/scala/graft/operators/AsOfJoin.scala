@@ -37,7 +37,7 @@ object AsOfJoin {
 
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__is_left"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     val r = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__is_left"),
       struct((col(rightTime).as("__rt") +: rightPayload.map(col)): _*).as("__r"))

@@ -70,7 +70,7 @@ object SaltedJoin {
         // for hot keys and emits the single salt 0 otherwise.
         val ls = skewed.withColumn("__salt",
           when(col(skewedKey).isin(hot: _*),
-            pmod(xxhash64(skewed.columns.map(col): _*), lit(chosenSalts)).cast("int"))
+            pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(chosenSalts)).cast("int"))
             .otherwise(lit(0)))
         val rs = compact.withColumn("__salt",
           explode(when(col(compactKey).isin(hot: _*),

@@ -160,7 +160,7 @@ object AsOfJoinNative {
     // sides derive from one base relation they share exprIds — re-alias
     // the right side to mint fresh ones
     val rPlan = right
-      .select(right.columns.map(c =>
+      .select(right.columns.toIndexedSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(c)): _*)
       .queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
