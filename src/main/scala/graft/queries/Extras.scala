@@ -382,7 +382,57 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  // Count-min sketch geometry: 4 rows x 1024 counters. The modulus is a
+  // power of two ON PURPOSE: 2^64 mod 1024 = 0, so Spark's signed pmod and
+  // DuckDB's unsigned % agree bit-for-bit on the mixed hash.
+  private val CMS_D = 4
+  private val CMS_W = 1024
+  private val CMS_SEEDS = Array(
+    0x243F6A8885A308D3L, 0x13198A2E03707344L,
+    0xA4093822299F31D0L, 0x082EFA98EC4E6C89L) // pi digits, nothing hidden
+  private val CMS_SAMPLE_SEED = 0x452821E638D01377L
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan, 2003) —
+    * the third deterministic sketch next to HLL and KMV: per-key point
+    * estimates from d=4 x w=1024 counters, no per-key state. The stream
+    * plants 7 hot keys (~30% of rows) over the l_orderkey long tail;
+    * candidates come from a deterministic 1%-row sample (hot keys are
+    * present with certainty at their mass), each candidate's estimate is
+    * the min over its 4 counters, and keys above 2% of the stream
+    * survive. Counters, sample, and estimates replay bit-exactly in the
+    * oracle (SplitMix64 chains + power-of-two modulus). Scale: the
+    * counter build is a map-side-combined groupBy over 4096 cells; the
+    * stream is never re-scanned per key. */
+  def aggCmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Mix64.mix64
+    // rid is a unique ROW id: the candidate sample hashes rows, not keys,
+    // so a heavy key's mass (not its identity) determines sampling
+    val stream = load(s, d, "lineitem").select(
+      when(col("l_orderkey") % 100 < 30, col("l_orderkey") % 7)
+        .otherwise(col("l_orderkey")).as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+    val total = stream.count()
+    val counters = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
+      stream.select(lit(r).as("r"),
+        pmod(mix64(col("k"), seed), lit(CMS_W)).as("b"))
+    }.reduce(_ unionByName _)
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val thr = (BigDecimal("0.01") * BigDecimal(2).pow(63)).toLong
+    val cand = stream
+      .filter(shiftrightunsigned(mix64(col("rid"), CMS_SAMPLE_SEED), 1) < thr)
+      .select("k").distinct()
+    val candBuckets = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
+      cand.select(col("k"), lit(r).as("r"),
+        pmod(mix64(col("k"), seed), lit(CMS_W)).as("b"))
+    }.reduce(_ unionByName _)
+    candBuckets.join(counters, Seq("r", "b"))
+      .groupBy("k").agg(min(col("c")).as("est"))
+      .filter(col("est") >= total / 50)
+      .orderBy("k")
+  }
+
   val entries: Map[String, Q] = Map(
+    "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "join_range_auto"       -> (joinRangeAuto _),
     "fn_array"              -> (fnArray _),
     "window_first_last"     -> (windowFirstLast _),
@@ -407,7 +457,55 @@ object Extras {
     "join_correlated_scalar" -> (joinCorrelatedScalar _),
   )
 
+  /** DuckDB CTE chain computing mix64(xor(k, seed)) for every row of
+    * `src(k, ...)` — SplitMix64 with wrap-around multiplies in HUGEINT
+    * split arithmetic. Final relation `h$tag(k, h)`. */
+  private def mixChainSql(tag: String, src: String, seed: Long,
+      inCol: String = "k"): String = {
+    val s = java.lang.Long.toUnsignedString(seed)
+    s"""m${tag}0 AS (SELECT k, CAST(xor($inCol::UBIGINT, $s) AS UBIGINT) AS z0 FROM $src),
+       |m${tag}1 AS (SELECT k, CAST((
+       |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+       |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+       |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM m${tag}0),
+       |m${tag}2 AS (SELECT k, CAST((
+       |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+       |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+       |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM m${tag}1),
+       |h$tag AS (SELECT k, xor(z2, z2 >> 31) AS h FROM m${tag}2)""".stripMargin
+  }
+
+  private def cmsOracleSql: String = {
+    val chains = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
+      mixChainSql(r.toString, "stream", seed) +
+        s",\ncnt$r AS (SELECT h % $CMS_W AS b, COUNT(*) AS c FROM h$r GROUP BY 1)"
+    }.mkString(",\n")
+    val thr = (BigDecimal("0.01") * BigDecimal(2).pow(63)).toLong
+    val bk = CMS_SEEDS.indices.map(r =>
+      s"SELECT DISTINCT k, $r AS r, h % $CMS_W AS b FROM h$r " +
+        "WHERE k IN (SELECT k FROM cand)").mkString("\n  UNION ALL ")
+    val counters = CMS_SEEDS.indices.map(r =>
+      s"SELECT $r AS r, b, c FROM cnt$r").mkString("\n  UNION ALL ")
+    s"""WITH stream AS (
+       |  SELECT CASE WHEN l_orderkey % 100 < 30 THEN l_orderkey % 7
+       |         ELSE l_orderkey END AS k,
+       |  l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+       |total AS (SELECT COUNT(*) AS t FROM stream),
+       |$chains,
+       |${mixChainSql("S", "stream", CMS_SAMPLE_SEED, inCol = "rid")},
+       |cand AS (SELECT DISTINCT k FROM hS WHERE (h >> 1) < $thr),
+       |bk AS (
+       |  $bk),
+       |counters AS (
+       |  $counters),
+       |est AS (SELECT k, MIN(c) AS est FROM bk JOIN counters USING (r, b)
+       |        GROUP BY k)
+       |SELECT k, est FROM est, total WHERE est >= t // 50 ORDER BY k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // counters, sample, and point estimates replayed bit-exactly
+    "agg_cms_heavy_hitters" -> cmsOracleSql,
     "fn_array" ->
       """WITH g AS (SELECT l_orderkey,
         |  list(l_linenumber ORDER BY l_linenumber) AS line_nos
