@@ -60,11 +60,40 @@ object ProfJac {
         .orderBy("a", "b")
     }
 
-    time("current_inverted")(graft.ext.Dedup.dedupNgramJaccard(spark, sfDir))
-    time("prefix_filtered")(prefixJac(sfDir))
-    val a = graft.ext.Dedup.dedupNgramJaccard(spark, sfDir).collect()
+    // hash-order prefix: same theorem (any consistent global order), no
+    // document-frequency pass — two fewer shuffles, fatter posting lists
+    def prefixHashOrder(d: String): DataFrame = {
+      val g = rawShingles(d).distinct()
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+      val ranked = g
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("h"))))
+        .join(n, "doc_id")
+        .filter(col("rn") <= col("cnt") - ceil(col("cnt") * 0.8) + 1)
+        .select("doc_id", "h")
+      val cand = ranked.as("pa").join(ranked.as("pb"),
+          col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      val sets = g.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      cand
+        .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("sa.hs"), col("sb.hs"))) /
+            (size(col("sa.hs")) + size(col("sb.hs")) -
+              size(array_intersect(col("sa.hs"), col("sb.hs"))))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }
+
+    time("current_inverted")(graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir))
+    time("prefix_rarefirst")(prefixJac(sfDir))
+    time("prefix_hashorder")(prefixHashOrder(sfDir))
+    val a = graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir).collect()
     val b = prefixJac(sfDir).collect()
-    println(s"values_identical=${a.sameElements(b)}")
+    val c = prefixHashOrder(sfDir).collect()
+    println(s"values_identical=${a.sameElements(b) && a.sameElements(c)}")
     spark.stop()
   }
 }
