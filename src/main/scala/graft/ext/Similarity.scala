@@ -162,14 +162,14 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of K centroids (the first
-    * K vectors by id — deterministic seeding; two distributed Lloyd
-    * refinement passes keep it honest without breaking determinism), vectors assigned to
+    * K vectors by id — deterministic seeding; one Lloyd refinement pass
+    * keeps it honest without breaking determinism), vectors assigned to
     * their nearest centroid's inverted list, queries probing the NPROBE
     * nearest lists with exact rerank. At 100 TB the inverted lists are
     * bucketed tables keyed by centroid id: a probe reads NPROBE/K of the
     * corpus instead of scanning it. Approximate in recall but fully
     * deterministic (seeded centroids, vec_id-ordered mean folds), so the
-    * oracle replays the whole pipeline: assignment, both Lloyd passes,
+    * oracle replays the whole pipeline: assignment, one Lloyd pass,
     * probe, exact rerank. */
   def similarityIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -196,13 +196,14 @@ object Similarity {
       }
       best
     }
+    val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
     // Lloyd refinement stays distributed: per-centroid sums fold on the
     // executors (collect_list is bounded by the largest inverted list, not
     // the corpus), and only the K centroid rows — the coarse quantizer
     // itself — ever reach the driver. The fold runs over the vec_id-sorted
     // list so the per-dimension mean is the same deterministic sequential
     // double fold the oracle replays (`list(... ORDER BY vec_id)`).
-    def refine(assigned: DataFrame): Array[Array[Double]] = assigned
+    val refined: Array[Array[Double]] = assigned0
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("vs"))
@@ -215,13 +216,6 @@ object Similarity {
       .as[(Int, Array[Double])]
       .collect()
       .sortBy(_._1).map(_._2)
-    // two Lloyd passes: seeded assignment -> means -> reassign -> means;
-    // iteration count is fixed (not convergence-tested) so the oracle
-    // replays the exact same two rounds
-    val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
-    val refined1 = refine(assigned0)
-    val assigned1 = e.withColumn("cid", assignUdf(refined1)(col("embedding")))
-    val refined = refine(assigned1)
     val lists = e.withColumn("cid", assignUdf(refined)(col("embedding")))
 
     // probe: rank centroids per query, take NPROBE nearest lists
@@ -319,7 +313,7 @@ object Similarity {
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // Replays IVF end to end: seed centroids = first NLISTS vectors,
     // argmax-dot assignment (strict > keeps the first max -> row_number
-    // tie-break on cid), two Lloyd refinements whose per-dim means fold in
+    // tie-break on cid), one Lloyd refinement whose per-dim means fold in
     // vec_id order, reassignment against the refined centroids, NPROBE
     // nearest lists per query, exact rerank. All dots are the same
     // sequential double fold as the Spark plan's imperative loops.
@@ -347,25 +341,11 @@ object Similarity {
          |a2 AS (SELECT vec_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM assign2) WHERE rn = 1),
-         |dimsums2 AS (SELECT a2.cid, i,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i+1]::DOUBLE ORDER BY e.vec_id)),
-         |    (acc, x) -> acc + x) / COUNT(*) AS c
-         |  FROM a2 JOIN embeddings e USING (vec_id), range($DIM) AS r(i)
-         |  GROUP BY a2.cid, i),
-         |cents2 AS (SELECT cid, list(c ORDER BY i) AS cent FROM dimsums2 GROUP BY cid),
-         |assign3 AS (SELECT e.vec_id, c.cid,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
-         |    (acc, x) -> acc + x) AS dot
-         |  FROM embeddings e CROSS JOIN cents2 c),
-         |a3 AS (SELECT vec_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign3) WHERE rn = 1),
          |probe AS (SELECT vec_id AS query_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign3 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
-         |cand AS (SELECT DISTINCT p.query_id, a3.vec_id
-         |  FROM probe p JOIN a3 USING (cid) WHERE a3.vec_id <> p.query_id),
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+         |  FROM probe p JOIN a2 USING (cid) WHERE a2.vec_id <> p.query_id),
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
          |  FROM cand c
