@@ -113,30 +113,28 @@ object Dedup {
     * total order, and the prefix-filter theorem guarantees every pair
     * with Jaccard >= t still collides in the indexed prefixes — recall
     * 1.0 by pigeonhole, so the exact-Jaccard oracle is unchanged
-    * (ProfJac cross-checks the plans equal at two SFs). The order is the
-    * shingle HASH itself: the theorem needs only consistency, and the
-    * classic rare-first (document-frequency) order measured SLOWER here
-    * — its df aggregation + join cost two extra full-stream shuffles
-    * that the smaller candidate set never earned back (ProfJac at 10x:
-    * hash-order 7.6s, rare-first 10.3s, full inverted 8.2s). Candidates
-    * verify exactly on hashed shingle sets. */
+    * (ProfJac cross-checks all plan variants equal at two SFs).
+    *
+    * Two measured design calls (ProfJac at the 10x corpus): the global
+    * order is the shingle HASH itself — the theorem needs only
+    * consistency, and the classic rare-first (document-frequency) order
+    * costs two extra full-stream shuffles its smaller candidate set
+    * never earned back; and ONE groupBy produces both the sorted
+    * shingle array (exact verification) and, by slicing its head, the
+    * indexed prefix (candidate generation) — no ranking window, no
+    * per-doc size join. */
   private[graft] def dedupNgramJaccardPrefix(
       s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = rawShingleHashes(s, d).distinct()
-    val n = g.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
-    val ranked = g
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("h"))))
-      .join(n, "doc_id")
-      .filter(col("rn") <=
-        col("cnt") - ceil(col("cnt") * JACCARD_THRESHOLD) + 1)
-      .select("doc_id", "h")
-    val cand = ranked.as("pa").join(ranked.as("pb"),
+    val sets = g.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val prefix = sets.select(col("doc_id"), explode(expr(
+      "slice(hs, 1, size(hs) - " +
+        s"CAST(ceil(size(hs) * $JACCARD_THRESHOLD) AS INT) + 1)")).as("h"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
-    val sets = g.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))

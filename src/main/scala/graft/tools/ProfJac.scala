@@ -87,13 +87,40 @@ object ProfJac {
         .orderBy("a", "b")
     }
 
+    // fused: ONE groupBy yields both the sorted shingle set (verification)
+    // and the hash-order prefix (candidate generation) — no window, no
+    // size join
+    def prefixFused(d: String): DataFrame = {
+      val g = rawShingles(d).distinct()
+      val sets = g.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+      val prefix = sets.select(col("doc_id"), explode(expr(
+        "slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.8) AS INT) + 1)"))
+        .as("h"))
+      val cand = prefix.as("pa").join(prefix.as("pb"),
+          col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      cand
+        .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("sa.hs"), col("sb.hs"))) /
+            (size(col("sa.hs")) + size(col("sb.hs")) -
+              size(array_intersect(col("sa.hs"), col("sb.hs"))))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }
+
     time("current_inverted")(graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir))
     time("prefix_rarefirst")(prefixJac(sfDir))
     time("prefix_hashorder")(prefixHashOrder(sfDir))
+    time("prefix_fused")(prefixFused(sfDir))
     val a = graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir).collect()
     val b = prefixJac(sfDir).collect()
     val c = prefixHashOrder(sfDir).collect()
-    println(s"values_identical=${a.sameElements(b) && a.sameElements(c)}")
+    val f = prefixFused(sfDir).collect()
+    println(s"values_identical=${a.sameElements(b) && a.sameElements(c) && a.sameElements(f)}")
     spark.stop()
   }
 }
