@@ -183,12 +183,6 @@ object Bench {
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.functions._
       import graft.Tables._
-      def time(mk: => DataFrame): Double =
-        (1 to REPS).map { _ =>
-          val t0 = System.nanoTime()
-          mk.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }.min
       // x8 amplification so the hot reducer's share is large enough to
       // dominate wall-clock at bench SF (at production scale the raw
       // fact already is)
@@ -212,28 +206,48 @@ object Bench {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
       val saved = touched.map(k => k -> spark.conf.getOption(k))
+      // each variant runs under exactly its own configs (the skew thresholds
+      // apply ONLY to the aqe variant — r3 leaked the 1 MB advisory size into
+      // the salted runs), and the reps are INTERLEAVED round-robin so a
+      // machine-load burst during one wall-clock window degrades every
+      // variant's sample equally instead of sinking whichever variant
+      // happened to run then.
+      val aqeConfs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "plain" -> (() => agg(skewed.join(dim, col("k") === col("dk")))),
+        "aqe_split" -> (() => agg(skewed.join(dim, col("k") === col("dk")))),
+        "salted" -> (() => agg(
+          graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 32))),
+        // salts = 0 derives the replication factor from the measured
+        // hottest-key share instead of a hardcoded 32
+        "salted_auto" -> (() => agg(
+          graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 0))))
       set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      set("spark.sql.adaptive.skewJoin.enabled", "false")
-      val plain = time(agg(skewed.join(dim, col("k") === col("dk"))))
-      set("spark.sql.adaptive.skewJoin.enabled", "true")
-      set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-      set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      val aqe = time(agg(skewed.join(dim, col("k") === col("dk"))))
-      // salted runs with AQE skew-split OFF so the two mitigations are
-      // measured in isolation
-      set("spark.sql.adaptive.skewJoin.enabled", "false")
-      val salted = time(agg(
-        graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 32)))
-      // salts = 0 derives the replication factor from the measured
-      // hottest-key share instead of a hardcoded 32
-      val saltedAuto = time(agg(
-        graft.operators.SaltedJoin.saltedInner(skewed, dim, "k", "dk", 0)))
+      val samples: Seq[Seq[Double]] = (1 to REPS).map { _ =>
+        variants.map { case (name, mk) =>
+          if (name == "aqe_split") aqeConfs.foreach { case (k, v) => set(k, v) }
+          else {
+            aqeConfs.foreach { case (k, _) =>
+              saved.toMap.get(k).flatten
+                .fold(spark.conf.unset(k))(spark.conf.set(k, _))
+            }
+            set("spark.sql.adaptive.skewJoin.enabled", "false")
+          }
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
-      Seq("plain" -> plain, "aqe_split" -> aqe, "salted" -> salted,
-        "salted_auto" -> saltedAuto)
+      variants.map(_._1).zipWithIndex.map { case (name, i) =>
+        name -> samples.map(_(i)).min
+      }
     }
 
     // ANN quality at bench SF: recall of each approximate path against the

@@ -138,9 +138,19 @@ object Lifecycle {
     * value-exact and oracle-pinned, since row flow at a fixed SF is
     * deterministic. AQE is disabled for the measurement so the executed
     * plan (and therefore the operator multiset) is the static one
-    * explain_plan pins; codegen/adapter wrapper nodes are excluded. */
+    * explain_plan pins; codegen/adapter wrapper nodes are excluded.
+    *
+    * Only PARTITION-INVARIANT row counts are reported: a partial-mode
+    * aggregate emits one row per (group, map partition), and the file
+    * split count scales with the session's core count (r3's golden was
+    * authored at local[4] and broke on the driver's local[32]) — so
+    * aggregate nodes report rows only in Final/Complete mode (output =
+    * group count, a property of the data), partial modes report NULL
+    * like Project/Exchange. */
   def explainAnalyze(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
     val saved = s.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -149,8 +159,16 @@ object Lifecycle {
       val nodes = df.queryExecution.executedPlan.collect {
         case p if !p.getClass.getSimpleName.startsWith("WholeStageCodegen") &&
           p.getClass.getSimpleName != "InputAdapter" =>
+          val invariant = p match {
+            case a: BaseAggregateExec =>
+              a.aggregateExpressions.nonEmpty &&
+                a.aggregateExpressions.forall(e =>
+                  e.mode == Final || e.mode == Complete)
+            case _ => true
+          }
           (p.getClass.getSimpleName.stripSuffix("Exec"),
-            p.metrics.get("numOutputRows").map(_.value))
+            if (invariant) p.metrics.get("numOutputRows").map(_.value)
+            else None)
       }
       nodes.groupBy(_._1).toSeq
         .map { case (op, v) =>
@@ -549,8 +567,9 @@ object Lifecycle {
     // golden instrumented plan of the 5-way join: per-operator node count
     // and actual rows produced (sf-determined, hence value-exact): 76530
     // rows enter from the 5 scans, the broadcast joins emit 58972, the
-    // partial+final aggregate pairs 29636; exchanges/sort/project expose
-    // no row metric (NULL)
+    // two FINAL-mode aggregates 14793 group rows (partial-mode output
+    // varies with the file-split count — core-count-dependent — so those
+    // nodes report NULL); exchanges/sort/project expose no row metric
     "explain_analyze" ->
       """SELECT * FROM (VALUES
         |  ('BroadcastExchange', 4::BIGINT, 16530::BIGINT),
@@ -558,7 +577,7 @@ object Lifecycle {
         |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT),
         |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT),
         |  ('Filter', 5::BIGINT, 76530::BIGINT),
-        |  ('HashAggregate', 4::BIGINT, 29636::BIGINT),
+        |  ('HashAggregate', 4::BIGINT, 14793::BIGINT),
         |  ('Project', 4::BIGINT, NULL::BIGINT),
         |  ('ShuffleExchange', 3::BIGINT, NULL::BIGINT),
         |  ('Sort', 1::BIGINT, NULL::BIGINT)
