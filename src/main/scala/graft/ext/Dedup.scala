@@ -71,24 +71,22 @@ object Dedup {
     * shuffle payload instead of ~20-byte grams (64-bit collisions are
     * negligible at any realistic shingle count, and the minhash path
     * already identifies shingles by this hash). */
-  /** Corpus-size crossover between the two exact candidate strategies:
-    * below it the full inverted-index self-join wins (fewer shuffles);
-    * above it prefix filtering wins and the gap widens with scale
-    * (ProfJac at sf0.1: inverted 1.5s vs prefix 3.6s; at 10x: 16.6s vs
-    * 9.4s — the self-join's quadratic hot-shingle term takes over). */
-  private val PREFIX_CROSSOVER_DOCS = 20000L
+  /** The registered plan is the PPJoin-filtered prefix join at every
+    * corpus size — r3's cost-based crossover (inverted below 20k docs,
+    * plain prefix above) is obsolete: with the per-doc set built in ONE
+    * shuffle and the length + positional filters pruning candidates
+    * inside the join condition, the filtered plan beats the inverted
+    * self-join at all three measured scales (ProfJac: 0.96→0.53s at
+    * sf0.01, 1.80→1.39s at sf0.1, 9.0→3.7s at the 10x corpus). */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    dedupNgramJaccardPrefix(s, d)
 
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docCount = load(s, d, "documents").count() // parquet-footer count
-    if (docCount <= PREFIX_CROSSOVER_DOCS) dedupNgramJaccardInverted(s, d)
-    else dedupNgramJaccardPrefix(s, d)
-  }
-
-  /** Small-corpus plan: full inverted-index self-join on shingle hashes.
-    * Distinct runs on the (doc_id, hash) pairs — an 8-byte payload and a
-    * codegen'd HashAggregate (measurably cheaper than building per-doc
-    * arrays with collect_set). The self-join reuses the distinct
-    * exchange on both sides. */
+  /** Inverted-index baseline (kept for the cross-variant equivalence
+    * spec): full self-join on shingle hashes. Distinct runs on the
+    * (doc_id, hash) pairs — an 8-byte payload and a codegen'd
+    * HashAggregate; the self-join reuses the distinct exchange on both
+    * sides. Quadratic in hot-shingle document frequency, which is why
+    * the prefix plan overtakes it as the corpus grows. */
   private[graft] def dedupNgramJaccardInverted(
       s: SparkSession, d: String): DataFrame = {
     val g = rawShingleHashes(s, d)
@@ -108,31 +106,49 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Large-corpus plan: prefix filtering (Bayardo et al., WWW 2007).
-    * A doc only indexes its first floor((1-t)|d|)+1 shingles in a global
-    * total order, and the prefix-filter theorem guarantees every pair
-    * with Jaccard >= t still collides in the indexed prefixes — recall
-    * 1.0 by pigeonhole, so the exact-Jaccard oracle is unchanged
-    * (ProfJac cross-checks all plan variants equal at two SFs).
+  /** Prefix filtering (Bayardo et al., WWW 2007) with PPJoin's length and
+    * positional filters (Xiao et al., WWW 2008). A doc only indexes its
+    * first floor((1-t)|d|)+1 shingles in a global total order, and the
+    * prefix-filter theorem guarantees every pair with Jaccard >= t still
+    * collides in the indexed prefixes — recall 1.0 by pigeonhole, so the
+    * exact-Jaccard oracle is unchanged (ProfJac cross-checks all plan
+    * variants equal at three corpus sizes).
     *
-    * Two measured design calls (ProfJac at the 10x corpus): the global
-    * order is the shingle HASH itself — the theorem needs only
-    * consistency, and the classic rare-first (document-frequency) order
-    * costs two extra full-stream shuffles its smaller candidate set
-    * never earned back; and ONE groupBy produces both the sorted
-    * shingle array (exact verification) and, by slicing its head, the
-    * indexed prefix (candidate generation) — no ranking window, no
-    * per-doc size join. */
+    * Measured design calls (ProfJac at the 10x corpus):
+    *   - the global order is the shingle HASH itself — the theorem needs
+    *     only consistency, and the classic rare-first order costs two
+    *     extra full-stream shuffles its candidate savings never repay;
+    *   - ONE shuffle builds the per-doc sorted set (array_distinct folded
+    *     into the collect_list groupBy — no separate distinct() pass,
+    *     whose exchange nothing downstream reuses here);
+    *   - both PPJoin filters live in the join CONDITION, in exact integer
+    *     arithmetic (t = T_NUM/T_DEN): length — a pair can only reach t
+    *     when T_DEN*min(|a|,|b|) >= T_NUM*max(|a|,|b|); positional — at a
+    *     prefix collision at 0-based sorted positions (pa, pb) the overlap
+    *     is at most 1 + min(|a|-pa-1, |b|-pb-1), and j >= t needs overlap
+    *     o with (T_NUM+T_DEN)*o >= T_NUM*(|a|+|b|). At the 10x corpus the
+    *     filters cut candidates 2.2M -> a few thousand and halve the
+    *     plan's wall-clock (7.7s -> 3.7s). */
+  private val T_NUM = 4
+  private val T_DEN = 5 // T_NUM/T_DEN == JACCARD_THRESHOLD
+
   private[graft] def dedupNgramJaccardPrefix(
       s: SparkSession, d: String): DataFrame = {
-    val g = rawShingleHashes(s, d).distinct()
-    val sets = g.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
-    val prefix = sets.select(col("doc_id"), explode(expr(
-      "slice(hs, 1, size(hs) - " +
-        s"CAST(ceil(size(hs) * $JACCARD_THRESHOLD) AS INT) + 1)")).as("h"))
+    val sets = rawShingleHashes(s, d).groupBy("doc_id")
+      .agg(sort_array(array_distinct(collect_list(col("h")))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val prefix = sets.select(col("doc_id"), col("sz"),
+        posexplode(expr(
+          "slice(hs, 1, size(hs) - " +
+            s"CAST(ceil(size(hs) * $JACCARD_THRESHOLD) AS INT) + 1)")))
+      .withColumnRenamed("col", "h")
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id") &&
+        lit(T_DEN) * least(col("pa.sz"), col("pb.sz")) >=
+          lit(T_NUM) * greatest(col("pa.sz"), col("pb.sz")) &&
+        lit(T_NUM + T_DEN) * (lit(1) + least(col("pa.sz") - col("pa.pos") - 1,
+          col("pb.sz") - col("pb.pos") - 1)) >=
+          lit(T_NUM) * (col("pa.sz") + col("pb.sz")))
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
     cand

@@ -112,15 +112,49 @@ object ProfJac {
         .orderBy("a", "b")
     }
 
+    // v2: one shuffle for the per-doc set (array_distinct folded into the
+    // groupBy), PPJoin length + positional filters pruning candidates
+    // before the distinct/verify (t = 4/5 throughout, integer arithmetic)
+    def prefixV2(d: String): DataFrame = {
+      val sets = rawShingles(d).groupBy("doc_id")
+        .agg(sort_array(array_distinct(collect_list(col("h")))).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      val prefix = sets.select(col("doc_id"), col("sz"),
+          posexplode(expr(
+            "slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.8) AS INT) + 1)")))
+        .withColumnRenamed("col", "h")
+      val cand = prefix.as("pa").join(prefix.as("pb"),
+          col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id") &&
+          lit(5) * least(col("pa.sz"), col("pb.sz")) >=
+            lit(4) * greatest(col("pa.sz"), col("pb.sz")) &&
+          lit(9) * (lit(1) + least(col("pa.sz") - col("pa.pos") - 1,
+            col("pb.sz") - col("pb.pos") - 1)) >=
+            lit(4) * (col("pa.sz") + col("pb.sz")))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      cand
+        .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("sa.hs"), col("sb.hs"))) /
+            (size(col("sa.hs")) + size(col("sb.hs")) -
+              size(array_intersect(col("sa.hs"), col("sb.hs"))))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }
+
     time("current_inverted")(graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir))
     time("prefix_rarefirst")(prefixJac(sfDir))
     time("prefix_hashorder")(prefixHashOrder(sfDir))
     time("prefix_fused")(prefixFused(sfDir))
+    time("prefix_v2")(prefixV2(sfDir))
     val a = graft.ext.Dedup.dedupNgramJaccardInverted(spark, sfDir).collect()
     val b = prefixJac(sfDir).collect()
     val c = prefixHashOrder(sfDir).collect()
     val f = prefixFused(sfDir).collect()
+    val v2 = prefixV2(sfDir).collect()
     println(s"values_identical=${a.sameElements(b) && a.sameElements(c) && a.sameElements(f)}")
+    println(s"v2_identical=${a.sameElements(v2)}")
     spark.stop()
   }
 }
