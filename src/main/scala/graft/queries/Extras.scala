@@ -411,23 +411,29 @@ object Extras {
       when(col("l_orderkey") % 100 < 30, col("l_orderkey") % 7)
         .otherwise(col("l_orderkey")).as("k"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
-    val total = stream.count()
-    val counters = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
-      stream.select(lit(r).as("r"),
-        pmod(mix64(col("k"), seed), lit(CMS_W)).as("b"))
-    }.reduce(_ unionByName _)
-      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    // ONE pass builds all d x w counters AND the stream total: CmsAgg is a
+    // mergeable TypedImperativeAggregate (32 KiB buffer), replacing the
+    // d-way union + (r, b) groupBy that scanned the stream once per sketch
+    // row. The single-row sketch broadcasts to the candidate probe; each
+    // candidate's estimate is the min over its d counters, bit-identical
+    // to the relational form (same mix64-and-mask bucket function).
+    val sketch = stream.agg(
+      graft.functions.CmsAgg.cms(col("k"), CMS_SEEDS.toSeq, CMS_W).as("sk"),
+      count(lit(1)).as("total"))
     val thr = (BigDecimal("0.01") * BigDecimal(2).pow(63)).toLong
     val cand = stream
       .filter(shiftrightunsigned(mix64(col("rid"), CMS_SAMPLE_SEED), 1) < thr)
       .select("k").distinct()
-    val candBuckets = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
-      cand.select(col("k"), lit(r).as("r"),
-        pmod(mix64(col("k"), seed), lit(CMS_W)).as("b"))
-    }.reduce(_ unionByName _)
-    candBuckets.join(counters, Seq("r", "b"))
-      .groupBy("k").agg(min(col("c")).as("est"))
-      .filter(col("est") >= total / 50)
+    val est = least(CMS_SEEDS.toIndexedSeq.zipWithIndex.map { case (seed, r) =>
+      element_at(col("sk"),
+        (pmod(mix64(col("k"), seed), lit(CMS_W)) + lit(r.toLong * CMS_W) +
+          lit(1L)).cast("int"))
+    }: _*)
+    cand.crossJoin(broadcast(sketch))
+      .select(col("k"), est.as("est"),
+        floor(col("total") / lit(50)).as("thr"))
+      .filter(col("est") >= col("thr"))
+      .select("k", "est")
       .orderBy("k")
   }
 
