@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType}
 
 /** Auto-rewrite of naive range joins — the optimizer-rule form of
   * [[graft.operators.RangeJoin]]. A pure range-condition inner join
@@ -19,23 +19,47 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * residual — so the planner picks a hash join and the work partitions
   * by bin.
   *
-  * Fires only on the conservative shape it can prove: inner join, the
-  * containment conjuncts and nothing else unresolved about sidedness —
-  * point expression from one side, start/end from the other, all
-  * integral types. The rewritten join carries an equi conjunct, so the
-  * rule never re-fires on its own output.
+  * Matched shape (conservative — it must be provable from the logical
+  * plan alone): inner join whose condition contains a lower-bound and an
+  * upper-bound conjunct on the SAME point expression, point from one
+  * side and both bounds from the other, with NO cross-side equi conjunct
+  * (if one exists the join is already hashable and binning would only
+  * add work). Bounds may be strict or inclusive in either orientation
+  * (`s <= p`, `p >= s`, `p BETWEEN s AND e`, ...); any extra conjuncts
+  * ride along in the residual. Supported key types: integrals and DATE
+  * (normalized to epoch days via [[UnixDate]] — `Cast(date, long)` is
+  * an ANSI-mode error). Timestamps are deliberately out: their natural
+  * unit (microseconds) makes any fixed bin width explode the interval
+  * side; bin them explicitly at a chosen granularity instead.
+  *
+  * Bin coverage uses `floorDiv(s)` .. `floorDiv(e)` (minus one bin when
+  * the upper bound is strict) — for a strict LOWER bound this covers a
+  * superset of the true bins, which is always correct: the residual
+  * re-applies the exact predicate.
+  *
+  * The rewritten join carries an equi conjunct, so the rule never
+  * re-fires on its own output.
   *
   * Bin width comes from `spark.graft.rangeJoin.binWidth` (default 16) —
-  * pick it near the typical interval length.
+  * pick it near the typical interval length in the key's native unit
+  * (days for dates).
   */
-case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
+  with PredicateHelper {
 
   private def binWidth: Long =
     spark.conf.get("spark.graft.rangeJoin.binWidth", "16").toLong
 
-  private def integral(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType => true
+  private def supported(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => true
     case _ => false
+  }
+
+  /** Normalize a supported expression to epoch-anchored LONG. */
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case LongType => e
+    case _ => Cast(e, LongType)
   }
 
   private def from(e: Expression, side: LogicalPlan): Boolean =
@@ -44,25 +68,44 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Exact floor(x / w) for any sign: (x - pmod(x, w)) div w. */
   private def floorDiv(x: Expression, w: Long): Expression =
     IntegralDivide(
-      Subtract(Cast(x, LongType), Pmod(Cast(x, LongType), Literal(w))),
+      Subtract(toLong(x), Pmod(toLong(x), Literal(w))),
       Literal(w))
+
+  /** A bound conjunct seen from the point's perspective:
+    * (point, bound, isLower, isStrict), in either written orientation. */
+  private def asBound(e: Expression): Seq[(Expression, Expression, Boolean, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true, false), (b, a, false, false))
+      case GreaterThan(a, b)        => Seq((a, b, true, true), (b, a, false, true))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false, false), (b, a, true, false))
+      case LessThan(a, b)           => Seq((a, b, false, true), (b, a, true, true))
+      case _ => Seq.empty
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
-      cond match {
-        // point on the LEFT, interval on the RIGHT
-        case And(GreaterThanOrEqual(p1, s), LessThan(p2, e))
-            if p1.semanticEquals(p2) &&
-              Seq(p1, s, e).forall(integral) &&
-              from(p1, l) && from(s, r) && from(e, r) =>
-          rewrite(l, r, p1, s, e, cond, hint, pointLeft = true)
-        // point on the RIGHT, interval on the LEFT
-        case And(GreaterThanOrEqual(p1, s), LessThan(p2, e))
-            if p1.semanticEquals(p2) &&
-              Seq(p1, s, e).forall(integral) &&
-              from(p1, r) && from(s, l) && from(e, l) =>
-          rewrite(r, l, p1, s, e, cond, hint, pointLeft = false)
-        case _ => j
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasCrossEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
+        case _ => false
+      }
+      if (hasCrossEqui) j
+      else {
+        val lowers = conjuncts.flatMap(asBound).filter(_._3)
+        val uppers = conjuncts.flatMap(asBound).filterNot(_._3)
+        val matched = (for {
+          (p1, s, _, _) <- lowers
+          (p2, e, _, strictUpper) <- uppers
+          if p1.semanticEquals(p2) && Seq(p1, s, e).forall(supported)
+          pl <- (if (from(p1, l) && from(s, r) && from(e, r)) Some(true)
+                 else if (from(p1, r) && from(s, l) && from(e, l)) Some(false)
+                 else None).toSeq
+        } yield (p1, s, e, strictUpper, pl)).headOption
+        matched.fold(j: LogicalPlan) { case (p, s, e, strictUpper, pointLeft) =>
+          val (points, intervals) = if (pointLeft) (l, r) else (r, l)
+          rewrite(points, intervals, p, s, e, strictUpper, cond, hint, pointLeft)
+        }
       }
   }
 
@@ -72,6 +115,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       p: Expression,
       s: Expression,
       e: Expression,
+      strictUpper: Boolean,
       origCond: Expression,
       hint: JoinHint,
       pointLeft: Boolean): LogicalPlan = {
@@ -79,8 +123,16 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val binP = Alias(floorDiv(p, w), "__graft_bin_p")()
     val newPoints = Project(points.output :+ binP, points)
 
+    val lastBin0 =
+      if (strictUpper) floorDiv(Subtract(toLong(e), Literal(1L)), w)
+      else floorDiv(e, w)
+    // a degenerate (empty) interval would make Sequence throw where the
+    // naive join just matches nothing — emit its start bin instead and
+    // let the residual filter it
+    val firstBin = floorDiv(s, w)
+    val lastBin = If(GreaterThanOrEqual(lastBin0, firstBin), lastBin0, firstBin)
     val gen = Explode(Sequence(
-      floorDiv(s, w), floorDiv(Subtract(Cast(e, LongType), Literal(1L)), w),
+      firstBin, lastBin,
       Some(Literal(1L)),
       // Sequence is TimeZoneAware: it stays unresolved without a zone,
       // even over longs

@@ -321,6 +321,35 @@ object Extras {
       .orderBy("promo_id")
   }
 
+  /** The generalized rule surface: the same promotion windows as DATE
+    * columns and the containment written BETWEEN (closed upper bound) —
+    * date keys normalize to epoch days inside the rule (UnixDate; a
+    * plain date->long cast is an ANSI error), and the closed bound takes
+    * the floorDiv(e) bin-coverage path. [start, start+13] closed equals
+    * the half-open 14-day [start_day, end_day) of [[joinRangeAuto]], so
+    * the per-promo aggregates match that key's; the rewrote flag pins
+    * that the nested loop was eliminated for this shape too. */
+  def joinRangeDates(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRule.ensureInstalled(s)
+    s.conf.set("spark.graft.rangeJoin.binWidth", "14")
+    val promos = s.range(60).select(col("id").as("promo_id"),
+      date_add(lit("1996-01-01").cast("date"),
+        (col("id") * 10).cast("int")).as("start_date"))
+      .withColumn("end_date", date_add(col("start_date"), 13))
+    val pts = load(s, d, "orders").select(
+      col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+    val naive = pts.join(promos,
+      col("od").between(col("start_date"), col("end_date")))
+    val plan = naive.queryExecution.executedPlan.toString
+    val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    naive.groupBy("promo_id")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .withColumn("rewrote_to_equi_join", lit(rewrote))
+      .orderBy("promo_id")
+  }
+
   /** floor(rate x 2^63): the unsigned-hash acceptance threshold for a
     * sampling rate, computed in exact decimal so the Spark plan and the
     * DuckDB oracle inject the SAME integer literal. */
@@ -440,6 +469,7 @@ object Extras {
   val entries: Map[String, Q] = Map(
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "join_range_auto"       -> (joinRangeAuto _),
+    "join_range_dates"      -> (joinRangeDates _),
     "fn_array"              -> (fnArray _),
     "window_first_last"     -> (windowFirstLast _),
     "join_range"            -> (joinRange _),
@@ -542,6 +572,18 @@ object Extras {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |true AS rewrote_to_equi_join
         |FROM promos JOIN pts ON day >= start_day AND day < end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_range_dates" ->
+      """WITH promos AS (SELECT i AS promo_id,
+        |  DATE '1996-01-01' + INTERVAL (i*10) DAY AS start_date,
+        |  DATE '1996-01-01' + INTERVAL (i*10 + 13) DAY AS end_date
+        |  FROM range(60) t(i)),
+        |pts AS (SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT promo_id, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |true AS rewrote_to_equi_join
+        |FROM promos JOIN pts ON od BETWEEN start_date AND end_date
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range" ->
       """WITH promos AS (SELECT i AS promo_id, i*10 + 9496 AS start_day,
