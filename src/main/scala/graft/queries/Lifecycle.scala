@@ -36,6 +36,35 @@ object Lifecycle {
   /** S2+S4 DDL: CREATE TABLE with declared types + INSERT INTO ... SELECT
     * (assignment-5.sql:90–112), against the session catalog; returns the
     * table scanned back from storage. */
+  /** bpchar STORAGE mode: a catalog table with a CHAR(9) column holds
+    * PG-faithful blank-padded values ambient — Spark 4's CharType pads on
+    * write, read-side (spark.sql.readSideCharPadding), and pads the
+    * SHORTER side in comparisons, which is exactly PostgreSQL's bpchar
+    * contract ('May      '::char(9) = 'May' is TRUE, and the reference's
+    * `Month IN ('April','May')` works against char storage even though it
+    * fails against to_char's padded TEXT — the [[fnCharPadding]] trap).
+    * This is the session-wide storage answer ROADMAP item 4 asked for:
+    * declare char(n) in the DDL and every comparison downstream gets
+    * padded semantics with no per-expression rpad. The DuckDB oracle
+    * (no bpchar type) replays storage with rpad and the comparisons on
+    * the trimmed name. */
+  def ddlCharStorage(s: SparkSession, d: String): DataFrame = {
+    val loc = s"${Materializer.defaultScratch}/g_months"
+    s.sql("DROP TABLE IF EXISTS g_months")
+    s.sql(s"""CREATE TABLE g_months (month_name CHAR(9), n_orders BIGINT)
+             |USING parquet LOCATION '$loc'""".stripMargin)
+    load(s, d, "orders")
+      .groupBy(date_format(col("o_orderdate"), "MMMM").as("mn"))
+      .agg(count(lit(1)).as("n")).createOrReplaceTempView("src_months")
+    s.sql("INSERT OVERWRITE g_months SELECT mn, n FROM src_months")
+    s.table("g_months")
+      .select(col("month_name"), length(col("month_name")).as("stored_len"),
+        col("n_orders"),
+        col("month_name").isin("April", "May", "September").as("in_unpadded"),
+        (col("month_name") === "May").as("eq_unpadded"))
+      .orderBy("month_name")
+  }
+
   def ddlCreateInsert(s: SparkSession, d: String): DataFrame = {
     val loc = s"${Materializer.defaultScratch}/g_region"
     s.sql("DROP TABLE IF EXISTS g_region")
@@ -450,6 +479,7 @@ object Lifecycle {
     "matview_rollup_rewrite" -> (matviewRollupRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
+    "ddl_char_storage"  -> (ddlCharStorage _),
     "create_matview"    -> (createMatview _),
     "update_where"      -> (updateWhere _),
     "ddl_drop_cascade"  -> (ddlDropCascade _),
@@ -531,6 +561,16 @@ object Lifecycle {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "ddl_create_insert" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // bpchar replay: DuckDB has no padded char type, so storage is rpad
+    // and the comparisons evaluate on the trimmed name — the definition
+    // of PG's pad-insensitive bpchar compare
+    "ddl_char_storage" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%B') AS mn,
+        |  COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT rpad(mn, 9, ' ') AS month_name, 9 AS stored_len, n_orders,
+        |mn IN ('April','May','September') AS in_unpadded,
+        |mn = 'May' AS eq_unpadded
+        |FROM m ORDER BY month_name""".stripMargin,
     "create_matview" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
