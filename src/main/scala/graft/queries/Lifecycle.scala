@@ -33,6 +33,66 @@ object Lifecycle {
       .orderBy("n_nationkey")
   }
 
+  /** JSONL ingest with corrupt-record isolation — the semi-structured
+    * COPY analog a training-data pipeline actually runs: schema-declared
+    * (no inference pass over 100 TB), PERMISSIVE mode routing malformed
+    * lines and type-mismatched fields into `_corrupt_record` instead of
+    * failing the job. Two corrupt lines are planted (one malformed JSON,
+    * one with a string doc_id); the key reports parsed/corrupt counts and
+    * an id checksum, all derivable by the oracle from the clean table. */
+  def ingestJsonl(s: SparkSession, d: String): DataFrame = {
+    val scratch = s"${Materializer.defaultScratch}/ingest_jsonl"
+    load(s, d, "documents").select("doc_id", "lang", "text")
+      .write.mode("overwrite").json(scratch)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(scratch, "zz_corrupt.json"),
+      ("{\"doc_id\": 12, \"lang\": \"en\", \"text\": \"truncated\n" +
+        "{\"doc_id\": \"not-a-number\", \"lang\": \"en\", \"text\": \"bad type\"}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(scratch)
+      .agg(
+        count(when(col("_corrupt_record").isNull, lit(1))).as("n_parsed"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("id_sum"))
+  }
+
+  /** Partitioned storage + partition pruning — THE 100 TB scan
+    * primitive: orders written partitioned by year, read back with a
+    * partition-key filter, and the key reports how many partition
+    * directories the scan actually touched (from the scan's selected
+    * files) next to the total on disk — proving the filter pruned at the
+    * METADATA level, before any file was opened. */
+  def ingestPartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = s"${Materializer.defaultScratch}/orders_by_year"
+    load(s, d, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(scratch)
+    val all = s.read.parquet(scratch)
+    val pruned = all.filter(col("o_year") === 1996)
+    // the count of partition DIRECTORIES the planned scan selected —
+    // Dataset.inputFiles reports the relation's full listing regardless
+    // of filters, so the proof must come from the physical scan node
+    def partDirs(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount.toLong
+      }.getOrElse(-1L)
+    val rows1996 = pruned.count()
+    Seq((rows1996, partDirs(pruned), partDirs(all)))
+      .toDF("rows_1996", "partitions_read", "partitions_total")
+      .withColumn("pruned_at_metadata",
+        col("partitions_read") < col("partitions_total"))
+  }
+
   /** S2+S4 DDL: CREATE TABLE with declared types + INSERT INTO ... SELECT
     * (assignment-5.sql:90–112), against the session catalog; returns the
     * table scanned back from storage. */
@@ -480,6 +540,8 @@ object Lifecycle {
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "ddl_char_storage"  -> (ddlCharStorage _),
+    "ingest_jsonl"      -> (ingestJsonl _),
+    "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
     "create_matview"    -> (createMatview _),
     "update_where"      -> (updateWhere _),
     "ddl_drop_cascade"  -> (ddlDropCascade _),
@@ -559,6 +621,17 @@ object Lifecycle {
         |) ORDER BY constraint_name""".stripMargin,
     "ingest_tsv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // the two planted corrupt lines are constants; everything else is
+    // derivable from the clean documents table
+    "ingest_jsonl" ->
+      """SELECT COUNT(*)::BIGINT AS n_parsed, 2::BIGINT AS n_corrupt,
+        |CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents""".stripMargin,
+    "ingest_partitioned_prune" ->
+      """SELECT COUNT(*)::BIGINT AS rows_1996, 1::BIGINT AS partitions_read,
+        |(SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)::BIGINT
+        |  AS partitions_total,
+        |true AS pruned_at_metadata
+        |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "ddl_create_insert" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     // bpchar replay: DuckDB has no padded char type, so storage is rpad
