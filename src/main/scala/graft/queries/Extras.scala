@@ -321,6 +321,41 @@ object Extras {
       .orderBy("promo_id")
   }
 
+  /** Grouped CMS composition — the property the one-pass [[CmsAgg]]
+    * buys: a COMPLETE sketch per group from a single groupBy (mergeable
+    * buffers, no per-group re-scan), here one sketch per order status
+    * with planted per-group heavy customers (keys 0/1/2 hold ~half of
+    * each group's rows). Candidates come from the same deterministic
+    * row sample as the ungrouped key; estimates probe each group's own
+    * sketch; keys above 5% of their GROUP survive. The oracle replays
+    * the chain over distinct keys once and joins it back per group. */
+  def aggCmsGrouped(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Mix64.mix64
+    val stream = load(s, d, "orders").select(
+      col("o_orderstatus").as("grp"),
+      when(col("o_orderkey") % 10 < 5, col("o_custkey") % 3)
+        .otherwise(col("o_custkey")).as("k"),
+      col("o_orderkey").as("rid"))
+    val sketches = stream.groupBy("grp").agg(
+      graft.functions.CmsAgg.cms(col("k"), CMS_SEEDS.toSeq, CMS_W).as("sk"),
+      count(lit(1)).as("total"))
+    val thr = (BigDecimal("0.01") * BigDecimal(2).pow(63)).toLong
+    val cand = stream
+      .filter(shiftrightunsigned(mix64(col("rid"), CMS_SAMPLE_SEED), 1) < thr)
+      .select("grp", "k").distinct()
+    val est = least(CMS_SEEDS.toIndexedSeq.zipWithIndex.map { case (seed, r) =>
+      element_at(col("sk"),
+        (pmod(mix64(col("k"), seed), lit(CMS_W)) + lit(r.toLong * CMS_W) +
+          lit(1L)).cast("int"))
+    }: _*)
+    cand.join(broadcast(sketches), "grp")
+      .select(col("grp"), col("k"), est.as("est"),
+        floor(col("total") / lit(20)).as("thr"))
+      .filter(col("est") >= col("thr"))
+      .select("grp", "k", "est")
+      .orderBy("grp", "k")
+  }
+
   /** The generalized rule surface: the same promotion windows as DATE
     * columns and the containment written BETWEEN (closed upper bound) —
     * date keys normalize to epoch days inside the rule (UnixDate; a
@@ -468,6 +503,7 @@ object Extras {
 
   val entries: Map[String, Q] = Map(
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
+    "agg_cms_grouped"       -> (aggCmsGrouped _),
     "join_range_auto"       -> (joinRangeAuto _),
     "join_range_dates"      -> (joinRangeDates _),
     "fn_array"              -> (fnArray _),
@@ -539,9 +575,48 @@ object Extras {
        |SELECT k, est FROM est, total WHERE est >= t // 50 ORDER BY k""".stripMargin
   }
 
+  /** Grouped-CMS replay: mix chains run ONCE over distinct keys / rids,
+    * joined back to the grouped stream — counters per (grp, b), point
+    * estimates per (grp, k). */
+  private def cmsGroupedOracleSql: String = {
+    val chains = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
+      mixChainSql(r.toString, "keys", seed) +
+        s""",
+           |cnt$r AS (SELECT s.grp, h % $CMS_W AS b, COUNT(*) AS c
+           |  FROM stream s JOIN h$r ON s.k = h$r.k GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val thr = (BigDecimal("0.01") * BigDecimal(2).pow(63)).toLong
+    val bk = CMS_SEEDS.indices.map(r =>
+      s"SELECT DISTINCT c.grp, c.k, $r AS r, h % $CMS_W AS b " +
+        s"FROM cand c JOIN h$r ON c.k = h$r.k").mkString("\n  UNION ALL ")
+    val counters = CMS_SEEDS.indices.map(r =>
+      s"SELECT $r AS r, grp, b, c FROM cnt$r").mkString("\n  UNION ALL ")
+    s"""WITH stream AS (
+       |  SELECT o_orderstatus AS grp,
+       |  CASE WHEN o_orderkey % 10 < 5 THEN o_custkey % 3
+       |       ELSE o_custkey END AS k,
+       |  o_orderkey AS rid FROM orders),
+       |keys AS (SELECT DISTINCT k FROM stream),
+       |rids AS (SELECT DISTINCT rid AS k FROM stream),
+       |tot AS (SELECT grp, COUNT(*) AS t FROM stream GROUP BY 1),
+       |$chains,
+       |${mixChainSql("S", "rids", CMS_SAMPLE_SEED)},
+       |cand AS (SELECT DISTINCT s.grp, s.k FROM stream s
+       |  JOIN hS ON s.rid = hS.k WHERE (hS.h >> 1) < $thr),
+       |bk AS (
+       |  $bk),
+       |counters AS (
+       |  $counters),
+       |est AS (SELECT grp, k, MIN(c) AS est FROM bk
+       |        JOIN counters USING (r, grp, b) GROUP BY grp, k)
+       |SELECT grp, k, est FROM est JOIN tot USING (grp)
+       |WHERE est >= t // 20 ORDER BY grp, k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // counters, sample, and point estimates replayed bit-exactly
     "agg_cms_heavy_hitters" -> cmsOracleSql,
+    "agg_cms_grouped" -> cmsGroupedOracleSql,
     "fn_array" ->
       """WITH g AS (SELECT l_orderkey,
         |  list(l_linenumber ORDER BY l_linenumber) AS line_nos
