@@ -42,13 +42,34 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   *
   * Bin width comes from `spark.graft.rangeJoin.binWidth` (default 16) —
   * pick it near the typical interval length in the key's native unit
-  * (days for dates).
+  * (days for dates) — or set it to `auto` to derive it from the
+  * measured average interval length at planning time.
   */
 case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
   with PredicateHelper {
 
-  private def binWidth: Long =
-    spark.conf.get("spark.graft.rangeJoin.binWidth", "16").toLong
+  /** Configured width, or — with `binWidth=auto` — the average interval
+    * length measured from the interval side at planning time (one tiny
+    * aggregation job over `avg(e - s)`, the CBO-statistics analog;
+    * clamped to [1, 2^20]). The sampling query contains no range join,
+    * so the rule cannot recurse through it; the rewritten join carries
+    * an equi conjunct, so at most one probe runs per naive join per
+    * optimize. Any width is CORRECT (the residual re-applies the exact
+    * predicate) — width only tunes replication vs bucket size. */
+  private def binWidth(
+      intervals: LogicalPlan, s: Expression, e: Expression): Long = {
+    val conf = spark.conf.get("spark.graft.rangeJoin.binWidth", "16")
+    if (conf != "auto") conf.toLong
+    else {
+      import org.apache.spark.sql.graftshim.{ColumnBridge, PlanBridge}
+      val len = ColumnBridge.column(Subtract(toLong(e), toLong(s)))
+      val row = PlanBridge.ofRows(spark, intervals)
+        .agg(org.apache.spark.sql.functions.avg(len))
+        .head()
+      if (row.isNullAt(0)) 16L
+      else math.max(1L, math.min(1L << 20, math.round(row.getDouble(0))))
+    }
+  }
 
   private def supported(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType | DateType => true
@@ -119,7 +140,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       origCond: Expression,
       hint: JoinHint,
       pointLeft: Boolean): LogicalPlan = {
-    val w = binWidth
+    val w = binWidth(intervals, s, e)
     val binP = Alias(floorDiv(p, w), "__graft_bin_p")()
     val newPoints = Project(points.output :+ binP, points)
 

@@ -366,7 +366,11 @@ object Extras {
     * that the nested loop was eliminated for this shape too. */
   def joinRangeDates(s: SparkSession, d: String): DataFrame = {
     graft.plans.RangeJoinRule.ensureInstalled(s)
-    s.conf.set("spark.graft.rangeJoin.binWidth", "14")
+    // auto: the rule measures the average interval length (14 days here)
+    // from the interval side at planning time instead of trusting a
+    // hand-picked constant — any derived width is result-identical, so
+    // this exercises the statistics path through the oracle gate
+    s.conf.set("spark.graft.rangeJoin.binWidth", "auto")
     val promos = s.range(60).select(col("id").as("promo_id"),
       date_add(lit("1996-01-01").cast("date"),
         (col("id") * 10).cast("int")).as("start_date"))
