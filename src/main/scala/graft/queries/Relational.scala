@@ -507,15 +507,27 @@ object Relational {
     * (assignment-5.sql:585–588; SURVEY §2.5 W3). Ties on the order key are
     * peers and share the running value in both engines. */
   def windowCumulative(s: SparkSession, d: String): DataFrame = {
+    // Long-cents running sum: the per-day aggregate and the window both
+    // sum e2 fixed point in a codegen long buffer (the decimal sum's
+    // precision-22 buffer is BigDecimal per row), recombined to exact
+    // decimal/double once per OUTPUT row. Unlike a groupBy, the running
+    // sum's magnitude is bounded by ONE customer's lifetime spend —
+    // overflow needs a single customer past 9.2e16 dollars, not a big
+    // corpus — so the long lane is scale-safe here without splitting.
+    // Bit-identical to the decimal form (ProfWin, both SFs); ~18% at the
+    // 10x corpus — the window is sort-bound, so the win is real but
+    // modest.
     val perDay = load(s, d, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(sum(money(col("o_totalprice"))).as("day_spend"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_e2"))
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     perDay
       .select(
         col("o_custkey"), col("o_orderdate"),
-        col("day_spend").cast(DoubleType).as("day_spend"),
-        sum(col("day_spend")).over(w).cast(DoubleType).as("running_spend"))
+        (col("day_e2").cast(DecimalType(24, 0)) / lit(100))
+          .cast(DoubleType).as("day_spend"),
+        (sum(col("day_e2")).over(w).cast(DecimalType(24, 0)) / lit(100))
+          .cast(DoubleType).as("running_spend"))
       .orderBy("o_custkey", "o_orderdate")
   }
 
