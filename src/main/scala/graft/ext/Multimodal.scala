@@ -103,6 +103,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Nearest-neighbor thumbnail summary: the payload viewed as a 16-wide
+    * 8-bit grayscale raster (H = len/16 full rows), resized to 8x8. */
+  final case class ResizeOut(
+      doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      checksum: Long)
+
+  /** STUB image-resize kernel: a real implementation would decode the
+    * compressed image and interpolate here; the STUB part is only the
+    * "decode" (payload bytes AS the raster — ASCII corpus, so byte ==
+    * codepoint and the oracle replays every picked pixel). The resize
+    * itself is a real nearest-neighbor kernel: out(i,j) sources pixel
+    * (floor(i*H/8), floor(j*W/8)) — the same index math any image
+    * library uses — and the checksum sums the 64 picked pixels in
+    * exact integers. */
+  private def resizeStub(docId: Long, payload: Array[Byte]): ResizeOut = {
+    val W = 16
+    val H = payload.length / W
+    val OUT = 8
+    var checksum = 0L
+    var i = 0
+    while (i < OUT) {
+      val srcRow = i * H / OUT
+      var j = 0
+      while (j < OUT) {
+        val srcCol = j * W / OUT
+        checksum += (payload(srcRow * W + srcCol) & 0xFF).toLong
+        j += 1
+      }
+      i += 1
+    }
+    ResizeOut(docId, W, H, OUT, OUT, checksum)
+  }
+
+  /** Image-shaped kernel: batched per-partition nearest-neighbor resize
+    * to an 8x8 thumbnail, checksummed — the decode/resize plumbing of a
+    * vision-data pipeline (documents shorter than one full raster row
+    * carry no image payload and are filtered at the metadata level,
+    * BEFORE the kernel runs). */
+  def multimodalImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("text")) >= 16 * 8)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => resizeStub(id, payload) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---- REAL media path: valid PCM WAV, genuinely parsed ----------------
 
   /** A complete, valid 44-byte-header PCM WAV file: mono, 16-bit, sample
@@ -181,9 +230,23 @@ object Multimodal {
     "multimodal_decode"       -> (multimodalDecode _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
     "multimodal_resample"     -> (multimodalResample _),
+    "multimodal_image_resize" -> (multimodalImageResize _),
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the nearest-neighbor index math pixel by pixel: the picked
+    // source position for out(i,j) is (i*H//8)*16 + (j*16//8), byte ==
+    // codepoint on the ASCII corpus
+    "multimodal_image_resize" ->
+      """SELECT doc_id, 16 AS src_w,
+        |CAST(length(text) // 16 AS INTEGER) AS src_h,
+        |8 AS out_w, 8 AS out_h,
+        |CAST(SUM(unicode(substr(text,
+        |  CAST(((i * (length(text) // 16)) // 8) * 16 + ((j * 16) // 8) + 1
+        |    AS INTEGER), 1))) AS BIGINT) AS checksum
+        |FROM documents, range(8) ti(i), range(8) tj(j)
+        |WHERE length(text) >= 128
+        |GROUP BY doc_id, length(text) ORDER BY doc_id""".stripMargin,
     // replays the WAV synthesis contract: rate from doc_id, one 16-bit
     // sample per byte ((b-128)<<8), RMS = sqrt(65536 * sum((b-128)^2)/n)
     // — sum of squares exact in BIGINT, one correctly-rounded sqrt,
