@@ -44,15 +44,19 @@ object Dedup {
     * duplicate-insensitive functions (min, collect_set), so the dedup
     * shuffle a distinct() would cost is pure overhead. The explode keeps
     * shingling partition-local; the 8-byte hash replaces the ~20-byte
-    * gram string as the shuffle payload. */
+    * gram string as the shuffle payload.
+    *
+    * Hashing is the native one-pass [[graft.functions.WordGramHashes]]
+    * kernel (split + per-word xxhash64 + window combine in codegen, no
+    * gram-string allocation): 5.5x faster than the split/transform/concat
+    * column form at the 10x corpus (ProfMinhash: stream 2.04s -> 0.37s,
+    * full LSH 4.9s -> 2.6s), and result-identical for every consumer —
+    * word tuples and joined gram strings are in bijection, and Jaccard /
+    * MinHash / prefix filtering need only a consistent shingle hash. */
   private def rawShingleHashes(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3), " +
-          "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
 
   /** Exact dedup: hash-groupBy on content, keep the lowest doc_id.
     * (assignment-5.sql:55 DISTINCT generalized to content identity.) */
