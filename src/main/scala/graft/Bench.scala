@@ -93,22 +93,34 @@ object Bench {
       val dSpan = span("documents", "doc_id")
       def rep(t: String) = load(spark, sfDir, t).crossJoin(copies)
       def out(t: String) = s"$dir/$t.parquet"
+      // The testdata parquet is ONE file with ONE row group per table, so
+      // a naive x10 write inherits that layout and every downstream scan
+      // runs on a single core — 10x data on one thread, which measures
+      // file-layout serialization, not the engine's scaling. A production
+      // 100 TB table is thousands of files; the scaled corpus writes 32
+      // range-clustered files per fact (clustered on the primary access
+      // key, like any warehouse ingest), so the probes measure parallel
+      // scan + shuffle behavior.
       rep("lineitem")
         .withColumn("l_orderkey", col("l_orderkey") + col("cp") * okSpan)
-        .drop("cp").write.mode("overwrite").parquet(out("lineitem"))
+        .drop("cp").repartitionByRange(32, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out("lineitem"))
       rep("orders")
         .withColumn("o_orderkey", col("o_orderkey") + col("cp") * okSpan)
         .withColumn("o_custkey", col("o_custkey") + col("cp") * ckSpan)
-        .drop("cp").write.mode("overwrite").parquet(out("orders"))
+        .drop("cp").repartitionByRange(32, col("o_orderkey"))
+        .write.mode("overwrite").parquet(out("orders"))
       rep("customer")
         .withColumn("c_custkey", col("c_custkey") + col("cp") * ckSpan)
-        .drop("cp").write.mode("overwrite").parquet(out("customer"))
+        .drop("cp").repartitionByRange(32, col("c_custkey"))
+        .write.mode("overwrite").parquet(out("customer"))
       rep("documents")
         .withColumn("doc_id", col("doc_id") + col("cp") * dSpan)
         .withColumn("text", when(col("cp") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1c"), col("cp")))))
-        .drop("cp").write.mode("overwrite").parquet(out("documents"))
+        .drop("cp").repartitionByRange(32, col("doc_id"))
+        .write.mode("overwrite").parquet(out("documents"))
       Seq("nation", "region", "supplier", "part").foreach { t =>
         load(spark, sfDir, t).write.mode("overwrite").parquet(out(t))
       }

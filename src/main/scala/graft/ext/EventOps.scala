@@ -57,6 +57,29 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Time-series gap filling: the dense hourly spine per event_type
+    * (min..max hour, missing hours as explicit zero rows) — the step
+    * every downstream moving-average or chart query needs. The spine is
+    * generated DISTRIBUTED: per-type min/max from one aggregate, then
+    * `sequence` + `explode` materializes hours on the executors (no
+    * driver-side date loop), and a left join against the hourly counts
+    * fills the gaps. Spine size is |types| x |hours| — dimension-scale
+    * even when the event table is 100 TB. */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val hours = load(s, d, "events")
+      .select(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+    val hourly = hours.groupBy("event_type", "hour_start")
+      .agg(count(lit(1)).as("n"))
+    val spine = hours.groupBy("event_type")
+      .agg(min(col("hour_start")).as("h0"), max(col("hour_start")).as("h1"))
+      .select(col("event_type"), explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))
+    spine.join(hourly, Seq("event_type", "hour_start"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** JSON property extraction from the `props` column (semi-structured
     * payload — standard event-pipeline surface). */
   def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -171,6 +194,7 @@ object EventOps {
     "events_stream_session"  -> (eventsStreamSession _),
     "events_stream_sliding"  -> (eventsStreamSliding _),
     "events_json_extract"    -> (eventsJsonExtract _),
+    "events_gap_fill"        -> (eventsGapFill _),
   )
 
   /** session_window semantics replayed: a gap of EXACTLY 30 minutes
@@ -265,6 +289,20 @@ object EventOps {
         |SELECT win_start, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(hour_start) AS h0, MAX(hour_start) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM span)
+        |SELECT s.hour_start, s.event_type, COALESCE(n, 0)::BIGINT AS n
+        |FROM spine s LEFT JOIN hourly h USING (event_type, hour_start)
+        |ORDER BY 1, 2""".stripMargin,
     "events_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
         |COUNT(*) AS n,

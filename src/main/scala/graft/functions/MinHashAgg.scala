@@ -36,18 +36,34 @@ case class MinHashAgg(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  /** Bound long-column fast path: the aggregate exec binds `child` before
+    * update, so the common case reads the primitive directly instead of
+    * boxing a java.lang.Long per input row through `eval`. */
+  @transient private lazy val fastOrdinal: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var i = 0
-      while (i < numHashes) {
-        val m = Mix64.mix(h ^ seeds(i))
-        if (m < buf(i)) buf(i) = m
-        i += 1
-      }
+    if (fastOrdinal >= 0) {
+      if (!input.isNullAt(fastOrdinal)) fold(buf, input.getLong(fastOrdinal))
+    } else {
+      val v = child.eval(input)
+      if (v != null) fold(buf, v.asInstanceOf[Long])
     }
     buf
+  }
+
+  private def fold(buf: Array[Long], h: Long): Unit = {
+    val n = numHashes
+    val sd = seeds
+    var i = 0
+    while (i < n) {
+      val m = Mix64.mix(h ^ sd(i))
+      if (m < buf(i)) buf(i) = m
+      i += 1
+    }
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

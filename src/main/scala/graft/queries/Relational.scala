@@ -661,6 +661,66 @@ object Relational {
       .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
       .orderBy("o_custkey")
 
+  /** Extension: FULL OUTER fact-fact join — per-customer order counts in
+    * 1995 vs 1996 with customers active in only one year surviving from
+    * either side. Unmatched-side counts coalesce to 0 and a status column
+    * proves which side matched (null-flag semantics without emitting
+    * nulls). One hash shuffle per side on the join key; at 100 TB this is
+    * the standard sort-merge full-outer shape. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    def counts(yr: Int) = load(s, d, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey").as(s"ck$yr"))
+      .agg(count(lit(1)).as(s"n_$yr"))
+    counts(1995).join(counts(1996),
+        col("ck1995") === col("ck1996"), "full_outer")
+      .select(
+        coalesce(col("ck1995"), col("ck1996")).as("o_custkey"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        when(col("ck1995").isNull, "only_1996")
+          .when(col("ck1996").isNull, "only_1995")
+          .otherwise("both").as("presence"))
+      .orderBy("o_custkey")
+  }
+
+  /** Bag UNION ALL: multiplicities add across the two inputs (the variant
+    * [[setopUnion]]'s DISTINCT silently collapses); grouped to (key,
+    * multiplicity) for deterministic output. */
+  def setopUnionAll(s: SparkSession, d: String): DataFrame =
+    orderRowsOfYear(s, d, 1995).union(orderRowsOfYear(s, d, 1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
+  /** Extension: relative-rank windows (percent_rank / cume_dist) — account
+    * balance standing within each nation. The ORDER BY includes the unique
+    * key, so ranks are tie-free and the rational rank fractions divide to
+    * identical doubles in both engines. */
+  def windowPercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    load(s, d, "customer")
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  /** Extension: per-aggregate FILTER clauses — one scan producing
+    * differently-filtered aggregates side by side (the idiom that replaces
+    * N self-joins in report queries). Spark expresses FILTER as
+    * conditional aggregation; both forms map-side-combine in one pass. */
+  def aggFiltered(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+        sum(when(year(col("o_orderdate")) === 1995,
+          dec(col("o_totalprice")))).cast(DoubleType).as("rev_1995"))
+      .orderBy("o_orderpriority")
+
   /** Ordered string aggregation (LISTAGG/string_agg): the classic report
     * column — deterministic because the ORDER BY is part of the
     * aggregate. */
@@ -720,7 +780,11 @@ object Relational {
     "setop_except"          -> (setopExcept _),
     "setop_intersect_all"   -> (setopIntersectAll _),
     "setop_except_all"      -> (setopExceptAll _),
+    "setop_union_all"       -> (setopUnionAll _),
     "agg_string_agg"        -> (aggStringAgg _),
+    "join_full_outer"       -> (joinFullOuter _),
+    "window_percent_rank"   -> (windowPercentRank _),
+    "agg_filtered"          -> (aggFiltered _),
   )
 
   // Shared SQL fragments for the oracles.
@@ -998,5 +1062,38 @@ object Relational {
         |string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |COUNT(*) AS n
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "setop_union_all" ->
+      """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_full_outer" ->
+      """WITH a AS (SELECT o_custkey AS ck95, COUNT(*) AS n_1995 FROM orders
+        |           WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (SELECT o_custkey AS ck96, COUNT(*) AS n_1996 FROM orders
+        |      WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT COALESCE(ck95, ck96) AS o_custkey,
+        |COALESCE(n_1995, 0)::BIGINT AS n_1995,
+        |COALESCE(n_1996, 0)::BIGINT AS n_1996,
+        |CASE WHEN ck95 IS NULL THEN 'only_1996'
+        |     WHEN ck96 IS NULL THEN 'only_1995'
+        |     ELSE 'both' END AS presence
+        |FROM a FULL OUTER JOIN b ON ck95 = ck96
+        |ORDER BY o_custkey""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |COUNT(*) AS n_orders,
+        |COUNT(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_big,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS rev_1995
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

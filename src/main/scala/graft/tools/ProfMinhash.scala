@@ -111,6 +111,10 @@ object ProfMinhash {
     time("sig_sets_native")(nativeShingles(sfDir).groupBy("doc_id")
       .agg(MinHashAgg.minhash(col("h"), 64).as("sig"),
         collect_set(col("h")).as("hs")))
+    time("sig_only_native")(nativeShingles(sfDir).groupBy("doc_id")
+      .agg(MinHashAgg.minhash(col("h"), 64).as("sig")))
+    time("sets_only_native")(nativeShingles(sfDir).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs")))
     val cur = graft.ext.Dedup.dedupMinhashLsh(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wh = lshOver(wordHashShingles(sfDir))
