@@ -138,9 +138,14 @@ object Dedup {
 
   private[graft] def dedupNgramJaccardPrefix(
       s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: `sets` feeds the prefix explosion AND both sides of
+    // the verification join — materialize the per-doc set relation once
+    // instead of re-running the groupBy per consumer (same rationale as
+    // dedupMinhashLsh's signature checkpoint).
     val sets = rawShingleHashes(s, d).groupBy("doc_id")
       .agg(sort_array(array_distinct(collect_list(col("h")))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      .localCheckpoint()
     val prefix = sets.select(col("doc_id"), col("sz"),
         posexplode(expr(
           "slice(hs, 1, size(hs) - " +
@@ -178,10 +183,17 @@ object Dedup {
     // groupBy over the raw shingle stream — duplicates don't change
     // either aggregate, so no distinct() pass is needed, and the band
     // explosion + verification both hang off the same exchange.
+    // localCheckpoint: the signature relation has THREE consumers (band
+    // explosion + both sides of the verification join); exchange reuse
+    // shares only the shuffle files, so without materialization the final
+    // aggregate re-executes per consumer. Checkpointing runs it once —
+    // the 100 TB shape is the same (persist the signature/set relation as
+    // a pipeline stage, never recompute it per probe).
     val grouped = rawShingleHashes(s, d).groupBy("doc_id")
       .agg(
         graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"),
         collect_set(col("h")).as("hs"))
+      .localCheckpoint()
 
     val bandStructs = (0 until BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND)

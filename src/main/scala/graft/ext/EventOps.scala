@@ -80,6 +80,27 @@ object EventOps {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user (the classic streak/segment detection every behavioral pipeline
+    * needs). Island key = global row_number minus per-type row_number —
+    * constant exactly within a consecutive run — computed in two window
+    * passes over ONE user_id shuffle (the partition orderings nest), then
+    * one aggregate per island. */
+  def eventsIslands(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byType = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    load(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (row_number().over(all) - row_number().over(byType)).as("island"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("island_start"),
+        max(col("ts")).as("island_end"))
+      .select("user_id", "event_type", "island_start", "island_end", "n_events")
+      .orderBy("user_id", "island_start", "event_type")
+  }
+
   /** JSON property extraction from the `props` column (semi-structured
     * payload — standard event-pipeline surface). */
   def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -195,6 +216,7 @@ object EventOps {
     "events_stream_sliding"  -> (eventsStreamSliding _),
     "events_json_extract"    -> (eventsJsonExtract _),
     "events_gap_fill"        -> (eventsGapFill _),
+    "events_islands"         -> (eventsIslands _),
   )
 
   /** session_window semantics replayed: a gap of EXACTLY 30 minutes
@@ -289,6 +311,18 @@ object EventOps {
         |SELECT win_start, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_islands" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS island
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |MIN(ts) AS island_start, MAX(ts) AS island_end,
+        |COUNT(*) AS n_events
+        |FROM flagged GROUP BY user_id, event_type, island
+        |ORDER BY user_id, island_start, event_type""".stripMargin,
     "events_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n

@@ -160,6 +160,22 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Interpolated (continuous) percentiles — the reporting complement of
+    * [[aggMedianDisc]]'s discrete form. Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the p*(n-1) linear-interpolation
+    * definition, and both interpolate in IEEE double, so the values are
+    * bit-identical (verified across all groups incl. float-noise digits).
+    * Exact percentiles sort within each group; at 100 TB cardinality use
+    * approx_percentile — this key pins the exact semantics. */
+  def aggPercentileCont(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -521,6 +537,7 @@ object Extras {
     "expr_null_handling"    -> (exprNullHandling _),
     "agg_cube"              -> (aggCube _),
     "agg_min_max"           -> (aggMinMax _),
+    "agg_percentile_cont"   -> (aggPercentileCont _),
     "window_ntile"          -> (windowNtile _),
     "events_window_sliding" -> (eventsWindowSliding _),
     "agg_approx_distinct"   -> (aggApproxDistinct _),
@@ -714,6 +731,12 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.9) AS p90,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_median_disc" ->
       """SELECT o_orderstatus,
         |quantile_disc(o_totalprice, 0.5) AS median_price,

@@ -64,6 +64,25 @@ object Lifecycle {
         sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("id_sum"))
   }
 
+  /** ORC round-trip — the second columnar format a warehouse ingests
+    * from: documents written to ORC (snappy), read back through Spark's
+    * native vectorized ORC source, and fingerprinted (row count, id
+    * checksum, text byte total, language count). The oracle computes the
+    * same fingerprint from the parquet table directly — equality proves
+    * the ORC sink/source preserved every value without the oracle ever
+    * reading ORC. */
+  def ingestOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val scratch = s"${Materializer.defaultScratch}/ingest_orc"
+    load(s, d, "documents")
+      .write.mode("overwrite").orc(scratch)
+    s.read.orc(scratch)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text")).cast("long")).as("text_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Partitioned storage + partition pruning — THE 100 TB scan
     * primitive: orders written partitioned by year, read back with a
     * partition-key filter, and the key reports how many partition
@@ -541,6 +560,7 @@ object Lifecycle {
     "ddl_create_insert" -> (ddlCreateInsert _),
     "ddl_char_storage"  -> (ddlCharStorage _),
     "ingest_jsonl"      -> (ingestJsonl _),
+    "ingest_orc_roundtrip" -> (ingestOrcRoundtrip _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
     "create_matview"    -> (createMatview _),
     "update_where"      -> (updateWhere _),
@@ -552,6 +572,12 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "ingest_orc_roundtrip" ->
+      """SELECT COUNT(*) AS n_docs,
+        |SUM(doc_id)::BIGINT AS id_sum,
+        |SUM(length(text))::BIGINT AS text_chars,
+        |COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
     // full recompute over ALL orders — equality proves the delta merge
     "matview_incremental_refresh" ->
       """SELECT o_orderpriority,

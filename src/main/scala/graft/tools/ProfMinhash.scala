@@ -71,10 +71,11 @@ object ProfMinhash {
           "transform(sequence(0, size(hw) - 3), " +
             "i -> xxhash64(hw[i], hw[i+1], hw[i+2]))")).as("h"))
 
-    def lshOver(stream: DataFrame): DataFrame = {
-      val grouped = stream.groupBy("doc_id")
+    def lshOver(stream: DataFrame, checkpoint: Boolean = false): DataFrame = {
+      val grouped0 = stream.groupBy("doc_id")
         .agg(MinHashAgg.minhash(col("h"), 64).as("sig"),
           collect_set(col("h")).as("hs"))
+      val grouped = if (checkpoint) grouped0.localCheckpoint() else grouped0
       val bandStructs = (0 until 16).map { b =>
         val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
         struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
@@ -115,6 +116,7 @@ object ProfMinhash {
       .agg(MinHashAgg.minhash(col("h"), 64).as("sig")))
     time("sets_only_native")(nativeShingles(sfDir).groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs")))
+    time("full_lsh_ckpt")(lshOver(nativeShingles(sfDir), checkpoint = true))
     val cur = graft.ext.Dedup.dedupMinhashLsh(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wh = lshOver(wordHashShingles(sfDir))
