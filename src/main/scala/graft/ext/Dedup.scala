@@ -67,6 +67,19 @@ object Dedup {
       .select("keeper_id", "n_copies")
       .orderBy("keeper_id")
 
+  /** Normalization-aware exact dedup: case-fold + strip punctuation
+    * BEFORE fingerprinting, so trivially-reformatted copies ("Hello,
+    * World!" vs "hello world") collapse into one group — the first
+    * normalization pass of every corpus-cleaning recipe, and still one
+    * hash shuffle on the 16-byte fingerprint, never the text. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .groupBy(md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+        .cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+      .orderBy("keeper_id")
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index candidate
     * generation: |intersection| from a self-join on shingle, set sizes from
     * a per-doc count; j = ix / (|a| + |b| - ix) in exact integer division.
@@ -398,6 +411,7 @@ object Dedup {
     "corpus_clean_plan"      -> (corpusCleanPlan _),
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_exact"            -> (dedupExact _),
+    "dedup_normalized"       -> (dedupNormalized _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_simhash"          -> (dedupSimhash _),
@@ -440,6 +454,11 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        |ORDER BY keeper_id""".stripMargin,
     // the full cleaning composition: exact-dup window, near-dup closure,
     // quality thresholds, first-failing-rule disposition
     "corpus_clean_plan" ->

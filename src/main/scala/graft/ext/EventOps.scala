@@ -171,6 +171,23 @@ object EventOps {
       .orderBy("event_id", "click_ts")
   }
 
+  /** Stream-static enrichment join — the dimension-lookup every streaming
+    * pipeline runs: the event stream joins a STATIC tier dimension (re-read
+    * per micro-batch, broadcast by size), then aggregates per tier. The
+    * drained result must equal the batch join + aggregation, which is what
+    * the oracle computes. */
+  def eventsStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val tiers = load(s, d, "events").select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("tier_"), col("user_id") % 3))
+    val joined = StreamingOps.eventsStream(s, d)
+      .join(tiers, "user_id")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    StreamingOps.runToCompletion(s, joined, "verify_stream_static")
+      .orderBy("tier")
+  }
+
   /** Streaming deduplication: two copies of the stream unioned (every
     * event genuinely duplicated), dropDuplicates on the event key with a
     * watermark bounding the dedup state, then aggregated — the drained
@@ -207,6 +224,7 @@ object EventOps {
     "events_stream_late_drop" -> (eventsStreamLateDrop _),
     "matview_stream_refresh" -> (matviewStreamRefresh _),
     "events_stream_dedup"    -> (eventsStreamDedup _),
+    "events_stream_static_join" -> (eventsStreamStaticJoin _),
     "events_stream_join"     -> (eventsStreamJoin _),
     "events_stream_tumbling" -> (eventsStreamTumbling _),
     "events_window_tumbling" -> (eventsWindowTumbling _),
@@ -288,6 +306,10 @@ object EventOps {
         |ORDER BY user_id, session_id""".stripMargin,
     "events_session_window" -> sessionWindowSql,
     "events_stream_session" -> sessionWindowSql,
+    "events_stream_static_join" ->
+      """SELECT 'tier_' || (user_id % 3) AS tier, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

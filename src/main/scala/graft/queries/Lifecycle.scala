@@ -83,6 +83,56 @@ object Lifecycle {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** Small-files compaction (the OPTIMIZE maintenance primitive): a
+    * fragmented table (64 files for 500 rows — the shape streaming sinks
+    * and over-parallel writers leave behind) rewritten to 4 right-sized
+    * files. At 100 TB, small files are a metadata + open-cost tax on
+    * every downstream scan; compaction is one repartition write. The key
+    * reports the file counts and a content fingerprint; the oracle
+    * fingerprints the source table — equality proves compaction is
+    * content-preserving. */
+  def maintenanceCompact(s: SparkSession, d: String): DataFrame = {
+    val frag = s"${Materializer.defaultScratch}/compact_fragmented"
+    val compacted = s"${Materializer.defaultScratch}/compact_out"
+    load(s, d, "documents").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val before = s.read.parquet(frag)
+    val filesBefore = before.inputFiles.length.toLong
+    before.repartition(4).write.mode("overwrite").parquet(compacted)
+    val after = s.read.parquet(compacted)
+    val filesAfter = after.inputFiles.length.toLong
+    after.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text")).cast("long")).as("text_chars"))
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(filesAfter))
+  }
+
+  /** Schema evolution via mergeSchema — the ingest reality that batches
+    * gain columns over time: batch 1 writes (doc_id, lang), batch 2 adds
+    * n_chars; the merged read unions the schemas, nulls where a batch
+    * predates the column, with the batch provenance as a partition
+    * column. The oracle reconstructs both batches from the source
+    * table. */
+  def ingestSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = s"${Materializer.defaultScratch}/evolve"
+    val docs = load(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/batch=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("batch").cast("int").as("batch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_sum"))
+      .orderBy("batch")
+  }
+
   /** Partitioned storage + partition pruning — THE 100 TB scan
     * primitive: orders written partitioned by year, read back with a
     * partition-key filter, and the key reports how many partition
@@ -561,6 +611,8 @@ object Lifecycle {
     "ddl_char_storage"  -> (ddlCharStorage _),
     "ingest_jsonl"      -> (ingestJsonl _),
     "ingest_orc_roundtrip" -> (ingestOrcRoundtrip _),
+    "maintenance_compact" -> (maintenanceCompact _),
+    "ingest_schema_evolution" -> (ingestSchemaEvolution _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
     "create_matview"    -> (createMatview _),
     "update_where"      -> (updateWhere _),
@@ -572,6 +624,24 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "maintenance_compact" ->
+      """SELECT COUNT(*) AS n_docs,
+        |SUM(doc_id)::BIGINT AS id_sum,
+        |SUM(length(text))::BIGINT AS text_chars,
+        |64::BIGINT AS files_before,
+        |4::BIGINT AS files_after
+        |FROM documents""".stripMargin,
+    "ingest_schema_evolution" ->
+      """SELECT batch, COUNT(*) AS n_rows,
+        |COUNT(n_chars) AS n_with_chars,
+        |COALESCE(SUM(n_chars), 0)::BIGINT AS chars_sum
+        |FROM (
+        |  SELECT 1 AS batch, doc_id, NULL::BIGINT AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, length(text)::BIGINT
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |GROUP BY batch ORDER BY batch""".stripMargin,
     "ingest_orc_roundtrip" ->
       """SELECT COUNT(*) AS n_docs,
         |SUM(doc_id)::BIGINT AS id_sum,
