@@ -83,6 +83,79 @@ object Lifecycle {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** Z-order layout — multi-dimensional clustering, the 100 TB data-layout
+    * primitive partitioning and single-key sorting can't give: orders laid
+    * out along a Morton curve over (custkey, order-day), 32 curve-range
+    * files, so a BOX predicate on both dimensions prunes by per-file
+    * min/max on BOTH columns. The same box against a date-sorted layout
+    * prunes only on the date axis (every file spans all custkeys). The
+    * pruned scan executes for real: the file list comes from the per-file
+    * stats boxes, the read is pinned to those files, the physical scan's
+    * selectedPartitions count proves how many directories were touched,
+    * and the row count must equal the direct filter.
+    *
+    * Determinism (oracle replays everything): 16-bit normalization by the
+    * dimension maxima (two tiny aggregates), bit interleave in integer
+    * column arithmetic, file assignment by ntile over the total (z, key)
+    * order. The ntile window is single-partition — fine for a layout job
+    * on dimension-bounded data; a 100 TB ingest computes the same curve
+    * ranges from a boundary sample instead. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"${Materializer.defaultScratch}/orders_zorder"
+    val o0 = load(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("dy"))
+    val (ckMax, dyMax) = o0.agg(max("ck"), max("dy")).as[(Long, Long)].head()
+    val norm = o0
+      .withColumn("ck16", expr(s"ck * 65535 DIV $ckMax"))
+      .withColumn("dy16", expr(s"dy * 65535 DIV $dyMax"))
+    val zbits = (0 until 16).map { k =>
+      shiftleft(shiftrightunsigned(col("ck16"), k).bitwiseAND(lit(1L)), 2 * k)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(col("dy16"), k).bitwiseAND(lit(1L)),
+            2 * k + 1))
+    }.reduce(_ bitwiseOR _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("z", "o_orderkey")
+    val zed = norm.withColumn("z", zbits)
+      .withColumn("zfile", ntile(32).over(w))
+    zed.write.mode("overwrite").partitionBy("zfile").parquet(root)
+
+    // the box: middle quarter of each dimension
+    val (ckLo, ckHi, dyLo, dyHi) = (ckMax / 4, ckMax / 2, dyMax / 4, dyMax / 2)
+    def touched(fileCol: String, df: DataFrame): Seq[Int] =
+      df.groupBy(col(fileCol))
+        .agg(min("ck").as("ck0"), max("ck").as("ck1"),
+          min("dy").as("dy0"), max("dy").as("dy1"))
+        .filter(col("ck1") >= ckLo && col("ck0") <= ckHi &&
+          col("dy1") >= dyLo && col("dy0") <= dyHi)
+        .select(col(fileCol).cast("int")).as[Int].collect().toSeq.sorted
+    val zTouched = touched("zfile", zed)
+    // the comparison layout: same data date-sorted into 32 files
+    val dateSorted = norm.withColumn("dfile",
+      ntile(32).over(org.apache.spark.sql.expressions.Window
+        .orderBy("dy", "o_orderkey")))
+    val dTouched = touched("dfile", dateSorted)
+
+    val prunedRead = s.read.parquet(root)
+      .filter(col("zfile").isin(zTouched: _*) &&
+        col("ck").between(ckLo, ckHi) && col("dy").between(dyLo, dyHi))
+    val scanDirs = prunedRead.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount.toLong
+    }.getOrElse(-1L)
+    val rowsPruned = prunedRead.count()
+    val rowsDirect = o0
+      .filter(col("ck").between(ckLo, ckHi) && col("dy").between(dyLo, dyHi))
+      .count()
+    Seq((rowsDirect, 32L, zTouched.size.toLong, dTouched.size.toLong,
+        scanDirs, rowsPruned == rowsDirect))
+      .toDF("rows_matched", "files_total", "files_touched_zorder",
+        "files_touched_datesorted", "scan_partitions_read",
+        "pruned_scan_complete")
+  }
+
   /** Small-files compaction (the OPTIMIZE maintenance primitive): a
     * fragmented table (64 files for 500 rows — the shape streaming sinks
     * and over-parallel writers leave behind) rewritten to 4 right-sized
@@ -612,6 +685,7 @@ object Lifecycle {
     "ingest_jsonl"      -> (ingestJsonl _),
     "ingest_orc_roundtrip" -> (ingestOrcRoundtrip _),
     "maintenance_compact" -> (maintenanceCompact _),
+    "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
     "create_matview"    -> (createMatview _),
@@ -624,6 +698,37 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      """WITH o0 AS (SELECT o_orderkey, o_custkey::BIGINT AS ck,
+        |  datediff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS dy
+        |  FROM orders),
+        |mx AS (SELECT MAX(ck) AS ckmax, MAX(dy) AS dymax FROM o0),
+        |norm AS (SELECT o_orderkey, ck, dy,
+        |  (ck * 65535) // ckmax AS ck16, (dy * 65535) // dymax AS dy16
+        |  FROM o0, mx),
+        |z AS (SELECT *, ((((ck16 >> 0) & 1) << 0) | (((dy16 >> 0) & 1) << 1)) | ((((ck16 >> 1) & 1) << 2) | (((dy16 >> 1) & 1) << 3)) | ((((ck16 >> 2) & 1) << 4) | (((dy16 >> 2) & 1) << 5)) | ((((ck16 >> 3) & 1) << 6) | (((dy16 >> 3) & 1) << 7)) | ((((ck16 >> 4) & 1) << 8) | (((dy16 >> 4) & 1) << 9)) | ((((ck16 >> 5) & 1) << 10) | (((dy16 >> 5) & 1) << 11)) | ((((ck16 >> 6) & 1) << 12) | (((dy16 >> 6) & 1) << 13)) | ((((ck16 >> 7) & 1) << 14) | (((dy16 >> 7) & 1) << 15)) | ((((ck16 >> 8) & 1) << 16) | (((dy16 >> 8) & 1) << 17)) | ((((ck16 >> 9) & 1) << 18) | (((dy16 >> 9) & 1) << 19)) | ((((ck16 >> 10) & 1) << 20) | (((dy16 >> 10) & 1) << 21)) | ((((ck16 >> 11) & 1) << 22) | (((dy16 >> 11) & 1) << 23)) | ((((ck16 >> 12) & 1) << 24) | (((dy16 >> 12) & 1) << 25)) | ((((ck16 >> 13) & 1) << 26) | (((dy16 >> 13) & 1) << 27)) | ((((ck16 >> 14) & 1) << 28) | (((dy16 >> 14) & 1) << 29)) | ((((ck16 >> 15) & 1) << 30) | (((dy16 >> 15) & 1) << 31)) AS z FROM norm),
+        |zf AS (SELECT ck, dy, ntile(32) OVER (ORDER BY z, o_orderkey) AS zfile
+        |       FROM z),
+        |dfl AS (SELECT ck, dy, ntile(32) OVER (ORDER BY dy, o_orderkey) AS dfile
+        |        FROM z),
+        |box AS (SELECT ckmax // 4 AS cklo, ckmax // 2 AS ckhi,
+        |        dymax // 4 AS dylo, dymax // 2 AS dyhi FROM mx),
+        |zt AS (SELECT COUNT(*) AS ftz FROM (
+        |    SELECT zfile, MIN(ck) AS ck0, MAX(ck) AS ck1,
+        |           MIN(dy) AS dy0, MAX(dy) AS dy1 FROM zf GROUP BY 1) t, box
+        |  WHERE ck1 >= cklo AND ck0 <= ckhi AND dy1 >= dylo AND dy0 <= dyhi),
+        |dt AS (SELECT COUNT(*) AS ftd FROM (
+        |    SELECT dfile, MIN(ck) AS ck0, MAX(ck) AS ck1,
+        |           MIN(dy) AS dy0, MAX(dy) AS dy1 FROM dfl GROUP BY 1) t, box
+        |  WHERE ck1 >= cklo AND ck0 <= ckhi AND dy1 >= dylo AND dy0 <= dyhi),
+        |rm AS (SELECT COUNT(*) AS rows_matched FROM o0, box
+        |  WHERE ck BETWEEN cklo AND ckhi AND dy BETWEEN dylo AND dyhi)
+        |SELECT rows_matched, 32::BIGINT AS files_total,
+        |ftz::BIGINT AS files_touched_zorder,
+        |ftd::BIGINT AS files_touched_datesorted,
+        |ftz::BIGINT AS scan_partitions_read,
+        |TRUE AS pruned_scan_complete
+        |FROM rm, zt, dt""".stripMargin,
     "maintenance_compact" ->
       """SELECT COUNT(*) AS n_docs,
         |SUM(doc_id)::BIGINT AS id_sum,

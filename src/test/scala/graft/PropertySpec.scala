@@ -96,4 +96,37 @@ class PropertySpec extends AnyFunSuite {
       FdRegistry.clear()
     }
   }
+
+  test("word gram hashes equal the split/xxhash64 reference on random text") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WordGramHashes
+    // words of ASCII + multi-byte chars, glued with single/double spaces,
+    // optional leading/trailing separators — every split edge case
+    val word = Gen.stringOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ü', 'ж', '.')))
+    val textGen = for {
+      ws <- Gen.listOf(word)
+      seps <- Gen.listOfN(math.max(ws.size - 1, 0), Gen.oneOf(" ", "  "))
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + (if (ws.isEmpty) "" else
+      ws.head + seps.zip(ws.tail).map { case (s, w) => s + w }.mkString) + trail
+    check("wordgram-ref")(Prop.forAll(textGen) { t =>
+      val native = WordGramHashes
+        .gramHashes(UTF8String.fromString(t), 3).toLongArray().toSeq
+      val words = t.split(" ", -1)
+      val hw = words.map { w =>
+        val b = UTF8String.fromString(w)
+        XXH64.hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes, 42L)
+      }
+      val ref =
+        if (words.length < 3) Seq.empty[Long]
+        else (0 to words.length - 3).map { i =>
+          var h = 42L
+          (0 until 3).foreach(k => h = XXH64.hashLong(hw(i + k), h))
+          h
+        }
+      native == ref
+    })
+  }
 }
