@@ -43,6 +43,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's 64 MB default advisory target over-coalesces post-shuffle
+      // stages at bench scale (a 1.5M-row join shuffle is ~40 MB -> one
+      // partition on 32 cores); 8 MB keeps the machine busy while still
+      // merging tiny partitions. Same knob class as shuffle.partitions:
+      // sized to the deployment (Prof5Way10x: 5-way 1.61s -> 1.28s).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

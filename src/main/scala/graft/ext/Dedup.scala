@@ -151,14 +151,15 @@ object Dedup {
 
   private[graft] def dedupNgramJaccardPrefix(
       s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: `sets` feeds the prefix explosion AND both sides of
-    // the verification join — materialize the per-doc set relation once
-    // instead of re-running the groupBy per consumer (same rationale as
-    // dedupMinhashLsh's signature checkpoint).
+    // NO localCheckpoint here, unlike dedupMinhashLsh's signature relation:
+    // measured at the 10x corpus, materializing `sets` costs 3.5x
+    // (1.6s -> 5.5s, ProfAdvisory/ProfJac) — the sorted fat arrays
+    // round-trip through block storage while the un-checkpointed plan
+    // streams them straight into the prefix explosion and verify joins
+    // off one reused exchange.
     val sets = rawShingleHashes(s, d).groupBy("doc_id")
       .agg(sort_array(array_distinct(collect_list(col("h")))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-      .localCheckpoint()
     val prefix = sets.select(col("doc_id"), col("sz"),
         posexplode(expr(
           "slice(hs, 1, size(hs) - " +
