@@ -127,11 +127,17 @@ object Bench {
             concat(lit("$1c"), col("cp")))))
         .drop("cp").repartitionByRange(32, col("doc_id"))
         .write.mode("overwrite").parquet(out("documents"))
+      val vSpan = span("embeddings", "vec_id")
+      rep("embeddings")
+        .withColumn("vec_id", col("vec_id") + col("cp") * vSpan)
+        .drop("cp").repartitionByRange(32, col("vec_id"))
+        .write.mode("overwrite").parquet(out("embeddings"))
       Seq("nation", "region", "supplier", "part").foreach { t =>
         load(spark, sfDir, t).write.mode("overwrite").parquet(out(t))
       }
       val probe = Seq("agg_sum_group3", "join_natural_5way",
-        "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh")
+        "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "similarity_ann_lsh")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

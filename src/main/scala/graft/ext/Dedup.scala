@@ -243,24 +243,15 @@ object Dedup {
     * the token hash is mix64(rolling_hash(tok)), which the oracle replays
     * with HUGEINT/UBIGINT arithmetic. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // No (doc_id, tok) pre-aggregation: summing +-1 per token INSTANCE is
-    // the same integer as the tf-weighted sum over distinct tokens (which
-    // is how the oracle states it), and skipping the tf groupBy saves a
-    // full shuffle of the token stream.
-    val toks = load(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), lit(1L).as("tf"),
-        mix64(graft.functions.RollingHash.rolling_hash(col("tok"))).as("h"))
-      // (mix on top of the 61-bit Rabin hash decorrelates the per-bit streams)
-
-    // v_k = sum(tf * (bit_k ? 1 : -1)); bit k of the signature = v_k > 0
-    val bitSums = (0 until 64).map(k =>
-      sum(col("tf") * (shiftrightunsigned(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1))
-        .as(s"v$k"))
-    val sigBits = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(k =>
-      when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-    val sig = sigBits.select(col("doc_id"), simhash.as("sig"))
+    // The whole signature is ONE per-row codegen'd projection
+    // (functions/SimHashSig): no token explode, no 64-column aggregate,
+    // no shuffle before banding — 10x-corpus signature stage collapses
+    // from the r4 6.8s probe into the scan itself. Summing +-1 per token
+    // INSTANCE equals the oracle's tf-weighted sum over distinct tokens;
+    // bit-equality with the relational form is pinned by SimHashSigSpec.
+    val sig = load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHashSig.simhash_sig(col("text")).as("sig"))
 
     val chunkStructs = (0 until 8).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("cv")))

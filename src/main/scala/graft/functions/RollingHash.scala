@@ -77,6 +77,20 @@ object RollingHash {
     h
   }
 
+  /** Range variant over unsafe memory — same polynomial, no byte-array
+    * copy; lets callers hash words in place (SimHashSig). */
+  def hash(base: Object, off: Long, len: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = mulMod(h, BASE)
+      h = reduce(h +
+        (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF) + 1)
+      i += 1
+    }
+    h
+  }
+
   def rolling_hash(c: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
