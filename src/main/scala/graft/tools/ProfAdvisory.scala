@@ -22,6 +22,10 @@ object ProfAdvisory {
       println(f"$tag%-36s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     time("simhash_10x")(graft.ext.Dedup.dedupSimhash(spark, tenx))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    time("cluster_10x")(graft.ext.Dedup.dedupCluster(spark, tenx))
+    time("corpus_clean_10x")(graft.ext.Dedup.corpusCleanPlan(spark, tenx))
+    time("ivf_10x")(graft.ext.Similarity.similarityIvf(spark, tenx))
     for (adv <- Seq("64m", "8m", "16m", "32m")) {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
       time(s"jaccard_adv_$adv")(graft.ext.Dedup.dedupNgramJaccard(spark, tenx))
