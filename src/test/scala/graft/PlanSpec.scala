@@ -107,4 +107,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!lp.contains("UnresolvedHint") && !lp.contains("ResolvedHint"),
       s"broadcast hint found in corpus_clean_plan:\n$lp")
   }
+
+  test("simhash signatures are a pure projection: no aggregate, no token explode") {
+    // the one-pass SimHashSig kernel must keep the signature stage out of
+    // any aggregation; the only Generate left is the 8-chunk banding
+    // explode, the only aggregate the candidate-pair distinct
+    val p = plan(graft.ext.Dedup.dedupSimhash(spark, SF))
+    assert(p.contains("graft_simhash_sig"), s"native kernel missing:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"signature stage fell back to an object/sort aggregate:\n$p")
+    // the 8-chunk banding explode appears once per self-join side; a
+    // token-level explode would add a third Generate over raw text
+    assert(p.split("Generate").length - 1 <= 2,
+      s"unexpected token explode in simhash plan:\n$p")
+  }
+
+  test("shingle streams use the native one-pass hasher, no HOF fallback") {
+    // higher-order transform lambdas are CodegenFallback; the dedup
+    // shingle stream must plan the WordGramHashes kernel instead
+    val p = plan(graft.ext.Dedup.dedupNgramJaccard(spark, SF))
+    assert(p.contains("graft_word_gram_hashes"), s"native hasher missing:\n$p")
+    assert(!p.contains("ArrayTransform") && !p.contains("lambdafunction"),
+      s"interpreted higher-order function in the shingle stream:\n$p")
+  }
 }
