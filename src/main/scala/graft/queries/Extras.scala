@@ -176,6 +176,54 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Regex function family over document text: extract, match-test,
+    * count, extract-all (CSV-rendered for engine-neutral hashing). Kept
+    * to character-class patterns both regex engines (Java util.regex vs
+    * RE2) treat identically. */
+  def fnRegex(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_number"),
+        col("text").rlike("data").as("mentions_data"),
+        regexp_count(col("text"), lit("the")).as("n_the"),
+        array_join(expr("regexp_extract_all(text, '[0-9]+', 0)"), ",")
+          .as("all_numbers"))
+      .orderBy("doc_id")
+
+  /** Date arithmetic family: day/month offsets (month addition clamps to
+    * month end in both engines), month/quarter boundaries, epoch-day
+    * distance. */
+  def fnDateArith(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus_30d"),
+        add_months(col("o_orderdate"), 2).as("plus_2mo"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("epoch_day"))
+      .orderBy("o_orderkey")
+
+  /** Explicit NULL ordering — Spark's default (NULLS FIRST on ASC) is the
+    * opposite of PostgreSQL/DuckDB's, so portable queries must say which
+    * they mean; the ordering is captured as row_number VALUES (the gate
+    * sorts rows before hashing, so bare output order is invisible).
+    * Single-partition windows: dimension-sized input, documented. */
+  def orderbyNulls(s: SparkSession, d: String): DataFrame = {
+    val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+    load(s, d, "customer")
+      .select(col("c_custkey"), seg.as("seg"))
+      .select(col("c_custkey"), col("seg"),
+        row_number().over(Window.orderBy(
+          col("seg").asc_nulls_last, col("c_custkey"))).as("rn_nulls_last"),
+        row_number().over(Window.orderBy(
+          col("seg").desc_nulls_first, col("c_custkey"))).as("rn_nulls_first"))
+      .orderBy("c_custkey")
+  }
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -538,6 +586,9 @@ object Extras {
     "agg_cube"              -> (aggCube _),
     "agg_min_max"           -> (aggMinMax _),
     "agg_percentile_cont"   -> (aggPercentileCont _),
+    "fn_regex"              -> (fnRegex _),
+    "fn_date_arith"         -> (fnDateArith _),
+    "orderby_nulls"         -> (orderbyNulls _),
     "window_ntile"          -> (windowNtile _),
     "events_window_sliding" -> (eventsWindowSliding _),
     "agg_approx_distinct"   -> (aggApproxDistinct _),
@@ -731,6 +782,32 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "fn_regex" ->
+      """SELECT doc_id,
+        |COALESCE(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
+        |regexp_matches(text, 'data') AS mentions_data,
+        |CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+        |COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+        |  AS all_numbers
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_date_arith" ->
+      """SELECT o_orderkey,
+        |o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        |CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+        |last_day(o_orderdate) AS month_end,
+        |date_trunc('month', o_orderdate) AS month_start,
+        |CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER)
+        |  AS epoch_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "orderby_nulls" ->
+      """SELECT c_custkey,
+        |nullif(c_mktsegment, 'BUILDING') AS seg,
+        |CAST(ROW_NUMBER() OVER (ORDER BY nullif(c_mktsegment, 'BUILDING')
+        |  ASC NULLS LAST, c_custkey) AS BIGINT) AS rn_nulls_last,
+        |CAST(ROW_NUMBER() OVER (ORDER BY nullif(c_mktsegment, 'BUILDING')
+        |  DESC NULLS FIRST, c_custkey) AS BIGINT) AS rn_nulls_first
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "agg_percentile_cont" ->
       """SELECT o_orderpriority,
         |quantile_cont(o_totalprice, 0.5) AS p50,
