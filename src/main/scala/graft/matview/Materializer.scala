@@ -63,6 +63,32 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     create(name, base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
   }
 
+  /** (dim, join columns) of MVs created via [[createJoinAggregated]]. */
+  private val joinSpecs = mutable.Map.empty[String, (DataFrame, Seq[String])]
+
+  /** CREATE MATERIALIZED VIEW name AS fact JOIN dim GROUP BY keys — the
+    * join-aggregate MV shape (star-schema rollups). The dim relation and
+    * join columns are remembered so [[refreshJoinDelta]] can maintain the
+    * MV from a FACT delta alone: delta ⋈ dim is |delta| rows joined
+    * against a dimension, never a fact re-scan. Requires the dim static
+    * between refreshes (the star-schema contract; a changed dim needs a
+    * full refresh). */
+  def createJoinAggregated(name: String, fact: DataFrame, dim: DataFrame,
+      on: Seq[String], keys: Seq[String],
+      measures: Seq[Materializer.Measure]): DataFrame = {
+    joinSpecs(name) = (dim, on)
+    createAggregated(name, fact.join(dim, on), keys, measures)
+  }
+
+  /** REFRESH from a fact-only delta: join the delta against the remembered
+    * dimension, then merge like [[refreshIncremental]]. */
+  def refreshJoinDelta(name: String, deltaFact: DataFrame): DataFrame = {
+    require(joinSpecs.contains(name),
+      s"$name was not created via createJoinAggregated")
+    val (dim, on) = joinSpecs(name)
+    refreshIncremental(name, deltaFact.join(dim, on))
+  }
+
   /** REFRESH ... WITH DELTA: aggregate only the delta rows, merge into the
     * stored groups by the measures' merge functions, atomically swap the
     * storage. At 100 TB this touches |delta groups| + |stored MV| rows —

@@ -304,6 +304,45 @@ object Lifecycle {
       .orderBy("c_mktsegment")
   }
 
+  /** MERGE INTO (upsert) — the warehouse mutation UPDATE ... WHERE can't
+    * express: one statement applying matched-update, not-matched-insert,
+    * and matched-delete against a persisted target. Parquet has no
+    * row-level merge, so the engine form is the canonical rewrite every
+    * table format executes underneath: full-outer join target with source
+    * on the key, per-row disposition, rewrite. Target = per-customer 1995
+    * order summary; source = 1996 activity (update matched, insert new)
+    * plus a delete set (customers whose 1995 spend stayed under 1000).
+    * The merged table round-trips through storage and is re-read. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s)
+    def summary(yr: Int) = load(s, d, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("spend"))
+    val target = summary(1995)
+    val source = summary(1996)
+    m.create("merge_target", target)
+    val t = m.table("merge_target").as("t")
+    val merged = t.join(source.as("u"),
+        col("t.o_custkey") === col("u.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("t.o_custkey"), col("u.o_custkey")).as("o_custkey"),
+        (coalesce(col("t.n_orders"), lit(0L)) +
+          coalesce(col("u.n_orders"), lit(0L))).as("n_orders"),
+        // raw IEEE double add of the two exact-decimal-derived spends:
+        // identical bits in both engines; no re-rounding
+        (coalesce(col("t.spend"), lit(0.0)) +
+          coalesce(col("u.spend"), lit(0.0))).as("spend"),
+        when(col("t.o_custkey").isNull, "inserted")
+          .when(col("u.o_custkey").isNull, "unchanged")
+          .otherwise("updated").as("merge_action"))
+      // WHEN MATCHED AND <cond> THEN DELETE: drop never-updated customers
+      // who stayed under 1000 total spend
+      .filter(!(col("merge_action") === "unchanged" && col("spend") < 1000))
+    m.create("merge_result", merged)
+    m.table("merge_result").orderBy("o_custkey")
+  }
+
   /** S3: DROP ... CASCADE over a real dependency chain: base MV <- derived
     * MV; dropping the base removes both, dependents first
     * (assignment-5.sql:17–27; SURVEY §7.8). Returns the drop order. */
@@ -668,8 +707,35 @@ object Lifecycle {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental maintenance of a JOIN-aggregate MV (the star-schema
+    * rollup shape): orders ⋈ customer grouped by market segment, built on
+    * pre-1997 facts, then refreshed from the 1997+ FACT delta alone — the
+    * delta joins the (static) dimension and merges into the stored
+    * groups; the base fact is never re-scanned. Oracle recomputes the
+    * full join-aggregate — equality proves the delta path. */
+  def matviewIncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.matview.Materializer.Measure
+    val m = Materializer(s)
+    val o = load(s, d, "orders")
+    val c = load(s, d, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    m.createJoinAggregated("mv_inc_seg",
+      o.filter(year(col("o_orderdate")) < 1997), c, Seq("o_custkey"),
+      Seq("c_mktsegment"),
+      Seq(Measure.sumOf(dec(col("o_totalprice")), "rev_dec"),
+        Measure.countAll("n_orders")))
+    m.refreshJoinDelta("mv_inc_seg",
+      o.filter(year(col("o_orderdate")) >= 1997))
+    m.table("mv_inc_seg")
+      .select(col("c_mktsegment"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        col("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Map[String, Q] = Map(
     "matview_incremental_refresh" -> (matviewIncrementalRefresh _),
+    "matview_incremental_join" -> (matviewIncrementalJoin _),
     "join_bucketed" -> (joinBucketed _),
     "matview_avg_rewrite" -> (matviewAvgRewrite _),
     "matview_filter_rewrite" -> (matviewFilterRewrite _),
@@ -684,6 +750,7 @@ object Lifecycle {
     "ddl_char_storage"  -> (ddlCharStorage _),
     "ingest_jsonl"      -> (ingestJsonl _),
     "ingest_orc_roundtrip" -> (ingestOrcRoundtrip _),
+    "merge_upsert" -> (mergeUpsert _),
     "maintenance_compact" -> (maintenanceCompact _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -698,6 +765,30 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "matview_incremental_join" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "merge_upsert" ->
+      """WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |u AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |m AS (SELECT COALESCE(t.o_custkey, u.o_custkey) AS o_custkey,
+        |  (COALESCE(t.n_orders, 0) + COALESCE(u.n_orders, 0))::BIGINT
+        |    AS n_orders,
+        |  COALESCE(t.spend, 0) + COALESCE(u.spend, 0) AS spend,
+        |  CASE WHEN t.o_custkey IS NULL THEN 'inserted'
+        |       WHEN u.o_custkey IS NULL THEN 'unchanged'
+        |       ELSE 'updated' END AS merge_action
+        |  FROM t FULL OUTER JOIN u ON t.o_custkey = u.o_custkey)
+        |SELECT * FROM m
+        |WHERE NOT (merge_action = 'unchanged' AND spend < 1000)
+        |ORDER BY o_custkey""".stripMargin,
     "layout_zorder" ->
       """WITH o0 AS (SELECT o_orderkey, o_custkey::BIGINT AS ck,
         |  datediff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS dy
