@@ -224,6 +224,38 @@ object Extras {
       .orderBy("c_custkey")
   }
 
+  /** Typed Dataset[T] surface: case-class encoder, typed filter,
+    * groupByKey + mapGroups with an imperative per-group fold — the API a
+    * Scala user reaches for when per-group logic outgrows expressions.
+    * The fold accumulates exact long cents (order-insensitive), so the
+    * result is engine-exact despite the lambda. Scale note: the typed
+    * path pays serialization per row and drops out of codegen — it's the
+    * right tool for genuinely imperative group logic, and the declarative
+    * form remains preferred; this key pins API parity, not a perf
+    * recommendation. */
+  def typedDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .as[Extras.OrderRow]
+    ds.filter(_.o_totalprice > 100000.0)
+      .groupByKey(_.o_orderstatus)
+      .mapGroups { (k, it) =>
+        var n = 0L
+        var cents = 0L
+        var maxKey = Long.MinValue
+        it.foreach { o =>
+          n += 1
+          cents += math.round(o.o_totalprice * 100)
+          maxKey = math.max(maxKey, o.o_orderkey)
+        }
+        (k, n, cents.toDouble / 100.0, maxKey)
+      }
+      .toDF("o_orderstatus", "n_big", "revenue", "max_orderkey")
+      .orderBy("o_orderstatus")
+  }
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -587,6 +619,7 @@ object Extras {
     "agg_min_max"           -> (aggMinMax _),
     "agg_percentile_cont"   -> (aggPercentileCont _),
     "fn_regex"              -> (fnRegex _),
+    "typed_dataset"         -> (typedDataset _),
     "fn_date_arith"         -> (fnDateArith _),
     "orderby_nulls"         -> (orderbyNulls _),
     "window_ntile"          -> (windowNtile _),
@@ -782,6 +815,12 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "typed_dataset" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_big,
+        |SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+        |MAX(o_orderkey) AS max_orderkey
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_regex" ->
       """SELECT doc_id,
         |COALESCE(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
@@ -943,4 +982,9 @@ object Extras {
         |true AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** Encoder row for [[typedDataset]]. */
+  final case class OrderRow(
+      o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
 }
