@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables._
 
@@ -254,6 +255,90 @@ object Extras {
       }
       .toDF("o_orderstatus", "n_big", "revenue", "max_orderkey")
       .orderBy("o_orderstatus")
+  }
+
+  /** Column profiler — the warehouse data-quality sweep: one scan
+    * computing per-column (rows, nulls, distincts, min/max rendered to
+    * string), melted to (column, metric, value) rows. Every profiled
+    * metric is a plain aggregate, so the whole profile is one pass with
+    * map-side partials. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders")
+    // doubles render differently across engines; profile money through
+    // the exact decimal so min/max strings match byte for byte
+    def v(c: String) = if (c == "o_totalprice") dec(col(c)) else col(c)
+    def prof(c: String) = Seq(
+      (c, "count", count(col(c)).cast("string")),
+      (c, "n_distinct", countDistinct(col(c)).cast("string")),
+      (c, "min", min(v(c)).cast("string")),
+      (c, "max", max(v(c)).cast("string")))
+    val metrics = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate").flatMap(prof)
+    val aggd = o.agg(metrics.head._3.as("m0"),
+      metrics.tail.zipWithIndex.map { case ((_, _, e), i) =>
+        e.as(s"m${i + 1}") }: _*)
+    val rows = metrics.zipWithIndex.map { case ((c, m, _), i) =>
+      struct(lit(c).as("column_name"), lit(m).as("metric"),
+        col(s"m$i").as("value"))
+    }
+    aggd.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column_name"), col("r.metric"), col("r.value"))
+      .orderBy("column_name", "metric")
+  }
+
+  /** Equi-width histogram via width_bucket — 20 buckets over the price
+    * domain; the shape ANALYZE-style stats and dashboards both need.
+    * Bucket edges are integers, so assignment is exact in both engines. */
+  def profileHistogram(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(20))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("o_totalprice")).as("bucket_revenue"))
+      .orderBy("bucket")
+
+  /** Outlier detection by z-score with EXACT variance components: sum and
+    * sum-of-squares accumulate in decimal (order-independent), the
+    * mean/stddev divide once in IEEE doubles — so the flagged set is
+    * deterministic, unlike a naive stddev(double) whose partial-sum order
+    * differs per engine and partitioning. */
+  def statOutliers(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders")
+    val comp = o.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("o_totalprice"))).cast(DoubleType).as("sx"),
+      sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+        .cast(DoubleType).as("sxx")).head()
+    val (n, sx, sxx) = (comp.getLong(0), comp.getDouble(1), comp.getDouble(2))
+    val mean = sx / n
+    val sd = math.sqrt(sxx / n - mean * mean)
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("z", round((col("o_totalprice") - mean) / sd, 6))
+      .filter(abs(col("z")) > 1.5)
+      .orderBy("o_orderkey")
+  }
+
+  /** Pearson correlation from exact component sums (same construction as
+    * [[statOutliers]]): five decimal-exact sums, one closed-form double
+    * evaluation — engine-exact where corr(double) is not. */
+  def statCorr(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+      .select(col("n"),
+        round((col("sxy") / col("n") - col("sx") / col("n") * (col("sy") / col("n"))) /
+          (sqrt(col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))) *
+           sqrt(col("syy") / col("n") -
+            (col("sy") / col("n")) * (col("sy") / col("n")))), 9)
+          .as("pearson_r"))
   }
 
   /** min/max over numeric, string, and temporal types. */
@@ -620,6 +705,10 @@ object Extras {
     "agg_percentile_cont"   -> (aggPercentileCont _),
     "fn_regex"              -> (fnRegex _),
     "typed_dataset"         -> (typedDataset _),
+    "profile_table"         -> (profileTable _),
+    "profile_histogram"     -> (profileHistogram _),
+    "stat_outliers"         -> (statOutliers _),
+    "stat_corr"             -> (statCorr _),
     "fn_date_arith"         -> (fnDateArith _),
     "orderby_nulls"         -> (orderbyNulls _),
     "window_ntile"          -> (windowNtile _),
@@ -815,6 +904,79 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "profile_table" ->
+      """WITH m AS (
+        |  SELECT 'o_orderkey' AS column_name, 'count' AS metric,
+        |    COUNT(o_orderkey)::VARCHAR AS value FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'n_distinct',
+        |    COUNT(DISTINCT o_orderkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'min', MIN(o_orderkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'max', MAX(o_orderkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'count', COUNT(o_custkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'n_distinct',
+        |    COUNT(DISTINCT o_custkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'min', MIN(o_custkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'max', MAX(o_custkey)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'count',
+        |    COUNT(o_orderstatus)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'n_distinct',
+        |    COUNT(DISTINCT o_orderstatus)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'min', MIN(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'max', MAX(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'count',
+        |    COUNT(o_totalprice)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'n_distinct',
+        |    COUNT(DISTINCT o_totalprice)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'min',
+        |    MIN(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'max',
+        |    MAX(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'count',
+        |    COUNT(o_orderdate)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'n_distinct',
+        |    COUNT(DISTINCT o_orderdate)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'min',
+        |    MIN(o_orderdate)::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'max',
+        |    MAX(o_orderdate)::VARCHAR FROM orders)
+        |SELECT * FROM m ORDER BY column_name, metric""".stripMargin,
+    "profile_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |  WHEN o_totalprice >= 600000 THEN 21
+        |  ELSE CAST(floor(o_totalprice / 30000) + 1 AS BIGINT) END AS bucket,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS bucket_revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stat_outliers" ->
+      """WITH c AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM orders),
+        |s AS (SELECT sx / n AS mean,
+        |  sqrt(sxx / n - (sx / n) * (sx / n)) AS sd FROM c)
+        |SELECT o_orderkey, o_totalprice,
+        |round((o_totalprice - mean) / sd, 6) AS z
+        |FROM orders, s
+        |WHERE abs(round((o_totalprice - mean) / sd, 6)) > 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "stat_corr" ->
+      """WITH c AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem)
+        |SELECT n,
+        |round((sxy / n - sx / n * (sy / n)) /
+        |  (sqrt(sxx / n - (sx / n) * (sx / n)) *
+        |   sqrt(syy / n - (sy / n) * (sy / n))), 9) AS pearson_r
+        |FROM c""".stripMargin,
     "typed_dataset" ->
       """SELECT o_orderstatus, COUNT(*) AS n_big,
         |SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
