@@ -369,6 +369,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** PageRank over the part–supplier supply graph (who supplies what,
+    * from distinct lineitem pairs; undirected, so rank flows both ways) —
+    * the iterative-graph-analytics operator beyond [[dedupCluster]]'s
+    * connected components. Classic damped formulation, 10 rounds; every
+    * round is one shuffle join + one aggregate on the (tiny relative to
+    * the fact) edge relation, checkpointed once before the loop.
+    *
+    * Cross-engine exactness for an iterative DOUBLE computation: each
+    * node's incoming contributions are folded SEQUENTIALLY in ascending
+    * src order (aggregate over array_sort(collect_list(...))), which the
+    * oracle replays with list(c ORDER BY src) + list_reduce — the same
+    * fold order, hence bit-identical ranks after every round. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val P = 10000000L // part-node id offset (disjoint from suppkeys)
+    val e0 = load(s, d, "lineitem")
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + P).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nNodes = nodes.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    for (_ <- 1 to 10) {
+      val contrib = edges.join(ranks, col("src") === col("id"))
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      val summed = contrib.groupBy("dst")
+        .agg(expr("aggregate(array_sort(collect_list(struct(src, c))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("in_sum"))
+      ranks = nodes.join(summed, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(0.15 / nNodes) +
+            lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(col("id"),
+        when(col("id") >= P, "part").otherwise("supplier").as("node_type"),
+        round(col("rank") * nNodes, 9).as("rank_scaled"))
+      .orderBy("id")
+  }
+
   /** End-to-end corpus-cleaning plan — the composition a training-data
     * pipeline actually runs: exact dedup (keep min doc per content hash),
     * near-dup clustering (keep the cluster keeper), then quality
@@ -414,6 +458,7 @@ object Dedup {
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_normalized"       -> (dedupNormalized _),
+    "graph_pagerank"         -> (graphPagerank _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_simhash"          -> (dedupSimhash _),
@@ -437,6 +482,35 @@ object Dedup {
       |ORDER BY a, b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 10 unrolled damped-PageRank rounds; each round replays the Spark
+    // side's ascending-src sequential fold with list(... ORDER BY src) +
+    // list_reduce, so every intermediate rank is bit-identical
+    "graph_pagerank" -> {
+      val base =
+        """WITH e0 AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
+          |  l_partkey::BIGINT + 10000000 AS dst FROM lineitem),
+          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |nn AS (SELECT COUNT(*) AS n FROM nodes),
+          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          |r0 AS (SELECT id, 1.0::DOUBLE / n AS rank FROM nodes, nn)""".stripMargin
+      val steps = (1 to 10).map { k =>
+        s"""s$k AS (SELECT e.dst, list_reduce(list_prepend(0.0::DOUBLE,
+           |  list(r.rank / dg.deg ORDER BY e.src)), (a, x) -> a + x) AS in_sum
+           |  FROM edges e JOIN r${k - 1} r ON r.id = e.src
+           |  JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+           |r$k AS (SELECT nodes.id,
+           |  0.15::DOUBLE / n + 0.85::DOUBLE * COALESCE(s$k.in_sum, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN s$k ON s$k.dst = nodes.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT id,
+         |CASE WHEN id >= 10000000 THEN 'part' ELSE 'supplier' END AS node_type,
+         |round(rank * n, 9) AS rank_scaled
+         |FROM r10 CROSS JOIN nn ORDER BY id""".stripMargin
+    },
+
     // components via transitive closure (recursive CTE), labeled by the
     // minimum reachable doc_id — equality with the propagation loop's
     // fixpoint proves the clustering
