@@ -341,6 +341,52 @@ object Extras {
           .as("pearson_r"))
   }
 
+  /** Market-basket association mining: part pairs co-occurring in an
+    * order, with support and lift. The pair generation self-joins WITHIN
+    * an order (bounded by the ≤7-line order size, so pairs grow linearly
+    * with orders — never |parts|²); lift divides exact long counts in one
+    * IEEE step. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = load(s, d, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.as("fa"), col("part_a") === col("fa.l_partkey"))
+      .join(freq.as("fb"), col("part_b") === col("fb.l_partkey"))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round((col("n_ab") * lit(nOrders)).cast(DoubleType) /
+          (col("fa.n") * col("fb.n")), 9).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** Exponentially weighted moving average of each customer's order
+    * totals — the sequential recurrence (ewma = 0.3x + 0.7ewma) no
+    * window frame expresses. Computed as a per-customer sorted sequential
+    * fold (first element seeds the accumulator), which DuckDB's
+    * list_reduce replays with the same element order — bit-identical
+    * despite being an iterated double recurrence. */
+  def windowEwma(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("sort_array(collect_list(struct(o_orderdate, o_orderkey, " +
+          "o_totalprice)))").as("xs"))
+      .select(col("o_custkey"), col("n_orders"),
+        // raw double: the folds are bit-identical, and round() tie rules
+        // differ between engines (half-up vs half-even) at any precision
+        expr("aggregate(slice(xs, 2, size(xs) - 1), " +
+          "CAST(xs[0].o_totalprice AS DOUBLE), " +
+          "(acc, x) -> 0.3D * x.o_totalprice + 0.7D * acc)").as("ewma_spend"))
+      .orderBy("o_custkey")
+
   /** min/max over numeric, string, and temporal types. */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     load(s, d, "orders")
@@ -709,6 +755,8 @@ object Extras {
     "profile_histogram"     -> (profileHistogram _),
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
+    "assoc_rules"           -> (assocRules _),
+    "window_ewma"           -> (windowEwma _),
     "fn_date_arith"         -> (fnDateArith _),
     "orderby_nulls"         -> (orderbyNulls _),
     "window_ntile"          -> (windowNtile _),
@@ -904,6 +952,27 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx)
         |SELECT l_returnflag, round(63.0 * 9223372036854775808.0 / h, 6) AS approx_distinct
         |FROM r WHERE rn = 64 ORDER BY l_returnflag""".stripMargin,
+    "assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |freq AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1)
+        |SELECT part_a, part_b, n_ab,
+        |round((n_ab * n_orders)::DOUBLE / (fa.n * fb.n), 9) AS lift
+        |FROM pairs, no
+        |JOIN freq fa ON part_a = fa.l_partkey
+        |JOIN freq fb ON part_b = fb.l_partkey
+        |ORDER BY part_a, part_b""".stripMargin,
+    "window_ewma" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |list_reduce(
+        |  list(o_totalprice ORDER BY o_orderdate, o_orderkey),
+        |  (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc) AS ewma_spend
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "profile_table" ->
       """WITH m AS (
         |  SELECT 'o_orderkey' AS column_name, 'count' AS metric,
