@@ -177,10 +177,15 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+      // the per-doc sets are sorted+distinct, so |∩| is one native merge
+      // walk (no per-row hash set), computed ONCE and reused in the
+      // jaccard ratio instead of twice via size(array_intersect)
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sa.hs"), col("sb.hs"))) /
-          (size(col("sa.hs")) + size(col("sb.hs")) -
-            size(array_intersect(col("sa.hs"), col("sb.hs"))))).as("jaccard"))
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("sa.hs"), col("sb.hs")).as("ix"),
+        col("sa.sz").as("sza"), col("sb.sz").as("szb"))
+      .select(col("a"), col("b"),
+        (col("ix") / (col("sza") + col("szb") - col("ix"))).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
       .orderBy("a", "b")
   }

@@ -721,6 +721,23 @@ object Relational {
           dec(col("o_totalprice")))).cast(DoubleType).as("rev_1995"))
       .orderBy("o_orderpriority")
 
+  /** Skew-salted join through the gate: the key-selective salted inner
+    * join ([[graft.operators.SaltedJoin]], auto-tuned replication) must
+    * produce results identical to the plain join — proven against a
+    * plain-SQL oracle. lineitem⋈orders on orderkey with a grouped
+    * rollup; salting is a physical remedy, invisible in the values. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("p"))
+    val o = load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.SaltedJoin
+      .saltedInner(li, o, "l_orderkey", "o_orderkey", 0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum(col("p")).cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Ordered string aggregation (LISTAGG/string_agg): the classic report
     * column — deterministic because the ORDER BY is part of the
     * aggregate. */
@@ -785,6 +802,7 @@ object Relational {
     "join_full_outer"       -> (joinFullOuter _),
     "window_percent_rank"   -> (windowPercentRank _),
     "agg_filtered"          -> (aggFiltered _),
+    "join_salted"           -> (joinSalted _),
   )
 
   // Shared SQL fragments for the oracles.
@@ -1088,6 +1106,12 @@ object Relational {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_filtered" ->
       """SELECT o_orderpriority,
         |COUNT(*) AS n_orders,
