@@ -96,13 +96,28 @@ object Lifecycle {
     *
     * Determinism (oracle replays everything): 16-bit normalization by the
     * dimension maxima (two tiny aggregates), bit interleave in integer
-    * column arithmetic, file assignment by ntile over the total (z, key)
-    * order. The ntile window is single-partition — fine for a layout job
-    * on dimension-bounded data; a 100 TB ingest computes the same curve
-    * ranges from a boundary sample instead. */
-  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    * column arithmetic, file assignment by the top 5 bits of the 32-bit
+    * z value (32 equal-width curve ranges — a pure per-row projection,
+    * no window, no global sort; DuckDB replays `z >> 27` exactly). The
+    * write clusters rows by file id with a hash repartition, so the
+    * layout job is fully distributed: at 100 TB every executor computes
+    * its rows' file ids independently and the only shuffle is the
+    * 32-way clustering exchange. Equal-width z ranges trade the exact
+    * equal-count property of a sampled range partitioner for
+    * determinism; on dimension-normalized data the occupancy skew is
+    * bounded by the key-distribution skew itself. */
+  /** The distributed write-clustering step of [[layoutZorder]], exposed so
+    * PlanSpec can pin its shape: one hash exchange on the file id, no
+    * Window, no global sort anywhere in the write plan. */
+  def zorderWritePlan(zed: DataFrame): DataFrame =
+    zed.repartition(32, col("zfile"))
+
+  /** The per-row z-curve file assignment of [[layoutZorder]]: normalize,
+    * interleave, take the top 5 z bits. A pure projection over the scan
+    * (plus two driver-scalar maxima) — every row's file id is computed
+    * independently, so the assignment needs no coordination at any scale. */
+  def zorderAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = s"${Materializer.defaultScratch}/orders_zorder"
     val o0 = load(s, d, "orders").select(
       col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
       datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
@@ -117,10 +132,18 @@ object Lifecycle {
           shiftleft(shiftrightunsigned(col("dy16"), k).bitwiseAND(lit(1L)),
             2 * k + 1))
     }.reduce(_ bitwiseOR _)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("z", "o_orderkey")
-    val zed = norm.withColumn("z", zbits)
-      .withColumn("zfile", ntile(32).over(w))
-    zed.write.mode("overwrite").partitionBy("zfile").parquet(root)
+    norm.withColumn("z", zbits)
+      .withColumn("zfile",
+        (shiftrightunsigned(col("z"), 27) + lit(1L)).cast("int"))
+  }
+
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"${Materializer.defaultScratch}/orders_zorder"
+    val zed = zorderAssign(s, d)
+    val (ckMax, dyMax) = zed.agg(max("ck"), max("dy")).as[(Long, Long)].head()
+    zorderWritePlan(zed)
+      .write.mode("overwrite").partitionBy("zfile").parquet(root)
 
     // the box: middle quarter of each dimension
     val (ckLo, ckHi, dyLo, dyHi) = (ckMax / 4, ckMax / 2, dyMax / 4, dyMax / 2)
@@ -131,11 +154,14 @@ object Lifecycle {
         .filter(col("ck1") >= ckLo && col("ck0") <= ckHi &&
           col("dy1") >= dyLo && col("dy0") <= dyHi)
         .select(col(fileCol).cast("int")).as[Int].collect().toSeq.sorted
+    val filesTotal =
+      zed.select(countDistinct("zfile")).as[Long].head()
     val zTouched = touched("zfile", zed)
-    // the comparison layout: same data date-sorted into 32 files
-    val dateSorted = norm.withColumn("dfile",
-      ntile(32).over(org.apache.spark.sql.expressions.Window
-        .orderBy("dy", "o_orderkey")))
+    // the comparison layout: same data date-bucketed into 32 files
+    // (equal-width on the normalized date axis — same assignment rule
+    // as the z layout, so the comparison is apples-to-apples)
+    val dateSorted = zed.withColumn("dfile",
+      (shiftrightunsigned(col("dy16"), 11) + lit(1L)).cast("int"))
     val dTouched = touched("dfile", dateSorted)
 
     val prunedRead = s.read.parquet(root)
@@ -146,10 +172,10 @@ object Lifecycle {
         f.selectedPartitions.partitionCount.toLong
     }.getOrElse(-1L)
     val rowsPruned = prunedRead.count()
-    val rowsDirect = o0
+    val rowsDirect = zed
       .filter(col("ck").between(ckLo, ckHi) && col("dy").between(dyLo, dyHi))
       .count()
-    Seq((rowsDirect, 32L, zTouched.size.toLong, dTouched.size.toLong,
+    Seq((rowsDirect, filesTotal, zTouched.size.toLong, dTouched.size.toLong,
         scanDirs, rowsPruned == rowsDirect))
       .toDF("rows_matched", "files_total", "files_touched_zorder",
         "files_touched_datesorted", "scan_partitions_read",
@@ -798,10 +824,8 @@ object Lifecycle {
         |  (ck * 65535) // ckmax AS ck16, (dy * 65535) // dymax AS dy16
         |  FROM o0, mx),
         |z AS (SELECT *, ((((ck16 >> 0) & 1) << 0) | (((dy16 >> 0) & 1) << 1)) | ((((ck16 >> 1) & 1) << 2) | (((dy16 >> 1) & 1) << 3)) | ((((ck16 >> 2) & 1) << 4) | (((dy16 >> 2) & 1) << 5)) | ((((ck16 >> 3) & 1) << 6) | (((dy16 >> 3) & 1) << 7)) | ((((ck16 >> 4) & 1) << 8) | (((dy16 >> 4) & 1) << 9)) | ((((ck16 >> 5) & 1) << 10) | (((dy16 >> 5) & 1) << 11)) | ((((ck16 >> 6) & 1) << 12) | (((dy16 >> 6) & 1) << 13)) | ((((ck16 >> 7) & 1) << 14) | (((dy16 >> 7) & 1) << 15)) | ((((ck16 >> 8) & 1) << 16) | (((dy16 >> 8) & 1) << 17)) | ((((ck16 >> 9) & 1) << 18) | (((dy16 >> 9) & 1) << 19)) | ((((ck16 >> 10) & 1) << 20) | (((dy16 >> 10) & 1) << 21)) | ((((ck16 >> 11) & 1) << 22) | (((dy16 >> 11) & 1) << 23)) | ((((ck16 >> 12) & 1) << 24) | (((dy16 >> 12) & 1) << 25)) | ((((ck16 >> 13) & 1) << 26) | (((dy16 >> 13) & 1) << 27)) | ((((ck16 >> 14) & 1) << 28) | (((dy16 >> 14) & 1) << 29)) | ((((ck16 >> 15) & 1) << 30) | (((dy16 >> 15) & 1) << 31)) AS z FROM norm),
-        |zf AS (SELECT ck, dy, ntile(32) OVER (ORDER BY z, o_orderkey) AS zfile
-        |       FROM z),
-        |dfl AS (SELECT ck, dy, ntile(32) OVER (ORDER BY dy, o_orderkey) AS dfile
-        |        FROM z),
+        |zf AS (SELECT ck, dy, (z >> 27) + 1 AS zfile FROM z),
+        |dfl AS (SELECT ck, dy, (dy16 >> 11) + 1 AS dfile FROM z),
         |box AS (SELECT ckmax // 4 AS cklo, ckmax // 2 AS ckhi,
         |        dymax // 4 AS dylo, dymax // 2 AS dyhi FROM mx),
         |zt AS (SELECT COUNT(*) AS ftz FROM (
@@ -813,13 +837,14 @@ object Lifecycle {
         |           MIN(dy) AS dy0, MAX(dy) AS dy1 FROM dfl GROUP BY 1) t, box
         |  WHERE ck1 >= cklo AND ck0 <= ckhi AND dy1 >= dylo AND dy0 <= dyhi),
         |rm AS (SELECT COUNT(*) AS rows_matched FROM o0, box
-        |  WHERE ck BETWEEN cklo AND ckhi AND dy BETWEEN dylo AND dyhi)
-        |SELECT rows_matched, 32::BIGINT AS files_total,
+        |  WHERE ck BETWEEN cklo AND ckhi AND dy BETWEEN dylo AND dyhi),
+        |ft AS (SELECT COUNT(DISTINCT zfile) AS files_total FROM zf)
+        |SELECT rows_matched, files_total::BIGINT AS files_total,
         |ftz::BIGINT AS files_touched_zorder,
         |ftd::BIGINT AS files_touched_datesorted,
         |ftz::BIGINT AS scan_partitions_read,
         |TRUE AS pruned_scan_complete
-        |FROM rm, zt, dt""".stripMargin,
+        |FROM rm, zt, dt, ft""".stripMargin,
     "maintenance_compact" ->
       """SELECT COUNT(*) AS n_docs,
         |SUM(doc_id)::BIGINT AS id_sum,

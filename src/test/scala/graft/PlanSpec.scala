@@ -122,6 +122,18 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected token explode in simhash plan:\n$p")
   }
 
+  test("z-order layout write is fully distributed: no window, no global sort") {
+    // the file assignment is a pure projection (top 5 z bits) and the
+    // write clustering a hash exchange on the file id — a single-partition
+    // ntile window here would funnel the whole table through one task
+    val zed = graft.queries.Lifecycle.zorderAssign(spark, SF)
+    val p = plan(graft.queries.Lifecycle.zorderWritePlan(zed))
+    assert(!p.contains("Window"), s"window in the z-order write plan:\n$p")
+    assert(!p.contains("Sort "), s"sort in the z-order write plan:\n$p")
+    assert(p.contains("hashpartitioning(zfile"),
+      s"write clustering is not a distributed hash exchange:\n$p")
+  }
+
   test("shingle streams use the native one-pass hasher, no HOF fallback") {
     // higher-order transform lambdas are CodegenFallback; the dedup
     // shingle stream must plan the WordGramHashes kernel instead
