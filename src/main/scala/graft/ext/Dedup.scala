@@ -387,7 +387,10 @@ object Dedup {
     * oracle replays with list(c ORDER BY src) + list_reduce — the same
     * fold order, hence bit-identical ranks after every round. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val P = 10000000L // part-node id offset (disjoint from suppkeys)
+    // part-node id offset: 2^40 keeps part and supplier ids disjoint well
+    // past the 100 TB design point (suppkeys reach ~10M around sf1000; a
+    // 10M offset would silently collide there)
+    val P = 1L << 40
     val e0 = load(s, d, "lineitem")
       .select(col("l_suppkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + P).as("dst"))
@@ -493,7 +496,7 @@ object Dedup {
     "graph_pagerank" -> {
       val base =
         """WITH e0 AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
-          |  l_partkey::BIGINT + 10000000 AS dst FROM lineitem),
+          |  l_partkey::BIGINT + 1099511627776 AS dst FROM lineitem),
           |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
           |nodes AS (SELECT DISTINCT src AS id FROM edges),
           |nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -511,7 +514,7 @@ object Dedup {
       s"""$base,
          |$steps
          |SELECT id,
-         |CASE WHEN id >= 10000000 THEN 'part' ELSE 'supplier' END AS node_type,
+         |CASE WHEN id >= 1099511627776 THEN 'part' ELSE 'supplier' END AS node_type,
          |round(rank * n, 9) AS rank_scaled
          |FROM r10 CROSS JOIN nn ORDER BY id""".stripMargin
     },

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -38,6 +39,13 @@ case class CmsAgg(
   private val depth = seeds.length
   private val mask = width - 1
   private val seedArr = seeds.toArray
+
+  // update() casts the child value to Long; reject other types at
+  // analysis time instead of a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms requires a BIGINT key column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)

@@ -59,8 +59,12 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def binWidth(
       intervals: LogicalPlan, s: Expression, e: Expression): Long = {
     val conf = spark.conf.get("spark.graft.rangeJoin.binWidth", "16")
-    if (conf != "auto") conf.toLong
-    else {
+    if (conf != "auto") {
+      val w = conf.toLong
+      require(w > 0 && w <= (1L << 20),
+        s"spark.graft.rangeJoin.binWidth must be in [1, 2^20], got $w")
+      w
+    } else {
       import org.apache.spark.sql.graftshim.{ColumnBridge, PlanBridge}
       val len = ColumnBridge.column(Subtract(toLong(e), toLong(s)))
       val row = PlanBridge.ofRows(spark, intervals)
@@ -108,6 +112,10 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       val conjuncts = splitConjunctivePredicates(cond)
       val hasCrossEqui = conjuncts.exists {
         case EqualTo(a, b) =>
+          (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
+        // an EqualNullSafe across sides is already hashable — binning on
+        // top of it would only add interval replication to an equi join
+        case EqualNullSafe(a, b) =>
           (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
         case _ => false
       }

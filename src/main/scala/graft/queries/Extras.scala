@@ -596,24 +596,34 @@ object Extras {
     // auto: the rule measures the average interval length (14 days here)
     // from the interval side at planning time instead of trusting a
     // hand-picked constant — any derived width is result-identical, so
-    // this exercises the statistics path through the oracle gate
+    // this exercises the statistics path through the oracle gate.
+    // Scoped: the previous width is restored so later naive range joins
+    // in the session don't silently inherit the planning-time stats job.
+    val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
     s.conf.set("spark.graft.rangeJoin.binWidth", "auto")
-    val promos = s.range(60).select(col("id").as("promo_id"),
-      date_add(lit("1996-01-01").cast("date"),
-        (col("id") * 10).cast("int")).as("start_date"))
-      .withColumn("end_date", date_add(col("start_date"), 13))
-    val pts = load(s, d, "orders").select(
-      col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
-    val naive = pts.join(promos,
-      col("od").between(col("start_date"), col("end_date")))
-    val plan = naive.queryExecution.executedPlan.toString
-    val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct")
-    naive.groupBy("promo_id")
-      .agg(count(lit(1)).as("n_orders"),
-        exactSum(col("o_totalprice")).as("revenue"))
-      .withColumn("rewrote_to_equi_join", lit(rewrote))
-      .orderBy("promo_id")
+    try {
+      val promos = s.range(60).select(col("id").as("promo_id"),
+        date_add(lit("1996-01-01").cast("date"),
+          (col("id") * 10).cast("int")).as("start_date"))
+        .withColumn("end_date", date_add(col("start_date"), 13))
+      val pts = load(s, d, "orders").select(
+        col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      val naive = pts.join(promos,
+        col("od").between(col("start_date"), col("end_date")))
+      val plan = naive.queryExecution.executedPlan.toString
+      val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      naive.groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .withColumn("rewrote_to_equi_join", lit(rewrote))
+        .orderBy("promo_id")
+    } finally {
+      prev match {
+        case Some(w) => s.conf.set("spark.graft.rangeJoin.binWidth", w)
+        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
+    }
   }
 
   /** floor(rate x 2^63): the unsigned-hash acceptance threshold for a
