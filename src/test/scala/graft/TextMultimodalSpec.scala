@@ -31,11 +31,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.select("fp").distinct().count() == df.count())
   }
 
-  test("multimodal decode emits valid metadata for every payload") {
+  test("multimodal decode genuinely parses the PPM container") {
     val df = Multimodal.multimodalDecode(spark, SF)
-    assert(df.filter(col("width") < 64 || col("width") >= 512).count() == 0)
-    assert(df.filter(col("n_frames") < 1 || col("n_frames") > 30).count() == 0)
+    // header fields come from the parser, not the synthesis contract:
+    // width in [8, 15], height 8, maxval 255, raster size consistent
+    assert(df.filter(col("width") < 8 || col("width") > 15).count() == 0)
+    assert(df.filter(col("height") =!= 8 || col("maxval") =!= 255).count() == 0)
+    assert(df.filter(col("n_pixels") =!= col("width") * col("height"))
+      .count() == 0)
+    // channel sums are bounded by maxval * n_pixels
+    assert(df.filter(col("r_sum") > col("n_pixels") * 255L ||
+      col("g_sum") > col("n_pixels") * 255L ||
+      col("b_sum") > col("n_pixels") * 255L).count() == 0)
     assert(df.count() == graft.Tables.load(spark, SF, "documents").count())
+  }
+
+  test("multimodal resample parses the WAV header and halves the rate") {
+    val df = Multimodal.multimodalResample(spark, SF)
+    assert(df.filter(col("sample_rate_out") * 2 =!= col("sample_rate_in"))
+      .count() == 0)
+    assert(df.filter(col("n_samples_out") > col("n_samples_in") / 2)
+      .count() == 0)
   }
 
   test("frame sampling: every 5th frame, within bounds") {
