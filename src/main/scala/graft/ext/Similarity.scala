@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -54,6 +54,19 @@ object Similarity {
   private[graft] def dot(a: String, b: String): Column =
     graft.functions.VectorDot.vector_dot(col(a), col(b))
 
+  /** Exact per-query top-K over scored candidates via the bounded-heap
+    * [[graft.functions.TopKAgg]] — O(K) state per query folded map-side,
+    * instead of a row_number window that shuffles and fully sorts every
+    * scored row. Same ordering contract: score desc, neighbor_id asc. */
+  private def topkExact(scored: DataFrame): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .top_k(col("score"), col("neighbor_id"), K).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.rank").as("rank"), col("t.score").as("score"))
+      .orderBy("query_id", "rank")
+
   /** Exact cosine top-K for the first [[NUM_QUERIES]] vectors against the
     * whole corpus. */
   def similarityTopkBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -64,12 +77,7 @@ object Similarity {
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "score")
-      .orderBy("query_id", "rank")
+    topkExact(scored)
   }
 
   /** Deterministic +-1 hyperplanes from a SplitMix64 stream (public
@@ -157,12 +165,7 @@ object Similarity {
       .join(e, "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "score")
-      .orderBy("query_id", "rank")
+    topkExact(scored)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of K centroids (the first
@@ -240,12 +243,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "score")
-      .orderBy("query_id", "rank")
+    topkExact(scored)
   }
 
   val entries: Map[String, Q] = Map(
