@@ -407,6 +407,64 @@ object Lifecycle {
       .withColumn("stats_match", col("rowcount_stats") === col("rowcount_actual"))
   }
 
+  /** X2b: the reference's signature optimizer behavior made executable —
+    * `VACUUM ANALYZE` flips the SAME query's physical join strategy
+    * (assignment-5.md:489–519 plans hash join + seq scans without stats;
+    * :1156–1166 re-plans nested loop + index scan once the planner has
+    * fresh statistics). Spark's analog is CBO size estimation feeding the
+    * broadcast decision: without catalog stats, size-only estimation
+    * carries the dimension's FULL file size through the Filter, above the
+    * broadcast threshold → sort-merge join; after `ANALYZE TABLE ... FOR
+    * ALL COLUMNS`, the 1/ndv equality selectivity shrinks the filtered
+    * dimension's estimate far below it → broadcast hash join. The
+    * threshold is pinned just under the no-stats estimate, so only the
+    * STATISTICS flip the plan — not tuning. Both strategies (and the flip)
+    * are emitted as data; the initial (pre-AQE) physical plan is
+    * inspected, so AQE's runtime re-planning can't mask the optimizer's
+    * choice. */
+  def statsJoinFlip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val loc = s"${Materializer.defaultScratch}/g_stats_customer"
+    s.sql("DROP TABLE IF EXISTS g_stats_customer")
+    load(s, d, "customer").write.mode("overwrite")
+      .option("path", loc).saveAsTable("g_stats_customer")
+    def joined = load(s, d, "orders").join(
+      s.table("g_stats_customer").filter(col("c_nationkey") === 5),
+      col("o_custkey") === col("c_custkey"))
+    def strategy: String = {
+      val p = joined.queryExecution.sparkPlan.toString
+      if (p.contains("BroadcastHashJoin")) "broadcast_hash_join"
+      else if (p.contains("SortMergeJoin")) "sort_merge_join"
+      else "other"
+    }
+    // size-only estimate of the dim = its on-disk file size (no stats yet)
+    val noStatsSize = s.table("g_stats_customer")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevThresh = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (noStatsSize - 1).toString)
+      val before = strategy
+      s.sql(
+        "ANALYZE TABLE g_stats_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = strategy
+      val n = joined.count()
+      Seq((before, after, n, before != after))
+        .toDF("join_no_stats", "join_with_stats", "n_rows", "flipped")
+    } finally {
+      prevCbo match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      prevThresh match {
+        case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff;
     * the reference's instrumented path reports per-node operators,
     * assignment-5.md:481–522). Emits the operator multiset of the 5-way
@@ -442,9 +500,29 @@ object Lifecycle {
     * authored at local[4] and broke on the driver's local[32]) — so
     * aggregate nodes report rows only in Final/Complete mode (output =
     * group count, a property of the data), partial modes report NULL
-    * like Project/Exchange. */
+    * like Project/Exchange.
+    *
+    * Per-node TIMING (the reference's `actual time=0.064..0.840`,
+    * assignment-5.md:483): each operator row also carries its
+    * timing-typed SQLMetrics. Wall-clock VALUES are inherently
+    * nondeterministic, so the oracled column is the partition-invariant
+    * part — which time metrics the operator measures (`time_metrics`,
+    * e.g. the exchange's collect/build/broadcast times, the sort's sort
+    * time) — while the measured milliseconds are asserted live in
+    * PlanSpec ("explain_analyze captures nonzero operator times"),
+    * keeping the gate exact AND the timing real. */
   def explainAnalyze(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    explainAnalyzeRaw(s, d)
+      .map { case (op, n, rows, times, _) => (op, n, rows, times) }
+      .toDF("operator", "n_nodes", "rows_out", "time_metrics")
+  }
+
+  /** The instrumented walk behind [[explainAnalyze]]; the last tuple slot
+    * is the summed MEASURED value of the operator's time metrics
+    * (nondeterministic — spec-asserted, not oracled). */
+  private[graft] def explainAnalyzeRaw(s: SparkSession, d: String)
+      : Seq[(String, Long, Option[Long], Option[String], Long)] = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
     val saved = s.conf.get("spark.sql.adaptive.enabled", "true")
@@ -462,17 +540,26 @@ object Lifecycle {
                   e.mode == Final || e.mode == Complete)
             case _ => true
           }
+          val timed = p.metrics.toSeq.collect {
+            case (nm, m)
+                if m.metricType == "timing" || m.metricType == "nsTiming" =>
+              (nm, m.value)
+          }
           (p.getClass.getSimpleName.stripSuffix("Exec"),
             if (invariant) p.metrics.get("numOutputRows").map(_.value)
-            else None)
+            else None,
+            timed)
       }
       nodes.groupBy(_._1).toSeq
         .map { case (op, v) =>
           val rows = v.flatMap(_._2)
-          (op, v.size.toLong, if (rows.isEmpty) None else Some(rows.sum))
+          val names = v.flatMap(_._3.map(_._1)).distinct.sorted
+          (op, v.size.toLong,
+            if (rows.isEmpty) None else Some(rows.sum),
+            if (names.isEmpty) None else Some(names.mkString("+")),
+            v.flatMap(_._3.map(_._2)).sum)
         }
         .sortBy(_._1)
-        .toDF("operator", "n_nodes", "rows_out")
     } finally s.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
@@ -785,6 +872,7 @@ object Lifecycle {
     "update_where"      -> (updateWhere _),
     "ddl_drop_cascade"  -> (ddlDropCascade _),
     "analyze_stats"     -> (analyzeStats _),
+    "stats_join_flip"   -> (statsJoinFlip _),
     "explain_plan"      -> (explainPlan _),
     "explain_analyze"   -> (explainAnalyze _),
     "fk_referential_actions" -> (fkReferentialActions _),
@@ -976,6 +1064,15 @@ object Lifecycle {
       """SELECT (SELECT COUNT(*) FROM region) AS rowcount_stats,
         |(SELECT COUNT(*) FROM region) AS rowcount_actual,
         |true AS stats_match""".stripMargin,
+    // the strategies are plan facts pinned as literals (the explain_plan
+    // precedent); the join cardinality is replayed for real — a
+    // non-flipping plan regresses the Spark side's strings and fails here
+    "stats_join_flip" ->
+      """SELECT 'sort_merge_join' AS join_no_stats,
+        |'broadcast_hash_join' AS join_with_stats,
+        |(SELECT COUNT(*) FROM orders JOIN customer
+        |   ON o_custkey = c_custkey WHERE c_nationkey = 5)::BIGINT AS n_rows,
+        |true AS flipped""".stripMargin,
     // each action's outcome is derivable from the referencing-row count
     "fk_referential_actions" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
@@ -1002,16 +1099,20 @@ object Lifecycle {
     // nodes report NULL); exchanges/sort/project expose no row metric
     "explain_analyze" ->
       """SELECT * FROM (VALUES
-        |  ('BroadcastExchange', 4::BIGINT, 16530::BIGINT),
-        |  ('BroadcastHashJoin', 4::BIGINT, 58972::BIGINT),
-        |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT),
-        |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT),
-        |  ('Filter', 5::BIGINT, 76530::BIGINT),
-        |  ('HashAggregate', 4::BIGINT, 14793::BIGINT),
-        |  ('Project', 4::BIGINT, NULL::BIGINT),
-        |  ('ShuffleExchange', 3::BIGINT, NULL::BIGINT),
-        |  ('Sort', 1::BIGINT, NULL::BIGINT)
-        |) t(operator, n_nodes, rows_out) ORDER BY operator""".stripMargin,
+        |  ('BroadcastExchange', 4::BIGINT, 16530::BIGINT,
+        |   'broadcastTime+buildTime+collectTime'),
+        |  ('BroadcastHashJoin', 4::BIGINT, 58972::BIGINT, NULL::VARCHAR),
+        |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
+        |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT,
+        |   'metadataTime+scanTime'),
+        |  ('Filter', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
+        |  ('HashAggregate', 4::BIGINT, 14793::BIGINT, 'aggTime'),
+        |  ('Project', 4::BIGINT, NULL::BIGINT, NULL::VARCHAR),
+        |  ('ShuffleExchange', 3::BIGINT, NULL::BIGINT,
+        |   'fetchWaitTime+remoteMergedReqsDuration+remoteReqsDuration+shuffleWriteTime'),
+        |  ('Sort', 1::BIGINT, NULL::BIGINT, 'sortTime')
+        |) t(operator, n_nodes, rows_out, time_metrics)
+        |ORDER BY operator""".stripMargin,
     // golden operator multiset of the 5-way join's initial physical plan:
     // 4 broadcast dim joins, 5 scans, partial+final HashAggregate pairs
     // for the pre-join and final aggregations, and the output sort

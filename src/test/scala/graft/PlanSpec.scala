@@ -134,6 +134,26 @@ class PlanSpec extends AnyFunSuite {
       s"write clustering is not a distributed hash exchange:\n$p")
   }
 
+  test("ANALYZE flips the same join from sort-merge to broadcast (CBO)") {
+    // the reference's VACUUM ANALYZE plan flip, as executable evidence:
+    // identical query, stats presence is the only variable
+    val r = graft.queries.Lifecycle.statsJoinFlip(spark, SF).head()
+    assert(r.getString(0) == "sort_merge_join", r.toString)
+    assert(r.getString(1) == "broadcast_hash_join", r.toString)
+    assert(r.getBoolean(3), r.toString)
+  }
+
+  test("explain_analyze captures nonzero operator times") {
+    // wall-clock values can't be value-pinned by the oracle; assert here
+    // that the instrumented walk measures REAL time — the broadcast
+    // exchange must have spent measurable collect/build/broadcast time
+    val raw = graft.queries.Lifecycle.explainAnalyzeRaw(spark, SF)
+    val timedOps = raw.filter(_._4.isDefined)
+    assert(timedOps.nonEmpty, raw.toString)
+    val bx = raw.find(_._1 == "BroadcastExchange").get
+    assert(bx._5 > 0, s"broadcast exchange measured no time: $raw")
+  }
+
   test("shingle streams use the native one-pass hasher, no HOF fallback") {
     // higher-order transform lambdas are CodegenFallback; the dedup
     // shingle stream must plan the WordGramHashes kernel instead
