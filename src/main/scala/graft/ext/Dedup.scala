@@ -341,6 +341,44 @@ object Dedup {
     * for iterative graph algorithms (GraphX's cc does the same dance).
     * At 100 TB the pair graph is tiny relative to the corpus (only
     * near-dups appear), so the loop runs on the small relation. */
+  /** Min-label connected components over an undirected `(src, dst)` edge
+    * relation, with pointer doubling: each round does one edge-propagation
+    * step (label(x) <- min over neighbors' labels) AND one shortcut step
+    * (label(x) <- min(label(x), label(label(x)))) — the effective
+    * propagation distance doubles per round, so convergence takes
+    * O(log diameter) rounds instead of O(diameter). Near-dup graphs have
+    * tiny diameters either way; the doubling bounds the adversarial
+    * long-chain case (spec-pinned on a planted 64-chain). Labels are
+    * always member node ids, so the final labeling — min id per
+    * component — is identical to plain propagation. Returns the labels
+    * and the round count (driver orchestrates only the loop; each round
+    * is two keyed joins + one count action). */
+  private[graft] def minLabelComponents(edges: DataFrame): (DataFrame, Int) = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // shortcut: every label IS a node id, so it has its own label row —
+      // jump to it (identical subtrees plan as a reused exchange)
+      val lab2 = stepped.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = stepped.join(lab2, col("label") === col("lid"))
+        .select(col("id"), least(col("label"), col("llabel")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    (labels, rounds)
+  }
+
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, d).select(col("a"), col("b"))
     // localCheckpoint the edge relation BEFORE the loop: every round's
@@ -351,21 +389,7 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-    }
+    val (labels, _) = minLabelComponents(edges)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

@@ -21,6 +21,21 @@ class DedupSpec extends AnyFunSuite {
   private lazy val minhash = Dedup.dedupMinhashLsh(spark, SF)
     .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("component labeling converges in O(log d) rounds on a long chain") {
+    import tsSpark.implicits._
+    // planted adversarial 64-node chain: plain min-propagation needs ~63
+    // rounds (the label walks one hop per round); pointer doubling must
+    // finish in O(log2 64) — allow generous slack for the +1 recurrence
+    val n = 64
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val (labels, rounds) = graft.ext.Dedup.minLabelComponents(edges)
+    assert(rounds <= 10, s"took $rounds rounds for a $n-chain")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n && out.forall(_._2 == 0L),
+      s"chain not fully labeled 0: ${out.sortBy(_._1).take(10).toSeq}")
+  }
+
   test("corpus has planted near-duplicate pairs") {
     assert(exact.nonEmpty)
   }
