@@ -348,10 +348,11 @@ object Lifecycle {
     val target = summary(1995)
     val source = summary(1996)
     m.create("merge_target", target)
-    val t = m.table("merge_target").as("t")
-    val merged = t.join(source.as("u"),
-        col("t.o_custkey") === col("u.o_custkey"), "full_outer")
-      .select(
+    // the shared MERGE primitive (same routine the streaming MV sink
+    // uses with the `replace` resolution)
+    val merged = graft.matview.Merge.outer(
+      m.table("merge_target"), source, "o_custkey")(
+      projection = Seq(
         coalesce(col("t.o_custkey"), col("u.o_custkey")).as("o_custkey"),
         (coalesce(col("t.n_orders"), lit(0L)) +
           coalesce(col("u.n_orders"), lit(0L))).as("n_orders"),
@@ -361,10 +362,10 @@ object Lifecycle {
           coalesce(col("u.spend"), lit(0.0))).as("spend"),
         when(col("t.o_custkey").isNull, "inserted")
           .when(col("u.o_custkey").isNull, "unchanged")
-          .otherwise("updated").as("merge_action"))
+          .otherwise("updated").as("merge_action")),
       // WHEN MATCHED AND <cond> THEN DELETE: drop never-updated customers
       // who stayed under 1000 total spend
-      .filter(!(col("merge_action") === "unchanged" && col("spend") < 1000))
+      deleteWhen = col("merge_action") === "unchanged" && col("spend") < 1000)
     m.create("merge_result", merged)
     m.table("merge_result").orderBy("o_custkey")
   }

@@ -295,10 +295,11 @@ object StreamingOps {
         try {
           if (upserts.count() > 0) {
             if (Files.exists(mvPath)) {
-              val merged = spark.read.parquet(mvPath.toString)
-                .join(upserts.select("hour_start", "event_type"),
-                  Seq("hour_start", "event_type"), "left_anti")
-                .unionByName(upserts)
+              // shared MERGE primitive, replace resolution: each upsert
+              // carries the group's full new state
+              val merged = graft.matview.Merge.replace(
+                spark.read.parquet(mvPath.toString), upserts,
+                Seq("hour_start", "event_type"))
               val tmp = Paths.get(mvPath.toString + "__stage")
               merged.write.mode("overwrite").parquet(tmp.toString)
               del(mvPath)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.matview.Merge
+
+/** The shared MERGE primitive behind the batch upsert key and the
+  * streaming MV sink: the two resolutions must agree where their
+  * semantics coincide, and folding incremental upserts through `replace`
+  * must reproduce a from-scratch recompute (the streaming-refresh
+  * contract). */
+class MergeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("replace resolution equals the full-outer source-wins form") {
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val source = Seq((2L, 200.0), (4L, 400.0)).toDF("k", "v")
+    val viaReplace = Merge.replace(target, source, Seq("k"))
+      .orderBy("k").collect().toSeq
+    val viaOuter = Merge.outer(target, source, "k")(
+      projection = Seq(
+        coalesce(col("u.k"), col("t.k")).as("k"),
+        coalesce(col("u.v"), col("t.v")).as("v")))
+      .orderBy("k").collect().toSeq
+    assert(viaReplace == viaOuter)
+    assert(viaReplace.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((1L, 10.0), (2L, 200.0), (3L, 30.0), (4L, 400.0)))
+  }
+
+  test("incremental replace-merge fold equals from-scratch recompute") {
+    // the streaming-refresh contract in miniature: four event chunks,
+    // each micro-batch upserts its touched groups' full new state
+    val events = (0 until 200).map(i => (i % 7L, i.toLong, 1L))
+    val chunks = events.grouped(50).toSeq
+    var mv = spark.emptyDataset[(Long, Long)].toDF("g", "n")
+    var seen = Seq.empty[(Long, Long, Long)]
+    for (c <- chunks) {
+      seen = seen ++ c
+      val touched = c.map(_._1).distinct
+      val upserts = seen.toDF("g", "id", "one")
+        .filter(col("g").isin(touched: _*))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      mv = Merge.replace(mv, upserts, Seq("g"))
+    }
+    val full = seen.toDF("g", "id", "one")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(mv.orderBy("g").collect().toSeq ==
+      full.orderBy("g").collect().toSeq)
+  }
+
+  test("outer resolution supports WHEN MATCHED THEN DELETE") {
+    val target = Seq((1L, 5.0), (2L, 20.0)).toDF("k", "v")
+    val source = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")
+    val out = Merge.outer(target, source, "k")(
+      projection = Seq(
+        coalesce(col("t.k"), col("u.k")).as("k"),
+        (coalesce(col("t.v"), lit(0.0)) + coalesce(col("u.v"), lit(0.0)))
+          .as("v")),
+      deleteWhen = col("v") < 10.0)
+      .orderBy("k").collect().toSeq
+    // (1, 6.0) deleted by the predicate; (2, 20.0) kept; (3, 3.0) deleted
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))) == Seq((2L, 20.0)))
+  }
+}
