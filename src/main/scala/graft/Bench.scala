@@ -80,79 +80,38 @@ object Bench {
       name -> best
     }
 
-    // ---- ~sf1 scale-up probe -------------------------------------------
-    // The five most expensive queries re-run at 10x the bench SF, so
-    // shuffle-bound behavior (not just in-cache latency) is visible. The
-    // scaled tables replicate the bench tables x10 with DISJOINT key and
-    // shingle spaces: facts shift their keys per copy, documents suffix
-    // every token with the copy index — 10x corpus, not a 100x cross-copy
-    // candidate explosion from identical text. Dims copy through.
-    val sf1 = {
-      import org.apache.spark.sql.functions._
-      import graft.Tables._
-      val dir = graft.matview.Materializer.defaultScratch + "/sf10x"
-      val copies = spark.range(10).select(col("id").as("cp"))
-      def span(t: String, k: String): Long =
-        load(spark, sfDir, t).agg(max(col(k).cast("long"))).head().getLong(0) + 1
-      val okSpan = span("orders", "o_orderkey")
-      val ckSpan = span("customer", "c_custkey")
-      val dSpan = span("documents", "doc_id")
-      def rep(t: String) = load(spark, sfDir, t).crossJoin(copies)
-      def out(t: String) = s"$dir/$t.parquet"
-      // The testdata parquet is ONE file with ONE row group per table, so
-      // a naive x10 write inherits that layout and every downstream scan
-      // runs on a single core — 10x data on one thread, which measures
-      // file-layout serialization, not the engine's scaling. A production
-      // 100 TB table is thousands of files; the scaled corpus writes 32
-      // range-clustered files per fact (clustered on the primary access
-      // key, like any warehouse ingest), so the probes measure parallel
-      // scan + shuffle behavior.
-      rep("lineitem")
-        .withColumn("l_orderkey", col("l_orderkey") + col("cp") * okSpan)
-        .drop("cp").repartitionByRange(32, col("l_orderkey"))
-        .write.mode("overwrite").parquet(out("lineitem"))
-      rep("orders")
-        .withColumn("o_orderkey", col("o_orderkey") + col("cp") * okSpan)
-        .withColumn("o_custkey", col("o_custkey") + col("cp") * ckSpan)
-        .drop("cp").repartitionByRange(32, col("o_orderkey"))
-        .write.mode("overwrite").parquet(out("orders"))
-      rep("customer")
-        .withColumn("c_custkey", col("c_custkey") + col("cp") * ckSpan)
-        .drop("cp").repartitionByRange(32, col("c_custkey"))
-        .write.mode("overwrite").parquet(out("customer"))
-      rep("documents")
-        .withColumn("doc_id", col("doc_id") + col("cp") * dSpan)
-        .withColumn("text", when(col("cp") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1c"), col("cp")))))
-        .drop("cp").repartitionByRange(32, col("doc_id"))
-        .write.mode("overwrite").parquet(out("documents"))
-      val vSpan = span("embeddings", "vec_id")
-      rep("embeddings")
-        .withColumn("vec_id", col("vec_id") + col("cp") * vSpan)
-        .drop("cp").repartitionByRange(32, col("vec_id"))
-        .write.mode("overwrite").parquet(out("embeddings"))
-      Seq("nation", "region", "supplier", "part").foreach { t =>
-        load(spark, sfDir, t).write.mode("overwrite").parquet(out(t))
-      }
+    // ---- true-sf1 scale probe ------------------------------------------
+    // The shuffle-heavy queries re-run at a genuinely generated sf1
+    // (graft.tools.SfGen): 6M-row lineitem, 150k distinct custkeys, 50k
+    // distinct documents. Earlier rounds replicated sf0.1 x10 with shifted
+    // keys — right row count, but frozen payload cardinality (group keys,
+    // shingle vocabulary, value distributions), which flatters
+    // distinct-agg and dedup-candidate costs. The generated tier grows
+    // every cardinality with the data, so shuffle-bound behavior at real
+    // row widths is visible round-over-round.
+    val (sf1gen, sf1) = {
+      val dir = graft.matview.Materializer.defaultScratch + "/sf1"
+      val g0 = System.nanoTime()
+      graft.tools.SfGen.generate(spark, dir, scale = 1.0)
+      val genSec = (System.nanoTime() - g0) / 1e9
       val probe = Seq("agg_sum_group3", "join_natural_5way",
         "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "similarity_ann_lsh", "text_quality")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
-      probe.map { name =>
+      (genSec, probe.map { name =>
         val best = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
-            System.err.println(s"[bench] sf10x $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }.min
         name -> best
-      }
+      })
     }
 
     // physical plan node counts — the reference's secondary metric
@@ -333,7 +292,7 @@ object Bench {
     val s1 = sf1.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf10x":$s1,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1,"sf1_gen_sec":$sf1gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

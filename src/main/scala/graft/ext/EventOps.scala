@@ -220,7 +220,59 @@ object EventOps {
   def eventsStreamLateDrop(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingOps.streamingLateDrop(s, d)
 
+  /** Ordered conversion funnel view -> click -> purchase: each user's
+    * first view, first click strictly AFTER that view, first purchase
+    * strictly after that click; per-stage distinct-user counts with the
+    * conversion ratio against the entry stage. Every shuffle is keyed on
+    * user_id (filter + per-user min, then a user-keyed join per stage) —
+    * the standard n-stage funnel plan, no all-pairs or window-over-all
+    * step, so it holds at 100 TB. The final ratio divides two exact longs
+    * in one IEEE step (deterministic across engines). */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    views.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(clicks.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(
+        purchases.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .withColumn("pct_of_entry",
+        col("users").cast("double") /
+          max(col("users")).over(Window.partitionBy()).cast("double"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users cohorted by first-seen day, then distinct
+    * active users per (cohort_day, day_offset). Two user-keyed shuffles
+    * (cohort assignment, then the distinct) plus one small cohort-keyed
+    * aggregation — the cohort matrix is |days|² rows regardless of event
+    * volume, so the output never explodes with scale. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_funnel"          -> (eventsFunnel _),
+    "events_retention"       -> (eventsRetention _),
     "events_stream_late_drop" -> (eventsStreamLateDrop _),
     "matview_stream_refresh" -> (matviewStreamRefresh _),
     "events_stream_dedup"    -> (eventsStreamDedup _),
@@ -261,6 +313,32 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1),
+        |u AS (SELECT '1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT '2_click', user_id FROM c
+        |  UNION ALL SELECT '3_purchase', user_id FROM p),
+        |s AS (SELECT stage, COUNT(*) AS users FROM u GROUP BY 1)
+        |SELECT stage, users,
+        |CAST(users AS DOUBLE) / CAST(MAX(users) OVER () AS DOUBLE)
+        |  AS pct_of_entry
+        |FROM s ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  e.user_id
+        |  FROM e JOIN cohort USING (user_id))
+        |SELECT cohort_day, day_offset, COUNT(*) AS active_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the late duplicates must be dropped: the MV equals the aggregation
     // over the ORIGINAL events alone
     "events_stream_late_drop" ->

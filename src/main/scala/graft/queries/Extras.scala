@@ -341,6 +341,33 @@ object Extras {
           .as("pearson_r"))
   }
 
+  /** Ordinary least squares y = intercept + slope*x from the same exact
+    * component sums as [[statCorr]]: one pass, one shuffle-free global
+    * aggregate, closed-form double evaluation — engine-exact where
+    * regr_slope(double) is partial-sum-order-dependent. Grouped per
+    * returnflag so the key also exercises a keyed component aggregate. */
+  def statRegression(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("b"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("b"), 9).as("slope"),
+        round((col("sy") - col("b") * col("sx")) / col("n"), 9)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** Market-basket association mining: part pairs co-occurring in an
     * order, with support and lift. The pair generation self-joins WITHIN
     * an order (bounded by the ≤7-line order size, so pairs grow linearly
@@ -765,6 +792,7 @@ object Extras {
     "profile_histogram"     -> (profileHistogram _),
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
+    "stat_regression"       -> (statRegression _),
     "assoc_rules"           -> (assocRules _),
     "window_ewma"           -> (windowEwma _),
     "fn_date_arith"         -> (fnDateArith _),
@@ -1040,6 +1068,20 @@ object Extras {
         |FROM orders, s
         |WHERE abs(round((o_totalprice - mean) / sd, 6)) > 1.5
         |ORDER BY o_orderkey""".stripMargin,
+    "stat_regression" ->
+      """WITH c AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, sx, sy FROM c)
+        |SELECT l_returnflag, n, round(b, 9) AS slope,
+        |round((sy - b * sx) / n, 9) AS intercept
+        |FROM b ORDER BY l_returnflag""".stripMargin,
     "stat_corr" ->
       """WITH c AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,

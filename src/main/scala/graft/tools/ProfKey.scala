@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time one registered key against an arbitrary table dir.
+  *
+  *   sbt "runMain graft.tools.ProfKey <key> [dir] [reps]"
+  *
+  * Mirrors Bench's measurement discipline (noop sink, warmup, best-of-N)
+  * so one-off optimization probes are comparable to the round bench.
+  */
+object ProfKey {
+  def main(args: Array[String]): Unit = {
+    val key = args(0)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(key)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warmup
+    val ts = (1 to reps).map(_ => run())
+    println(f"[profkey] $key @ $dir: best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    if (sys.env.contains("PROFKEY_EXPLAIN")) {
+      val df = graft.SparkEntry.queries(key)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

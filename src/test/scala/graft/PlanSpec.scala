@@ -110,16 +110,29 @@ class PlanSpec extends AnyFunSuite {
 
   test("simhash signatures are a pure projection: no aggregate, no token explode") {
     // the one-pass SimHashSig kernel must keep the signature stage out of
-    // any aggregation; the only Generate left is the 8-chunk banding
-    // explode, the only aggregate the candidate-pair distinct
+    // any aggregation and free of any Generate (a token-level explode
+    // would reintroduce the r3 shape)
+    val sp = plan(graft.ext.Dedup.simhashSignatures(spark, SF))
+    assert(sp.contains("graft_simhash_sig"), s"native kernel missing:\n$sp")
+    assert(!sp.contains("ObjectHashAggregate") && !sp.contains("SortAggregate"),
+      s"signature stage fell back to an object/sort aggregate:\n$sp")
+    assert(!sp.contains("Generate"), s"unexpected explode in signatures:\n$sp")
+  }
+
+  test("simhash candidate join is key-equi over checkpointed signatures") {
+    // full pipeline: the probe/index explodes are the only Generates
+    // (one per self-join side), the join is an equi hash join on the
+    // packed block key (never a nested-loop/cartesian), and the
+    // signature relation is checkpointed (no simhash_sig recompute
+    // inside the join lineage, where isnotnull pushdown would run the
+    // kernel four times over the corpus)
     val p = plan(graft.ext.Dedup.dedupSimhash(spark, SF))
-    assert(p.contains("graft_simhash_sig"), s"native kernel missing:\n$p")
-    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
-      s"signature stage fell back to an object/sort aggregate:\n$p")
-    // the 8-chunk banding explode appears once per self-join side; a
-    // token-level explode would add a third Generate over raw text
     assert(p.split("Generate").length - 1 <= 2,
-      s"unexpected token explode in simhash plan:\n$p")
+      s"unexpected extra Generate in simhash plan:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"candidate join degenerated to a product:\n$p")
+    assert(!p.contains("graft_simhash_sig"),
+      s"signature kernel recomputed inside the join lineage:\n$p")
   }
 
   test("z-order layout write is fully distributed: no window, no global sort") {
