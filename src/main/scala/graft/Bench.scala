@@ -96,7 +96,8 @@ object Bench {
       val genSec = (System.nanoTime() - g0) / 1e9
       val probe = Seq("agg_sum_group3", "join_natural_5way",
         "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "similarity_ann_lsh", "text_quality")
+        "dedup_simhash", "similarity_ann_lsh", "text_quality",
+        "agg_count_distinct", "similarity_ivf")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

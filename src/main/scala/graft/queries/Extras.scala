@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.Tables._
 
@@ -339,6 +339,25 @@ object Extras {
            sqrt(col("syy") / col("n") -
             (col("sy") / col("n")) * (col("sy") / col("n")))), 9)
           .as("pearson_r"))
+  }
+
+  /** Engine-portable deterministic sampling: keep a row iff the first
+    * byte of md5(key) clears the rate threshold. Unlike rand(seed) (RNG
+    * stream = partition-order-dependent) or engine-native hash functions
+    * (xxhash64 seeds differ across engines), md5 of the decimal key
+    * string is bit-identical everywhere, so the same ~10% sample
+    * reproduces in Spark, DuckDB, or any engine — the property a 100 TB
+    * pipeline needs for resumable, auditable subsampling. Map-side only:
+    * no shuffle until the verification aggregate. */
+  def sampleHashPortable(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders")
+    val keep = conv(substring(md5(col("o_orderkey").cast("string")), 1, 2),
+      16, 10).cast(IntegerType) < 26 // 26/256 ~ 10.2%
+    o.filter(keep)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
   }
 
   /** Ordinary least squares y = intercept + slope*x from the same exact
@@ -793,6 +812,7 @@ object Extras {
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
     "stat_regression"       -> (statRegression _),
+    "sample_hash_portable"  -> (sampleHashPortable _),
     "assoc_rules"           -> (assocRules _),
     "window_ewma"           -> (windowEwma _),
     "fn_date_arith"         -> (fnDateArith _),
@@ -1068,6 +1088,14 @@ object Extras {
         |FROM orders, s
         |WHERE abs(round((o_totalprice - mean) / sd, 6)) > 1.5
         |ORDER BY o_orderkey""".stripMargin,
+    "sample_hash_portable" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_price
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))
+        |  AS INTEGER) < 26
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stat_regression" ->
       """WITH c AS (SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -466,6 +466,55 @@ object Lifecycle {
     }
   }
 
+  /** Runtime bloom-filter semi-join reduction — the scale pattern where a
+    * selective dim filter prunes the fact side BEFORE its join shuffle:
+    * Catalyst's InjectRuntimeFilter plants a bloom-built
+    * `might_contain(xxhash64(l_orderkey))` predicate on the fact side,
+    * constructed at runtime from the filtered orders' keys, so ~80% of
+    * fact rows drop ahead of the exchange instead of after the join. The
+    * production thresholds (10 GB application-side scan) are sized for
+    * exactly the 100 TB deployment; at the gate SF they would suppress
+    * the rewrite, so the key scopes them down, executes inside the scope
+    * (strategy + result materialized before restore, like
+    * [[statsJoinFlip]]), and emits the injection as an oracle-pinned
+    * plan fact next to the join's aggregate result.
+    */
+  def joinBloomPruned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      // broadcast off: the broadcast path prunes via its own mechanism;
+      // the bloom filter targets the shuffle-join plan a 100 TB fact uses
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = load(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = load(s, d, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("l_extendedprice")).as("sum_price"))
+      val injected =
+        q.queryExecution.optimizedPlan.toString.contains("might_contain")
+      val r = q.head()
+      Seq((r.getString(0), r.getLong(1), r.getDouble(2), injected))
+        .toDF("o_orderpriority", "n", "sum_price", "bloom_pruned")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff;
     * the reference's instrumented path reports per-node operators,
     * assignment-5.md:481–522). Emits the operator multiset of the 5-way
@@ -874,6 +923,7 @@ object Lifecycle {
     "ddl_drop_cascade"  -> (ddlDropCascade _),
     "analyze_stats"     -> (analyzeStats _),
     "stats_join_flip"   -> (statsJoinFlip _),
+    "join_bloom_pruned" -> (joinBloomPruned _),
     "explain_plan"      -> (explainPlan _),
     "explain_analyze"   -> (explainAnalyze _),
     "fk_referential_actions" -> (fkReferentialActions _),
@@ -1068,6 +1118,13 @@ object Lifecycle {
     // the strategies are plan facts pinned as literals (the explain_plan
     // precedent); the join cardinality is replayed for real — a
     // non-flipping plan regresses the Spark side's strings and fails here
+    "join_bloom_pruned" ->
+      """SELECT '1-URGENT' AS o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_price,
+        |true AS bloom_pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "stats_join_flip" ->
       """SELECT 'sort_merge_join' AS join_no_stats,
         |'broadcast_hash_join' AS join_with_stats,
