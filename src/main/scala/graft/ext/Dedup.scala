@@ -208,36 +208,45 @@ object Dedup {
     // aggregate re-executes per consumer. Checkpointing runs it once —
     // the 100 TB shape is the same (persist the signature/set relation as
     // a pipeline stage, never recompute it per probe).
+    // Sets are sorted ONCE at build so verification is a single codegen
+    // merge walk (SortedIntersectSize) instead of two hash-set
+    // array_intersect kernels per candidate pair.
     val grouped = rawShingleHashes(s, d).groupBy("doc_id")
       .agg(
         graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"),
-        collect_set(col("h")).as("hs"))
+        sort_array(collect_set(col("h"))).as("hs"))
       .localCheckpoint()
 
-    val bandStructs = (0 until BANDS).map { b =>
+    // The band index is folded INTO the bucket hash (xxhash64(..., b)),
+    // so the candidate join keys on the single long `bh` — a dense
+    // LongHashedRelation build, no two-column composite key. A cross-band
+    // 2^-64 false collision only adds a candidate pair, which the exact
+    // verification below rejects; recall is unaffected (same banding).
+    val bandHashes = (0 until BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND)
         .map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
+      xxhash64(cols :+ lit(b): _*)
     }
     val buckets = grouped.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      explode(array(bandHashes: _*)).as("bh"))
 
     val cand = buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.doc_id") < col("r.doc_id"))
+        col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
 
-    // Exact verification on candidates only: hashed shingle sets.
+    // Exact verification on candidates only: hashed shingle sets,
+    // one merge-walk intersect, |a∪b| from the sizes.
     val sets = grouped.select(col("doc_id"), col("hs"))
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sa.hs"), col("sb.hs"))) /
-          (size(col("sa.hs")) + size(col("sb.hs")) -
-            size(array_intersect(col("sa.hs"), col("sb.hs"))))).as("jaccard"))
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("sa.hs"), col("sb.hs")).as("ix"),
+        size(col("sa.hs")).as("na"), size(col("sb.hs")).as("nb"))
+      .select(col("a"), col("b"),
+        (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
       .orderBy("a", "b")
   }

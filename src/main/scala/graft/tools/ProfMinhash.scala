@@ -117,6 +117,64 @@ object ProfMinhash {
     time("sets_only_native")(nativeShingles(sfDir).groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs")))
     time("full_lsh_ckpt")(lshOver(nativeShingles(sfDir), checkpoint = true))
+
+    // ---- variant: single-long band key + sorted-set merge-walk verify ----
+    // (a) bh already folds the band index into the hash, so joining on bh
+    //     alone is a one-long-key join (dense LongHashedRelation; the
+    //     simhash trick); a cross-band 2^-64 false collision only adds a
+    //     candidate that exact verification rejects.
+    // (b) sort the verify sets once at build; then ONE merge-walk
+    //     sorted_intersect_size replaces TWO array_intersect hash kernels.
+    def lshTuned(stream: DataFrame, longKey: Boolean, sortedVerify: Boolean)
+        : DataFrame = {
+      val hsCol = if (sortedVerify) sort_array(collect_set(col("h")))
+                  else collect_set(col("h"))
+      val grouped = stream.groupBy("doc_id")
+        .agg(MinHashAgg.minhash(col("h"), 64).as("sig"), hsCol.as("hs"))
+        .localCheckpoint()
+      val bandStructs = (0 until 16).map { b =>
+        val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
+        struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
+      }
+      val buckets0 = grouped.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      val buckets =
+        if (longKey) buckets0.select(col("doc_id"), col("bk.bh").as("bh"))
+        else buckets0.select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+      val joinCond =
+        if (longKey) col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id")
+        else col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id")
+      val cand = buckets.as("l").join(buckets.as("r"), joinCond)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      val sets = grouped.select(col("doc_id"), col("hs"))
+      val withSets = cand
+        .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+      val ix =
+        if (sortedVerify)
+          graft.functions.SortedIntersectSize
+            .sorted_intersect_size(col("sa.hs"), col("sb.hs"))
+        else size(array_intersect(col("sa.hs"), col("sb.hs")))
+      withSets
+        .select(col("a"), col("b"), ix.as("ix"),
+          size(col("sa.hs")).as("na"), size(col("sb.hs")).as("nb"))
+        .select(col("a"), col("b"),
+          (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }
+    time("tuned_longkey")(lshTuned(nativeShingles(sfDir), longKey = true,
+      sortedVerify = false))
+    time("tuned_sortedset")(lshTuned(nativeShingles(sfDir), longKey = false,
+      sortedVerify = true))
+    time("tuned_both")(lshTuned(nativeShingles(sfDir), longKey = true,
+      sortedVerify = true))
+    val tuned = lshTuned(nativeShingles(sfDir), longKey = true, sortedVerify = true)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
     val cur = graft.ext.Dedup.dedupMinhashLsh(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wh = lshOver(wordHashShingles(sfDir))
@@ -125,6 +183,7 @@ object ProfMinhash {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"pairs_identical=${cur == wh} cur=${cur.size} wh=${wh.size}")
     println(s"native_identical=${cur == nat} nat=${nat.size}")
+    println(s"tuned_identical=${cur == tuned} tuned=${tuned.size}")
     spark.stop()
   }
 }

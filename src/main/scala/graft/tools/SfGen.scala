@@ -39,6 +39,26 @@ import org.apache.spark.sql.types._
   */
 object SfGen {
 
+  /** Standalone generation for profiling tools:
+    * `sbt "runMain graft.tools.SfGen <dir> [scale] [files]"`. */
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val scale = args.lift(1).map(_.toDouble).getOrElse(1.0)
+    val files = args.lift(2).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val counts = generate(spark, dir, scale, files)
+    println(f"[sfgen] $dir scale=$scale gen=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      counts.toSeq.sortBy(_._1).map { case (t, c) => s"$t=$c" }.mkString(" "))
+    spark.stop()
+  }
+
   /** Row counts at scale=1.0 (sf1). */
   private val BASE: Map[String, Long] = Map(
     "customer" -> 150000L, "supplier" -> 10000L, "part" -> 200000L,
