@@ -97,7 +97,8 @@ object Bench {
       val probe = Seq("agg_sum_group3", "join_natural_5way",
         "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "similarity_ann_lsh", "text_quality",
-        "agg_count_distinct", "similarity_ivf")
+        "agg_count_distinct", "similarity_ivf",
+        "events_funnel", "events_retention", "text_contamination")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -142,7 +143,91 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: which training documents contain 5-gram
+    * overlap with a held-out evaluation shard (here: every 10th doc). The
+    * standard pre-training hygiene pass — eval n-grams must not leak into
+    * the training corpus.
+    *
+    * 100 TB shape: the benchmark shard is tiny relative to the corpus
+    * (eval suites are MBs, corpora are TBs), so its distinct-gram relation
+    * is BROADCAST — the train side is scanned map-side with no shuffle of
+    * corpus rows; only the matched (train, bench) gram hits (a vanishing
+    * fraction) reach the pair aggregation. Gram identity via the one-pass
+    * codegen shingle hasher ([[graft.functions.WordGramHashes]]); the
+    * string-gram oracle is equivalent modulo 2^-64 hash collisions, same
+    * as the Jaccard family. */
+  def textContamination(s: SparkSession, d: String): DataFrame = {
+    val grams = load(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordGramHashes.word_gram_hashes(col("text"), 5))).as("h"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    val train = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .withColumnRenamed("doc_id", "train_id")
+    train.join(broadcast(bench), "h")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 3)
+      .orderBy("train_id", "bench_id")
+  }
+
+  /** Vocabulary induction: the 20 most frequent word 3-grams with a total
+    * deterministic order (count desc, then gram). Partial map-side
+    * aggregation collapses the gram stream before the single hash shuffle;
+    * the top-k is a TakeOrderedAndProject (per-partition bounded heap +
+    * driver merge of 20-row partials), never a global sort. */
+  def textNgramTopk(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(20)
+
+  /** Token-budget corpus selection: take documents in quality order
+    * (score = distinct-token count, tie-break doc_id) until a global token
+    * budget is exhausted — the "fill the training mix to N tokens" step.
+    *
+    * Semantics are the naive global running sum over (score DESC, doc_id)
+    * cut at the budget — which is exactly what the oracle runs — but the
+    * plan never globally sorts the corpus: per-score token totals (at most
+    * one row per distinct score, bounded by max tokens/doc) are rolled up
+    * first, and that TINY relation decides each whole score class as
+    * fully-in (tokens above + own class fit the budget) or fully-out
+    * (tokens above already exceed it). Only the single boundary class
+    * needs a within-class running sum, partitioned by score. The global
+    * window in this plan runs over the per-score aggregate, not the
+    * corpus. */
+  def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 10000L
+    val t = load(s, d, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("score"))
+    val perScore = t.groupBy("score").agg(sum("n_tokens").as("stok"))
+      .withColumn("cumTo",
+        sum("stok").over(Window.orderBy(col("score").desc)))
+      .select(col("score"), col("stok"), (col("cumTo") - col("stok")).as("tokAbove"))
+    val classed = t.join(broadcast(perScore), "score")
+    val fullIn = classed.filter(col("tokAbove") + col("stok") <= budget)
+    val boundary = classed
+      .filter(col("tokAbove") < budget && col("tokAbove") + col("stok") > budget)
+      .withColumn("cum",
+        col("tokAbove") + sum("n_tokens")
+          .over(Window.partitionBy("score").orderBy("doc_id")))
+      .filter(col("cum") <= budget)
+    fullIn.select("doc_id", "n_tokens", "score")
+      .unionByName(boundary.select("doc_id", "n_tokens", "score"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "text_contamination" -> (textContamination _),
+    "text_ngram_topk"  -> (textNgramTopk _),
+    "corpus_token_budget" -> (corpusTokenBudget _),
     "text_pii_scrub"   -> (textPiiScrub _),
     "text_tokens"      -> (textTokens _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
@@ -152,6 +237,38 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // string grams instead of gram hashes — equivalent modulo 2^-64
+    // collisions (the Jaccard-family precedent)
+    "text_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |        ws[i+3] || ' ' || ws[i+4] AS gram
+        |      FROM w, unnest(range(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 <> 0)
+        |SELECT train_id, bench_id, count(*) AS shared_grams
+        |FROM tr JOIN b USING (gram)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_id, bench_id""".stripMargin,
+    "text_ngram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i))
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+    // the naive global running sum the scale-safe two-pass plan reproduces
+    "corpus_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS score
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens)
+        |        OVER (ORDER BY score DESC, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tokens, score FROM c WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin,
     // same contamination, same patterns, same replacement order
     "text_pii_scrub" ->
       """WITH dirty AS (SELECT doc_id,
