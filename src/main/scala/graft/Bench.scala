@@ -116,6 +116,30 @@ object Bench {
       })
     }
 
+    // Optional third decade (SPARK_GRAFT_SF10=1): scale=10 — 60M-row
+    // lineitem, 500k docs. ~4 min of generation + probes, so it is
+    // env-gated rather than part of the per-round budget; the
+    // round-over-round curve lives in ROADMAP.md.
+    val sf10 = if (!sys.env.contains("SPARK_GRAFT_SF10")) Seq.empty else {
+      val dir = graft.matview.Materializer.defaultScratch + "/sf10"
+      graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
+      Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "similarity_ann_lsh", "text_quality", "text_contamination")
+        .map { name =>
+          val best = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
+            }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          name -> best
+        }
+    }
+
     // physical plan node counts — the reference's secondary metric
     // ("loops" per query, BASELINE.md): structural plan size per query
     val planNodes = queries.map { name =>
@@ -293,8 +317,11 @@ object Bench {
       .mkString("{", ",", "}")
     val s1 = sf1.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
+    val s10 = if (sf10.isEmpty) "" else
+      sf10.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+        .mkString(""","queries_sf10":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1,"sf1_gen_sec":$sf1gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1$s10,"sf1_gen_sec":$sf1gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -203,9 +203,25 @@ object SfGen {
     // the neighbor's exact token stream and appends one extra token.
     val dup = (pmod(id, lit(20)) === 0) && (id > 0)
     val seed = when(dup, id - 1).otherwise(id)
+    // Vocabulary realism (Heaps' law): a FIXED word list makes every
+    // gram's document frequency grow linearly with the corpus, so any
+    // bucket-join dedup op degrades quadratically at scale — at scale=10
+    // the n-gram prefix join spilled >200 GB from gram buckets holding
+    // hundreds of docs each, a shape no real corpus has (vocabulary grows
+    // ~sqrt(tokens)). Half the tokens draw from the 40-word head (the
+    // Zipf head: stopword/marker frequencies stay put, so langid/quality/
+    // topk signals are unchanged), half from a tail pool sized
+    // ~0.8*sqrt(total tokens), growing with the corpus — gram document
+    // frequency stays bounded as the data scales, as in a real corpus.
+    val tailPool = math.max(VOCAB.size.toLong,
+      math.round(0.8 * math.sqrt(n("documents").toDouble * 55)))
+    def baseWord(j: Column) =
+      pick(VOCAB, pmod(hash("w", seed, j), lit(VOCAB.size.toLong)))
     val words = transform(
       sequence(lit(1), (hmod("dw", 91, seed) + 10).cast(IntegerType)),
-      j => pick(VOCAB, pmod(hash("w", seed, j), lit(VOCAB.size.toLong))))
+      j => when(pmod(hash("wh", seed, j), lit(2L)) === 0, baseWord(j))
+        .otherwise(concat(baseWord(j), lit("_"),
+          pmod(hash("wt", seed, j), lit(tailPool)))))
     val baseText = array_join(words, " ")
     val text = when(dup, concat(baseText, format_string(" extra%d", id)))
       .otherwise(baseText)
