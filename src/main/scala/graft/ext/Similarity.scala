@@ -246,7 +246,42 @@ object Similarity {
     topkExact(scored)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression every vector index at 100 TB runs (4x smaller than
+    * float32, dot products in integer SIMD). Per vector: max-abs scale,
+    * codes round(x * 127 / scale), and the quality report a pipeline
+    * actually needs — reconstruction L2 error, saturation count (always
+    * >= 1: the max-abs element lands exactly on +-127), and an exact
+    * integer checksum of the codes so the oracle pins every code, not
+    * just the error summary.
+    *
+    * Pure per-row projection, no shuffle. Folds are sequential (Spark
+    * `aggregate` == DuckDB `list_reduce`), so the error doubles match
+    * bitwise; codes are exact integers (both engines round half away
+    * from zero for doubles). */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        expr("transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INT))")
+          .as("q"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 9).as("scale_r"),
+        expr("aggregate(zip_with(q, sequence(1, size(q)), (c, i) -> c * i)," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_checksum"),
+        expr("size(filter(q, c -> abs(c) = 127))").as("n_sat"),
+        round(sqrt(expr(
+          "aggregate(zip_with(embedding, q," +
+            " (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) * scale / 127.0)," +
+            " CAST(0 AS DOUBLE), (a, e) -> a + e * e)")), 9).as("l2_err"))
+      .orderBy("vec_id")
+
   val entries: Map[String, Q] = Map(
+    "embedding_quantize"         -> (embeddingQuantize _),
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
@@ -282,6 +317,27 @@ object Similarity {
        |  FROM sigbits GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same kernels: max-abs scale, round-half-away codes, integer
+    // position-weighted checksum, sequential-fold squared-residual sum
+    "embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding, scale,
+        |  list_transform(embedding, x -> round(x::DOUBLE * 127.0 / scale)::INTEGER) AS qc
+        |  FROM s)
+        |SELECT vec_id,
+        |  round(scale, 9) AS scale_r,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(len(qc)), i -> (qc[i + 1] * (i + 1))::BIGINT)),
+        |    (a, x) -> a + x) AS q_checksum,
+        |  len(list_filter(qc, c -> abs(c) = 127))::INTEGER AS n_sat,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(len(qc)),
+        |      i -> (embedding[i + 1]::DOUBLE - qc[i + 1]::DOUBLE * scale / 127.0)
+        |         * (embedding[i + 1]::DOUBLE - qc[i + 1]::DOUBLE * scale / 127.0))),
+        |    (a, e) -> a + e)), 9) AS l2_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "similarity_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -224,7 +224,132 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 relevance scoring of every document against a fixed query-term
+    * set — the retrieval-quality ranking pass a data pipeline runs to
+    * select in-domain documents (and the scoring kernel of any
+    * lexical-retrieval index).
+    *
+    * 100 TB shape: the corpus-level statistics (N, total token count, and
+    * one document frequency per query term) collapse to a SINGLE row in
+    * one partial-aggregated pass, then broadcast back — so scoring is a
+    * pure per-row projection over the second scan (tf via codegen'd
+    * regexp_count, no token-array allocation), and the only shuffle in
+    * the plan is the 20-row TakeOrderedAndProject. Doubles: tf/df/dl are
+    * exact integers, the score keeps one ln() per term on identical
+    * inputs in both engines, and the result is rounded to 6 decimals
+    * (the ANN-score precedent, round 9, carries more ulp headroom than
+    * this needs). */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "window", "vector", "data")
+    val docs = load(s, d, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nTok = (length(col("text")) -
+      length(translate(col("text"), " ", "")) + 1).cast("long")
+    val base = docs.select(
+      col("doc_id") +: nTok.as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          regexp_count(padded, lit(s" $t(?= )")).cast("long").as(s"tf_$i")
+        }: _*)
+    val aggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val n = col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl").cast("double") * n /
+            col("sum_dl").cast("double")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Sliding-window document chunking: 64-token chunks at stride 48 (16
+    * tokens of overlap) with per-chunk token offsets — the
+    * context-window-packing step between a cleaned corpus and a training
+    * run. A chunk starts at every stride multiple below the token count,
+    * so short tails are emitted (bounded by `least`), and every token is
+    * covered by construction.
+    *
+    * Pure per-row explode — zero shuffle, scales embarrassingly; the
+    * token array is split once per document and sliced per chunk inside
+    * the same projection. */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val C = 64
+    val S = 48
+    load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $S)")).as("start_token"))
+      .select(
+        col("doc_id"),
+        (col("start_token") / S).cast("int").as("chunk_idx"),
+        col("start_token"),
+        least(lit(C), size(col("ws")) - col("start_token"))
+          .as("n_chunk_tokens"),
+        expr(s"concat_ws(' ', slice(ws, start_token + 1, $C))")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Unigram language-model quality scoring: per-document mean negative
+    * log-likelihood under an add-1-smoothed unigram model fit on the corpus
+    * itself — the perplexity-filter step (CCNet/Gopher style) that ranks
+    * documents by how "corpus-typical" their token distribution is.
+    *
+    * Cross-engine determinism: per-word log-probs are computed ONCE on the
+    * vocabulary relation, scaled by 1e9 and rounded to exact longs, so the
+    * per-document accumulation is pure integer arithmetic —
+    * order-independent, unlike a raw sum(double) over Zipf-sized groups.
+    * One ln() per distinct word on identical inputs in both engines.
+    *
+    * 100 TB shape: the vocabulary grows ~sqrt(tokens) (Heaps), so the
+    * token->logprob join is the skew trap — "the" alone is a percent of
+    * the corpus. The plan splits it: the top-1000 head of the vocabulary
+    * (the entire Zipf mass concentration) joins BROADCAST, so no hot key
+    * ever shuffles; only the long tail — whose keys are near-uniform by
+    * construction — takes the hash join. Both joins run over the per-doc
+    * (word, tf) relation, which a map-side partial aggregate already
+    * collapsed. */
+  def textUnigramNll(s: SparkSession, d: String): DataFrame = {
+    val tf = load(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        round(log((col("c").cast("double") + lit(1.0)) /
+          (col("t_tokens").cast("double") + col("v_size").cast("double"))) *
+          lit(1000000000.0)).cast("long").as("lp_e9"))
+    val head = lp.orderBy(col("c").desc, col("w")).limit(1000)
+      .select("w", "lp_e9")
+    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val resolved = viaHead.filter(col("lp_e9").isNotNull)
+      .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
+        .join(lp.select("w", "lp_e9"), "w"))
+    resolved.groupBy("doc_id")
+      .agg(sum(col("tf") * col("lp_e9")).as("xent_e9"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("xent_e9").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000000000.0)), 9)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "text_unigram_nll" -> (textUnigramNll _),
+    "text_bm25"        -> (textBm25 _),
+    "text_chunk"       -> (textChunk _),
     "text_contamination" -> (textContamination _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "corpus_token_budget" -> (corpusTokenBudget _),
@@ -237,6 +362,63 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the head-broadcast/tail-shuffle split is plan-level only — the
+    // oracle's single join produces the identical integer accumulation
+    "text_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |v AS (SELECT w, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens, count(*)::BIGINT AS v_size FROM v),
+        |lp AS (SELECT w, round(ln((c::DOUBLE + 1.0) /
+        |         (t_tokens::DOUBLE + v_size::DOUBLE)) * 1000000000.0)::BIGINT AS lp_e9
+        |       FROM v CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |  round(-(sum(tf * lp_e9)::DOUBLE) /
+        |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
+        |FROM tf JOIN lp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same stats, same formula with identical literal constants and
+    // left-associated arithmetic, so every double matches bitwise up to
+    // the per-term ln() (one call on identical inputs; round 6 absorbs
+    // any ulp divergence)
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS dl,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'hash'))::BIGINT AS tf_0,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'join'))::BIGINT AS tf_1,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'window'))::BIGINT AS tf_2,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'vector'))::BIGINT AS tf_3,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'data'))::BIGINT AS tf_4
+        |  FROM documents),
+        |s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+        |  sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0,
+        |  sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1,
+        |  sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2,
+        |  sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_3,
+        |  sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_4
+        |  FROM t)
+        |SELECT doc_id, round(
+        |  ln(1.0 + (n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5)) * (tf_0::DOUBLE * 2.2) / (tf_0::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))
+        |+ ln(1.0 + (n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5)) * (tf_1::DOUBLE * 2.2) / (tf_1::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))
+        |+ ln(1.0 + (n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5)) * (tf_2::DOUBLE * 2.2) / (tf_2::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))
+        |+ ln(1.0 + (n_docs::DOUBLE - df_3::DOUBLE + 0.5) / (df_3::DOUBLE + 0.5)) * (tf_3::DOUBLE * 2.2) / (tf_3::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))
+        |+ ln(1.0 + (n_docs::DOUBLE - df_4::DOUBLE + 0.5) / (df_4::DOUBLE + 0.5)) * (tf_4::DOUBLE * 2.2) / (tf_4::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))
+        |, 6) AS bm25
+        |FROM t CROSS JOIN s
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // chunk starts = stride multiples below the token count; slices are
+    // 1-based inclusive in DuckDB vs (start, length) in Spark — both
+    // truncate at the array end
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, st FROM w, unnest(range(0, len(ws), 48)) AS t(st))
+        |SELECT doc_id,
+        |  (st // 48)::INTEGER AS chunk_idx,
+        |  st::INTEGER AS start_token,
+        |  least(64, len(ws) - st)::INTEGER AS n_chunk_tokens,
+        |  array_to_string(ws[st + 1 : st + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // string grams instead of gram hashes — equivalent modulo 2^-64
     // collisions (the Jaccard-family precedent)
     "text_contamination" ->

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the retrieval/packing additions: BM25 scoring, document
+  * chunking, and int8 embedding quantization. Value-exactness against
+  * DuckDB is the driver's gate; these pin the semantic contracts. */
+class RetrievalOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+
+  test("text_bm25 returns a 20-row ranking in (score desc, doc_id) order") {
+    val rows = graft.ext.TextOps.textBm25(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    assert(rows.forall { case (_, s) => !s.isNaN && !s.isInfinite && s >= 0 })
+    rows.sliding(2).foreach { case Array((id1, s1), (id2, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && id1 < id2))
+    }
+  }
+
+  test("text_chunk covers every token with stride-48 starts and true lengths") {
+    val chunks = graft.ext.TextOps.textChunk(spark, SF)
+    // chunk_text really holds n_chunk_tokens tokens, all within [1, 64]
+    assert(chunks.filter(
+      size(split(col("chunk_text"), " ")) =!= col("n_chunk_tokens") ||
+        col("n_chunk_tokens") < 1 || col("n_chunk_tokens") > 64).isEmpty)
+    // per doc: starts are consecutive stride multiples and the final chunk
+    // reaches exactly the document's token count
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_idx")).as("max_idx"),
+      max(col("start_token") + col("n_chunk_tokens")).as("covered"))
+    val docs = Tables.load(spark, SF, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .as("n_tokens"))
+    assert(perDoc.join(docs, "doc_id").filter(
+      col("max_idx") =!= col("n_chunks") - 1 ||
+        col("covered") =!= col("n_tokens")).isEmpty)
+  }
+
+  test("text_unigram_nll scores every doc; head-broadcast split changes nothing") {
+    val out = graft.ext.TextOps.textUnigramNll(spark, SF)
+    val docs = Tables.load(spark, SF, "documents")
+    assert(out.count() == docs.count())
+    // mean NLL is positive (probs < 1) and bounded by the worst smoothed
+    // token logprob, -ln(1 / (T + V)) <= ln(2T)
+    val rows = out.collect()
+    assert(rows.forall(_.getDouble(2) > 0))
+    val t = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val bound = math.log(2.0 * t)
+    assert(rows.forall(_.getDouble(2) <= bound))
+  }
+
+  test("embedding_quantize saturates the max element and bounds the L2 error") {
+    val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
+    // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
+    // worst per-element residual is scale/254, so l2 <= sqrt(64)*scale/254
+    assert(q.filter(col("n_sat") < 1).isEmpty)
+    assert(q.filter(
+      col("l2_err") > col("scale_r") * lit(8.0 / 254.0) * lit(1.000001))
+      .isEmpty)
+    assert(q.count() == Tables.load(spark, SF, "embeddings").count())
+  }
+}
