@@ -184,7 +184,14 @@ object Relational {
       .withColumn("rev_dec", col("rev_e4").cast(DecimalType(18, 0)) *
         lit(new java.math.BigDecimal("0.0001")))
       .drop("rev_e4")
-    liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+    // SHUFFLE_HASH on the fact-fact join: Catalyst's static estimate
+    // broadcasts the two-column orders projection up to ~sf1 (a 1.5M-row
+    // single-threaded driver build — measured 25% slower than shuffling
+    // it, Prof5Sf1), and a fact broadcast is the wrong shape at any real
+    // scale regardless. The hint pins the scale plan: liAgg is already
+    // hash-partitioned on the join key, so only orders moves, with no
+    // sort on either side. Orderkeys are near-unique — no skew risk.
+    liAgg.join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
