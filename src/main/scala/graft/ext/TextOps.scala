@@ -346,7 +346,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Dataset-mixture balancing: compute per-language sampling weights that
+    * hit an equal-share token budget, then apply them with the portable
+    * md5-fraction sampler — the "mix the training set to target
+    * proportions" step, deterministic and resumable in any engine.
+    *
+    * weight(lang) = min(1, budget/n_langs/tokens(lang)); a document is
+    * kept when its md5 fraction (first 6 hex chars / 16^6) falls under
+    * its language's weight. 100 TB shape: the weight relation is one row
+    * per language (broadcast); selection is a map-side filter; the only
+    * shuffles are the two tiny per-language aggregates. */
+  def corpusMixWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+        .cast("long").as("n_tokens"))
+    val perLang = docs.groupBy("lang").agg(sum("n_tokens").as("tok"))
+    val langs = perLang.agg(count(lit(1)).as("n_langs"))
+    val w = perLang.crossJoin(broadcast(langs))
+      .select(col("lang"),
+        least(lit(1.0), lit(25000.0) / col("n_langs").cast("double") /
+          col("tok").cast("double")).as("w"))
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    docs.join(broadcast(w), "lang")
+      .groupBy("lang")
+      .agg(
+        sum(col("n_tokens")).as("tok"),
+        round(max(col("w")), 9).as("weight"),
+        sum(when(frac < col("w"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(frac < col("w"), col("n_tokens")).otherwise(0L))
+          .as("tok_sel"))
+      .orderBy("lang")
+  }
+
   val entries: Map[String, Q] = Map(
+    "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bm25"        -> (textBm25 _),
     "text_chunk"       -> (textChunk _),
@@ -362,6 +397,25 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same weight formula (left-assoc divisions, same literals), same
+    // md5-fraction sampler as sample_hash_portable
+    "corpus_mix_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
+        |  FROM documents),
+        |pl AS (SELECT lang, sum(n_tokens)::BIGINT AS tok FROM t GROUP BY 1),
+        |nl AS (SELECT count(*)::BIGINT AS n_langs FROM pl),
+        |w AS (SELECT lang,
+        |  least(1.0, 25000.0 / n_langs::DOUBLE / tok::DOUBLE) AS w
+        |  FROM pl CROSS JOIN nl),
+        |sel AS (SELECT t.lang, t.n_tokens, w.w,
+        |  (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 6))::INTEGER::DOUBLE
+        |    / 16777216.0) < w.w AS keep
+        |  FROM t JOIN w USING (lang))
+        |SELECT lang, sum(n_tokens)::BIGINT AS tok, round(max(w), 9) AS weight,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sel,
+        |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS tok_sel
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
     // the head-broadcast/tail-shuffle split is plan-level only — the
     // oracle's single join produces the identical integer accumulation
     "text_unigram_nll" ->

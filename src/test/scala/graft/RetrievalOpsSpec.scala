@@ -53,6 +53,19 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) <= bound))
   }
 
+  test("corpus_mix_weights downsamples only over-budget classes") {
+    val rows = graft.ext.TextOps.corpusMixWeights(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, w, nSel, tokSel) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(w > 0 && w <= 1.0)
+      assert(nSel >= 0 && tokSel <= tok)
+      // weight 1 keeps everything; fractional weight must actually drop
+      if (w == 1.0) assert(tokSel == tok) else assert(tokSel < tok)
+    }
+  }
+
   test("embedding_quantize saturates the max element and bounds the L2 error") {
     val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
     // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
