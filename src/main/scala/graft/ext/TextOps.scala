@@ -325,11 +325,18 @@ object TextOps {
     val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
     val tot = vocab.agg(sum(col("c")).as("t_tokens"),
       count(lit(1)).as("v_size"))
-    val lp = vocab.crossJoin(broadcast(tot))
-      .select(col("w"), col("c"),
-        round(log((col("c").cast("double") + lit(1.0)) /
-          (col("t_tokens").cast("double") + col("v_size").cast("double"))) *
-          lit(1000000000.0)).cast("long").as("lp_e9"))
+    // The fitted model is MATERIALIZED (one corpus scan), not left as a
+    // lazy subtree: the head/tail consumers below would otherwise each
+    // re-derive the full explode+aggregate chain — 8 corpus scans in the
+    // unmaterialized plan. This is the honest pipeline shape anyway: the
+    // fit pass writes a vocab-sized (~sqrt corpus, Heaps) artifact that
+    // every later scoring run reads back.
+    val lp = graft.matview.Materializer(s).create("unigram_lp",
+      vocab.crossJoin(broadcast(tot))
+        .select(col("w"), col("c"),
+          round(log((col("c").cast("double") + lit(1.0)) /
+            (col("t_tokens").cast("double") + col("v_size").cast("double"))) *
+            lit(1000000000.0)).cast("long").as("lp_e9")))
     val head = lp.orderBy(col("c").desc, col("w")).limit(1000)
       .select("w", "lp_e9")
     val viaHead = tf.join(broadcast(head), Seq("w"), "left")
