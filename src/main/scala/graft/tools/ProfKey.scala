@@ -34,8 +34,12 @@ object ProfKey {
     val ts = (1 to reps).map(_ => run())
     println(f"[profkey] $key @ $dir: best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     if (sys.env.contains("PROFKEY_EXPLAIN")) {
+      // Execute THROUGH the df's own QueryExecution (collect, not a write
+      // — the write path plans a separate QE), so the printed plan is the
+      // FINAL adaptive plan: isFinalPlan=true, ReusedExchange and
+      // AQE-replanned joins visible. Dev tool: results are key-sized.
       val df = graft.SparkEntry.queries(key)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
+      df.collect()
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
