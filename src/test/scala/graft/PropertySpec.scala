@@ -129,4 +129,32 @@ class PropertySpec extends AnyFunSuite {
       native == ref
     })
   }
+
+  test("stride-48 chunk windows cover every token; overlap only between neighbors") {
+    // pure model of text_chunk's start/length math (C=64, S=48)
+    val C = 64; val S = 48
+    check("chunk-cover")(Prop.forAll(Gen.choose(1, 2000)) { n =>
+      val starts = 0 until n by S
+      val lens = starts.map(st => math.min(C, n - st))
+      val covered = starts.zip(lens).flatMap { case (st, l) => st until st + l }
+      lens.forall(l => l >= 1 && l <= C) &&
+        covered.toSet == (0 until n).toSet &&
+        // a token can appear in at most two chunks (C < 2*S)
+        covered.groupBy(identity).values.forall(_.size <= 2)
+    })
+  }
+
+  test("int8 max-abs quantization bounds every element's residual by scale/254") {
+    // pure model of embedding_quantize's kernel
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-1000000, 1000000).map(_ / 1000.0))
+      .suchThat(_.exists(_ != 0.0))
+    check("quant-bound")(Prop.forAll(vecGen) { xs =>
+      val scale = xs.map(math.abs).max
+      val qs = xs.map(x => math.round(x * 127.0 / scale).toDouble)
+      qs.map(math.abs).max == 127.0 &&
+        xs.zip(qs).forall { case (x, q) =>
+          math.abs(x - q * scale / 127.0) <= scale / 254.0 * (1 + 1e-9)
+        }
+    })
+  }
 }
