@@ -1157,30 +1157,34 @@ object Lifecycle {
     // nodes report NULL); exchanges/sort/project expose no row metric
     "explain_analyze" ->
       """SELECT * FROM (VALUES
-        |  ('BroadcastExchange', 4::BIGINT, 16530::BIGINT,
+        |  ('BroadcastExchange', 3::BIGINT, 1530::BIGINT,
         |   'broadcastTime+buildTime+collectTime'),
-        |  ('BroadcastHashJoin', 4::BIGINT, 58972::BIGINT, NULL::VARCHAR),
+        |  ('BroadcastHashJoin', 3::BIGINT, 44229::BIGINT, NULL::VARCHAR),
         |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
         |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT,
         |   'metadataTime+scanTime'),
         |  ('Filter', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
         |  ('HashAggregate', 4::BIGINT, 14793::BIGINT, 'aggTime'),
         |  ('Project', 4::BIGINT, NULL::BIGINT, NULL::VARCHAR),
-        |  ('ShuffleExchange', 3::BIGINT, NULL::BIGINT,
+        |  ('ShuffleExchange', 4::BIGINT, NULL::BIGINT,
         |   'fetchWaitTime+remoteMergedReqsDuration+remoteReqsDuration+shuffleWriteTime'),
+        |  ('ShuffledHashJoin', 1::BIGINT, 14743::BIGINT, 'buildTime'),
         |  ('Sort', 1::BIGINT, NULL::BIGINT, 'sortTime')
         |) t(operator, n_nodes, rows_out, time_metrics)
         |ORDER BY operator""".stripMargin,
     // golden operator multiset of the 5-way join's initial physical plan:
-    // 4 broadcast dim joins, 5 scans, partial+final HashAggregate pairs
-    // for the pre-join and final aggregations, and the output sort
+    // 3 broadcast dim joins, the SHUFFLE_HASH-pinned fact-fact join
+    // (orders never broadcasts — Relational.joinNatural5Way), 5 scans,
+    // partial+final HashAggregate pairs for the pre-join and final
+    // aggregations, and the output sort
     "explain_plan" ->
       """SELECT * FROM (VALUES
-        |  ('BroadcastHashJoin', 4::BIGINT),
+        |  ('BroadcastHashJoin', 3::BIGINT),
         |  ('FileSourceScan', 5::BIGINT),
         |  ('Filter', 5::BIGINT),
         |  ('HashAggregate', 4::BIGINT),
         |  ('Project', 9::BIGINT),
+        |  ('ShuffledHashJoin', 1::BIGINT),
         |  ('Sort', 1::BIGINT)
         |) t(operator, n_nodes) ORDER BY operator""".stripMargin,
   )
