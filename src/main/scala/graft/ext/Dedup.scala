@@ -190,6 +190,60 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Asymmetric containment pairs: C(A,B) = |A∩B| / |A| >= 0.8 over the
+    * same distinct 3-gram shingle sets as the Jaccard family — the
+    * subsumption detector (quotes, boilerplate wrappers, re-posts with
+    * added commentary) that symmetric Jaccard misses: a short doc pasted
+    * into a much longer one scores near-zero Jaccard but containment 1.0.
+    *
+    * Prefix filtering adapts one-sidedly (Bayardo's theorem on the
+    * CONTAINED side only): A needs overlap >= ceil(t|A|), so indexing A's
+    * first |A| - ceil(t|A|) + 1 sorted grams preserves recall 1.0 — but B
+    * gets NO prefix (containment puts no lower bound on B's matched
+    * fraction), so the B side is the full positional inverted index.
+    * That asymmetry is inherent to the operator, priced in the plan: the
+    * hot-gram exposure is A-prefix x B-full rather than prefix x prefix.
+    * Candidates still collapse through the same exact-integer length
+    * (C_DEN*|B| >= C_NUM*|A|) and positional
+    * (C_DEN*(1 + min(rest_A, rest_B)) >= C_NUM*|A|) filters inside the
+    * join condition, and verification is the same one-pass merge walk.
+    * Docs with fewer than [[MIN_CONTAIN_SZ]] grams are excluded as the
+    * contained side (trivial containment). */
+  private val C_NUM = 4
+  private val C_DEN = 5 // C_NUM/C_DEN == containment threshold 0.8
+  private val MIN_CONTAIN_SZ = 5
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sets = rawShingleHashes(s, d).groupBy("doc_id")
+      .agg(sort_array(array_distinct(collect_list(col("h")))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val prefixA = sets.filter(col("sz") >= MIN_CONTAIN_SZ)
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr(
+          "slice(hs, 1, size(hs) - " +
+            s"CAST(ceil(size(hs) * ${C_NUM.toDouble / C_DEN}) AS INT) + 1)")))
+      .withColumnRenamed("col", "h")
+    val fullB = sets.select(col("doc_id").as("b_id"), col("sz").as("szb"),
+        posexplode(col("hs")))
+      .withColumnRenamed("col", "h").withColumnRenamed("pos", "pb")
+    val cand = prefixA.as("pa").join(fullB,
+        col("pa.h") === fullB("h") && col("pa.doc_id") =!= col("b_id") &&
+        lit(C_DEN) * col("szb") >= lit(C_NUM) * col("pa.sz") &&
+        lit(C_DEN) * (lit(1) + least(col("pa.sz") - col("pa.pos") - 1,
+          col("szb") - col("pb") - 1)) >= lit(C_NUM) * col("pa.sz"))
+      .select(col("pa.doc_id").as("a"), col("b_id").as("b"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        (graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("sa.hs"), col("sb.hs")) /
+          col("sa.sz")).as("containment"))
+      .filter(col("containment") >= lit(C_NUM.toDouble / C_DEN))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** MinHash + LSH near-dup pairs: 64-hash signature (min over SplitMix64-
     * permuted shingle hashes), banded 16x4; candidates = band-bucket
     * collisions; exact Jaccard verified on the hashed shingle sets. Output
@@ -533,6 +587,7 @@ object Dedup {
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
+    "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -638,6 +693,25 @@ object Dedup {
          |JOIN q USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // brute-force containment on string grams (same gram bijection as the
+    // Jaccard oracles); the one-sided prefix + inverted index in the
+    // Spark plan has recall 1.0 by the pigeonhole argument, so the exact
+    // result is its oracle
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+        |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS ix
+        |          FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id <> gb.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a AS contained_id, b AS container_id,
+        |  ix * 1.0 / na.cnt AS containment
+        |FROM inter
+        |JOIN n na ON na.doc_id = a
+        |WHERE na.cnt >= 5 AND ix * 1.0 / na.cnt >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
     // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
     "dedup_minhash_lsh" -> exactJaccardSql,

@@ -66,4 +66,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("containment subsumes jaccard: every jaccard pair appears both ways") {
+    // ix/|A| >= ix/(|A|+|B|-ix) always, so jaccard >= t implies
+    // containment >= t in BOTH orientations (where |A| clears the size
+    // floor) — the asymmetric operator strictly widens the symmetric one
+    val jac = Dedup.dedupNgramJaccard(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.dedupContainment(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contVals = Dedup.dedupContainment(spark, SF).collect()
+      .map(_.getAs[Double]("containment"))
+    assert(contVals.forall(c => c >= 0.8 && c <= 1.0))
+    assert(jac.forall { case (a, b) =>
+      cont.contains((a, b)) && cont.contains((b, a))
+    })
+  }
 }
