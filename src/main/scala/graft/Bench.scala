@@ -99,7 +99,7 @@ object Bench {
         "dedup_simhash", "similarity_ann_lsh", "text_quality",
         "agg_count_distinct", "similarity_ivf",
         "events_funnel", "events_retention", "text_contamination",
-        "text_bm25")
+        "text_bm25", "dedup_containment")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
