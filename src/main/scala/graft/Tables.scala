@@ -72,4 +72,14 @@ object Tables {
     */
   def exactAvg(c: Column): Column =
     sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** Engine-portable deterministic sampling bucket: the integer value of
+    * the first `hexChars` hex digits of md5(key) — reproducible in Spark,
+    * DuckDB, or any engine (the resumable 100 TB subsample pattern).
+    * Returned as the conv(...) STRING so each caller applies its own cast,
+    * keeping existing oracles bit-identical. One definition behind every
+    * sampling key (Extras.sampleHashPortable, TextOps.corpusMixWeights).
+    */
+  def md5Bucket(key: Column, hexChars: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, hexChars), 16, 10)
 }

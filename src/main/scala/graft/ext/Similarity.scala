@@ -264,6 +264,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
           .as("scale"))
+      // all-zero vectors have no max-abs scale: x*127/0 is NaN and the
+      // int cast of round(NaN) diverges between engines (ANSI throw vs
+      // conversion error) — excluded identically on both sides
+      .filter(col("scale") > 0)
       .select(col("vec_id"), col("embedding"), col("scale"),
         expr("transform(embedding," +
           " x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INT))")
@@ -322,7 +326,8 @@ object Similarity {
     "embedding_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
         |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0),
         |q AS (SELECT vec_id, embedding, scale,
         |  list_transform(embedding, x -> round(x::DOUBLE * 127.0 / scale)::INTEGER) AS qc
         |  FROM s)

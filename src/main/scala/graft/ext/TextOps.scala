@@ -330,8 +330,13 @@ object TextOps {
     // re-derive the full explode+aggregate chain — 8 corpus scans in the
     // unmaterialized plan. This is the honest pipeline shape anyway: the
     // fit pass writes a vocab-sized (~sqrt corpus, Heaps) artifact that
-    // every later scoring run reads back.
-    val lp = graft.matview.Materializer(s).create("unigram_lp",
+    // every later scoring run reads back. The artifact name is DATASET-
+    // keyed: a fixed name would let a later call for a different dataset
+    // overwrite the model under an earlier, not-yet-executed DataFrame
+    // (the write runs eagerly at construction, like every Materializer
+    // key; the scan-back is lazy).
+    val artifact = f"unigram_lp_${d.hashCode & 0x7fffffff}%08x"
+    val lp = graft.matview.Materializer(s).create(artifact,
       vocab.crossJoin(broadcast(tot))
         .select(col("w"), col("c"),
           round(log((col("c").cast("double") + lit(1.0)) /
@@ -374,8 +379,7 @@ object TextOps {
       .select(col("lang"),
         least(lit(1.0), lit(25000.0) / col("n_langs").cast("double") /
           col("tok").cast("double")).as("w"))
-    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-      16, 10).cast("double") / lit(16777216.0)
+    val frac = md5Bucket(col("doc_id"), 6).cast("double") / lit(16777216.0)
     docs.join(broadcast(w), "lang")
       .groupBy("lang")
       .agg(

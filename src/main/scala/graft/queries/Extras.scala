@@ -351,8 +351,8 @@ object Extras {
     * no shuffle until the verification aggregate. */
   def sampleHashPortable(s: SparkSession, d: String): DataFrame = {
     val o = load(s, d, "orders")
-    val keep = conv(substring(md5(col("o_orderkey").cast("string")), 1, 2),
-      16, 10).cast(IntegerType) < 26 // 26/256 ~ 10.2%
+    val keep =
+      md5Bucket(col("o_orderkey"), 2).cast(IntegerType) < 26 // 26/256 ~ 10.2%
     o.filter(keep)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"),

@@ -34,12 +34,13 @@ object ProfKey {
     val ts = (1 to reps).map(_ => run())
     println(f"[profkey] $key @ $dir: best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     if (sys.env.contains("PROFKEY_EXPLAIN")) {
-      // Execute THROUGH the df's own QueryExecution (collect, not a write
-      // — the write path plans a separate QE), so the printed plan is the
-      // FINAL adaptive plan: isFinalPlan=true, ReusedExchange and
-      // AQE-replanned joins visible. Dev tool: results are key-sized.
+      // Execute THROUGH the df's own QueryExecution (not a write — the
+      // write path plans a separate QE), so the printed plan is the FINAL
+      // adaptive plan: isFinalPlan=true, ReusedExchange and AQE-replanned
+      // joins visible. foreachPartition on the QE's RDD executes without
+      // materializing corpus-sized results on the driver.
       val df = graft.SparkEntry.queries(key)(spark, dir)
-      df.collect()
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

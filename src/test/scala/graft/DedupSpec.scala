@@ -73,11 +73,11 @@ class DedupSpec extends AnyFunSuite {
     // floor) — the asymmetric operator strictly widens the symmetric one
     val jac = Dedup.dedupNgramJaccard(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cont = Dedup.dedupContainment(spark, SF).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val contVals = Dedup.dedupContainment(spark, SF).collect()
-      .map(_.getAs[Double]("containment"))
-    assert(contVals.forall(c => c >= 0.8 && c <= 1.0))
+    val contRows = Dedup.dedupContainment(spark, SF).collect()
+    val cont = contRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contRows.forall { r =>
+      val c = r.getAs[Double]("containment"); c >= 0.8 && c <= 1.0
+    })
     assert(jac.forall { case (a, b) =>
       cont.contains((a, b)) && cont.contains((b, a))
     })
