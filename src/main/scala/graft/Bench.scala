@@ -303,6 +303,7 @@ object Bench {
         }
       Seq("lsh" -> recall("similarity_ann_lsh"),
         "ivf" -> recall("similarity_ivf"),
+        "quantized" -> recall("similarity_ann_quantized"),
         "embedding_dedup" -> dedupRecall)
     }
 

@@ -284,7 +284,67 @@ object Similarity {
             " CAST(0 AS DOUBLE), (a, e) -> a + e * e)")), 9).as("l2_err"))
       .orderBy("vec_id")
 
+  /** ANN over the int8-quantized index with exact float rerank — the
+    * IVF-PQ-lite pattern: candidate scoring runs on 4x-smaller integer
+    * codes (the storage layout [[embeddingQuantize]] produces; integer
+    * dot products are what SIMD vector indexes actually execute), the
+    * top-[[RERANK_WIDTH]] per query then rerank on full floats.
+    *
+    * Fully deterministic and oracle-replayable end to end: code dot
+    * products are EXACT longs, quantized norms are sqrt of exact longs,
+    * and the rerank reuses the 9-rounded exact-cosine contract of every
+    * ANN key, so both stages order identically in any engine. The
+    * quantized scan is brute-force (the pruning structures are the LSH /
+    * IVF keys — this key isolates the quantized-scoring stage); at 100 TB
+    * the same scoring expression runs inside those keys' candidate
+    * streams. Both stages keep O(k) state per query ([[TopKAgg]]), so the
+    * only shuffles are the two k-bounded aggregates. */
+  private val RERANK_WIDTH = 32
+
+  def similarityAnnQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("scale"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INT))")
+          .as("q"))
+      .withColumn("qn", sqrt(
+        expr("CAST(aggregate(q, CAST(0 AS BIGINT)," +
+          " (a, c) -> a + CAST(c AS BIGINT) * c) AS DOUBLE)"))
+      )
+    val queries = e.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("qn").as("qqn"))
+    // stage 1: exact integer code dots, approx cosine from quantized norms
+    val approx = broadcast(queries)
+      .join(e.select(col("vec_id"), col("q"), col("qn")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("CAST(aggregate(zip_with(qq, q, (x, y) -> x * y)," +
+          " CAST(0 AS BIGINT), (a, p) -> a + CAST(p AS BIGINT)) AS DOUBLE)") /
+          (col("qqn") * col("qn"))).as("ascore"))
+    val cand = approx.groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .top_k(col("ascore"), col("vec_id"), RERANK_WIDTH).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id")).as("vec_id"))
+    // stage 2: exact float rerank of the quantized shortlist
+    val full = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val fq = full.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn2"))
+    val scored = cand
+      .join(broadcast(fq), "query_id")
+      .join(full, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn2") * col("nrm")), 9).as("score"))
+    topkExact(scored)
+  }
+
   val entries: Map[String, Q] = Map(
+    "similarity_ann_quantized"   -> (similarityAnnQuantized _),
     "embedding_quantize"         -> (embeddingQuantize _),
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
@@ -321,6 +381,40 @@ object Similarity {
        |  FROM sigbits GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays both stages: exact integer code dots over the same
+    // round-half-away quantization, quantized-norm cosine ranking
+    // (deterministic: long dot, sqrt-of-long norms), then the standard
+    // 9-rounded exact-cosine rerank of the 32-wide shortlist
+    "similarity_ann_quantized" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+         |  FROM embeddings
+         |  WHERE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0),
+         |q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> round(x::DOUBLE * 127.0 / scale)::INTEGER) AS qc
+         |  FROM s),
+         |qn AS (SELECT vec_id, qc,
+         |  sqrt(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(qc, c -> (c::BIGINT * c)::BIGINT)),
+         |    (acc, p) -> acc + p)::DOUBLE) AS qn
+         |  FROM q),
+         |ap AS (SELECT a.vec_id AS query_id, b.vec_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(len(a.qc)), i -> (a.qc[i+1] * b.qc[i+1])::BIGINT)),
+         |    (acc, p) -> acc + p)::DOUBLE / (a.qn * b.qn) AS ascore
+         |  FROM qn a JOIN qn b ON a.vec_id < $NUM_QUERIES AND b.vec_id <> a.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ascore DESC, vec_id) AS rn FROM ap) WHERE rn <= 32),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // same kernels: max-abs scale, round-half-away codes, integer
     // position-weighted checksum, sequential-fold squared-residual sum
     "embedding_quantize" ->

@@ -5,6 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Similarity
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("quantized ANN recovers the exact top-k through the int8 shortlist") {
+    import TestSpark.{spark, SF}
+    val exact = graft.ext.Similarity.similarityTopkBruteforce(spark, SF)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.ext.Similarity.similarityAnnQuantized(spark, SF)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    // int8 reconstruction error is ~1e-3 of the score scale while the
+    // 32-wide shortlist margin is orders larger — recall should be total
+    assert(recall >= 0.95, s"quantized recall $recall")
+  }
   import TestSpark.{spark, SF}
 
   private lazy val brute = Similarity.similarityTopkBruteforce(spark, SF).collect()
