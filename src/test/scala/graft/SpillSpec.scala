@@ -52,4 +52,18 @@ class SpillSpec extends AnyFunSuite {
       assert(smj == expected)
     }
   }
+
+  test("containment's fat-array aggregate under forced spill: identical result") {
+    // the per-doc sorted shingle sets are the widest aggregation buffers
+    // in the repo; force the ObjectAggregationIterator fallback and the
+    // join out of broadcast so the inverted-index join sort-merges
+    val expected = rows(ext.Dedup.dedupContainment(spark, SF))
+    withConfs(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val spilled = rows(ext.Dedup.dedupContainment(spark, SF))
+      assert(spilled == expected)
+    }
+  }
 }
