@@ -58,6 +58,24 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // the one measurement discipline behind every tier: best-of-reps
+    // noop-write wall-clock, failures logged (a crashed query reports its
+    // crash-time sample rather than killing the bench JSON line)
+    def probeTier(tier: String, dir: String, names: Seq[String],
+        reps: Int): Seq[(String, Double)] =
+      names.map { name =>
+        val best = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $tier $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
+      }
+
     // warmup: touch codegen, parquet footers, shuffle machinery. Guarded —
     // the bench must emit its JSON line even if a query can't run.
     try materialize("agg_sum_group3")
@@ -68,17 +86,7 @@ object Bench {
     // n=3 best-of: two reps can't tell a 10% regression from noise
     val REPS = 3
     val queries = headline.filter(SparkEntry.queries.contains)
-    val results = queries.map { name =>
-      val best = (1 to REPS).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
-    }
+    val results = probeTier("sf0.1", sfDir, queries, reps = 3)
 
     // ---- true-sf1 scale probe ------------------------------------------
     // The shuffle-heavy queries re-run at a genuinely generated sf1
@@ -103,42 +111,23 @@ object Bench {
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
-      (genSec, probe.map { name =>
-        val best = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best
-      })
+      (genSec, probeTier("sf1", dir, probe, reps = 2))
     }
 
     // Optional third decade (SPARK_GRAFT_SF10=1): scale=10 — 60M-row
     // lineitem, 500k docs. ~4 min of generation + probes, so it is
     // env-gated rather than part of the per-round budget; the
     // round-over-round curve lives in ROADMAP.md.
-    val sf10 = if (!sys.env.contains("SPARK_GRAFT_SF10")) Seq.empty else {
+    val sf10enabled = sys.env.get("SPARK_GRAFT_SF10")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val sf10 = if (!sf10enabled) Seq.empty else {
       val dir = graft.matview.Materializer.defaultScratch + "/sf10"
       graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
-      Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "similarity_ann_lsh", "text_quality", "text_contamination")
-        .map { name =>
-          val best = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
-            }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          name -> best
-        }
+      probeTier("sf10", dir,
+        Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
+          "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+          "similarity_ann_lsh", "text_quality", "text_contamination"),
+        reps = 2)
     }
 
     // physical plan node counts — the reference's secondary metric

@@ -49,7 +49,12 @@ case class TopKAgg(
   override def update(buf: TopKAgg.Buf, input: InternalRow): TopKAgg.Buf = {
     val sv = score.eval(input)
     val iv = id.eval(input)
-    if (sv != null && iv != null)
+    // NULL and NaN scores are SKIPPED (deterministic contract): NaN
+    // compares false in both directions, so letting it into the buffer
+    // would wedge or drop it depending on partition arrival order. The
+    // window form ranks NaN first under DESC — callers that can produce
+    // NaN (zero-norm vectors) must filter or expect this divergence.
+    if (sv != null && iv != null && !sv.asInstanceOf[Double].isNaN)
       buf.insert(sv.asInstanceOf[Double], iv.asInstanceOf[Long])
     buf
   }

@@ -40,5 +40,8 @@ object Merge {
       .join(source.as("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
         "full_outer")
       .select(projection: _*)
-      .filter(!deleteWhen)
+      // SQL MERGE deletes only when the condition is TRUE; a NULL predicate
+      // (e.g. one referencing the absent side of an unmatched row) KEEPS
+      // the row — filter(!NULL) would silently drop it
+      .filter(!coalesce(deleteWhen, lit(false)))
 }

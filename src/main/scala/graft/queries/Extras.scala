@@ -659,10 +659,18 @@ object Extras {
       val plan = naive.queryExecution.executedPlan.toString
       val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct")
-      naive.groupBy("promo_id")
-        .agg(count(lit(1)).as("n_orders"),
-          exactSum(col("o_totalprice")).as("revenue"))
-        .withColumn("rewrote_to_equi_join", lit(rewrote))
+      // MATERIALIZED inside the conf scope: the returned DataFrame is
+      // otherwise lazy, and Verify's later coalesce+write would re-plan
+      // it AFTER the finally restored binWidth — silently optimizing a
+      // different width than the auto path this key exists to exercise
+      // (and than the flag column reports). The 60-row result makes the
+      // scratch write free; the scan-back is conf-independent.
+      graft.matview.Materializer(s).create(
+        f"join_range_dates_${d.hashCode & 0x7fffffff}%08x",
+        naive.groupBy("promo_id")
+          .agg(count(lit(1)).as("n_orders"),
+            exactSum(col("o_totalprice")).as("revenue"))
+          .withColumn("rewrote_to_equi_join", lit(rewrote)))
         .orderBy("promo_id")
     } finally {
       prev match {

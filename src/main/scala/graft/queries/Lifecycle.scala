@@ -116,7 +116,14 @@ object Lifecycle {
     * interleave, take the top 5 z bits. A pure projection over the scan
     * (plus two driver-scalar maxima) — every row's file id is computed
     * independently, so the assignment needs no coordination at any scale. */
-  def zorderAssign(s: SparkSession, d: String): DataFrame = {
+  def zorderAssign(s: SparkSession, d: String): DataFrame =
+    zorderAssignWithMaxima(s, d)._1
+
+  /** [[zorderAssign]] plus the dimension maxima its normalization already
+    * computed — so callers don't re-aggregate the full scan for values
+    * that are on the driver anyway. */
+  private[graft] def zorderAssignWithMaxima(
+      s: SparkSession, d: String): (DataFrame, (Long, Long)) = {
     import s.implicits._
     val o0 = load(s, d, "orders").select(
       col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
@@ -132,16 +139,16 @@ object Lifecycle {
           shiftleft(shiftrightunsigned(col("dy16"), k).bitwiseAND(lit(1L)),
             2 * k + 1))
     }.reduce(_ bitwiseOR _)
-    norm.withColumn("z", zbits)
+    (norm.withColumn("z", zbits)
       .withColumn("zfile",
-        (shiftrightunsigned(col("z"), 27) + lit(1L)).cast("int"))
+        (shiftrightunsigned(col("z"), 27) + lit(1L)).cast("int")),
+      (ckMax, dyMax))
   }
 
   def layoutZorder(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = s"${Materializer.defaultScratch}/orders_zorder"
-    val zed = zorderAssign(s, d)
-    val (ckMax, dyMax) = zed.agg(max("ck"), max("dy")).as[(Long, Long)].head()
+    val (zed, (ckMax, dyMax)) = zorderAssignWithMaxima(s, d)
     zorderWritePlan(zed)
       .write.mode("overwrite").partitionBy("zfile").parquet(root)
 

@@ -163,8 +163,12 @@ class PlanSpec extends AnyFunSuite {
     val raw = graft.queries.Lifecycle.explainAnalyzeRaw(spark, SF)
     val timedOps = raw.filter(_._4.isDefined)
     assert(timedOps.nonEmpty, raw.toString)
-    val bx = raw.find(_._1 == "BroadcastExchange").get
-    assert(bx._5 > 0, s"broadcast exchange measured no time: $raw")
+    // assert across ALL timed operators, not one: the broadcast
+    // exchange's ms-resolution metrics can all legitimately round to 0
+    // on a warm run, while the sort/shuffle ns-resolution metrics can't
+    // measure a real execution as zero everywhere
+    assert(timedOps.map(_._5).sum > 0,
+      s"no operator measured any time: $raw")
   }
 
   test("shingle streams use the native one-pass hasher, no HOF fallback") {
