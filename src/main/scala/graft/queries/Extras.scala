@@ -456,6 +456,26 @@ object Extras {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** COUNT(DISTINCT) OVER a partition — a window aggregate Spark (and
+    * PostgreSQL) reject outright, emulated exactly with the dense_rank
+    * maximum: dense_rank over (partition ORDER BY value) numbers the
+    * distinct values 1..n, so its partition max IS the distinct count,
+    * stamped on every row. Two WindowExec passes over one
+    * partition-keyed exchange — same shuffle shape as any partition
+    * window, no distinct-expansion join. DuckDB supports the aggregate
+    * natively, making the oracle a direct semantic check of the
+    * emulation. */
+  def windowCountDistinct(s: SparkSession, d: String): DataFrame = {
+    val part = Window.partitionBy("o_orderstatus")
+    load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .withColumn("dr", dense_rank().over(
+        part.orderBy("o_orderpriority")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        max(col("dr")).over(part).cast("long").as("n_distinct_priorities"))
+      .orderBy("o_orderkey")
+  }
+
   /** Sliding event-time windows: 1-hour windows every 15 minutes — each
     * event lands in four windows (the streaming-shaped overlap case). */
   def eventsWindowSliding(s: SparkSession, d: String): DataFrame =
@@ -826,6 +846,7 @@ object Extras {
     "fn_date_arith"         -> (fnDateArith _),
     "orderby_nulls"         -> (orderbyNulls _),
     "window_ntile"          -> (windowNtile _),
+    "window_count_distinct" -> (windowCountDistinct _),
     "events_window_sliding" -> (eventsWindowSliding _),
     "agg_approx_distinct"   -> (aggApproxDistinct _),
     "agg_kmv_distinct"      -> (aggKmvDistinct _),
@@ -1283,6 +1304,12 @@ object Extras {
         |CAST(NTILE(4) OVER (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS balance_quartile
         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    // the NATIVE window aggregate the Spark plan emulates via dense_rank
+    "window_count_distinct" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |COUNT(DISTINCT o_orderpriority)
+        |  OVER (PARTITION BY o_orderstatus) AS n_distinct_priorities
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "events_window_sliding" ->
       """WITH w AS (
         |  SELECT e.*, make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)

@@ -83,6 +83,36 @@ object Lifecycle {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** Quoted-CSV round-trip — the ingestion trap ORC/parquet don't have:
+    * delimiters, quotes, a backslash, and a NEWLINE are injected into
+    * every text value, the table is written as RFC-4180 CSV (quote-all,
+    * quote doubled as the escape), and read back through the multiLine
+    * parser with the same dialect. The fingerprint (count, id checksum,
+    * text byte total, language count) must equal the oracle's computed
+    * from the parquet table directly — proving the quote/escape/newline
+    * round-trip preserved every byte. Misconfigured escape or a
+    * single-line reader silently corrupts exactly this fingerprint. */
+  def ingestCsvQuoted(s: SparkSession, d: String): DataFrame = {
+    val scratch = s"${Materializer.defaultScratch}/ingest_csv"
+    load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(", \"q\" \\ |\n tail")).as("text"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(scratch)
+    s.read
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(scratch)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text")).cast("long")).as("text_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Z-order layout — multi-dimensional clustering, the 100 TB data-layout
     * primitive partitioning and single-key sorting can't give: orders laid
     * out along a Morton curve over (custkey, order-day), 32 curve-range
@@ -920,6 +950,7 @@ object Lifecycle {
     "ddl_char_storage"  -> (ddlCharStorage _),
     "ingest_jsonl"      -> (ingestJsonl _),
     "ingest_orc_roundtrip" -> (ingestOrcRoundtrip _),
+    "ingest_csv_quoted" -> (ingestCsvQuoted _),
     "merge_upsert" -> (mergeUpsert _),
     "maintenance_compact" -> (maintenanceCompact _),
     "layout_zorder" -> (layoutZorder _),
@@ -1013,6 +1044,15 @@ object Lifecycle {
       """SELECT COUNT(*) AS n_docs,
         |SUM(doc_id)::BIGINT AS id_sum,
         |SUM(length(text))::BIGINT AS text_chars,
+        |COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+    // the injected suffix replayed byte-for-byte: ', "q" \ |' + newline +
+    // ' tail' (15 extra chars per doc)
+    "ingest_csv_quoted" ->
+      """SELECT COUNT(*) AS n_docs,
+        |SUM(doc_id)::BIGINT AS id_sum,
+        |SUM(length(text || ', "q" \ |' || chr(10) || ' tail'))::BIGINT
+        |  AS text_chars,
         |COUNT(DISTINCT lang) AS n_langs
         |FROM documents""".stripMargin,
     // full recompute over ALL orders — equality proves the delta merge
