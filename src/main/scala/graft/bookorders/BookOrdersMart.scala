@@ -59,13 +59,17 @@ final class BookOrdersMart(
   /** Time dimension (assignment-5.sql:42–61): distinct order dates with a
     * dense surrogate key assigned in ascending date order (SURVEY §7.3 —
     * deterministic by construction, unlike PG's SERIAL). Day/month names
-    * are stored trimmed (bpchar padding normalized, §7.1). */
+    * are stored trimmed (bpchar padding normalized, §7.1). The surrogate
+    * key comes from the two-phase distributed rank (§7.3's noted 100 TB
+    * variant, [[graft.operators.Ranks.rowNumberByRange]]): at the fixture
+    * scale (124 dates) it is equivalent to the single-partition
+    * row_number — PropertySpec pins that equality on random date sets —
+    * but it stays distributed when the distinct-date cardinality is
+    * fact-scale (e.g. a per-second grain). */
   lazy val time: DataFrame = mat.create("time",
-    custOrder.select(col("orderdate")).distinct()
-      // single-partition window: |distinct dates| is dimension-sized (124);
-      // at fact-scale cardinality use per-partition rank + offset instead
-      .withColumn("timeid",
-        row_number().over(Window.orderBy("orderdate")))
+    graft.operators.Ranks.rowNumberByRange(
+      custOrder.select(col("orderdate")).distinct(),
+      8, Seq(col("orderdate")), "timeid")
       .select(
         col("timeid"),
         col("orderdate"),

@@ -211,17 +211,23 @@ object Extras {
   /** Explicit NULL ordering — Spark's default (NULLS FIRST on ASC) is the
     * opposite of PostgreSQL/DuckDB's, so portable queries must say which
     * they mean; the ordering is captured as row_number VALUES (the gate
-    * sorts rows before hashing, so bare output order is invisible).
-    * Single-partition windows: dimension-sized input, documented. */
+    * sorts rows before hashing, so bare output order is invisible). Both
+    * total orders are computed with the two-phase distributed rank
+    * ([[graft.operators.Ranks.rowNumberByRange]]) — range partition +
+    * local row_number + tiny offset join — so pointing this at a
+    * fact-sized table never funnels it through one task; (seg, c_custkey)
+    * is a total order, the helper's precondition. */
   def orderbyNulls(s: SparkSession, d: String): DataFrame = {
     val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
-    load(s, d, "customer")
-      .select(col("c_custkey"), seg.as("seg"))
+    val base = load(s, d, "customer").select(col("c_custkey"), seg.as("seg"))
+    val last = graft.operators.Ranks.rowNumberByRange(base, 8,
+      Seq(col("seg").asc_nulls_last, col("c_custkey")), "rn_nulls_last")
+    val first = graft.operators.Ranks.rowNumberByRange(base, 8,
+      Seq(col("seg").desc_nulls_first, col("c_custkey")), "rn_nulls_first")
+      .select(col("c_custkey").as("__ck"), col("rn_nulls_first"))
+    last.join(first, col("c_custkey") === col("__ck"))
       .select(col("c_custkey"), col("seg"),
-        row_number().over(Window.orderBy(
-          col("seg").asc_nulls_last, col("c_custkey"))).as("rn_nulls_last"),
-        row_number().over(Window.orderBy(
-          col("seg").desc_nulls_first, col("c_custkey"))).as("rn_nulls_first"))
+        col("rn_nulls_last"), col("rn_nulls_first"))
       .orderBy("c_custkey")
   }
 

@@ -147,6 +147,31 @@ class PlanSpec extends AnyFunSuite {
       s"write clustering is not a distributed hash exchange:\n$p")
   }
 
+  test("orderby_nulls ranks without any single-partition exchange") {
+    // the two-phase rank (range partition + local window + tiny offset
+    // join) must leave no global window or SinglePartition exchange —
+    // the plan shape that survives pointing the key at a fact table
+    val p = plan(graft.queries.Extras.orderbyNulls(spark, SF))
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in orderby_nulls plan:\n$p")
+    assert(p.contains("rangepartitioning("),
+      s"two-phase rank's range exchange missing:\n$p")
+  }
+
+  test("stream-mv chunk staging is distributed: range exchange, no window") {
+    // the arrival-fixture chunker must never funnel the events table
+    // through a global-sort ntile: chunk order comes from a range
+    // repartition, the tag from the partition id (both fully distributed)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$SF/events.parquet")
+    val p = plan(graft.streaming.StreamingOps.stageChunks(raw))
+    assert(!p.contains("Window"), s"window in the chunk staging plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the chunk staging plan:\n$p")
+    assert(p.contains("rangepartitioning(ts"),
+      s"chunk staging is not a range exchange on ts:\n$p")
+  }
+
   test("ANALYZE flips the same join from sort-merge to broadcast (CBO)") {
     // the reference's VACUUM ANALYZE plan flip, as executable evidence:
     // identical query, stats presence is the only variable
