@@ -197,28 +197,35 @@ object TextOps {
     * one row per distinct score, bounded by max tokens/doc) are rolled up
     * first, and that TINY relation decides each whole score class as
     * fully-in (tokens above + own class fit the budget) or fully-out
-    * (tokens above already exceed it). Only the single boundary class
-    * needs a within-class running sum, partitioned by score. The global
-    * window in this plan runs over the per-score aggregate, not the
-    * corpus. */
-  def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val budget = 10000L
-    val t = load(s, d, "documents").select(
+    * (tokens above already exceed it). Exactly one class straddles the
+    * budget; its within-class cut runs through the two-phase distributed
+    * prefix scan ([[graft.operators.Ranks.runningSumByRange]]), so even
+    * the degenerate corpus where every document shares one score — the
+    * whole corpus IS the boundary class — never funnels through a single
+    * task (TextMultimodalSpec pins that case against the naive global
+    * window). The only global window in this plan runs over the per-score
+    * aggregate, not the corpus. */
+  def corpusTokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(load(s, d, "documents").select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).as("score"))
+      size(array_distinct(split(col("text"), " "))).as("score")), 10000L)
+
+  /** Budget selection over a `(doc_id, n_tokens, score)` relation — the
+    * engine of [[corpusTokenBudget]], split out so the degenerate
+    * single-score corpus is testable directly. */
+  private[graft] def tokenBudgetSelect(t: DataFrame, budget: Long): DataFrame = {
     val perScore = t.groupBy("score").agg(sum("n_tokens").as("stok"))
       .withColumn("cumTo",
         sum("stok").over(Window.orderBy(col("score").desc)))
       .select(col("score"), col("stok"), (col("cumTo") - col("stok")).as("tokAbove"))
     val classed = t.join(broadcast(perScore), "score")
     val fullIn = classed.filter(col("tokAbove") + col("stok") <= budget)
-    val boundary = classed
-      .filter(col("tokAbove") < budget && col("tokAbove") + col("stok") > budget)
-      .withColumn("cum",
-        col("tokAbove") + sum("n_tokens")
-          .over(Window.partitionBy("score").orderBy("doc_id")))
-      .filter(col("cum") <= budget)
+    val boundary = graft.operators.Ranks.runningSumByRange(
+      classed.filter(
+        col("tokAbove") < budget && col("tokAbove") + col("stok") > budget),
+      8, Seq(col("doc_id")), col("n_tokens"), "__run")
+      .filter(col("tokAbove") + col("__run") <= budget)
     fullIn.select("doc_id", "n_tokens", "score")
       .unionByName(boundary.select("doc_id", "n_tokens", "score"))
       .orderBy("doc_id")

@@ -30,24 +30,53 @@ object Ranks {
       df: DataFrame,
       numPartitions: Int,
       order: Seq[Column],
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    prefixByRange(df, numPartitions, order,
+      localOver = w => row_number().over(w).cast("long"),
+      partTotal = count(lit(1)))
+      .withColumn(out, (col("__rank_off") + col("__rank_local")).cast("int"))
+      .drop("__rank_local", "__rank_off")
+
+  /** Distributed inclusive running sum of `value` in `order` — the prefix
+    * scan behind budget cuts and cumulative quotas, same two-phase shape
+    * as [[rowNumberByRange]] (and the same total-order precondition). */
+  def runningSumByRange(
+      df: DataFrame,
+      numPartitions: Int,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame =
+    prefixByRange(df.withColumn("__rank_v", value), numPartitions, order,
+      localOver = w => sum(col("__rank_v")).over(w),
+      partTotal = sum(col("__rank_v")))
+      .withColumn(out, col("__rank_off") + col("__rank_local"))
+      .drop("__rank_local", "__rank_off", "__rank_v")
+
+  /** Shared two-phase core: range partition on the sort order, a local
+    * per-partition window (`localOver`, partitioned by the range partition
+    * id), and each partition's exclusive prefix offset (`partTotal` rolled
+    * up per partition — at most `numPartitions` rows — then prefix-summed
+    * with a tiny triangle join and broadcast back). No global window, so
+    * no SinglePartition exchange anywhere in the plan. */
+  private def prefixByRange(
+      df: DataFrame,
+      numPartitions: Int,
+      order: Seq[Column],
+      localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
+      partTotal: Column): DataFrame = {
     val parts = df
       .repartitionByRange(numPartitions, order: _*)
       .withColumn("__rank_pid", spark_partition_id())
     val local = parts.withColumn("__rank_local",
-      row_number().over(
-        Window.partitionBy(col("__rank_pid")).orderBy(order: _*)))
+      localOver(Window.partitionBy(col("__rank_pid")).orderBy(order: _*)))
     val counts = parts.groupBy(col("__rank_pid"))
-      .agg(count(lit(1)).as("__rank_n"))
-    // exclusive prefix sum over <= numPartitions rows: a triangle join on
-    // the tiny count relation instead of a global ORDER BY window
+      .agg(partTotal.as("__rank_n"))
     val offsets = counts.as("a")
       .join(counts.as("b"),
         col("b.__rank_pid") < col("a.__rank_pid"), "left")
       .groupBy(col("a.__rank_pid").as("__rank_pid2"))
       .agg(coalesce(sum(col("b.__rank_n")), lit(0L)).as("__rank_off"))
     local.join(broadcast(offsets), col("__rank_pid") === col("__rank_pid2"))
-      .withColumn(out, (col("__rank_off") + col("__rank_local")).cast("int"))
-      .drop("__rank_pid", "__rank_pid2", "__rank_local", "__rank_off")
+      .drop("__rank_pid", "__rank_pid2")
   }
 }

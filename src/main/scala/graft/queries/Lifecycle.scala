@@ -552,18 +552,39 @@ object Lifecycle {
     }
   }
 
+  /** The dedicated introspection fixture whose plan `explain_plan` /
+    * `explain_analyze` pin. Earlier rounds introspected the LIVE
+    * joinNatural5Way, which made every intentional 5-way plan improvement
+    * (hints, thresholds) break two unrelated golden keys; this query's
+    * shape is frozen BY CONSTRUCTION instead: the dim side carries an
+    * explicit broadcast() hint (join strategy independent of stats and
+    * thresholds), the scan/filter/aggregate/sort spine is fixed by the
+    * query text, and no other key's tuning touches it. It still exercises
+    * every operator class the reference's EXPLAIN output shows
+    * (assignment-5.md:481–522): scans with pushed filters, a hash join,
+    * the partial/final aggregate split, an exchange, and a sort. */
+  private[graft] def explainFixture(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .join(broadcast(load(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+
   /** X1: EXPLAIN — the physical plan as data (assignment-5.sql:328 ff;
     * the reference's instrumented path reports per-node operators,
-    * assignment-5.md:481–522). Emits the operator multiset of the 5-way
-    * join's initial physical plan — (operator, n_nodes) rows, normalized
-    * class names — so the oracle pins the plan SHAPE value-exactly: the
-    * broadcast-dim join strategy, the partial/final aggregate split, and
-    * the pushed scan count are all visible in the counts. (The initial
-    * sparkPlan is deterministic given data + config; AQE's runtime
-    * re-planning is intentionally excluded.) */
+    * assignment-5.md:481–522). Emits the operator multiset of the frozen
+    * [[explainFixture]]'s initial physical plan — (operator, n_nodes)
+    * rows, normalized class names — so the oracle pins the plan SHAPE
+    * value-exactly: the broadcast join strategy, the partial/final
+    * aggregate split, and the pushed scan count are all visible in the
+    * counts. (The initial sparkPlan is deterministic given data + config;
+    * AQE's runtime re-planning is intentionally excluded.) */
   def explainPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val plan = Relational.joinNatural5Way(s, d).queryExecution.sparkPlan
+    val plan = explainFixture(s, d).queryExecution.sparkPlan
     plan.collect { case p => p.getClass.getSimpleName.stripSuffix("Exec") }
       .groupBy(identity)
       .map { case (op, v) => (op, v.size.toLong) }
@@ -573,8 +594,8 @@ object Lifecycle {
 
   /** X1 (instrumented): EXPLAIN ANALYZE — the reference's instrumented
     * path reports ACTUAL rows per plan node (assignment-5.md:481–522,
-    * driven by assignment-5.sql:328–470). This key executes the 5-way
-    * join and emits, per operator class, the node count and the total
+    * driven by assignment-5.sql:328–470). This key executes the frozen
+    * [[explainFixture]] and emits, per operator class, the node count and the total
     * rows the nodes actually produced (the numOutputRows SQLMetric) —
     * value-exact and oracle-pinned, since row flow at a fixed SF is
     * deterministic. AQE is disabled for the measurement so the executed
@@ -615,7 +636,7 @@ object Lifecycle {
     val saved = s.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      val df = Relational.joinNatural5Way(s, d)
+      val df = explainFixture(s, d)
       df.collect() // populate SQLMetrics on THIS QueryExecution
       val nodes = df.queryExecution.executedPlan.collect {
         case p if !p.getClass.getSimpleName.startsWith("WholeStageCodegen") &&
@@ -1196,42 +1217,45 @@ object Lifecycle {
         |  UNION ALL SELECT 'update_cascade', ref.n, tot.n, 0::BIGINT, true
         |  FROM ref, tot
         |) ORDER BY action""".stripMargin,
-    // golden instrumented plan of the 5-way join: per-operator node count
-    // and actual rows produced (sf-determined, hence value-exact): 76530
-    // rows enter from the 5 scans, the broadcast joins emit 58972, the
-    // two FINAL-mode aggregates 14793 group rows (partial-mode output
-    // varies with the file-split count — core-count-dependent — so those
-    // nodes report NULL); exchanges/sort/project expose no row metric
+    // golden instrumented plan of the frozen explainFixture: per-operator
+    // node count and actual rows produced (sf-determined, hence
+    // value-exact): 62000 rows enter from the 2 scans, the quantity
+    // filter keeps 31019 lineitem rows (+2000 part rows through the
+    // not-null filter), the broadcast join emits 31019, the FINAL-mode
+    // aggregate's 25 brand groups read 50 because the output sort's
+    // range sampler executes its child twice — a partition-invariant 2x
+    // (partial-mode aggregate output varies with the file-split count —
+    // core-count-dependent — so that node reports NULL);
+    // exchanges/sort/project expose no row metric
     "explain_analyze" ->
       """SELECT * FROM (VALUES
-        |  ('BroadcastExchange', 3::BIGINT, 1530::BIGINT,
+        |  ('BroadcastExchange', 1::BIGINT, 2000::BIGINT,
         |   'broadcastTime+buildTime+collectTime'),
-        |  ('BroadcastHashJoin', 3::BIGINT, 44229::BIGINT, NULL::VARCHAR),
-        |  ('ColumnarToRow', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
-        |  ('FileSourceScan', 5::BIGINT, 76530::BIGINT,
+        |  ('BroadcastHashJoin', 1::BIGINT, 31019::BIGINT, NULL::VARCHAR),
+        |  ('ColumnarToRow', 2::BIGINT, 62000::BIGINT, NULL::VARCHAR),
+        |  ('FileSourceScan', 2::BIGINT, 62000::BIGINT,
         |   'metadataTime+scanTime'),
-        |  ('Filter', 5::BIGINT, 76530::BIGINT, NULL::VARCHAR),
-        |  ('HashAggregate', 4::BIGINT, 14793::BIGINT, 'aggTime'),
-        |  ('Project', 4::BIGINT, NULL::BIGINT, NULL::VARCHAR),
-        |  ('ShuffleExchange', 4::BIGINT, NULL::BIGINT,
+        |  ('Filter', 2::BIGINT, 33019::BIGINT, NULL::VARCHAR),
+        |  ('HashAggregate', 2::BIGINT, 50::BIGINT, 'aggTime'),
+        |  ('Project', 2::BIGINT, NULL::BIGINT, NULL::VARCHAR),
+        |  ('ShuffleExchange', 2::BIGINT, NULL::BIGINT,
         |   'fetchWaitTime+remoteMergedReqsDuration+remoteReqsDuration+shuffleWriteTime'),
-        |  ('ShuffledHashJoin', 1::BIGINT, 14743::BIGINT, 'buildTime'),
         |  ('Sort', 1::BIGINT, NULL::BIGINT, 'sortTime')
         |) t(operator, n_nodes, rows_out, time_metrics)
         |ORDER BY operator""".stripMargin,
-    // golden operator multiset of the 5-way join's initial physical plan:
-    // 3 broadcast dim joins, the SHUFFLE_HASH-pinned fact-fact join
-    // (orders never broadcasts — Relational.joinNatural5Way), 5 scans,
-    // partial+final HashAggregate pairs for the pre-join and final
-    // aggregations, and the output sort
+    // golden operator multiset of the frozen explainFixture's initial
+    // physical plan: one hint-pinned broadcast join, 2 scans with their
+    // pushed filters, the partial+final HashAggregate pair, and the
+    // output sort — frozen by construction, so intentional plan tuning
+    // on live keys (the 5-way join's hints/thresholds) can never break
+    // the introspection goldens again
     "explain_plan" ->
       """SELECT * FROM (VALUES
-        |  ('BroadcastHashJoin', 3::BIGINT),
-        |  ('FileSourceScan', 5::BIGINT),
-        |  ('Filter', 5::BIGINT),
-        |  ('HashAggregate', 4::BIGINT),
-        |  ('Project', 9::BIGINT),
-        |  ('ShuffledHashJoin', 1::BIGINT),
+        |  ('BroadcastHashJoin', 1::BIGINT),
+        |  ('FileSourceScan', 2::BIGINT),
+        |  ('Filter', 2::BIGINT),
+        |  ('HashAggregate', 2::BIGINT),
+        |  ('Project', 3::BIGINT),
         |  ('Sort', 1::BIGINT)
         |) t(operator, n_nodes) ORDER BY operator""".stripMargin,
   )

@@ -59,4 +59,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("frame_no") % 5 =!= 0).count() == 0)
     assert(df.filter(col("frame_no") >= col("n_frames")).count() == 0)
   }
+
+  test("token budget survives a degenerate single-score corpus") {
+    // every document shares one score, so the whole corpus IS the
+    // boundary class — the two-phase prefix scan must still produce
+    // exactly the naive global-running-sum selection, and its plan must
+    // never sort the class through one task
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = (1L to 2000L).map(i => (i, 7L + i % 5, 42)).toDF(
+      "doc_id", "n_tokens", "score").repartition(7)
+    val budget = 6000L
+    val got = TextOps.tokenBudgetSelect(t, budget)
+    val naive = t.withColumn("cum",
+        sum("n_tokens").over(Window.orderBy("doc_id")))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "n_tokens", "score")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(got) == ids(naive))
+    assert(got.count() > 0)
+    // the boundary scan must not plan a window over the full class: the
+    // only SinglePartition stage allowed is the per-score aggregate (1
+    // row here), which the naive form would instead run over all rows
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(doc_id"),
+      s"two-phase boundary scan missing from plan:\n$p")
+  }
 }
