@@ -53,7 +53,7 @@ object Dedup {
     * full LSH 4.9s -> 2.6s), and result-identical for every consumer —
     * word tuples and joined gram strings are in bijection, and Jaccard /
     * MinHash / prefix filtering need only a consistent shingle hash. */
-  private def rawShingleHashes(s: SparkSession, d: String): DataFrame =
+  private[graft] def rawShingleHashes(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
       .select(col("doc_id"), explode(
         graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
@@ -211,7 +211,7 @@ object Dedup {
     * contained side (trivial containment). */
   private val C_NUM = 4
   private val C_DEN = 5 // C_NUM/C_DEN == containment threshold 0.8
-  private val MIN_CONTAIN_SZ = 5
+  private[graft] val MIN_CONTAIN_SZ = 5
 
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val sets = rawShingleHashes(s, d).groupBy("doc_id")
@@ -370,17 +370,24 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  // 6-bit signatures x 40 tables for the embedding near-dup join. On a real
-  // near-dup corpus (cosine >= 0.9, hyperplane-agreement p = 0.856) this
-  // family's pair recall is 1 - (1 - p^6)^40 ~ 0.9999998; the synthetic
-  // corpus has NO planted high-cosine pairs (max pairwise cosine 0.51 at
-  // sf0.01/0.60 at sf0.1), so the 0.4 threshold sits inside the random-
-  // similarity bulk, where no sub-quadratic exact method exists (p(0.4) =
-  // 0.63 vs 0.5 for random pairs — one bit of selectivity per ~6 planes).
-  // Measured recall vs the exact baseline is reported per-round in BENCH
-  // (ann_recall.embedding_dedup).
-  private val EMB_TABLES = 40
-  private val EMB_BITS = 6
+  // 6-bit signatures x 40 tables for the embedding near-dup join. The
+  // CONTRACT of this operator (DedupSpec pins both halves):
+  //  - design point — true near-dups, cosine >= 0.9 (hyperplane-agreement
+  //    p = 1 - acos(0.9)/pi = 0.856): pair miss probability is
+  //    (1 - p^6)^40 < 1e-5, i.e. recall ~1.0 where dedup decisions
+  //    actually ride on the answer;
+  //  - operating point on THIS synthetic corpus — which has NO planted
+  //    high-cosine pairs (max pairwise cosine 0.51 at sf0.01/0.60 at
+  //    sf0.1), so the 0.4 verification threshold sits inside the random-
+  //    similarity bulk (p(0.4) = 0.63 vs 0.5 for random pairs — one bit
+  //    of selectivity per ~6 planes): measured recall vs the exact
+  //    baseline is ~0.95, INTENDED, and spec-pinned >= 0.9. Chasing 1.0
+  //    here would mean widening bands until the candidate set approaches
+  //    all-pairs on random data — paying a quadratic blowup at 100 TB to
+  //    recover pairs no cleaning policy keys on. Measured recall is also
+  //    reported per-round in BENCH (ann_recall.embedding_dedup).
+  private[graft] val EMB_TABLES = 40
+  private[graft] val EMB_BITS = 6
   private val COSINE_THRESHOLD = 0.4
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: candidates from

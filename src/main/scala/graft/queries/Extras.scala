@@ -464,22 +464,37 @@ object Extras {
 
   /** COUNT(DISTINCT) OVER a partition — a window aggregate Spark (and
     * PostgreSQL) reject outright, emulated exactly with the dense_rank
-    * maximum: dense_rank over (partition ORDER BY value) numbers the
-    * distinct values 1..n, so its partition max IS the distinct count,
-    * stamped on every row. Two WindowExec passes over one
-    * partition-keyed exchange — same shuffle shape as any partition
-    * window, no distinct-expansion join. DuckDB supports the aggregate
-    * natively, making the oracle a direct semantic check of the
-    * emulation. */
-  def windowCountDistinct(s: SparkSession, d: String): DataFrame = {
-    val part = Window.partitionBy("o_orderstatus")
-    load(s, d, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-      .withColumn("dr", dense_rank().over(
-        part.orderBy("o_orderpriority")))
+    * maximum: dense_rank over (partition ORDER BY value NULLS FIRST)
+    * numbers the distinct values 1..n, so the partition max minus the
+    * NULL bucket (NULLs, ranked first, occupy dense_rank 1 when present
+    * — SQL COUNT(DISTINCT) excludes them) IS the distinct count, stamped
+    * on every row. NULL-correct by construction, not by data: planted
+    * NULLs are spec-checked against a groupBy countDistinct
+    * (ExtrasSpec). Two WindowExec passes over one partition-keyed
+    * exchange — same shuffle shape as any partition window, no
+    * distinct-expansion join. DuckDB supports the aggregate natively,
+    * making the oracle a direct semantic check of the emulation. */
+  def windowCountDistinct(s: SparkSession, d: String): DataFrame =
+    distinctCountOver(
+      load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")),
+      "o_orderstatus", "o_orderpriority", "n_distinct_priorities")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        max(col("dr")).over(part).cast("long").as("n_distinct_priorities"))
+        col("n_distinct_priorities"))
       .orderBy("o_orderkey")
+
+  /** The COUNT(DISTINCT value) OVER (PARTITION BY part) emulation behind
+    * [[windowCountDistinct]], exposed for direct NULL-handling tests. */
+  private[graft] def distinctCountOver(
+      df: DataFrame, part: String, value: String, out: String): DataFrame = {
+    val w = Window.partitionBy(part)
+    df
+      .withColumn("__dr", dense_rank().over(
+        w.orderBy(col(value).asc_nulls_first)))
+      .withColumn(out,
+        (max(col("__dr")).over(w) -
+          max(when(col(value).isNull, 1).otherwise(0)).over(w)).cast("long"))
+      .drop("__dr")
   }
 
   /** Sliding event-time windows: 1-hour windows every 15 minutes — each

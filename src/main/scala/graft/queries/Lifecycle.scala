@@ -93,7 +93,12 @@ object Lifecycle {
     * round-trip preserved every byte. Misconfigured escape or a
     * single-line reader silently corrupts exactly this fingerprint. */
   def ingestCsvQuoted(s: SparkSession, d: String): DataFrame = {
-    val scratch = s"${Materializer.defaultScratch}/ingest_csv"
+    // dataset-keyed scratch (the unigram/join_range_dates precedent): the
+    // CSV is written eagerly but read back lazily, so a fixed path would
+    // let a later call for a different dataset dir clobber the artifact
+    // under an earlier, not-yet-executed DataFrame
+    val scratch =
+      f"${Materializer.defaultScratch}/ingest_csv_${d.hashCode & 0x7fffffff}%08x"
     load(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         concat(col("text"), lit(", \"q\" \\ |\n tail")).as("text"))

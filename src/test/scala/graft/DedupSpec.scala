@@ -69,17 +69,49 @@ class DedupSpec extends AnyFunSuite {
 
   test("containment subsumes jaccard: every jaccard pair appears both ways") {
     // ix/|A| >= ix/(|A|+|B|-ix) always, so jaccard >= t implies
-    // containment >= t in BOTH orientations (where |A| clears the size
-    // floor) — the asymmetric operator strictly widens the symmetric one
+    // containment >= t in BOTH orientations — but the containment
+    // operator excludes contained sides with fewer than MIN_CONTAIN_SZ
+    // distinct grams (trivial containment), so the subsumption claim is
+    // asserted only for pairs where BOTH docs clear the size floor
+    // (today that is every jaccard pair; the filter keeps a future small
+    // near-dup pair from failing this test spuriously)
+    import org.apache.spark.sql.functions._
+    val gramSz = Dedup.rawShingleHashes(spark, SF)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val jac = Dedup.dedupNgramJaccard(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p =>
+        gramSz.getOrElse(p._1, 0L) >= Dedup.MIN_CONTAIN_SZ &&
+          gramSz.getOrElse(p._2, 0L) >= Dedup.MIN_CONTAIN_SZ)
     val contRows = Dedup.dedupContainment(spark, SF).collect()
     val cont = contRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(contRows.forall { r =>
       val c = r.getAs[Double]("containment"); c >= 0.8 && c <= 1.0
     })
+    assert(jac.nonEmpty, "size-floor filter left no jaccard pairs to check")
     assert(jac.forall { case (a, b) =>
       cont.contains((a, b)) && cont.contains((b, a))
     })
+  }
+
+  test("embedding-dedup recall contract: ~1.0 at the design point, >= 0.9 measured") {
+    // design point (true near-dups, cosine >= 0.9): analytic pair-miss
+    // probability of the 6-bit x 40-table family is (1 - p^b)^t < 1e-5
+    val p9 = 1.0 - math.acos(0.9) / math.Pi
+    val missDesign = math.pow(
+      1.0 - math.pow(p9, Dedup.EMB_BITS), Dedup.EMB_TABLES)
+    assert(missDesign < 1e-5, s"design-point miss prob $missDesign")
+    // operating point on this corpus (threshold 0.4 inside the random-
+    // similarity bulk — no planted near-dups): measured recall vs the
+    // exact all-pairs baseline, pinned at the documented >= 0.9
+    val exact = Dedup.dedupEmbeddingCosineExact(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.dedupEmbeddingCosine(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"embedding-dedup recall $recall below contract")
   }
 }

@@ -47,4 +47,23 @@ class ExtrasSpec extends AnyFunSuite {
       .filter(col("spread") > 1)
     assert(spread.count() == 0)
   }
+
+  test("COUNT(DISTINCT) OVER emulation excludes NULLs like the SQL aggregate") {
+    // planted NULLs: partitions with no, some, and all-NULL values — the
+    // dense_rank-max emulation must match groupBy countDistinct (which
+    // excludes NULLs) on every row
+    import spark.implicits._
+    val df = Seq(
+      ("p1", Some("a")), ("p1", Some("b")), ("p1", Some("a")),
+      ("p2", Some("a")), ("p2", None), ("p2", Some("c")), ("p2", None),
+      ("p3", None), ("p3", None)
+    ).toDF("part", "v")
+    val got = Extras.distinctCountOver(df, "part", "v", "n_distinct")
+      .select("part", "n_distinct").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = df.groupBy("part").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"emulation $got != countDistinct $want")
+    assert(want("p3") == 0L)
+  }
 }
