@@ -58,12 +58,35 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // scale-tier probe isolation: r5's in-suite sf1 numbers ran up to 4x
+    // above standalone ProfKey runs of the same key (dedup_ngram_jaccard
+    // 6.16s in-bench vs 1.40s standalone) because a memory-heavy probe
+    // inherited the heap pressure of everything measured before it —
+    // old-gen garbage plus not-yet-GC'd broadcast blocks from prior
+    // plans, paid as GC pauses inside the timed window. Before each
+    // ISOLATED probe: drop cached relations, then two explicit GCs with
+    // a beat between them so the ContextCleaner can actually unregister
+    // the newly unreachable broadcasts/shuffles before the timer starts.
+    // Isolation is scoped to the sf1/sf10 tiers, where the artifact
+    // lived: an A/B on the sf0.1 tier showed the post-full-GC heap
+    // (uncommitted regions re-faulted during the timed reps) taxes every
+    // sub-second probe ~0.1s, while the sf0.1 numbers were never
+    // pressure-inflated in the first place — so the headline tier keeps
+    // its unquiesced, round-comparable discipline.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+      System.gc()
+    }
+
     // the one measurement discipline behind every tier: best-of-reps
     // noop-write wall-clock, failures logged (a crashed query reports its
     // crash-time sample rather than killing the bench JSON line)
     def probeTier(tier: String, dir: String, names: Seq[String],
-        reps: Int): Seq[(String, Double)] =
+        reps: Int, isolate: Boolean = false): Seq[(String, Double)] =
       names.map { name =>
+        if (isolate) quiesce()
         val best = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, dir)
@@ -102,32 +125,47 @@ object Bench {
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 1.0)
       val genSec = (System.nanoTime() - g0) / 1e9
-      val probe = Seq("agg_sum_group3", "join_natural_5way",
-        "window_cumulative", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "similarity_ann_lsh", "text_quality",
-        "agg_count_distinct", "similarity_ivf",
-        "events_funnel", "events_retention", "text_contamination",
-        "text_bm25", "dedup_containment")
+      // memory-heavy dedup probes run FIRST (freshest heap — they were
+      // the keys hit hardest by inherited pressure; quiesce() handles
+      // the rest of the ordering sensitivity)
+      val probe = Seq("dedup_ngram_jaccard", "dedup_containment",
+        "dedup_simhash", "dedup_minhash_lsh",
+        "join_natural_5way", "window_cumulative", "agg_sum_group3",
+        "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
+        "text_quality", "text_bm25", "text_contamination",
+        "events_funnel", "events_retention")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
-      (genSec, probeTier("sf1", dir, probe, reps = 2))
+      (genSec, probeTier("sf1", dir, probe, reps = 2, isolate = true))
     }
 
-    // Optional third decade (SPARK_GRAFT_SF10=1): scale=10 — 60M-row
-    // lineitem, 500k docs. ~4 min of generation + probes, so it is
-    // env-gated rather than part of the per-round budget; the
-    // round-over-round curve lives in ROADMAP.md.
-    val sf10enabled = sys.env.get("SPARK_GRAFT_SF10")
-      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    val sf10 = if (!sf10enabled) Seq.empty else {
+    // Third decade (scale=10 — 60M-row lineitem, 500k docs): a default
+    // 3-key subset keeps the two-decade scaling curve in every round's
+    // driver-visible BENCH (queries_sf10) at ~2 min of budget;
+    // SPARK_GRAFT_SF10=1 widens it to the full 9-key tier (~4 min) for
+    // the ROADMAP curve.
+    val (sf10gen, sf10) = {
+      val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
+        case Some(v) if v == "1" || v.equalsIgnoreCase("true") => true
+        case Some(v) =>
+          // a misspelled opt-in must not silently shrink the tier
+          System.err.println(s"[bench] SPARK_GRAFT_SF10='$v' not " +
+            "recognized (use 1/true); running the default sf10 subset")
+          false
+        case None => false
+      }
+      val keys =
+        if (sf10full)
+          Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
+            "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+            "similarity_ann_lsh", "text_quality", "text_contamination")
+        else Seq("dedup_ngram_jaccard", "join_natural_5way", "agg_sum_group3")
       val dir = graft.matview.Materializer.defaultScratch + "/sf10"
+      val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
-      probeTier("sf10", dir,
-        Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
-          "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-          "similarity_ann_lsh", "text_quality", "text_contamination"),
-        reps = 2)
+      val genSec = (System.nanoTime() - g0) / 1e9
+      (genSec, probeTier("sf10", dir, keys, reps = 2, isolate = true))
     }
 
     // physical plan node counts — the reference's secondary metric
@@ -312,7 +350,7 @@ object Bench {
       sf10.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
         .mkString(""","queries_sf10":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1$s10,"sf1_gen_sec":$sf1gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1$s10,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

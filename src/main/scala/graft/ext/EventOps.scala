@@ -240,14 +240,21 @@ object EventOps {
       .join(clicks, "user_id")
       .filter(col("ts") > col("click_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
-    views.select(lit("1_view").as("stage"), col("user_id"))
+    val staged = views.select(lit("1_view").as("stage"), col("user_id"))
       .unionByName(clicks.select(lit("2_click").as("stage"), col("user_id")))
       .unionByName(
         purchases.select(lit("3_purchase").as("stage"), col("user_id")))
       .groupBy("stage").agg(count(lit(1)).as("users"))
+    // entry size as a broadcast 1-row scalar — the view-stage count (the
+    // later stages are per-user filtered subsets of it, so it equals
+    // max(users) over the stages) — instead of a window over the 3-row
+    // stage relation: the global-window form re-executed a
+    // SinglePartition stage ~20x per run under AQE and was the last
+    // "No Partition Defined" warning source in the bench log
+    staged.crossJoin(broadcast(views.agg(count(lit(1)).as("__entry"))))
       .withColumn("pct_of_entry",
-        col("users").cast("double") /
-          max(col("users")).over(Window.partitionBy()).cast("double"))
+        col("users").cast("double") / col("__entry").cast("double"))
+      .drop("__entry")
       .orderBy("stage")
   }
 
