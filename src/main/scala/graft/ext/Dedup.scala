@@ -265,24 +265,9 @@ object Dedup {
     // Sets are sorted ONCE at build so verification is a single codegen
     // merge walk (SortedIntersectSize) instead of two hash-set
     // array_intersect kernels per candidate pair.
-    val grouped = rawShingleHashes(s, d).groupBy("doc_id")
-      .agg(
-        graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"),
-        sort_array(collect_set(col("h"))).as("hs"))
-      .localCheckpoint()
-
-    // The band index is folded INTO the bucket hash (xxhash64(..., b)),
-    // so the candidate join keys on the single long `bh` — a dense
-    // LongHashedRelation build, no two-column composite key. A cross-band
-    // 2^-64 false collision only adds a candidate pair, which the exact
-    // verification below rejects; recall is unaffected (same banding).
-    val bandHashes = (0 until BANDS).map { b =>
-      val cols = (0 until ROWS_PER_BAND)
-        .map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
-      xxhash64(cols :+ lit(b): _*)
-    }
-    val buckets = grouped.select(col("doc_id"),
-      explode(array(bandHashes: _*)).as("bh"))
+    val grouped = minhashGroupedFrom(
+      load(s, d, "documents")).localCheckpoint()
+    val buckets = bandBuckets(grouped)
 
     val cand = buckets.as("l").join(buckets.as("r"),
         col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
@@ -303,6 +288,114 @@ object Dedup {
         (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
       .orderBy("a", "b")
+  }
+
+  /** (doc_id, sig, hs): the one-shuffle MinHash build over any document
+    * relation — one-pass [[graft.functions.MinHashAgg]] signature and the
+    * sorted shingle-hash set from a SINGLE groupBy over the raw shingle
+    * stream (duplicates change neither aggregate, so no distinct() pass).
+    * Shared by the batch LSH dedup and the streaming ingestion filter. */
+  private def minhashGroupedFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"),
+        sort_array(collect_set(col("h"))).as("hs"))
+
+  /** (doc_id, bh): banded bucket keys from the signature column. The band
+    * index is folded INTO the bucket hash (xxhash64(..., b)), so candidate
+    * joins key on the single long `bh` — a dense LongHashedRelation build,
+    * no two-column composite key. A cross-band 2^-64 false collision only
+    * adds a candidate pair, which exact verification rejects; recall is
+    * unaffected (same banding). */
+  private def bandBuckets(grouped: DataFrame): DataFrame = {
+    val bandHashes = (0 until BANDS).map { b =>
+      val cols = (0 until ROWS_PER_BAND)
+        .map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
+      xxhash64(cols :+ lit(b): _*)
+    }
+    grouped.select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
+  }
+
+  /** Streaming ingestion-time near-dup filter — the arrival-path dedup a
+    * 100 TB pipeline runs continuously: documents arrive as a file stream
+    * (odd doc_ids, staged as 2 chunk files, one per micro-batch) and are
+    * checked against a STATIC historical corpus (even doc_ids): MinHash
+    * band-key collision candidates, then exact merge-walk Jaccard
+    * verification, inside `foreachBatch`. The history (signature + sorted
+    * set + band index) is built ONCE and localCheckpointed; each trigger
+    * groups only its own batch's shingles, so streaming state is ZERO —
+    * the dedup decision needs no cross-batch memory. That is what makes
+    * the shape scale: history lives as a persisted artifact (in
+    * production a bucketed table keyed on `bh`), and an arriving batch
+    * pays |batch| signatures plus one band join against it. Output: per
+    * flagged arriving doc, its historical near-dup count and best Jaccard
+    * (one exact int division, replayed bit-for-bit by the oracle).
+    * Stream ≡ batch ≡ DuckDB, the events_stream_* contract; DedupSpec
+    * additionally pins it against the PPJoin operator's cross-half pairs
+    * — an algorithm-independent witness. */
+  def dedupStreamMinhash(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val scratch = graft.matview.Materializer.defaultScratch
+    val staged = Paths.get(s"$scratch/stream_dedup_src")
+    val sink = Paths.get(s"$scratch/stream_dedup_hits")
+    val ckpt = Paths.get(s"$scratch/stream_dedup_ckpt")
+    Seq(staged, sink, ckpt).foreach(graft.streaming.StreamingOps.del)
+
+    val docs = load(s, d, "documents")
+    val hist = minhashGroupedFrom(docs.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint()
+    val histBands = bandBuckets(hist).withColumnRenamed("doc_id", "hist_id")
+    val histSets = hist.select(col("doc_id").as("hist_id"), col("hs").as("hhs"))
+
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartition(2)
+      .write.mode("overwrite").parquet(staged.toString)
+
+    val arriving = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+
+    val q = arriving.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val g = minhashGroupedFrom(batch).localCheckpoint()
+        val cand = bandBuckets(g)
+          .join(histBands, "bh")
+          .select(col("doc_id"), col("hist_id")).distinct()
+        val hits = cand
+          .join(g.select(col("doc_id"), col("hs")), "doc_id")
+          .join(histSets, "hist_id")
+          .select(col("doc_id"), col("hist_id"),
+            graft.functions.SortedIntersectSize
+              .sorted_intersect_size(col("hs"), col("hhs")).as("ix"),
+            size(col("hs")).as("na"), size(col("hhs")).as("nb"))
+          .select(col("doc_id"), col("hist_id"),
+            (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
+          .filter(col("jaccard") >= JACCARD_THRESHOLD)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hist_dups"),
+            max(col("jaccard")).as("max_jaccard"))
+        if (hits.head(1).nonEmpty)
+          hits.write.mode("append").parquet(sink.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    if (Files.exists(sink)) s.read.parquet(sink.toString).orderBy("doc_id")
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_hist_dups", LongType),
+        StructField("max_jaccard", DoubleType))))
   }
 
   /** SimHash near-dup pairs: 64-bit signature from tf-weighted token hash
@@ -596,6 +689,7 @@ object Dedup {
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
+    "dedup_stream_minhash"   -> (dedupStreamMinhash _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
   )
@@ -722,6 +816,29 @@ object Dedup {
     // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
     // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
     "dedup_minhash_lsh" -> exactJaccardSql,
+
+    // the streaming ingestion filter drains to the batch cross-half
+    // near-dup relation: odd (arriving) docs vs even (historical) docs,
+    // grouped per arriving doc — same gram/jaccard machinery as the
+    // exact-Jaccard oracle, restricted to the parity split
+    "dedup_stream_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+        |inter AS (SELECT ga.doc_id AS sid, gh.doc_id AS hid, COUNT(*) AS ix
+        |          FROM g ga JOIN g gh ON ga.gram = gh.gram
+        |          WHERE ga.doc_id % 2 = 1 AND gh.doc_id % 2 = 0
+        |          GROUP BY 1, 2),
+        |j AS (SELECT sid, hid, ix * 1.0 / (ns.cnt + nh.cnt - ix) AS jaccard
+        |      FROM inter
+        |      JOIN n ns ON ns.doc_id = sid
+        |      JOIN n nh ON nh.doc_id = hid
+        |      WHERE ix * 1.0 / (ns.cnt + nh.cnt - ix) >= 0.8)
+        |SELECT sid AS doc_id, COUNT(*) AS n_hist_dups,
+        |       MAX(jaccard) AS max_jaccard
+        |FROM j GROUP BY sid ORDER BY doc_id""".stripMargin,
     // Replays the token hash (61-bit Rabin poly → SplitMix64 finalizer,
     // wrap-around multiplies emulated via HUGEINT split multiplication),
     // then the tf-weighted bit sums and exact all-pairs Hamming. Banding

@@ -390,7 +390,7 @@ object StreamingOps {
       .withColumn("n_late_injected", lit(100L))
   }
 
-  private def del(p: java.nio.file.Path): Unit =
+  private[graft] def del(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))

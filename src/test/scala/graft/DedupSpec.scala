@@ -96,6 +96,25 @@ class DedupSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming minhash filter drains to the PPJoin cross-half relation") {
+    // algorithm-independent witness: the streaming LSH filter (odd docs
+    // arriving, even docs historical) must equal the batch PPJoin
+    // operator's jaccard pairs restricted to cross-parity, grouped per
+    // arriving doc — different candidate generation, same exact verify
+    val jac = Dedup.dedupNgramJaccard(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = jac.flatMap { case (a, b, j) =>
+      if (a % 2 == 1 && b % 2 == 0) Seq((a, j))
+      else if (b % 2 == 1 && a % 2 == 0) Seq((b, j))
+      else Seq.empty
+    }.groupBy(_._1).map { case (id, v) =>
+      (id, v.size.toLong, v.map(_._2).max)
+    }.toSet
+    val got = Dedup.dedupStreamMinhash(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"stream $got != batch ppjoin $expected")
+  }
+
   test("embedding-dedup recall contract: ~1.0 at the design point, >= 0.9 measured") {
     // design point (true near-dups, cosine >= 0.9): analytic pair-miss
     // probability of the 6-bit x 40-table family is (1 - p^b)^t < 1e-5
