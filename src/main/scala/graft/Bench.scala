@@ -155,10 +155,14 @@ object Bench {
           false
         case None => false
       }
+      // dedup-first, like the sf1 tier: even with quiesce(), the 60M-row
+      // tier shows position-dependent inflation on memory-heavy keys
+      // (full-tier probe of dedup_ngram_jaccard read 11.3s in 4th
+      // position vs 7.4s when run first in the default subset)
       val keys =
         if (sf10full)
-          Seq("agg_sum_group3", "join_natural_5way", "window_cumulative",
-            "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+          Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+            "join_natural_5way", "window_cumulative", "agg_sum_group3",
             "similarity_ann_lsh", "text_quality", "text_contamination")
         else Seq("dedup_ngram_jaccard", "join_natural_5way", "agg_sum_group3")
       val dir = graft.matview.Materializer.defaultScratch + "/sf10"

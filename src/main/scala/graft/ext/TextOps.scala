@@ -398,7 +398,37 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Sequence packing — the "fill fixed-length training sequences" step a
+    * pretraining pipeline runs after cleaning: documents in doc_id order
+    * are greedily packed into PACK_BUDGET-token bins, and every document
+    * gets its bin id and intra-bin offset. The assignment is a pure
+    * function of the exclusive token prefix sum, computed with the
+    * distributed two-phase scan ([[graft.operators.Ranks
+    * .runningSumByRange]] — range partition + local scan + tiny offset
+    * join): unlike `corpus_token_budget`, the WHOLE corpus flows through
+    * the scan, so this key exercises the prefix primitive at full relation
+    * size, and at 100 TB the only data movement is the range exchange.
+    * Bin arithmetic stays in exact longs (`div`/`pmod`) — a double
+    * division would silently lose exactness once total tokens pass 2^53.
+    * Docs may straddle a bin boundary (offset + n_tokens > budget): the
+    * standard contiguous-fill approximation whose overflow a downstream
+    * splitter trims. */
+  def corpusPackSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048L
+    val t = load(s, d, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Ranks.runningSumByRange(
+        t, 8, Seq(col("doc_id")), col("n_tokens"), "__run")
+      .withColumn("__excl", col("__run") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__excl div $budget").as("pack_id"),
+        pmod(col("__excl"), lit(budget)).as("pack_pos"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bm25"        -> (textBm25 _),
@@ -415,6 +445,20 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the packing is a pure function of the exclusive token prefix sum in
+    // doc_id order — DuckDB replays it with a window cumsum and the same
+    // exact integer div/mod
+    "corpus_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS excl
+        |  FROM t)
+        |SELECT doc_id, n_tokens, excl // 2048 AS pack_id,
+        |       excl % 2048 AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
     // same weight formula (left-assoc divisions, same literals), same
     // md5-fraction sampler as sample_hash_portable
     "corpus_mix_weights" ->

@@ -51,6 +51,18 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase running sum equals the single-partition window scan") {
+    val rnd = new scala.util.Random(6L)
+    val rows = (1L to 800L).map(i => (i * 13 % 801, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("k", "v").repartition(6)
+    def dump(d: DataFrame) = d.select("k", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = dump(Ranks.runningSumByRange(df, 8, Seq(col("k")), col("v"), "run"))
+    val one = dump(df.withColumn("run",
+      sum("v").over(Window.orderBy(col("k")))))
+    assert(two == one)
+  }
+
   test("two-phase rank output is dense 1..N") {
     val df = (1L to 300L).map(i => (i * 37 % 301, i)).toDF("a", "b")
     val ranks = Ranks.rowNumberByRange(df, 8, Seq(col("a"), col("b")), "rn")
