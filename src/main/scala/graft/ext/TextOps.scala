@@ -427,7 +427,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Provenance profile — the per-source curation sweep a pipeline runs
+    * before deciding what to keep: per `source`, document and token
+    * volume, language spread, exact-duplicate rate (1 - distinct content
+    * fingerprints / docs — fingerprints only need to be injective WITHIN
+    * each engine, so no cross-engine hash equality is required), and the
+    * source's share of corpus tokens. One scan: every metric is a plain
+    * or distinct aggregate keyed on source (the distinct expansions
+    * shuffle (source, lang) / (source, fp) pairs, never text), and the
+    * corpus total joins back as a broadcast 1-row scalar. Ratios are
+    * single long->double divisions, replayed exactly by the oracle. */
+  def corpusSourceProfile(s: SparkSession, d: String): DataFrame = {
+    val t = load(s, d, "documents").select(
+      col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text").cast("binary")).as("fp"))
+    val per = t.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_distinct_content"))
+    val tot = t.agg(sum("n_tokens").as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_langs"),
+        ((col("n_docs") - col("n_distinct_content")) / col("n_docs"))
+          .as("dup_rate"),
+        (col("tokens") / col("__tot")).as("token_share"))
+      .orderBy("source")
+  }
+
   val entries: Map[String, Q] = Map(
+    "corpus_source_profile" -> (corpusSourceProfile _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
@@ -445,6 +475,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // fingerprint distinctness is engine-local (md5 injective on texts in
+    // both engines), ratios are the same single float divisions
+    "corpus_source_profile" ->
+      """WITH t AS (SELECT source, lang,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  md5(text) AS fp FROM documents),
+        |tot AS (SELECT SUM(n_tokens)::BIGINT AS tot FROM t),
+        |p AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_tokens)::BIGINT AS tokens,
+        |  COUNT(DISTINCT lang)::BIGINT AS n_langs,
+        |  COUNT(DISTINCT fp)::BIGINT AS nd
+        |  FROM t GROUP BY 1)
+        |SELECT source, n_docs, tokens, n_langs,
+        |  (n_docs - nd) / n_docs AS dup_rate,
+        |  tokens / tot AS token_share
+        |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
     // the packing is a pure function of the exclusive token prefix sum in
     // doc_id order — DuckDB replays it with a window cumsum and the same
     // exact integer div/mod

@@ -66,6 +66,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_source_profile partitions the corpus exactly by source") {
+    val rows = graft.ext.TextOps.corpusSourceProfile(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SF, "documents")
+    // the profile is a partition of the corpus: doc counts sum to the
+    // table size and token shares sum to 1 (each share is tokens/total,
+    // so the sum telescopes exactly up to float rounding)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val (nDocs, nLangs, dup) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(nDocs > 0 && nLangs >= 1)
+      assert(dup >= 0.0 && dup < 1.0) // distinct fingerprints >= 1 per source
+    }
+  }
+
   test("embedding_quantize saturates the max element and bounds the L2 error") {
     val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
     // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
