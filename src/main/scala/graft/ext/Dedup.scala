@@ -640,6 +640,40 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** Canonical-copy selection — the curation decision that follows
+    * near-dup clustering: per duplicate cluster keep the most complete
+    * copy (max token count, ties to the smallest doc_id) and account for
+    * what dedup drops. The argmax rides an exact packed long,
+    * `n_tokens * 2^40 - doc_id`: an order-independent MAX both engines
+    * compare bit-identically — no double-typed scores, no window. (Room:
+    * doc_id < 2^40 holds to ~sf10^5; n_tokens < 2^23 keeps the product in
+    * a long.) Shape: the cluster relation (pair-graph-sized, far smaller
+    * than the corpus) shuffles on cluster_id twice — aggregate, then the
+    * keeper join-back on the packed key; raw text never moves. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val nTok = (length(col("text")) -
+      length(translate(col("text"), " ", "")) + 1).cast("long")
+    val docs = load(s, d, "documents").select(col("doc_id"), nTok.as("n_tokens"))
+    // every clustered doc sits in a >=2-member cluster (labels come from
+    // the symmetric pair graph), so no singleton filter is needed
+    val members = dedupCluster(s, d).select("doc_id", "cluster_id")
+      .join(docs, "doc_id")
+      .withColumn("packed", col("n_tokens") * lit(1L << 40) - col("doc_id"))
+    val best = members.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_size"),
+      sum("n_tokens").as("tokens_total"),
+      max("packed").as("best_packed"))
+    best.join(members.select(col("cluster_id").as("m_cid"), col("doc_id"),
+        col("n_tokens"), col("packed")),
+        col("cluster_id") === col("m_cid") &&
+          col("best_packed") === col("packed"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keeper_doc"), col("n_tokens").as("keeper_tokens"),
+        (col("cluster_size") - 1).as("n_dropped"),
+        (col("tokens_total") - col("n_tokens")).as("tokens_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** End-to-end corpus-cleaning plan — the composition a training-data
     * pipeline actually runs: exact dedup (keep min doc per content hash),
     * near-dup clustering (keep the cluster keeper), then quality
@@ -683,6 +717,7 @@ object Dedup {
   val entries: Map[String, Q] = Map(
     "corpus_clean_plan"      -> (corpusCleanPlan _),
     "dedup_cluster"          -> (dedupCluster _),
+    "dedup_keep_best"        -> (dedupKeepBest _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -743,6 +778,33 @@ object Dedup {
     // components via transitive closure (recursive CTE), labeled by the
     // minimum reachable doc_id — equality with the propagation loop's
     // fixpoint proves the clustering
+    // same recursive closure as dedup_cluster, then the packed-long argmax
+    // (n_tokens * 2^40 - doc_id) and join-back replayed verbatim
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r
+         |                JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |m AS (SELECT l.doc_id, l.cluster_id,
+         |        len(string_split(dd.text, ' '))::BIGINT AS n_tokens,
+         |        len(string_split(dd.text, ' '))::BIGINT * 1099511627776
+         |          - l.doc_id AS packed
+         |      FROM lab l JOIN documents dd USING (doc_id)),
+         |b AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size,
+         |        SUM(n_tokens)::BIGINT AS tokens_total,
+         |        MAX(packed) AS best_packed
+         |      FROM m GROUP BY 1)
+         |SELECT b.cluster_id, b.cluster_size, m.doc_id AS keeper_doc,
+         |  m.n_tokens AS keeper_tokens,
+         |  b.cluster_size - 1 AS n_dropped,
+         |  b.tokens_total - m.n_tokens AS tokens_dropped
+         |FROM b JOIN m ON m.cluster_id = b.cluster_id
+         |              AND m.packed = b.best_packed
+         |ORDER BY b.cluster_id""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
          |edges AS (SELECT a AS src, b AS dst FROM pairs

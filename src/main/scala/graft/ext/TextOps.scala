@@ -456,8 +456,34 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Tokenizer-vocabulary coverage — the check a pipeline runs before
+    * committing to a vocabulary: build the top-V corpus vocabulary
+    * (V=64, ranked count desc then word asc — a deterministic boundary
+    * both engines cut identically) and report each language's
+    * out-of-vocabulary rate. Exactness: counts are longs; oov_rate is
+    * ONE long->double division per language — never a mean of per-doc
+    * doubles. Shape: the vocab is a TakeOrdered top-V (only V rows ever
+    * leave the executors) re-entering the plan as a broadcast left side;
+    * the corpus-scale token stream shuffles once on word (vocab count)
+    * and once on lang (coverage aggregate) — tokens, never documents. */
+  def textVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val words = load(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(64)
+    words.join(broadcast(vocab.select(col("w"), lit(1L).as("in_v"))),
+        Seq("w"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        (col("n_tokens") - col("n_in_vocab")) / col("n_tokens"))
+      .orderBy("lang")
+  }
+
   val entries: Map[String, Q] = Map(
     "corpus_source_profile" -> (corpusSourceProfile _),
+    "text_vocab_coverage"   -> (textVocabCoverage _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
@@ -475,6 +501,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same deterministic top-64 boundary (count desc, word asc); the sum
+    // needs the explicit BIGINT cast (DuckDB SUM(int) is HUGEINT)
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |v AS (SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1)
+        |      ORDER BY cnt DESC, w LIMIT 64)
+        |SELECT lang, COUNT(*)::BIGINT AS n_tokens,
+        |  SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_in_vocab,
+        |  (COUNT(*)::BIGINT
+        |     - SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT)
+        |    / COUNT(*)::BIGINT AS oov_rate
+        |FROM w LEFT JOIN v USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // fingerprint distinctness is engine-local (md5 injective on texts in
     // both engines), ratios are the same single float divisions
     "corpus_source_profile" ->

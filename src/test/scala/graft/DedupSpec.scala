@@ -96,6 +96,25 @@ class DedupSpec extends AnyFunSuite {
     })
   }
 
+  test("keep-best picks each cluster's longest member (ties to min doc_id)") {
+    val clusters = Dedup.dedupCluster(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+    val nTok = graft.Tables.load(spark, SF, "documents").selectExpr(
+        "doc_id", "CAST(len(text) - len(translate(text, ' ', '')) + 1 AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, ms) =>
+      val docs = ms.map(_._1)
+      val keeper = docs.minBy(id => (-nTok(id), id))
+      (cid, docs.length.toLong, keeper, nTok(keeper),
+        docs.length.toLong - 1, docs.map(nTok).sum - nTok(keeper))
+    }.toSet
+    val got = Dedup.dedupKeepBest(spark, SF).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming minhash filter drains to the PPJoin cross-half relation") {
     // algorithm-independent witness: the streaming LSH filter (odd docs
     // arriving, even docs historical) must equal the batch PPJoin

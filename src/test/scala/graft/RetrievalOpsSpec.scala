@@ -66,6 +66,21 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab_coverage: top-64 vocab bounds coverage, tokens add up") {
+    val rows = graft.ext.TextOps.textVocabCoverage(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SF, "documents")
+    val totTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    // per-lang token counts partition the corpus token stream exactly
+    assert(rows.map(_.getLong(1)).sum == totTok)
+    rows.foreach { r =>
+      val (n, inv, oov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(inv >= 0 && inv <= n)
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(math.abs(oov - (n - inv).toDouble / n) == 0.0)
+    }
+  }
+
   test("corpus_source_profile partitions the corpus exactly by source") {
     val rows = graft.ext.TextOps.corpusSourceProfile(spark, SF).collect()
     assert(rows.nonEmpty)
