@@ -640,6 +640,33 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** Cross-source contamination matrix — where the near-duplication
+    * actually lives: per unordered source pair (lexicographic lo/hi, so
+    * the matrix is one triangle), the near-dup pair count and mean
+    * Jaccard. Off-diagonal cells are inter-source leakage (what
+    * benchmark decontamination and mixture weighting key on); diagonal
+    * cells are within-source redundancy. Exactness: the mean folds
+    * e9-scaled rounded longs (order-independent integer sum — the pair
+    * jaccards are already bit-identical cross-engine), then two fixed
+    * divisions. Shape: the fact side is the PAIR graph (near-dup-bounded,
+    * orders smaller than the corpus); the (doc_id, source) lookup joins
+    * it twice on doc_id — text never enters the plan. */
+  def dedupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = load(s, d, "documents").select(col("doc_id"), col("source"))
+    dedupNgramJaccard(s, d)
+      .join(src.as("pa"), col("a") === col("pa.doc_id"))
+      .join(src.as("pb"), col("b") === col("pb.doc_id"))
+      .select(least(col("pa.source"), col("pb.source")).as("src_lo"),
+        greatest(col("pa.source"), col("pb.source")).as("src_hi"),
+        col("jaccard"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * lit(1e9)).cast("long")).as("jsum_e9"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+        ((col("jsum_e9") / col("n_pairs")) / lit(1e9)).as("mean_jaccard"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Canonical-copy selection — the curation decision that follows
     * near-dup clustering: per duplicate cluster keep the most complete
     * copy (max token count, ties to the smallest doc_id) and account for
@@ -718,6 +745,7 @@ object Dedup {
     "corpus_clean_plan"      -> (corpusCleanPlan _),
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_keep_best"        -> (dedupKeepBest _),
+    "dedup_source_matrix"    -> (dedupSourceMatrix _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -778,6 +806,23 @@ object Dedup {
     // components via transitive closure (recursive CTE), labeled by the
     // minimum reachable doc_id — equality with the propagation loop's
     // fixpoint proves the clustering
+    // the pair jaccards are bit-identical cross-engine (dedup_ngram_jaccard
+    // is hash-exact), so the e9-scaled long fold and the two divisions
+    // replay exactly; both engines round half away from zero
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS (SELECT a, b, jaccard FROM ($exactJaccardSql) jac),
+         |cells AS (SELECT least(da.source, db.source) AS src_lo,
+         |            greatest(da.source, db.source) AS src_hi,
+         |            p.jaccard
+         |          FROM pairs p
+         |          JOIN documents da ON da.doc_id = p.a
+         |          JOIN documents db ON db.doc_id = p.b),
+         |agg AS (SELECT src_lo, src_hi, COUNT(*)::BIGINT AS n_pairs,
+         |          SUM(round(jaccard * 1e9)::BIGINT)::BIGINT AS jsum_e9
+         |        FROM cells GROUP BY 1, 2)
+         |SELECT src_lo, src_hi, n_pairs,
+         |  (jsum_e9 / n_pairs) / 1e9 AS mean_jaccard
+         |FROM agg ORDER BY src_lo, src_hi""".stripMargin,
     // same recursive closure as dedup_cluster, then the packed-long argmax
     // (n_tokens * 2^40 - doc_id) and join-back replayed verbatim
     "dedup_keep_best" ->

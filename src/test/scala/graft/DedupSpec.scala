@@ -115,6 +115,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("source matrix is a triangular partition of the near-dup pair graph") {
+    val rows = Dedup.dedupSourceMatrix(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // one cell per unordered source pair; cells partition the pair set
+    assert(rows.map { case (lo, hi, _, _) => (lo, hi) }.distinct.length
+      == rows.length)
+    assert(rows.map(_._3).sum == exact.size)
+    rows.foreach { case (lo, hi, n, mj) =>
+      assert(lo <= hi && n > 0)
+      // pairs pass the 0.8 verify threshold, so the cell mean must too
+      assert(mj >= 0.8 && mj <= 1.0)
+    }
+  }
+
   test("streaming minhash filter drains to the PPJoin cross-half relation") {
     // algorithm-independent witness: the streaming LSH filter (odd docs
     // arriving, even docs historical) must equal the batch PPJoin
