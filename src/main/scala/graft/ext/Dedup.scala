@@ -640,6 +640,37 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** Sub-document (block-level) duplication — the line-dedup analog for
+    * a corpus with no line structure: each doc's non-overlapping 16-token
+    * blocks are hashed, block frequency is counted as DISTINCT docs per
+    * block across the corpus, and each doc reports the fraction of its
+    * blocks that also appear in some other doc. Catches boilerplate and
+    * partial copies that document-level near-dup measures dilute below
+    * threshold. Docs shorter than one block carry no evidence and are
+    * excluded (oracle mirrors the filter).
+    *
+    * Scale shape: the corpus-wide relation is (block-hash, doc_id) — 16
+    * bytes per 16 tokens, ~1% of text width; the raw block string never
+    * shuffles (hashes only need WITHIN-engine injectivity — the oracle
+    * groups the strings themselves). Frequency join and the per-doc
+    * aggregate are both keyed hash shuffles. */
+  def dedupBlockRatio(s: SparkSession, d: String): DataFrame = {
+    val pairs = load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 16)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) div 16 - 1), " +
+          "b -> xxhash64(array_join(slice(ws, b*16 + 1, 16), ' ')))")).as("h"))
+    val freq = pairs.distinct().groupBy("h")
+      .agg(count(lit(1)).as("ndocs"))
+    pairs.join(freq, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared_blocks"))
+      .withColumn("shared_frac", col("n_shared_blocks") / col("n_blocks"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source contamination matrix — where the near-duplication
     * actually lives: per unordered source pair (lexicographic lo/hi, so
     * the matrix is one triangle), the near-dup pair count and mean
@@ -746,6 +777,7 @@ object Dedup {
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_keep_best"        -> (dedupKeepBest _),
     "dedup_source_matrix"    -> (dedupSourceMatrix _),
+    "dedup_block_ratio"      -> (dedupBlockRatio _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -806,6 +838,26 @@ object Dedup {
     // components via transitive closure (recursive CTE), labeled by the
     // minimum reachable doc_id — equality with the propagation loop's
     // fixpoint proves the clustering
+    // block hashing is engine-local (the oracle groups the block STRINGS;
+    // Spark groups xxhash64 of them — injective within each engine);
+    // counts are integers, shared_frac one BIGINT/BIGINT->double division
+    "dedup_block_ratio" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |blk AS (SELECT doc_id,
+        |          array_to_string(list_slice(ws, b*16 + 1, b*16 + 16), ' ')
+        |            AS blk
+        |        FROM w, unnest(range(0, len(ws) // 16)) AS r(b)
+        |        WHERE len(ws) >= 16),
+        |freq AS (SELECT blk, COUNT(DISTINCT doc_id)::BIGINT AS ndocs
+        |         FROM blk GROUP BY 1)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+        |  SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_shared_blocks,
+        |  SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    / COUNT(*)::BIGINT AS shared_frac
+        |FROM blk JOIN freq USING (blk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the pair jaccards are bit-identical cross-engine (dedup_ngram_jaccard
     // is hash-exact), so the e9-scaled long fold and the two divisions
     // replay exactly; both engines round half away from zero

@@ -64,6 +64,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition metrics — the n-gram repetition family of
+    * quality rules (most-frequent-word share, most-frequent-2-gram share,
+    * duplicate-3-gram fraction): boilerplate and looping-generation
+    * detectors that complement [[textQuality]]'s surface ratios.
+    *
+    * Scale shape: everything is computed PER ROW with higher-order
+    * functions — sort the row's gram array, then one sequential fold
+    * finds the longest equal run (= the top gram's count). Zero shuffle,
+    * zero explode: the corpus-scale alternative (explode grams, groupBy
+    * (doc_id, gram)) shuffles the whole gram stream; this plan shuffles
+    * nothing at all. The oracle replays relationally (unnest + GROUP BY)
+    * — different plan, same integers, and each output frac is one
+    * long->double division. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    // longest equal run in a SORTED array == max multiplicity. The fold
+    // state is struct(prev, run, best); arrays here are row-local.
+    def maxRun(arr: String) =
+      s"""aggregate($arr,
+         |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+         |  (acc, x) -> struct(
+         |    x AS prev,
+         |    IF(acc.prev <=> x, acc.run + 1, 1L) AS run,
+         |    GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1, 1L)) AS best),
+         |  acc -> acc.best)""".stripMargin
+    load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("g2", expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+      .withColumn("g3", expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (expr(maxRun("array_sort(ws)")) / size(col("ws"))).as("top_word_frac"),
+        (expr(maxRun("array_sort(g2)")) / size(col("g2"))).as("top_gram2_frac"),
+        ((size(col("g3")) - size(array_distinct(col("g3")))).cast("long") /
+          size(col("g3"))).as("dup_gram3_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: frequency of per-language marker tokens; argmax
     * with a fixed tie-break order. On this synthetic corpus the languages
     * share one vocabulary, so the value of the operator is its deterministic
@@ -484,6 +524,7 @@ object TextOps {
   val entries: Map[String, Q] = Map(
     "corpus_source_profile" -> (corpusSourceProfile _),
     "text_vocab_coverage"   -> (textVocabCoverage _),
+    "text_repetition"       -> (textRepetition _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
@@ -501,6 +542,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the Spark side folds each row's SORTED gram array (zero shuffle);
+    // the oracle counts the same multiplicities relationally — identical
+    // integers, one BIGINT/BIGINT->double division per frac
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |wc AS (SELECT doc_id, SUM(c)::BIGINT AS n, MAX(c) AS mx
+        |       FROM (SELECT doc_id, t, COUNT(*)::BIGINT AS c
+        |             FROM tok GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM w, unnest(range(1, len(ws))) AS r(i)),
+        |g2c AS (SELECT doc_id, SUM(c)::BIGINT AS n2, MAX(c) AS mx2
+        |        FROM (SELECT doc_id, g, COUNT(*)::BIGINT AS c
+        |              FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS r(i)),
+        |g3c AS (SELECT doc_id, COUNT(*)::BIGINT AS n3,
+        |          COUNT(DISTINCT g)::BIGINT AS nd3 FROM g3 GROUP BY 1)
+        |SELECT wc.doc_id, wc.n AS n_tokens,
+        |  mx / wc.n AS top_word_frac,
+        |  mx2 / n2 AS top_gram2_frac,
+        |  (n3 - nd3) / n3 AS dup_gram3_frac
+        |FROM wc JOIN g2c USING (doc_id) JOIN g3c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same deterministic top-64 boundary (count desc, word asc); the sum
     // needs the explicit BIGINT cast (DuckDB SUM(int) is HUGEINT)
     "text_vocab_coverage" ->

@@ -115,6 +115,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("block ratio: shared blocks really occur in >= 2 distinct docs") {
+    val docs = graft.Tables.load(spark, SF, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    // direct recompute: non-overlapping 16-token blocks, cross-doc counts
+    val blocks = docs.flatMap { case (id, ws) =>
+      ws.grouped(16).filter(_.length == 16)
+        .map(b => (id, b.mkString(" "))).toSeq
+    }
+    val nDocsPerBlock = blocks.distinct.groupBy(_._2).map {
+      case (b, v) => (b, v.length)
+    }
+    val expected = blocks.groupBy(_._1).map { case (id, bs) =>
+      val shared = bs.count(b => nDocsPerBlock(b._2) >= 2).toLong
+      (id, bs.length.toLong, shared, shared.toDouble / bs.length)
+    }.toSet
+    val got = Dedup.dedupBlockRatio(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0)) // the corpus genuinely shares blocks
+  }
+
   test("source matrix is a triangular partition of the near-dup pair graph") {
     val rows = Dedup.dedupSourceMatrix(spark, SF).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

@@ -66,6 +66,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_repetition's sorted-run fold equals a direct multiset count") {
+    val docs = Tables.load(spark, SF, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).toMap
+    val got = graft.ext.TextOps.textRepetition(spark, SF).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val ws = docs(r.getLong(0))
+      def grams(k: Int) = ws.sliding(k).map(_.mkString(" ")).toSeq
+      val g2 = grams(2); val g3 = grams(3)
+      assert(r.getLong(1) == ws.length)
+      // per-row fold == straightforward multiset maxima / distinct counts
+      assert(r.getDouble(2) ==
+        ws.groupBy(identity).values.map(_.size).max.toDouble / ws.length)
+      assert(r.getDouble(3) ==
+        g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size)
+      assert(r.getDouble(4) == (g3.size - g3.distinct.size).toDouble / g3.size)
+    }
+  }
+
   test("text_vocab_coverage: top-64 vocab bounds coverage, tokens add up") {
     val rows = graft.ext.TextOps.textVocabCoverage(spark, SF).collect()
     assert(rows.nonEmpty)
