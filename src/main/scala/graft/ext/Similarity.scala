@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -42,6 +43,7 @@ object Similarity {
   // was reverted — probing wider is the productive lever, costing only
   // 3/8 more corpus read per query, no extra training pass)
   private val NPROBE = 6
+  private val DIVERSITY_CAP = 8
 
   // norm/dot run through the native codegen'd VectorDot expression — the
   // element-ordered double fold is bit-identical to the
@@ -178,16 +180,19 @@ object Similarity {
     * deterministic (seeded centroids, vec_id-ordered mean folds), so the
     * oracle replays the whole pipeline: assignment, one Lloyd pass,
     * probe, exact rerank. */
-  def similarityIvf(s: SparkSession, d: String): DataFrame = {
+  /** The IVF coarse quantizer shared by [[similarityIvf]] and
+    * [[corpusDiversityCap]]: deterministic seeds (first NLISTS vectors by
+    * vec_id) + ONE Lloyd pass. Returns (embeddings-with-norm, the same
+    * relation with its refined list assignment, refined centroids).
+    * Refinement stays distributed — per-centroid sums fold on the
+    * executors over vec_id-sorted lists (the exact sequential double fold
+    * the oracle replays with `list(... ORDER BY vec_id)`); only the K
+    * centroid rows ever reach the driver. */
+  private def ivfLists(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Array[Array[Double]]) = {
     import s.implicits._
-    val NLISTS = Similarity.NLISTS
-    val NPROBE = Similarity.NPROBE
-
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-
-    // deterministic seeds + one Lloyd pass, all on the driver over K-sized
-    // state (centroids are tiny; the corpus never leaves the executors)
     val seed = e.orderBy("vec_id").limit(NLISTS)
       .select("embedding").as[Array[Float]].collect()
       .map(_.map(_.toDouble))
@@ -204,12 +209,6 @@ object Similarity {
       best
     }
     val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
-    // Lloyd refinement stays distributed: per-centroid sums fold on the
-    // executors (collect_list is bounded by the largest inverted list, not
-    // the corpus), and only the K centroid rows — the coarse quantizer
-    // itself — ever reach the driver. The fold runs over the vec_id-sorted
-    // list so the per-dimension mean is the same deterministic sequential
-    // double fold the oracle replays (`list(... ORDER BY vec_id)`).
     val refined: Array[Array[Double]] = assigned0
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -223,7 +222,13 @@ object Similarity {
       .as[(Int, Array[Double])]
       .collect()
       .sortBy(_._1).map(_._2)
-    val lists = e.withColumn("cid", assignUdf(refined)(col("embedding")))
+    (e, e.withColumn("cid", assignUdf(refined)(col("embedding"))), refined)
+  }
+
+  def similarityIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val NPROBE = Similarity.NPROBE
+    val (e, lists, refined) = ivfLists(s, d)
 
     // probe: rank centroids per query, take NPROBE nearest lists
     val probeUdf = udf { (emb: Seq[Float]) =>
@@ -244,6 +249,40 @@ object Similarity {
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
       .distinct()
     topkExact(scored)
+  }
+
+  /** Semantic diversity cap — the SemDeDup-family selection step: bound
+    * per-semantic-cluster redundancy by keeping at most CAP vectors per
+    * IVF list, most-central first (dot with the refined centroid, ties to
+    * the smaller vec_id). Near-identical embeddings land in one list and
+    * compete for the same CAP slots, so redundant mass is dropped while
+    * every occupied semantic region keeps representation.
+    *
+    * Exactness: the centrality dot is the same ascending-index sequential
+    * fold as the assignment UDF, so the doubles — and therefore the
+    * per-list ranks — are bit-identical in the oracle's replay; the
+    * reported centrality is rounded to 9 dp to absorb any future ulp
+    * drift. Scale shape: the rank window is PARTITIONED BY the list id
+    * (inverted-list-sized partitions, never global); centroids ride the
+    * UDF closure exactly like assignment. */
+  def corpusDiversityCap(s: SparkSession, d: String): DataFrame = {
+    val (_, lists, refined) = ivfLists(s, d)
+    val centDot = udf { (emb: Seq[Float], cid: Int) =>
+      val cent = refined(cid)
+      var acc = 0.0; var i = 0
+      while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+      acc
+    }
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("cdot").desc, col("vec_id").asc)
+    lists
+      .select(col("cid"), col("vec_id"),
+        centDot(col("embedding"), col("cid")).as("cdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DIVERSITY_CAP)
+      .select(col("cid"), col("vec_id"), col("rank"),
+        round(col("cdot"), 9).as("centrality"))
+      .orderBy("cid", "rank")
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage
@@ -349,6 +388,7 @@ object Similarity {
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
+    "corpus_diversity_cap"       -> (corpusDiversityCap _),
   )
 
   /** DuckDB CTE chain replaying the deterministic hyperplane draw and the
@@ -380,7 +420,46 @@ object Similarity {
        |  SUM(CASE WHEN bit THEN (1 << b) ELSE 0 END)::INTEGER AS sig
        |  FROM sigbits GROUP BY 1, 2)""".stripMargin
 
+  // Shared replay of the IVF coarse quantizer (mirrors ivfLists): seed
+  // centroids = first NLISTS vectors, argmax-dot assignment (strict >
+  // keeps the first max -> row_number tie-break on cid), one Lloyd pass
+  // whose per-dim means fold in vec_id order, reassignment against the
+  // refined centroids. `assign2` keeps the dot for downstream ranking.
+  private val ivfAssignSql =
+    s"""seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $NLISTS),
+       |assign1 AS (SELECT e.vec_id, s.cid,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
+       |    (acc, x) -> acc + x) AS dot
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+       |  FROM assign1) WHERE rn = 1),
+       |dimsums AS (SELECT a1.cid, i,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i+1]::DOUBLE ORDER BY e.vec_id)),
+       |    (acc, x) -> acc + x) / COUNT(*) AS c
+       |  FROM a1 JOIN embeddings e USING (vec_id), range($DIM) AS r(i)
+       |  GROUP BY a1.cid, i),
+       |cents AS (SELECT cid, list(c ORDER BY i) AS cent FROM dimsums GROUP BY cid),
+       |assign2 AS (SELECT e.vec_id, c.cid,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+       |    (acc, x) -> acc + x) AS dot
+       |  FROM embeddings e CROSS JOIN cents c),
+       |a2 AS (SELECT vec_id, cid, dot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+       |  FROM assign2) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // keeps at most CAP per refined list, most-central (a2 dot) first;
+    // ranks are identical because the dots are the identical fold
+    "corpus_diversity_cap" ->
+      s"""WITH $ivfAssignSql
+         |SELECT cid, vec_id, rank, round(dot, 9) AS centrality FROM (
+         |  SELECT cid, vec_id, dot, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY cid ORDER BY dot DESC, vec_id) AS INTEGER) AS rank
+         |  FROM a2) t
+         |WHERE rank <= $DIVERSITY_CAP ORDER BY cid, rank""".stripMargin,
     // replays both stages: exact integer code dots over the same
     // round-half-away quantization, quantized-norm cosine ranking
     // (deterministic: long dot, sqrt-of-long norms), then the standard
@@ -475,29 +554,7 @@ object Similarity {
     // nearest lists per query, exact rerank. All dots are the same
     // sequential double fold as the Spark plan's imperative loops.
     "similarity_ivf" ->
-      s"""WITH seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $NLISTS),
-         |assign1 AS (SELECT e.vec_id, s.cid,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
-         |    (acc, x) -> acc + x) AS dot
-         |  FROM embeddings e CROSS JOIN seeds s),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign1) WHERE rn = 1),
-         |dimsums AS (SELECT a1.cid, i,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i+1]::DOUBLE ORDER BY e.vec_id)),
-         |    (acc, x) -> acc + x) / COUNT(*) AS c
-         |  FROM a1 JOIN embeddings e USING (vec_id), range($DIM) AS r(i)
-         |  GROUP BY a1.cid, i),
-         |cents AS (SELECT cid, list(c ORDER BY i) AS cent FROM dimsums GROUP BY cid),
-         |assign2 AS (SELECT e.vec_id, c.cid,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
-         |    (acc, x) -> acc + x) AS dot
-         |  FROM embeddings e CROSS JOIN cents c),
-         |a2 AS (SELECT vec_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign2) WHERE rn = 1),
+      s"""WITH $ivfAssignSql,
          |probe AS (SELECT vec_id AS query_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),

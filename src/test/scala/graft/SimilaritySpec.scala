@@ -70,4 +70,23 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.hyperplanes()
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
+
+  test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
+    val rows = Similarity.corpusDiversityCap(spark, SF).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, v) =>
+      val sorted = v.sortBy(_._3)
+      assert(sorted.length <= 8)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      // centrality is non-increasing in rank order
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._4 >= lo._4)
+        case _ =>
+      }
+    }
+    // a capped list only exists where the quantizer put vectors: every
+    // kept vec_id is a real embedding row, kept at most once
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
 }
