@@ -361,7 +361,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class PhashOut(doc_id: Long, width: Int, phash: Long, n_bits: Int)
+
+  /** REAL perceptual hash (aHash) kernel — parses the PPM container like
+    * [[parsePpm]], grays each pixel ((r+g+b)/3, exact integer), samples a
+    * fixed 8x8 grid (x -> x*W/8 nearest-index, the same resize rule as
+    * [[multimodalImageResize]]), and sets bit (y*8+x) when the sampled
+    * gray is STRICTLY above the grid mean — compared as gray*64 > total,
+    * so the mean never leaves integer math. */
+  private def parsePpmPhash(docId: Long, p: Array[Byte]): PhashOut = {
+    require(p.length >= 2 && p(0) == 'P' && p(1) == '6',
+      s"doc $docId: not a P6 PPM payload")
+    // header scan: three whitespace-separated ASCII ints after the magic
+    var pos = 2
+    def nextInt(): Int = {
+      while (p(pos) == '\n' || p(pos) == ' ' || p(pos) == '\t') pos += 1
+      var v = 0
+      while (p(pos) >= '0' && p(pos) <= '9') { v = v * 10 + (p(pos) - '0'); pos += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); nextInt() // maxval read + ignored
+    pos += 1 // single whitespace after maxval
+    val raster = pos
+    def gray(x: Int, y: Int): Int = {
+      val o = raster + 3 * (y * w + x)
+      ((p(o) & 0xFF) + (p(o + 1) & 0xFF) + (p(o + 2) & 0xFF)) / 3
+    }
+    val g = Array.tabulate(8, 8)((y, x) => gray(x * w / 8, y * h / 8))
+    val total = g.map(_.sum.toLong).sum
+    var phash = 0L; var n = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) * 64L > total) { phash |= 1L << (y * 8 + x); n += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    PhashOut(docId, w, phash, n)
+  }
+
+  /** Perceptual image hash over the multimodal column: synthesize the PPM
+    * payload, genuinely parse it, emit the 64-bit aHash. The scale story
+    * is the dedup join downstream ([[multimodalImageDup]]): only 8-byte
+    * hashes shuffle, never rasters. */
+  def multimodalImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, tb) =>
+        parsePpmPhash(id, ppmBytes(id, tb)) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Image near-dup pairs: Hamming <= 7 on the perceptual hash, with the
+    * same 16-bit-block + asymmetric 1-bit multiprobe candidate scheme as
+    * the text SimHash operator (pigeonhole: 7 errors over 4 blocks leave
+    * one block with <= 1; the index side emits ONE key per block so a
+    * qualifying pair collides at most once per block). The Hamming test
+    * sits INSIDE the join condition — candidates die in-register. Only
+    * (block-key, hash) longs shuffle; the raster bytes never leave the
+    * decode kernel. */
+  def multimodalImageDup(s: SparkSession, d: String): DataFrame = {
+    val sig = multimodalImagePhash(s, d)
+      .select(col("doc_id"), col("phash").as("sig")).localCheckpoint()
+    def blockVal(b: Int) =
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+    val index = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        lit(b.toLong << 16) + blockVal(b)): _*)).as("bkey"))
+    val probes = sig.select(col("doc_id"), col("sig"),
+      explode(array((for { b <- 0 until 4; f <- -1 until 16 } yield {
+        val v = if (f < 0) blockVal(b)
+                else blockVal(b).bitwiseXOR(lit(1L << f))
+        lit(b.toLong << 16) + v
+      }): _*)).as("bkey"))
+    probes.as("l").join(index.as("r"),
+        col("l.bkey") === col("r.bkey") &&
+        col("l.doc_id") < col("r.doc_id") &&
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= 7)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
   val entries: Map[String, Q] = Map(
+    "multimodal_image_phash" -> (multimodalImagePhash _),
+    "multimodal_image_dup"  -> (multimodalImageDup _),
     "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "multimodal_video_frames" -> (multimodalVideoFrames _),
     "multimodal_decode"       -> (multimodalDecode _),
@@ -370,7 +461,50 @@ object Multimodal {
     "multimodal_image_resize" -> (multimodalImageResize _),
   )
 
+  // Shared aHash replay: raster byte k is text byte (k % len) (ASCII
+  // corpus: codepoint == byte), sampled pixel (x, y) is raster index
+  // y*w + (x*w // 8), gray is the exact integer (r+g+b)//3, and a bit is
+  // set when gray*64 > total. Bit 63 can't be built with a BIGINT shift
+  // (DuckDB overflows on 1<<63), so the sum runs in HUGEINT with the
+  // sign bit added as -(1<<63) and casts back to the same two's-
+  // complement BIGINT the Spark kernel packs.
+  private val phashSql =
+    """c AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+      |        CAST(8 + doc_id % 8 AS INTEGER) AS w
+      |      FROM documents WHERE octet_length(encode(text)) >= 1),
+      |g AS (SELECT doc_id, w, y, x,
+      |        (unicode(substr(text,
+      |           CAST((3*(y*w + (x*w)//8)) % len AS INTEGER) + 1, 1))
+      |       + unicode(substr(text,
+      |           CAST((3*(y*w + (x*w)//8) + 1) % len AS INTEGER) + 1, 1))
+      |       + unicode(substr(text,
+      |           CAST((3*(y*w + (x*w)//8) + 2) % len AS INTEGER) + 1, 1)))
+      |        // 3 AS gray
+      |      FROM c, range(8) ty(y), range(8) tx(x)),
+      |t AS (SELECT doc_id, SUM(gray)::BIGINT AS tot FROM g GROUP BY 1),
+      |ph AS (SELECT g.doc_id, g.w,
+      |        CAST(SUM(CASE WHEN gray * 64 > tot THEN
+      |          CASE WHEN y*8 + x = 63 THEN -(1::HUGEINT << 63)
+      |               ELSE (1::BIGINT << (y*8 + x))::HUGEINT END
+      |          ELSE 0::HUGEINT END) AS BIGINT) AS phash,
+      |        SUM(CASE WHEN gray * 64 > tot THEN 1 ELSE 0 END)::INTEGER
+      |          AS n_bits
+      |      FROM g JOIN t USING (doc_id) GROUP BY g.doc_id, g.w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "multimodal_image_phash" ->
+      s"""WITH $phashSql
+         |SELECT doc_id, w AS width, phash, n_bits
+         |FROM ph ORDER BY doc_id""".stripMargin,
+    // the banded candidate scheme is Spark-side only (recall-exact by
+    // pigeonhole); the oracle verifies the SEMANTICS all-pairs
+    "multimodal_image_dup" ->
+      s"""WITH $phashSql
+         |SELECT pa.doc_id AS a, pb.doc_id AS b,
+         |  bit_count(xor(pa.phash, pb.phash))::INTEGER AS hamming
+         |FROM ph pa JOIN ph pb ON pa.doc_id < pb.doc_id
+         |  AND bit_count(xor(pa.phash, pb.phash)) <= 7
+         |ORDER BY a, b""".stripMargin,
     // replays the Y4M synthesis contract: 8x8 mono frames, 1 + doc_id%10
     // frames, every 3rd sampled, luma byte (f*64+k) % len cycled from the
     // text (ASCII corpus: codepoint == byte); checksum exact in BIGINT

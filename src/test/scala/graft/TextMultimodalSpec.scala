@@ -60,6 +60,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("frame_no") >= col("n_frames")).count() == 0)
   }
 
+  test("image phash: popcount consistency; banded dup join == brute force") {
+    val ph = graft.ext.Multimodal.multimodalImagePhash(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(ph.length > 0)
+    ph.foreach { case (_, h, n) =>
+      assert(java.lang.Long.bitCount(h) == n)
+      assert(n < 64) // strictly-above-mean can never set every bit
+    }
+    // pigeonhole recall check: the 16-bit-block multiprobe join must find
+    // EXACTLY the all-pairs hamming<=7 relation
+    val brute = (for {
+      (a, ha, _) <- ph; (b, hb, _) <- ph if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    val got = graft.ext.Multimodal.multimodalImageDup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the corpus genuinely contains near-dup images
+  }
+
   test("token budget survives a degenerate single-score corpus") {
     // every document shares one score, so the whole corpus IS the
     // boundary class — the two-phase prefix scan must still produce
