@@ -129,11 +129,11 @@ object Bench {
       // the keys hit hardest by inherited pressure; quiesce() handles
       // the rest of the ordering sensitivity)
       val probe = Seq("dedup_ngram_jaccard", "dedup_containment",
-        "dedup_simhash", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_minhash_lsh", "dedup_block_ratio",
         "join_natural_5way", "window_cumulative", "agg_sum_group3",
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
-        "text_quality", "text_bm25", "text_contamination",
-        "events_funnel", "events_retention")
+        "text_quality", "text_repetition", "text_bm25",
+        "text_contamination", "events_funnel", "events_retention")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

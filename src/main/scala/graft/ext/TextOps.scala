@@ -496,6 +496,28 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs, made engine-portable and resumable: the
+    * first md5 byte of doc_id buckets each doc into 256 slots, cut
+    * 240/8/8 (93.75% / 3.125% / 3.125%). Any engine — or a later rerun
+    * over 100 TB — reproduces the same membership, and membership never
+    * shifts when the corpus grows (a doc's bucket depends only on its
+    * id). Emits the stratification report (per split x lang: docs,
+    * tokens) a pipeline checks before training; the assignment itself is
+    * a pure per-row projection ahead of one keyed aggregate. */
+  def corpusSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val nTok = (length(col("text")) -
+      length(translate(col("text"), " ", "")) + 1).cast("long")
+    val b = graft.Tables.md5Bucket(col("doc_id"), 2).cast("int")
+    load(s, d, "documents")
+      .select(col("lang"), nTok.as("n_tokens"),
+        when(b < 240, "train").when(b < 248, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Tokenizer-vocabulary coverage — the check a pipeline runs before
     * committing to a vocabulary: build the top-V corpus vocabulary
     * (V=64, ranked count desc then word asc — a deterministic boundary
@@ -525,6 +547,7 @@ object TextOps {
     "corpus_source_profile" -> (corpusSourceProfile _),
     "text_vocab_coverage"   -> (textVocabCoverage _),
     "text_repetition"       -> (textRepetition _),
+    "corpus_split_assign"   -> (corpusSplitAssign _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
@@ -542,6 +565,19 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5-byte bucket replay as sample_hash_portable; token counts
+    // via the length-difference formula both engines share
+    "corpus_split_assign" ->
+      """WITH t AS (SELECT lang,
+        |  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |    AS INTEGER) AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 240 THEN 'train'
+        |            WHEN b < 248 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS tokens
+        |FROM t GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     // the Spark side folds each row's SORTED gram array (zero shuffle);
     // the oracle counts the same multiplicities relationally — identical
     // integers, one BIGINT/BIGINT->double division per frac

@@ -66,6 +66,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_split_assign: stable 240/8/8 split, counts partition corpus") {
+    val rows = graft.ext.TextOps.corpusSplitAssign(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.load(spark, SF, "documents")
+    assert(rows.map(_._3).sum == docs.count())
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 240/256 expected train share; allow generous corpus-size noise
+    val trainFrac = bySplit("train").toDouble / docs.count()
+    assert(trainFrac > 0.85 && trainFrac < 0.99, s"train frac $trainFrac")
+    // membership is a pure function of doc_id: two runs identical
+    val again = graft.ext.TextOps.corpusSplitAssign(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("text_repetition's sorted-run fold equals a direct multiset count") {
     val docs = Tables.load(spark, SF, "documents")
       .select("doc_id", "text").collect()
