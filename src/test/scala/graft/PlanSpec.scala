@@ -196,6 +196,24 @@ class PlanSpec extends AnyFunSuite {
       s"no operator measured any time: $raw")
   }
 
+  test("text_repetition moves no data: the only exchange is the output sort") {
+    // the repetition metrics fold per row; nothing may shuffle besides
+    // the deterministic output ordering
+    val p = plan(graft.ext.TextOps.textRepetition(spark, SF))
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("block-ratio and diversity-cap plans stay keyed: no single partition") {
+    val pb = plan(graft.ext.Dedup.dedupBlockRatio(spark, SF))
+    assert(!pb.contains("Window") && !pb.contains("CartesianProduct"), pb)
+    assert(!pb.contains("SinglePartition"), s"global stage in block ratio:\n$pb")
+    val pd = plan(graft.ext.Similarity.corpusDiversityCap(spark, SF))
+    assert(!pd.contains("SinglePartition"),
+      s"global stage in diversity cap:\n$pd")
+  }
+
   test("shingle streams use the native one-pass hasher, no HOF fallback") {
     // higher-order transform lambdas are CodegenFallback; the dedup
     // shingle stream must plan the WordGramHashes kernel instead
