@@ -187,7 +187,15 @@ object Similarity {
     * Refinement stays distributed — per-centroid sums fold on the
     * executors over vec_id-sorted lists (the exact sequential double fold
     * the oracle replays with `list(... ORDER BY vec_id)`); only the K
-    * centroid rows ever reach the driver. */
+    * centroid rows ever reach the driver.
+    *
+    * Invariant: every seed list must stay non-empty after the first
+    * assignment — the refined-centroid array is indexed by POSITION of
+    * the surviving cids in sorted order, so an emptied list would shift
+    * indices (consistently within this engine, but away from the
+    * oracle's cid numbering). Holds on any corpus whose first NLISTS
+    * vectors are distinct, as here and in SfGen; both gated keys would
+    * hash-mismatch loudly if it ever broke. */
   private def ivfLists(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Array[Array[Double]]) = {
     import s.implicits._

@@ -90,6 +90,10 @@ object TextOps {
          |  acc -> acc.best)""".stripMargin
     load(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // < 3 tokens -> no 3-grams: the fracs would be 0/0. Filter in BOTH
+      // engines (the oracle's inner joins would otherwise drop the row
+      // while this side emits NULLs — same guard as the jaccard family)
+      .filter(size(col("ws")) >= 3)
       .withColumn("g2", expr(
         "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
       .withColumn("g3", expr(
@@ -583,7 +587,8 @@ object TextOps {
     // integers, one BIGINT/BIGINT->double division per frac
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents),
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
         |wc AS (SELECT doc_id, SUM(c)::BIGINT AS n, MAX(c) AS mx
         |       FROM (SELECT doc_id, t, COUNT(*)::BIGINT AS c

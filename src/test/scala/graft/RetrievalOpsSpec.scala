@@ -87,7 +87,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).toMap
     val got = graft.ext.TextOps.textRepetition(spark, SF).collect()
-    assert(got.length == docs.size)
+    assert(got.length == docs.count(_._2.length >= 3))
     got.foreach { r =>
       val ws = docs(r.getLong(0))
       def grams(k: Int) = ws.sliding(k).map(_.mkString(" ")).toSeq
