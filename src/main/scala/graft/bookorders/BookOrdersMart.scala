@@ -63,7 +63,7 @@ final class BookOrdersMart(
     * key comes from the two-phase distributed rank (§7.3's noted 100 TB
     * variant, [[graft.operators.Ranks.rowNumberByRange]]): at the fixture
     * scale (124 dates) it is equivalent to the single-partition
-    * row_number — PropertySpec pins that equality on random date sets —
+    * row_number — RanksSpec pins that equality on random date sets —
     * but it stays distributed when the distinct-date cardinality is
     * fact-scale (e.g. a per-second grain). */
   lazy val time: DataFrame = mat.create("time",

@@ -54,9 +54,15 @@ object Dedup {
     * word tuples and joined gram strings are in bijection, and Jaccard /
     * MinHash / prefix filtering need only a consistent shingle hash. */
   private[graft] def rawShingleHashes(s: SparkSession, d: String): DataFrame =
-    load(s, d, "documents")
-      .select(col("doc_id"), explode(
-        graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
+    rawShingleHashesOf(load(s, d, "documents"))
+
+  /** The same shingle projection over any `(doc_id, text)` relation — the
+    * ONE place the gram width and hash kernel live, so the batch dedups,
+    * the streaming filter, and the spec cross-checks can never drift onto
+    * inconsistent shingles. */
+  private[graft] def rawShingleHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
 
   /** Exact dedup: hash-groupBy on content, keep the lowest doc_id.
     * (assignment-5.sql:55 DISTINCT generalized to content identity.) */
@@ -296,9 +302,7 @@ object Dedup {
     * stream (duplicates change neither aggregate, so no distinct() pass).
     * Shared by the batch LSH dedup and the streaming ingestion filter. */
   private def minhashGroupedFrom(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(
-        graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3)).as("h"))
+    rawShingleHashesOf(docs)
       .groupBy("doc_id")
       .agg(
         graft.functions.MinHashAgg.minhash(col("h"), NUM_HASHES).as("sig"),
@@ -337,12 +341,16 @@ object Dedup {
     * additionally pins it against the PPJoin operator's cross-half pairs
     * — an algorithm-independent witness. */
   def dedupStreamMinhash(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     import org.apache.spark.sql.types._
+    // scratch keyed by the dataset dir (the ingest_csv_quoted precedent):
+    // a fixed path would let a later call for a different dir clobber the
+    // sink under an earlier, not-yet-executed returned DataFrame
     val scratch = graft.matview.Materializer.defaultScratch
-    val staged = Paths.get(s"$scratch/stream_dedup_src")
-    val sink = Paths.get(s"$scratch/stream_dedup_hits")
-    val ckpt = Paths.get(s"$scratch/stream_dedup_ckpt")
+    val key = f"${d.hashCode & 0x7fffffff}%08x"
+    val staged = Paths.get(s"$scratch/stream_dedup_src_$key")
+    val sink = Paths.get(s"$scratch/stream_dedup_hits_$key")
+    val ckpt = Paths.get(s"$scratch/stream_dedup_ckpt_$key")
     Seq(staged, sink, ckpt).foreach(graft.streaming.StreamingOps.del)
 
     val docs = load(s, d, "documents")
@@ -381,21 +389,22 @@ object Dedup {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_hist_dups"),
             max(col("jaccard")).as("max_jaccard"))
-        if (hits.head(1).nonEmpty)
-          hits.write.mode("append").parquet(sink.toString)
+        // write unconditionally — a head(1) emptiness probe would execute
+        // the whole band-join + verify once, then write would recompute it
+        hits.write.mode("append").parquet(sink.toString)
         ()
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
 
-    if (Files.exists(sink)) s.read.parquet(sink.toString).orderBy("doc_id")
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
+    // explicit schema: an all-empty run writes the sink dir with zero
+    // part files (the committer still creates it), so inference would fail
+    s.read.schema(StructType(Seq(
         StructField("doc_id", LongType),
         StructField("n_hist_dups", LongType),
         StructField("max_jaccard", DoubleType))))
+      .parquet(sink.toString).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit signature from tf-weighted token hash

@@ -1,82 +1,123 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Distributed global row numbering — the two-phase rank that replaces a
-  * single-partition `row_number() OVER (ORDER BY ...)` window.
+/** Distributed global row numbering / prefix scan — the two-phase shape
+  * that replaces a single-partition `OVER (ORDER BY ...)` window.
   *
   * Phase 1 range-partitions the input on the sort order (contiguous key
-  * ranges, every row of partition i ordered before every row of partition
-  * i+1) and numbers rows locally with a window PARTITIONED by the range
-  * partition id. Phase 2 turns the per-partition row counts — at most
+  * ranges: every row of partition i orders before every row of partition
+  * i+1), sorts within partitions, and runs ONE narrow per-partition scan
+  * that emits each row's local running total and its partition id — no
+  * window, so Spark inserts no second exchange (a `Window.partitionBy(pid)`
+  * here would re-shuffle the whole relation to hashpartitioning(pid) on
+  * top of the range exchange). The scanned result is localCheckpointed:
+  * the range sampler draws boundaries with a per-instantiation seed, so
+  * the per-partition counts MUST be read from the same materialized pass
+  * that numbered the rows — deriving them from a second instantiation of
+  * the plan would only be correct while exchange reuse happens to unify
+  * the subtrees. Phase 2 turns the per-partition totals — at most
   * `numPartitions` rows — into exclusive prefix offsets with a tiny
-  * triangle join (no global window anywhere, so the plan carries no
-  * SinglePartition exchange at all) and broadcast-joins them back:
-  * `global rank = offset(partition) + local row number`.
+  * triangle join and broadcast-joins them back:
+  * `global value = offset(partition) + local running value`.
   *
-  * The result is identical to the single-partition window for any TOTAL
-  * sort order, regardless of where the sampled range boundaries fall —
-  * ranks are boundary-independent — which PropertySpec pins against the
-  * naive form on random inputs. The caller must pass a total order (add a
-  * unique tie-break column if the primary key can repeat): range
-  * partitioning sends equal keys to one partition, but the local row
-  * number among ties would then depend on intra-partition order.
+  * The single wide data movement is the range exchange; everything after
+  * it is narrow or numPartitions-sized. The result is identical to the
+  * single-partition window for any TOTAL sort order, regardless of where
+  * the sampled range boundaries fall — which RanksSpec pins against the
+  * naive form on random inputs (and RanksSpec/PlanSpec pin the plan shape:
+  * the staging plan's only exchange is the range exchange). The caller
+  * must pass a total order (add a unique tie-break column if the primary
+  * key can repeat): range partitioning sends equal keys to one partition,
+  * but the local scan among ties would then depend on intra-partition
+  * order. NULL running-sum values count as 0 (SQL `sum() OVER` instead
+  * carries nulls through an all-null prefix); both current callers feed
+  * non-null longs.
   */
 object Ranks {
+
+  private val PID = "__rank_pid"
+  private val RN = "__rank_rn"
+  private val RUN = "__rank_run"
+  private val V = "__rank_v"
+  private val OFF = "__rank_off"
+  private val PID2 = "__rank_pid2"
 
   def rowNumberByRange(
       df: DataFrame,
       numPartitions: Int,
       order: Seq[Column],
       out: String): DataFrame =
-    prefixByRange(df, numPartitions, order,
-      localOver = w => row_number().over(w).cast("long"),
-      partTotal = count(lit(1)))
-      .withColumn(out, (col("__rank_off") + col("__rank_local")).cast("int"))
-      .drop("__rank_local", "__rank_off")
+    prefixByRange(df, numPartitions, order, lit(1L))
+      .withColumn(out, (col(OFF) + col(RUN)).cast("int"))
+      .drop(RN, RUN, OFF)
 
-  /** Distributed inclusive running sum of `value` in `order` — the prefix
-    * scan behind budget cuts and cumulative quotas, same two-phase shape
-    * as [[rowNumberByRange]] (and the same total-order precondition). */
+  /** Distributed inclusive running sum of `value` (a non-null long) in
+    * `order` — the prefix scan behind budget cuts and cumulative quotas,
+    * same two-phase shape as [[rowNumberByRange]] (and the same
+    * total-order precondition). */
   def runningSumByRange(
       df: DataFrame,
       numPartitions: Int,
       order: Seq[Column],
       value: Column,
       out: String): DataFrame =
-    prefixByRange(df.withColumn("__rank_v", value), numPartitions, order,
-      localOver = w => sum(col("__rank_v")).over(w),
-      partTotal = sum(col("__rank_v")))
-      .withColumn(out, col("__rank_off") + col("__rank_local"))
-      .drop("__rank_local", "__rank_off", "__rank_v")
+    prefixByRange(df, numPartitions, order, value.cast("long"))
+      .withColumn(out, col(OFF) + col(RUN))
+      .drop(RN, RUN, OFF)
 
-  /** Shared two-phase core: range partition on the sort order, a local
-    * per-partition window (`localOver`, partitioned by the range partition
-    * id), and each partition's exclusive prefix offset (`partTotal` rolled
-    * up per partition — at most `numPartitions` rows — then prefix-summed
-    * with a tiny triangle join and broadcast back). No global window, so
-    * no SinglePartition exchange anywhere in the plan. */
+  /** Phase 1 BEFORE materialization — exposed so the specs can pin the
+    * staging plan (exactly one exchange, the range one; no Window, no
+    * SinglePartition). The public entry points checkpoint this. */
+  private[graft] def scanStaging(
+      df: DataFrame,
+      numPartitions: Int,
+      order: Seq[Column],
+      value: Column): DataFrame = {
+    val base = df
+      .withColumn(V, value)
+      .repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = base.schema
+      .add(PID, IntegerType, nullable = false)
+      .add(RN, LongType, nullable = false)
+      .add(RUN, LongType, nullable = false)
+    val vIdx = base.schema.fieldIndex(V)
+    base.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var rn = 0L
+      var acc = 0L
+      it.map { r =>
+        rn += 1
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ pid :+ rn :+ acc)
+      }
+    }(Encoders.row(schema)).drop(V)
+  }
+
+  /** Shared two-phase core: the phase-1 scan, pinned by localCheckpoint,
+    * then per-partition totals -> exclusive prefix offsets (triangle join
+    * over at most `numPartitions` rows) broadcast back. Output carries
+    * `RN` (local 1-based row number), `RUN` (global inclusive running
+    * value), `OFF` (exclusive partition offset) for the wrappers. */
   private def prefixByRange(
       df: DataFrame,
       numPartitions: Int,
       order: Seq[Column],
-      localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
-      partTotal: Column): DataFrame = {
-    val parts = df
-      .repartitionByRange(numPartitions, order: _*)
-      .withColumn("__rank_pid", spark_partition_id())
-    val local = parts.withColumn("__rank_local",
-      localOver(Window.partitionBy(col("__rank_pid")).orderBy(order: _*)))
-    val counts = parts.groupBy(col("__rank_pid"))
-      .agg(partTotal.as("__rank_n"))
+      value: Column): DataFrame = {
+    val scanned = scanStaging(df, numPartitions, order, value).localCheckpoint()
+    val counts = scanned.groupBy(col(PID))
+      // the partition's total = its LAST running value (max_by on the
+      // local row number, not max: sums of negative values regress)
+      .agg(max_by(col(RUN), col(RN)).as("__rank_n"))
     val offsets = counts.as("a")
-      .join(counts.as("b"),
-        col("b.__rank_pid") < col("a.__rank_pid"), "left")
-      .groupBy(col("a.__rank_pid").as("__rank_pid2"))
-      .agg(coalesce(sum(col("b.__rank_n")), lit(0L)).as("__rank_off"))
-    local.join(broadcast(offsets), col("__rank_pid") === col("__rank_pid2"))
-      .drop("__rank_pid", "__rank_pid2")
+      .join(counts.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left")
+      .groupBy(col(s"a.$PID").as(PID2))
+      .agg(coalesce(sum(col("b.__rank_n")), lit(0L)).as(OFF))
+    scanned.join(broadcast(offsets), col(PID) === col(PID2))
+      .drop(PID, PID2)
   }
 }

@@ -214,7 +214,7 @@ object Extras {
     * sorts rows before hashing, so bare output order is invisible). Both
     * total orders are computed with the two-phase distributed rank
     * ([[graft.operators.Ranks.rowNumberByRange]]) — range partition +
-    * local row_number + tiny offset join — so pointing this at a
+    * narrow local scan + tiny offset join — so pointing this at a
     * fact-sized table never funnels it through one task; (seg, c_custkey)
     * is a total order, the helper's precondition. */
   def orderbyNulls(s: SparkSession, d: String): DataFrame = {

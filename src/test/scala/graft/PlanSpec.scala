@@ -147,15 +147,18 @@ class PlanSpec extends AnyFunSuite {
       s"write clustering is not a distributed hash exchange:\n$p")
   }
 
-  test("orderby_nulls ranks without any single-partition exchange") {
-    // the two-phase rank (range partition + local window + tiny offset
-    // join) must leave no global window or SinglePartition exchange —
-    // the plan shape that survives pointing the key at a fact table
+  test("orderby_nulls ranks without any single-partition exchange or window") {
+    // the two-phase rank (range partition + narrow local scan + tiny
+    // offset join) must leave no window at all and no SinglePartition
+    // exchange — the plan shape that survives pointing the key at a fact
+    // table. The range exchange itself runs eagerly inside the rank's
+    // checkpoint; RanksSpec pins the staging plan (exactly one exchange,
+    // the range one).
     val p = plan(graft.queries.Extras.orderbyNulls(spark, SF))
     assert(!p.contains("SinglePartition"),
       s"single-partition exchange in orderby_nulls plan:\n$p")
-    assert(p.contains("rangepartitioning("),
-      s"two-phase rank's range exchange missing:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"window survived in orderby_nulls plan:\n$p")
   }
 
   test("stream-mv chunk staging is distributed: range exchange, no window") {

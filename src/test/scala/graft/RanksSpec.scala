@@ -63,6 +63,33 @@ class RanksSpec extends AnyFunSuite {
     assert(two == one)
   }
 
+  test("staging plan: one range exchange, no window, no single partition") {
+    // phase 1 must move the data exactly once (the range exchange) — a
+    // window partitioned by the range pid would re-shuffle everything to
+    // hashpartitioning(pid); the narrow mapPartitions scan must not
+    val df = (1L to 100L).map(i => (i * 7 % 101, 1L)).toDF("k", "v")
+      .repartition(4)
+    val p = Ranks.scanStaging(df, 8, Seq(col("k")), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning("), s"range exchange missing:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"second full-data exchange in the staging plan:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"window in the staging plan:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
+  }
+
+  test("running sum is correct with negative values (max_by totals, not max)") {
+    val rows = (1L to 400L).map(i => (i * 29 % 401, (i % 11) - 5L))
+    val df = rows.toDF("k", "v").repartition(6)
+    def dump(d: DataFrame) = d.select("k", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = dump(Ranks.runningSumByRange(df, 8, Seq(col("k")), col("v"), "run"))
+    val one = dump(df.withColumn("run",
+      sum("v").over(Window.orderBy(col("k")))))
+    assert(two == one)
+  }
+
   test("two-phase rank output is dense 1..N") {
     val df = (1L to 300L).map(i => (i * 37 % 301, i)).toDF("a", "b")
     val ranks = Ranks.rowNumberByRange(df, 8, Seq(col("a"), col("b")), "rn")
