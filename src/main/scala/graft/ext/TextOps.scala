@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -247,8 +246,12 @@ object TextOps {
     * the degenerate corpus where every document shares one score — the
     * whole corpus IS the boundary class — never funnels through a single
     * task (TextMultimodalSpec pins that case against the naive global
-    * window). The only global window in this plan runs over the per-score
-    * aggregate, not the corpus. */
+    * window). The per-score prefix sum itself is ALSO a Ranks scan —
+    * score is unique after the rollup, so it is a total order — which
+    * keeps the opposite degenerate corpus safe too: a continuous score
+    * makes the "tiny" per-score relation corpus-sized, and a global
+    * window over it would funnel the corpus through one task. No global
+    * window remains anywhere in this plan (ProfGlobalWin scans clean). */
   def corpusTokenBudget(s: SparkSession, d: String): DataFrame =
     tokenBudgetSelect(load(s, d, "documents").select(
       col("doc_id"),
@@ -259,9 +262,9 @@ object TextOps {
     * engine of [[corpusTokenBudget]], split out so the degenerate
     * single-score corpus is testable directly. */
   private[graft] def tokenBudgetSelect(t: DataFrame, budget: Long): DataFrame = {
-    val perScore = t.groupBy("score").agg(sum("n_tokens").as("stok"))
-      .withColumn("cumTo",
-        sum("stok").over(Window.orderBy(col("score").desc)))
+    val perScore = graft.operators.Ranks.runningSumByRange(
+        t.groupBy("score").agg(sum("n_tokens").as("stok")),
+        8, Seq(col("score").desc), col("stok"), "cumTo")
       .select(col("score"), col("stok"), (col("cumTo") - col("stok")).as("tokAbove"))
     val classed = t.join(broadcast(perScore), "score")
     val fullIn = classed.filter(col("tokAbove") + col("stok") <= budget)

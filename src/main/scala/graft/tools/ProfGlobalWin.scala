@@ -17,11 +17,15 @@ object ProfGlobalWin {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val keys = graft.Bench.headline ++ Seq(
-      "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
-      "dedup_minhash_lsh", "agg_count_distinct", "similarity_ann_lsh",
-      "similarity_ivf", "text_bm25", "text_contamination",
-      "events_funnel", "events_retention")
+    // args after the dir: explicit key list (e.g. the tools.Plans set);
+    // default = the bench tiers
+    val keys =
+      if (args.length > 1) args.drop(1).toSeq
+      else graft.Bench.headline ++ Seq(
+        "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
+        "dedup_minhash_lsh", "agg_count_distinct", "similarity_ann_lsh",
+        "similarity_ivf", "text_bm25", "text_contamination",
+        "events_funnel", "events_retention")
     keys.distinct.foreach { k =>
       try {
         val plan = graft.SparkEntry.queries(k)(spark, dir)
