@@ -138,6 +138,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0)) // the corpus genuinely shares blocks
   }
 
+  test("span coverage: planted copies yield exact interval-union counts") {
+    import spark.implicits._
+    // unique filler vocabulary per doc so ONLY the planted spans collide:
+    // doc 1 and doc 2 share a 20-token run; doc 3 is an exact copy of
+    // doc 4 (everything covered); doc 5 shares nothing.
+    def toks(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val shared = toks("sh", 20)
+    val docs = Seq(
+      (1L, (toks("a", 7) ++ shared ++ toks("b", 9)).mkString(" ")),
+      (2L, (toks("c", 11) ++ shared ++ toks("e", 5)).mkString(" ")),
+      (3L, toks("x", 30).mkString(" ")),
+      (4L, toks("x", 30).mkString(" ")),
+      (5L, toks("z", 40).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.spanCoverageOf(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a 20-token shared run has 5 stride-1 16-token spans (positions
+    // p..p+4): union = 16 + 4*1 = 20 covered tokens on each side
+    assert(got(1L) == ((36L, 5L, 20L)))
+    assert(got(2L) == ((36L, 5L, 20L)))
+    // exact copies: every span duplicated, union = whole doc
+    assert(got(3L) == ((30L, 15L, 30L)))
+    assert(got(4L) == ((30L, 15L, 30L)))
+    assert(got(5L) == ((40L, 0L, 0L)))
+  }
+
+  test("span coverage beats block ratio on a block-straddling copy") {
+    import spark.implicits._
+    // a 16-token copy placed at offset 8 straddles both docs' block
+    // grids differently — block hashing sees nothing, span hashing must
+    def toks(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val copy = toks("cp", 16)
+    val docs = Seq(
+      (1L, (toks("a", 8) ++ copy ++ toks("b", 8)).mkString(" ")),
+      (2L, (toks("c", 3) ++ copy ++ toks("e", 13)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val cov = graft.ext.Dedup.spanCoverageOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(cov(1L) == 16L && cov(2L) == 16L)
+  }
+
   test("source matrix is a triangular partition of the near-dup pair graph") {
     val rows = Dedup.dedupSourceMatrix(spark, SF).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

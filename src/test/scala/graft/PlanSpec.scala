@@ -217,6 +217,17 @@ class PlanSpec extends AnyFunSuite {
       s"global stage in diversity cap:\n$pd")
   }
 
+  test("span coverage: native kernel, broadcast dup set, keyed window only") {
+    val p = plan(graft.ext.Dedup.dedupSpanCoverage(spark, SF))
+    assert(p.contains("graft_word_gram_hashes"), s"native hasher missing:\n$p")
+    assert(!p.contains("ArrayTransform") && !p.contains("lambdafunction"),
+      s"interpreted higher-order function in the span stream:\n$p")
+    assert(!p.contains("SinglePartition"), s"global stage:\n$p")
+    // the duplicated-span set must broadcast back onto the span stream —
+    // a shuffled hit join would move the whole stream a second time
+    assert(p.contains("BroadcastHashJoin"), s"dup-set join not broadcast:\n$p")
+  }
+
   test("shingle streams use the native one-pass hasher, no HOF fallback") {
     // higher-order transform lambdas are CodegenFallback; the dedup
     // shingle stream must plan the WordGramHashes kernel instead
