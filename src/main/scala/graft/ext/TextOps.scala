@@ -412,6 +412,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Importance-resampling weights for domain-targeted data selection —
+    * the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every document by the
+    * log-likelihood ratio between a TARGET domain model (here the
+    * `lang = 'en'` slice, standing in for any curated in-domain set) and
+    * the PROPOSAL model fit on the whole corpus. Both are Laplace-
+    * smoothed unigram models over the SHARED full-corpus vocabulary, so
+    * a word the target never saw still scores (smoothed toward the
+    * floor) instead of zeroing the document.
+    *
+    * Determinism is the [[textUnigramNll]] contract: the per-word log
+    * RATIO is quantized to an e9 long in the materialized model — the
+    * one ln() per engine lands on identical double inputs and the
+    * rounding absorbs ulp divergence — so each doc's score is an exact
+    * integer fold, order-independent under any partitioning, with one
+    * final division. `target_like` (weight > 1 ⟺ the doc is more
+    * probable under the target domain) is decided on the LONG, never a
+    * double compare. 100 TB shape mirrors the NLL key: the fitted model
+    * is a materialized vocab-sized artifact (~sqrt corpus, Heaps),
+    * Zipf-head words broadcast (covering almost all token instances),
+    * the tail resolves through a hash join, and the corpus never moves
+    * except the (doc_id, w, tf) stream. */
+  def corpusImportanceWeights(s: SparkSession, d: String): DataFrame =
+    importanceWeightsOf(s, load(s, d, "documents"),
+      f"dsir_ld_${d.hashCode & 0x7fffffff}%08x")
+
+  /** The scoring engine over any `(doc_id, lang, text)` relation — split
+    * out so the spec can plant a two-domain corpus with a known sign
+    * structure. `artifact` keys the materialized model (dataset-keyed by
+    * the public entry — the fixed-path clobber hazard). */
+  private[graft] def importanceWeightsOf(
+      s: SparkSession, docs: DataFrame, artifact: String): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      // lang is functionally dependent on doc_id — carrying it through
+      // the groupBy costs nothing and saves a join back to documents
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(
+      sum("tf").as("c_all"),
+      sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_tgt"))
+    val tot = vocab.agg(sum(col("c_all")).as("t_all"),
+      sum(col("c_tgt")).as("t_tgt"), count(lit(1)).as("v_size"))
+    val model = graft.matview.Materializer(s).create(artifact,
+      vocab.crossJoin(broadcast(tot))
+        .select(col("w"), col("c_all"),
+          round((log((col("c_tgt").cast("double") + lit(1.0)) /
+              (col("t_tgt").cast("double") + col("v_size").cast("double"))) -
+            log((col("c_all").cast("double") + lit(1.0)) /
+              (col("t_all").cast("double") + col("v_size").cast("double")))) *
+            lit(1000000000.0)).cast("long").as("ld_e9")))
+    val head = model.orderBy(col("c_all").desc, col("w")).limit(1000)
+      .select("w", "ld_e9")
+    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val resolved = viaHead.filter(col("ld_e9").isNotNull)
+      .unionByName(viaHead.filter(col("ld_e9").isNull).drop("ld_e9")
+        .join(model.select("w", "ld_e9"), "w"))
+    resolved.groupBy("doc_id")
+      .agg(sum(col("tf") * col("ld_e9")).as("lw_e9"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lw_e9").cast("double") / lit(1000000000.0), 6)
+          .as("log_weight"),
+        (col("lw_e9") > 0L).as("target_like"))
+      .orderBy("doc_id")
+  }
+
   /** Dataset-mixture balancing: compute per-language sampling weights that
     * hit an equal-share token budget, then apply them with the portable
     * md5-fraction sampler — the "mix the training set to target
@@ -558,6 +625,7 @@ object TextOps {
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
+    "corpus_importance_weights" -> (corpusImportanceWeights _),
     "text_bm25"        -> (textBm25 _),
     "text_chunk"       -> (textChunk _),
     "text_contamination" -> (textContamination _),
@@ -690,6 +758,35 @@ object TextOps {
         |  round(-(sum(tf * lp_e9)::DOUBLE) /
         |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
         |FROM tf JOIN lp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // two Laplace models over the shared vocabulary; the per-word log
+    // RATIO quantizes to an e9 long (two ln() calls on identical double
+    // inputs — the rounding absorbs their combined ulp divergence, the
+    // text_unigram_nll contract), so the per-doc fold is exact integer
+    // arithmetic and target_like is decided on the long
+    "corpus_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, lang, w, count(*)::BIGINT AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |v AS (SELECT w, sum(tf)::BIGINT AS c_all,
+        |        sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)::BIGINT
+        |          AS c_tgt
+        |      FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(c_all)::BIGINT AS t_all,
+        |          sum(c_tgt)::BIGINT AS t_tgt,
+        |          count(*)::BIGINT AS v_size FROM v),
+        |ld AS (SELECT w, round((ln((c_tgt::DOUBLE + 1.0) /
+        |           (t_tgt::DOUBLE + v_size::DOUBLE)) -
+        |         ln((c_all::DOUBLE + 1.0) /
+        |           (t_all::DOUBLE + v_size::DOUBLE))) *
+        |         1000000000.0)::BIGINT AS ld_e9
+        |       FROM v CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |  round(sum(tf * ld_e9)::DOUBLE / 1000000000.0, 6) AS log_weight,
+        |  sum(tf * ld_e9) > 0 AS target_like
+        |FROM tf JOIN ld USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same stats, same formula with identical literal constants and
     // left-associated arithmetic, so every double matches bitwise up to

@@ -53,6 +53,36 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) <= bound))
   }
 
+  test("importance weights: planted two-domain corpus has the right signs") {
+    import spark.implicits._
+    // target (en) speaks 'tt*' words, proposal-only (de) speaks 'pp*';
+    // 'mix' docs use both. A doc of pure target vocabulary must weigh
+    // above 1 (log_weight > 0, target_like), pure proposal vocabulary
+    // below 1 — the DSIR selection direction.
+    def words(tag: String, n: Int, rep: Int) =
+      (0 until n).flatMap(i => Seq.fill(rep)(s"$tag$i")).mkString(" ")
+    val docs = (
+      (1L to 8L).map(i => (i, "en", words("tt", 6, 3))) ++
+      (9L to 16L).map(i => (i, "de", words("pp", 6, 3))) ++
+      Seq((17L, "de", words("tt", 6, 2) + " " + words("pp", 2, 1)))
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextOps
+      .importanceWeightsOf(spark, docs, "dsir_spec_planted")
+      .collect().map(r =>
+        (r.getLong(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    (1L to 8L).foreach { i =>
+      assert(out(i)._1 > 0 && out(i)._2, s"target doc $i not target_like")
+    }
+    (9L to 16L).foreach { i =>
+      assert(out(i)._1 < 0 && !out(i)._2, s"proposal doc $i target_like")
+    }
+    // the mixed doc is mostly target vocabulary -> still target-like
+    assert(out(17L)._2)
+    // weights are a likelihood RATIO: sign flips with the domain, and
+    // pure-target docs all share one score (identical token multisets)
+    assert(out.filter(_._1 <= 8L).values.map(_._1).toSet.size == 1)
+  }
+
   test("corpus_mix_weights downsamples only over-budget classes") {
     val rows = graft.ext.TextOps.corpusMixWeights(spark, SF).collect()
     assert(rows.nonEmpty)
