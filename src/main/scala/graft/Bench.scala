@@ -133,6 +133,7 @@ object Bench {
         "dedup_span_coverage",
         "join_natural_5way", "window_cumulative", "agg_sum_group3",
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
+        "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
         "text_contamination", "events_funnel", "events_retention")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
@@ -336,6 +337,7 @@ object Bench {
       Seq("lsh" -> recall("similarity_ann_lsh"),
         "ivf" -> recall("similarity_ivf"),
         "quantized" -> recall("similarity_ann_quantized"),
+        "ivf_pq" -> recall("similarity_ivf_pq"),
         "embedding_dedup" -> dedupRecall)
     }
 

@@ -390,8 +390,149 @@ object Similarity {
     topkExact(scored)
   }
 
+  // product quantization geometry: M subspaces of SUBDIM dims, KSUB
+  // codes per subspace -> M 4-bit codes = 4 bytes/vector at DIM=64
+  // (vs 256 float bytes), the compression that lets a 100 TB corpus's
+  // index live in executor memory
+  private val PQ_M = 8
+  private val PQ_SUBDIM = DIM / PQ_M
+  private val PQ_KSUB = 16
+
+  /** IVF-PQ: the production-scale ANN composition — the [[ivfLists]]
+    * coarse quantizer prunes the corpus to NPROBE inverted lists per
+    * query, per-subspace product-quantization codes compress every
+    * vector to [[PQ_M]] 4-bit code ids, candidates are scored by
+    * asymmetric distance computation (ADC: one query-side lookup table
+    * of query-subvector x codeword dots, the candidate's approximate dot
+    * = M table adds, never touching its floats), and the ADC shortlist
+    * is reranked on exact cosine — the [[similarityAnnQuantized]]
+    * two-stage contract with a pruned, compressed first stage.
+    *
+    * PQ codebooks are trained like the coarse quantizer: deterministic
+    * seeds (the first KSUB vectors' subvectors), nearest-codeword
+    * assignment by squared L2 (sequential fold, ties to the lowest
+    * code), ONE Lloyd refinement whose per-dim means fold in vec_id
+    * order on the executors — so the oracle replays training, encoding,
+    * ADC, and rerank exactly. Codes here quantize RAW vectors (not
+    * IVF residuals): residual PQ recenters each list before encoding
+    * for tighter cells, at the price of coupling the codebook to the
+    * coarse assignment; the shared-codebook form keeps the two stages
+    * independent (either can be rebuilt alone) and the exact rerank
+    * absorbs the lost precision at these list sizes.
+    *
+    * Every seed subvector of one subspace must be distinct (the
+    * [[ivfLists]] seed invariant, per subspace): a duplicated seed pair
+    * would leave the higher code id memberless (every tie breaks low),
+    * and the refine fold indexes codewords by id. Holds here and in
+    * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
+  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, lists, coarse) = ivfLists(s, d)
+
+    // --- PQ training: seeds -> assign -> one Lloyd pass -> codebooks
+    val seedCb: Array[Array[Array[Double]]] = {
+      val rows = lists.orderBy("vec_id").limit(PQ_KSUB)
+        .select("embedding").as[Array[Float]].collect()
+      Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
+        rows(k)(m * PQ_SUBDIM + i).toDouble)
+    }
+    def encodeUdf(cb: Array[Array[Array[Double]]]) = udf { (emb: Seq[Float]) =>
+      Array.tabulate(PQ_M) { m =>
+        var best = 0; var bestDist = Double.MaxValue
+        var k = 0
+        while (k < PQ_KSUB) {
+          var acc = 0.0; var i = 0
+          while (i < PQ_SUBDIM) {
+            val dd = emb(m * PQ_SUBDIM + i) - cb(m)(k)(i)
+            acc += dd * dd; i += 1
+          }
+          if (acc < bestDist) { bestDist = acc; best = k }
+          k += 1
+        }
+        best
+      }
+    }
+    val codes0 = lists.withColumn("codes", encodeUdf(seedCb)(col("embedding")))
+    val refinedCb: Array[Array[Array[Double]]] = {
+      val rows = codes0
+        .select(col("vec_id"), explode(array((0 until PQ_M).map(m =>
+          struct(lit(m).as("m"), col("codes")(m).as("code"),
+            slice(col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM).as("sv")))
+          : _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.code").as("code"),
+          col("x.sv").as("sv"))
+        .groupBy("m", "code")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("sv"))))
+          .as("vs"))
+        .select(col("m"), col("code"), expr(
+          s"""transform(
+             |  aggregate(vs, array_repeat(CAST(0 AS DOUBLE), $PQ_SUBDIM),
+             |    (acc, v) -> zip_with(acc, v.sv,
+             |      (a, x) -> a + CAST(x AS DOUBLE))),
+             |  t -> t / size(vs))""".stripMargin).as("cent"))
+        .as[(Int, Int, Array[Double])].collect()
+      require(rows.length == PQ_M * PQ_KSUB,
+        s"PQ refine lost a codeword: ${rows.length} of ${PQ_M * PQ_KSUB}")
+      val cb = Array.ofDim[Array[Double]](PQ_M, PQ_KSUB)
+      rows.foreach { case (m, k, c) => cb(m)(k) = c }
+      cb
+    }
+    val codes = lists.withColumn("codes", encodeUdf(refinedCb)(col("embedding")))
+
+    // --- query side: coarse probe + ADC lookup table
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      coarse.zipWithIndex.map { case (cent, cid) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).take(NPROBE).map(_._2)
+    }
+    val lutUdf = udf { (emb: Seq[Float]) =>
+      Array.tabulate(PQ_M * PQ_KSUB) { j =>
+        val m = j / PQ_KSUB; val k = j % PQ_KSUB
+        var acc = 0.0; var i = 0
+        while (i < PQ_SUBDIM) {
+          acc += emb(m * PQ_SUBDIM + i) * refinedCb(m)(k)(i); i += 1
+        }
+        acc
+      }
+    }
+    val queries = lists.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        lutUdf(col("embedding")).as("lut"),
+        explode(probeUdf(col("embedding"))).as("cid"))
+      .drop("qe")
+
+    // --- stage 1: ADC over the probed lists (M table adds per candidate,
+    // fold in subspace order — the oracle's left-associated sum)
+    val approx = broadcast(queries)
+      .join(codes.select("cid", "vec_id", "codes"), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr(
+        s"""aggregate(sequence(0, ${PQ_M - 1}), CAST(0 AS DOUBLE),
+           |  (acc, m) -> acc + lut[m * $PQ_KSUB + codes[m]])"""
+          .stripMargin).as("ascore"))
+    val cand = approx.groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .top_k(col("ascore"), col("vec_id"), RERANK_WIDTH).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id")).as("vec_id"))
+
+    // --- stage 2: exact float rerank of the ADC shortlist
+    val full = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val fq = full.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn2"))
+    val scored = cand
+      .join(broadcast(fq), "query_id")
+      .join(full, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn2") * col("nrm")), 9).as("score"))
+    topkExact(scored)
+  }
+
   val entries: Map[String, Q] = Map(
     "similarity_ann_quantized"   -> (similarityAnnQuantized _),
+    "similarity_ivf_pq"          -> (similarityIvfPq _),
     "embedding_quantize"         -> (embeddingQuantize _),
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
@@ -458,7 +599,82 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
        |  FROM assign2) WHERE rn = 1)""".stripMargin
 
+  /** Per-subspace PQ training/encoding/LUT CTEs, program-generated per
+    * subspace m: raw subvectors, seed codewords (first KSUB vectors),
+    * squared-L2 nearest assignment (sequential fold, ties to lowest
+    * code), one Lloyd pass with vec_id-ordered per-dim mean folds,
+    * re-assignment, and the query-side codeword dot table — each the
+    * exact arithmetic of the Spark UDFs/folds. */
+  private def pqCtes: String = (0 until PQ_M).map { m =>
+    val off = m * PQ_SUBDIM
+    def l2(s: String, c: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($PQ_SUBDIM),
+         |      i -> ($s.sv[i+1] - $c.c[i+1]) * ($s.sv[i+1] - $c.c[i+1]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""sub_$m AS (SELECT vec_id, list_transform(range($PQ_SUBDIM),
+       |    i -> embedding[$off + i + 1]::DOUBLE) AS sv FROM embeddings),
+       |seeds_$m AS (SELECT vec_id::INTEGER AS code, sv AS c FROM sub_$m
+       |  WHERE vec_id < $PQ_KSUB),
+       |p1_$m AS (SELECT vec_id, code FROM (
+       |  SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${l2("s", "c")} ASC, c.code) AS rn
+       |  FROM sub_$m s CROSS JOIN seeds_$m c) WHERE rn = 1),
+       |pd_$m AS (SELECT p.code, i,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(s.sv[i+1] ORDER BY s.vec_id)),
+       |    (acc, x) -> acc + x) / COUNT(*) AS cval
+       |  FROM p1_$m p JOIN sub_$m s USING (vec_id), range($PQ_SUBDIM) AS r(i)
+       |  GROUP BY p.code, i),
+       |pc_$m AS (SELECT code, list(cval ORDER BY i) AS c FROM pd_$m
+       |  GROUP BY code),
+       |p2_$m AS (SELECT vec_id, code FROM (
+       |  SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${l2("s", "c")} ASC, c.code) AS rn
+       |  FROM sub_$m s CROSS JOIN pc_$m c) WHERE rn = 1),
+       |lut_$m AS (SELECT q.vec_id AS query_id, c.code,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($PQ_SUBDIM),
+       |      i -> q.sv[i+1] * c.c[i+1])), (acc, x) -> acc + x) AS pdot
+       |  FROM sub_$m q CROSS JOIN pc_$m c WHERE q.vec_id < $NUM_QUERIES)"""
+      .stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    // coarse probe (the similarity_ivf CTEs) intersected with the PQ
+    // pipeline (per-subspace CTEs above); ADC = left-associated sum of
+    // the M codeword dots, matching the Spark fold's (((0+p0)+p1)+...)
+    // exactly since 0.0 + p0 == p0; shortlist 32 by (ascore DESC,
+    // vec_id), then the standard 9-rounded exact-cosine rerank
+    "similarity_ivf_pq" ->
+      s"""WITH $ivfAssignSql,
+         |$pqCtes,
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |pqcand AS (SELECT DISTINCT p.query_id, a2.vec_id
+         |  FROM probe p JOIN a2 USING (cid) WHERE a2.vec_id <> p.query_id),
+         |adc AS (SELECT c.query_id, c.vec_id,
+         |  ${(0 until PQ_M).map(m => s"l$m.pdot").mkString(" + ")} AS ascore
+         |  FROM pqcand c
+         |  ${(0 until PQ_M).map(m =>
+              s"JOIN p2_$m a$m ON a$m.vec_id = c.vec_id " +
+              s"JOIN lut_$m l$m ON l$m.query_id = c.query_id " +
+              s"AND l$m.code = a$m.code").mkString("\n  ")}),
+         |short AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ascore DESC, vec_id) AS rn FROM adc)
+         |  WHERE rn <= $RERANK_WIDTH),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |    e.embedding::DOUBLE[]), 9) AS score
+         |  FROM short c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // keeps at most CAP per refined list, most-central (a2 dot) first;
     // ranks are identical because the dots are the identical fold
     "corpus_diversity_cap" ->

@@ -65,6 +65,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("IVF-PQ: candidates subset IVF's lists, recall useful, deterministic") {
+    val pq = Similarity.similarityIvfPq(spark, SF).collect()
+    val bSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bSet.count(pSet.contains).toDouble / bSet.size
+    // PQ compresses the first stage but the coarse probe is identical to
+    // IVF's, and the 32-wide exact rerank recovers ADC ranking noise —
+    // recall should track IVF's (1.0 at this SF), not degrade below it
+    val ivfSet = Similarity.similarityIvf(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = bSet.count(ivfSet.contains).toDouble / bSet.size
+    assert(recall >= ivfRecall - 0.2, s"IVF-PQ recall@5 = $recall vs IVF $ivfRecall")
+    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    // deterministic end-to-end (seeded codebooks, ordered folds)
+    val again = Similarity.similarityIvfPq(spark, SF).collect()
+    assert(pq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes()
     val b = Similarity.hyperplanes()
