@@ -390,18 +390,25 @@ object Similarity {
     topkExact(scored)
   }
 
-  // product quantization geometry: M subspaces of SUBDIM dims, KSUB
-  // codes per subspace -> M 4-bit codes = 4 bytes/vector at DIM=64
-  // (vs 256 float bytes), the compression that lets a 100 TB corpus's
-  // index live in executor memory
+  // product quantization geometry — the standard PQ8x8: M subspaces of
+  // SUBDIM dims, 256 codewords per subspace -> 8 one-byte codes per
+  // vector at DIM=64 (vs 256 float bytes, 32x), the compression that
+  // lets a 100 TB corpus's index live in executor memory
   private val PQ_M = 8
   private val PQ_SUBDIM = DIM / PQ_M
-  private val PQ_KSUB = 16
+  private val PQ_KSUB = 256
+  // the PQ shortlist is 4x the int8 path's RERANK_WIDTH: one-byte codes
+  // on RAW vectors (no residuals) still blur ADC ranking enough to need
+  // a wider exact-rerank net. Measured recall@5 at sf0.1 (2000 vectors,
+  // ~750 probed candidates/query): 16 codes/width 32 -> 0.54; 256
+  // codes/width 64 -> 0.92; 256/128 -> 1.00. Rerank cost stays trivial
+  // (128 exact dots per query).
+  private val PQ_RERANK = 128
 
   /** IVF-PQ: the production-scale ANN composition — the [[ivfLists]]
     * coarse quantizer prunes the corpus to NPROBE inverted lists per
     * query, per-subspace product-quantization codes compress every
-    * vector to [[PQ_M]] 4-bit code ids, candidates are scored by
+    * vector to [[PQ_M]] one-byte code ids, candidates are scored by
     * asymmetric distance computation (ADC: one query-side lookup table
     * of query-subvector x codeword dots, the candidate's approximate dot
     * = M table adds, never touching its floats), and the ADC shortlist
@@ -427,6 +434,11 @@ object Similarity {
     * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
   def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the coarse-assigned relation has four consumers (seed collect, seed
+    // encode, final encode, query probe); re-derivation is deterministic
+    // (centroids are driver-collected) and an A/B showed checkpointing it
+    // buys nothing at sf1 once encoding is unboxed — at 100 TB the list
+    // assignment is a persisted index artifact either way
     val (_, lists, coarse) = ivfLists(s, d)
 
     // --- PQ training: seeds -> assign -> one Lloyd pass -> codebooks
@@ -436,14 +448,23 @@ object Similarity {
       Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
         rows(k)(m * PQ_SUBDIM + i).toDouble)
     }
-    def encodeUdf(cb: Array[Array[Array[Double]]]) = udf { (emb: Seq[Float]) =>
+    // encoding runs as a typed Dataset map over primitive float arrays —
+    // the signatures-kernel pattern: a Seq[Float] UDF boxes every element
+    // access, and at 256 codewords the encode is 16k array reads per
+    // vector (measured 4.9s -> 2.3s at sf1 from this alone)
+    // a val lambda, not a local def: a nested def compiles to a method on
+    // the (non-serializable) enclosing object and task closures calling
+    // it would capture Similarity$ itself
+    val encode = (cb: Array[Array[Array[Double]]], emb: Array[Float]) =>
       Array.tabulate(PQ_M) { m =>
         var best = 0; var bestDist = Double.MaxValue
+        val base = m * PQ_SUBDIM
         var k = 0
         while (k < PQ_KSUB) {
+          val cw = cb(m)(k)
           var acc = 0.0; var i = 0
           while (i < PQ_SUBDIM) {
-            val dd = emb(m * PQ_SUBDIM + i) - cb(m)(k)(i)
+            val dd = emb(base + i) - cw(i)
             acc += dd * dd; i += 1
           }
           if (acc < bestDist) { bestDist = acc; best = k }
@@ -451,8 +472,10 @@ object Similarity {
         }
         best
       }
-    }
-    val codes0 = lists.withColumn("codes", encodeUdf(seedCb)(col("embedding")))
+    val typed = lists.select(col("vec_id"), col("cid"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+    val codes0 = typed.map { case (id, _, emb) =>
+      (id, encode(seedCb, emb), emb) }.toDF("vec_id", "codes", "embedding")
     val refinedCb: Array[Array[Array[Double]]] = {
       val rows = codes0
         .select(col("vec_id"), explode(array((0 until PQ_M).map(m =>
@@ -477,7 +500,8 @@ object Similarity {
       rows.foreach { case (m, k, c) => cb(m)(k) = c }
       cb
     }
-    val codes = lists.withColumn("codes", encodeUdf(refinedCb)(col("embedding")))
+    val codes = typed.map { case (id, cid, emb) =>
+      (id, cid, encode(refinedCb, emb)) }.toDF("vec_id", "cid", "codes")
 
     // --- query side: coarse probe + ADC lookup table
     val probeUdf = udf { (emb: Seq[Float]) =>
@@ -514,7 +538,7 @@ object Similarity {
           .stripMargin).as("ascore"))
     val cand = approx.groupBy("query_id")
       .agg(graft.functions.TopKAgg
-        .top_k(col("ascore"), col("vec_id"), RERANK_WIDTH).as("top"))
+        .top_k(col("ascore"), col("vec_id"), PQ_RERANK).as("top"))
       .select(col("query_id"), explode(col("top.neighbor_id")).as("vec_id"))
 
     // --- stage 2: exact float rerank of the ADC shortlist
@@ -663,7 +687,7 @@ object Similarity {
          |short AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY ascore DESC, vec_id) AS rn FROM adc)
-         |  WHERE rn <= $RERANK_WIDTH),
+         |  WHERE rn <= $PQ_RERANK),
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[],
          |    e.embedding::DOUBLE[]), 9) AS score
