@@ -277,7 +277,53 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Hourly anomaly detection per event type — the ops-analytics alerting
+    * rule (|z| > 3 on hourly event counts) over the same rollup the
+    * tumbling-window key produces. Every hour is emitted with its z-score
+    * and flag, so the output hashes the whole decision surface, not just
+    * the (possibly empty) anomaly set.
+    *
+    * Exactness: the per-type moments are exact long sums (hours, Σc, Σc²
+    * — counts are integers, so the squares are exact), variance is ONE
+    * double division of two exact longs (sample variance,
+    * `(n·Σc² - (Σc)²) / (n·(n-1))`), and z is left-associated double
+    * arithmetic rounded to 6 (the sqrt runs on identical inputs in both
+    * engines; round 6 absorbs ulp — the stat_corr contract). A zero
+    * variance yields z = 0 identically in both engines.
+    *
+    * Shape: the hourly rollup shuffles (type, hour) with map-side partial
+    * aggregation; the per-type moment relation (|types| rows) BROADCASTS
+    * back, so scoring is a map-side projection — at 100 TB the only
+    * corpus-scale movement is the rollup shuffle, and the output is
+    * bounded by hours × types, not event volume. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("ssq"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("mean",
+        col("s").cast("double") / col("n_hours").cast("double"))
+      .withColumn("variance",
+        (col("n_hours") * col("ssq") - col("s") * col("s")).cast("double") /
+          (col("n_hours") * (col("n_hours") - lit(1L))).cast("double"))
+      .withColumn("z",
+        when(col("variance") > 0.0,
+          round((col("n").cast("double") - col("mean")) /
+            sqrt(col("variance")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("hour_start"), col("n"),
+        round(col("mean"), 6).as("mean_hourly"), col("z"),
+        (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
     "events_retention"       -> (eventsRetention _),
     "events_stream_late_drop" -> (eventsStreamLateDrop _),
@@ -320,6 +366,29 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact long moments, same left-assoc double formula; the
+    // rounded z feeds the flag in both engines
+    "events_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        |    sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS ssq
+        |  FROM hourly GROUP BY 1),
+        |j AS (SELECT h.event_type, h.hour_start, h.n,
+        |    s::DOUBLE / n_hours::DOUBLE AS mean,
+        |    (n_hours * ssq - s * s)::DOUBLE /
+        |      (n_hours * (n_hours - 1))::DOUBLE AS variance
+        |  FROM hourly h JOIN st USING (event_type)),
+        |z AS (SELECT event_type, hour_start, n,
+        |    round(mean, 6) AS mean_hourly,
+        |    CASE WHEN variance > 0.0
+        |         THEN round((n::DOUBLE - mean) / sqrt(variance), 6)
+        |         ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT event_type, hour_start, n, mean_hourly, z,
+        |  abs(z) > 3.0 AS is_anomaly
+        |FROM z ORDER BY event_type, hour_start""".stripMargin,
     "events_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

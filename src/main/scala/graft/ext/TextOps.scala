@@ -412,6 +412,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram LM quality scoring — the context-aware upgrade
+    * of [[textUnigramNll]]: per-document mean NLL under a Jelinek–Mercer
+    * interpolated bigram model, `p(w2|w1) = 0.5·p_bi + 0.5·p_uni`, both
+    * components add-1 smoothed over the corpus vocabulary. Bigram
+    * surprise separates boilerplate with plausible word frequencies but
+    * improbable word ORDER — exactly what the unigram filter cannot see.
+    *
+    * Determinism is the [[textUnigramNll]] contract, one level up: the
+    * interpolation and the single ln() run on identical doubles in both
+    * engines (identical literals, left-associated arithmetic), the
+    * per-bigram log-prob quantizes to an e9 long in the MATERIALIZED
+    * model artifact, and each doc's score is an exact integer fold over
+    * its bigram tf relation. The model covers every corpus bigram by
+    * construction (fit and scored on the same corpus; scoring external
+    * text would add a backoff floor row).
+    *
+    * 100 TB shape: distinct bigrams grow far sublinearly vs the corpus
+    * (Heaps squared is still tiny next to token volume); the model is a
+    * materialized artifact, its Zipf head (top-1000 bigrams — the mass
+    * concentration) joins BROADCAST so no hot bigram ever shuffles, the
+    * tail hash-joins, and the only corpus-scale relation on the move is
+    * the per-doc (w1, w2, tf) stream, already collapsed by a map-side
+    * partial aggregate. */
+  def textBigramNll(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // < 2 tokens -> no bigrams; filter in BOTH engines
+      .filter(size(col("ws")) >= 2)
+    val btf = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bi = btf.groupBy("w1", "w2").agg(sum("tf").as("c_bi"))
+    val uni = docs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    val artifact = f"bigram_lp_${d.hashCode & 0x7fffffff}%08x"
+    val model = graft.matview.Materializer(s).create(artifact,
+      bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_bi"),
+          round(log(
+            (col("c_bi").cast("double") + lit(1.0)) /
+              (col("c1").cast("double") + col("v_size").cast("double")) *
+              lit(0.5) +
+            (col("c2").cast("double") + lit(1.0)) /
+              (col("t_tokens").cast("double") + col("v_size").cast("double")) *
+              lit(0.5)) * lit(1000000000.0)).cast("long").as("lp_e9")))
+    val head = model.orderBy(col("c_bi").desc, col("w1"), col("w2"))
+      .limit(1000).select("w1", "w2", "lp_e9")
+    val viaHead = btf.join(broadcast(head), Seq("w1", "w2"), "left")
+    val resolved = viaHead.filter(col("lp_e9").isNotNull)
+      .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
+        .join(model.select("w1", "w2", "lp_e9"), Seq("w1", "w2")))
+    resolved.groupBy("doc_id")
+      .agg(sum(col("tf") * col("lp_e9")).as("xent_e9"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("xent_e9").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000000.0)), 9)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Importance-resampling weights for domain-targeted data selection —
     * the DSIR recipe (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every document by the
@@ -617,7 +685,130 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Winnowing fingerprint selection — the Schleimer–Wilkerson–Aiken 2003
+    * local fingerprinting scheme (MOSS): hash every stride-1 W-token gram,
+    * then in every window of V consecutive gram hashes keep the RIGHTMOST
+    * minimal hash. The guarantees that make it the standard sparse
+    * fingerprint: any shared run of W + V - 1 tokens contributes at least
+    * one MATCHING selected fingerprint in both documents (coverage), and
+    * expected density is 2/(V+1) of the gram stream — most fingerprints
+    * are discarded while exact detection of long shared runs survives.
+    *
+    * Scale shape: selection is computed PER ROW over the row-local gram
+    * array — zero shuffle (the only exchange is the output sort), scales
+    * embarrassingly. The gram hash is the engine-portable 48-bit md5
+    * prefix (the [[graft.Tables.md5Bucket]] contract): winnowing selection
+    * depends on hash ORDER, not just equality, so an oracle that cannot
+    * reproduce the hash values would have nothing to check; a production
+    * swap to the native one-pass kernel
+    * ([[graft.functions.WordGramHashes]]) changes only the hash
+    * expression. `fp_checksum` (sum of the selected hash values, exact
+    * long) pins the exact selected set, not just its size. */
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    val W = 8 // gram width (tokens)
+    val V = 4 // winnowing window (grams)
+    load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // < W+V-1 tokens -> no full winnowing window; filter in BOTH engines
+      .filter(size(col("ws")) >= W + V - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(0, size(ws) - $W),
+           |  i -> cast(conv(substring(md5(cast(
+           |         array_join(slice(ws, i + 1, $W), ' ') as binary)),
+           |       1, 12), 16, 10) as bigint))""".stripMargin))
+      // rightmost minimal hash per window: position of the min in the
+      // REVERSED window turns "first occurrence" into "rightmost"
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(0, size(hs) - $V),
+           |  s -> s + $V - array_position(
+           |         reverse(slice(hs, s + 1, $V)),
+           |         array_min(slice(hs, s + 1, $V)))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        (size(col("sel")) / (size(col("hs")) - lit(V - 1))).as("density"),
+        expr("aggregate(sel, cast(0 as bigint), " +
+          "(a, p) -> a + element_at(hs, cast(p as int) + 1))")
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail terciles by unigram-LM
+    * negative log-likelihood — head is the most corpus-typical text, tail
+    * the candidate discard; the tercile boundary is what the curation
+    * policy keys on. The LM is [[textUnigramNll]]'s add-1 model; each
+    * doc's score is the exact integer `(-xent_e9) div n_tokens` (both
+    * operands positive, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree), making the ordering and the boundary cut integer-exact
+    * in any engine.
+    *
+    * 100 TB shape: the boundaries are found WITHOUT sorting the corpus.
+    * The per-(lang, score) rollup (at most one row per distinct score)
+    * flows through the distributed prefix scan
+    * ([[graft.operators.Ranks.runningSumByRange]] on (lang, score) — a
+    * total order after the rollup), per-language offsets come from an
+    * n_langs-row triangle join, and the two tercile boundaries per
+    * language BROADCAST back, so bucket assignment is a map-side
+    * projection. No global window anywhere (the [[corpusTokenBudget]]
+    * contract); the model fit is the materialized vocab-sized artifact
+    * with Zipf-head broadcast + tail hash join of the NLL key. */
+  def textPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val tf = load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    // same materialized-model shape as textUnigramNll, distinct artifact
+    // name (dataset-keyed; the NLL key's artifact may coexist)
+    val artifact = f"ppl_lp_${d.hashCode & 0x7fffffff}%08x"
+    val lp = graft.matview.Materializer(s).create(artifact,
+      vocab.crossJoin(broadcast(tot))
+        .select(col("w"), col("c"),
+          round(log((col("c").cast("double") + lit(1.0)) /
+            (col("t_tokens").cast("double") + col("v_size").cast("double"))) *
+            lit(1000000000.0)).cast("long").as("lp_e9")))
+    val head = lp.orderBy(col("c").desc, col("w")).limit(1000)
+      .select("w", "lp_e9")
+    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val resolved = viaHead.filter(col("lp_e9").isNotNull)
+      .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
+        .join(lp.select("w", "lp_e9"), "w"))
+    val doc = resolved.groupBy("doc_id", "lang")
+      .agg(sum(col("tf") * col("lp_e9")).as("xent_e9"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(-xent_e9) div n_tokens").as("score_e9"))
+    val sc = doc.groupBy("lang", "score_e9").agg(count(lit(1)).as("c"))
+    val run = graft.operators.Ranks.runningSumByRange(
+      sc, 8, Seq(col("lang"), col("score_e9")), col("c"), "__cum")
+    val lt = sc.groupBy("lang").agg(sum(col("c")).as("n"))
+    val ltB = lt.select(col("lang").as("lang_b"), col("n").as("n_b"))
+    val pre = lt.join(ltB, col("lang_b") < col("lang"), "left")
+      .groupBy("lang", "n")
+      .agg(coalesce(sum(col("n_b")), lit(0L)).as("off"))
+    val bounds = run.join(broadcast(pre), "lang")
+      .withColumn("lcum", col("__cum") - col("off"))
+      .groupBy("lang").agg(
+        min(when(col("lcum") >= expr("(n + 2) div 3"), col("score_e9")))
+          .as("b33"),
+        min(when(col("lcum") >= expr("(2 * n + 2) div 3"), col("score_e9")))
+          .as("b66"))
+    doc.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("score_e9").cast("double") / lit(1000000000.0), 9)
+          .as("mean_nll"),
+        when(col("score_e9") <= col("b33"), "head")
+          .when(col("score_e9") <= col("b66"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "text_winnowing"        -> (textWinnowing _),
+    "text_perplexity_buckets" -> (textPerplexityBuckets _),
     "corpus_source_profile" -> (corpusSourceProfile _),
     "text_vocab_coverage"   -> (textVocabCoverage _),
     "text_repetition"       -> (textRepetition _),
@@ -625,6 +816,7 @@ object TextOps {
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
+    "text_bigram_nll"  -> (textBigramNll _),
     "corpus_importance_weights" -> (corpusImportanceWeights _),
     "text_bm25"        -> (textBm25 _),
     "text_chunk"       -> (textChunk _),
@@ -640,6 +832,67 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the 48-bit md5-prefix gram hash is replayed verbatim, so min/argmin
+    // selection is value-exact; list_distinct reorders but only the size
+    // and the order-independent checksum are emitted
+    "text_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 11),
+        |h AS (SELECT doc_id, list_transform(range(0, len(ws) - 7),
+        |        i -> ('0x' || substr(md5(
+        |               array_to_string(ws[i+1:i+8], ' ')), 1, 12))::BIGINT)
+        |        AS hs FROM w),
+        |s AS (SELECT doc_id, hs,
+        |        list_distinct(list_transform(range(0, len(hs) - 3),
+        |          s -> s + 4 - list_position(list_reverse(hs[s+1:s+4]),
+        |                                     list_min(hs[s+1:s+4]))))
+        |        AS sel FROM h)
+        |SELECT doc_id, len(hs)::BIGINT AS n_grams,
+        |  len(sel)::BIGINT AS n_selected,
+        |  len(sel) / (len(hs) - 3) AS density,
+        |  list_sum(list_transform(sel, p -> hs[p+1]))::BIGINT
+        |    AS fp_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // same add-1 model as text_unigram_nll; score and tercile cuts are
+    // exact integer arithmetic ((-xent) // n, ceil via (n+2)//3), so the
+    // bucket boundary is bit-identical; window over the per-(lang, score)
+    // rollup replays the distributed prefix scan
+    "text_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, lang, w, count(*)::BIGINT AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |v AS (SELECT w, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens,
+        |          count(*)::BIGINT AS v_size FROM v),
+        |lp AS (SELECT w, round(ln((c::DOUBLE + 1.0) /
+        |         (t_tokens::DOUBLE + v_size::DOUBLE)) *
+        |         1000000000.0)::BIGINT AS lp_e9
+        |       FROM v CROSS JOIN tot),
+        |doc AS (SELECT doc_id, lang, sum(tf)::BIGINT AS n_tokens,
+        |          ((-sum(tf * lp_e9)) // sum(tf))::BIGINT AS score_e9
+        |        FROM tf JOIN lp USING (w) GROUP BY 1, 2),
+        |sc AS (SELECT lang, score_e9, count(*)::BIGINT AS c
+        |       FROM doc GROUP BY 1, 2),
+        |cum AS (SELECT lang, score_e9,
+        |          sum(c) OVER (PARTITION BY lang
+        |            ORDER BY score_e9)::BIGINT AS lcum
+        |        FROM sc),
+        |n AS (SELECT lang, count(*)::BIGINT AS n FROM doc GROUP BY 1),
+        |b AS (SELECT lang,
+        |        min(CASE WHEN lcum >= (n + 2) // 3
+        |              THEN score_e9 END) AS b33,
+        |        min(CASE WHEN lcum >= (2 * n + 2) // 3
+        |              THEN score_e9 END) AS b66
+        |      FROM cum JOIN n USING (lang) GROUP BY lang)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(score_e9::DOUBLE / 1000000000.0, 9) AS mean_nll,
+        |  CASE WHEN score_e9 <= b33 THEN 'head'
+        |       WHEN score_e9 <= b66 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM doc JOIN b USING (lang) ORDER BY doc_id""".stripMargin,
     // same md5-byte bucket replay as sample_hash_portable; token counts
     // via the length-difference formula both engines share
     "corpus_split_assign" ->
@@ -758,6 +1011,36 @@ object TextOps {
         |  round(-(sum(tf * lp_e9)::DOUBLE) /
         |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
         |FROM tf JOIN lp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the head-broadcast/tail-shuffle split is plan-level only; the
+    // oracle's single bigram-model join accumulates the same integers
+    // (interpolation + ln on identical doubles, e9-quantized)
+    "text_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+        |       FROM w, unnest(range(0, len(ws) - 1)) AS r(i)),
+        |btf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+        |        FROM bg GROUP BY 1, 2, 3),
+        |bi AS (SELECT w1, w2, sum(tf)::BIGINT AS c_bi
+        |       FROM btf GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens,
+        |          count(*)::BIGINT AS v_size FROM uni),
+        |lp AS (SELECT w1, w2, round(ln(
+        |         (c_bi::DOUBLE + 1.0) /
+        |           (c1.c::DOUBLE + v_size::DOUBLE) * 0.5 +
+        |         (c2.c::DOUBLE + 1.0) /
+        |           (t_tokens::DOUBLE + v_size::DOUBLE) * 0.5) *
+        |         1000000000.0)::BIGINT AS lp_e9
+        |       FROM bi JOIN uni c1 ON bi.w1 = c1.w
+        |         JOIN uni c2 ON bi.w2 = c2.w CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+        |  round(-(sum(tf * lp_e9)::DOUBLE) /
+        |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
+        |FROM btf JOIN lp USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // two Laplace models over the shared vocabulary; the per-word log
     // RATIO quantizes to an e9 long (two ln() calls on identical double

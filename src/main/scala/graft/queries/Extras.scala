@@ -347,6 +347,48 @@ object Extras {
           .as("pearson_r"))
   }
 
+  /** A/B experiment readout — Welch's t statistic per event type between
+    * the two halves of a deterministic user split (variant = user_id mod
+    * 2, the hash-split every experimentation platform assigns). All
+    * moments (n, Σv, Σv²) are exact decimal sums — v² stays exact
+    * decimal(·,4) — cast to double ONCE; means, Welch variances and t
+    * are left-associated double arithmetic rounded to 6 (the stat_corr
+    * contract), so the verdict flag is decided on identical bits in any
+    * engine. Shape: one (type)-keyed aggregate with conditional
+    * per-variant measures and map-side combine; the result is |types|
+    * rows — nothing corpus-scale moves but the rollup shuffle. */
+  def statAbWelch(s: SparkSession, d: String): DataFrame = {
+    val v = dec(col("value"))
+    val variant = pmod(col("user_id"), lit(2))
+    def nD(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val m = load(s, d, "events")
+      .groupBy(col("event_type")).agg(
+        sum(when(variant === 0, lit(1L)).otherwise(0L)).as("n_a"),
+        sum(when(variant === 0, v)).cast(DoubleType).as("s_a"),
+        sum(when(variant === 0, v * v)).cast(DoubleType).as("ssq_a"),
+        sum(when(variant === 1, lit(1L)).otherwise(0L)).as("n_b"),
+        sum(when(variant === 1, v)).cast(DoubleType).as("s_b"),
+        sum(when(variant === 1, v * v)).cast(DoubleType).as("ssq_b"))
+      .withColumn("mean_a", col("s_a") / nD(col("n_a")))
+      .withColumn("mean_b", col("s_b") / nD(col("n_b")))
+      .withColumn("var_a",
+        (col("ssq_a") - col("s_a") * col("s_a") / nD(col("n_a"))) /
+          (nD(col("n_a")) - lit(1.0)))
+      .withColumn("var_b",
+        (col("ssq_b") - col("s_b") * col("s_b") / nD(col("n_b"))) /
+          (nD(col("n_b")) - lit(1.0)))
+      .withColumn("t_welch",
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / nD(col("n_a")) +
+            col("var_b") / nD(col("n_b"))), 6))
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("t_welch"),
+        (abs(col("t_welch")) > lit(1.96)).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Engine-portable deterministic sampling: keep a row iff the first
     * byte of md5(key) clears the rate threshold. Unlike rand(seed) (RNG
     * stream = partition-order-dependent) or engine-native hash functions
@@ -860,6 +902,7 @@ object Extras {
     "profile_histogram"     -> (profileHistogram _),
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
+    "stat_ab_welch"         -> (statAbWelch _),
     "stat_regression"       -> (statRegression _),
     "sample_hash_portable"  -> (sampleHashPortable _),
     "assoc_rules"           -> (assocRules _),
@@ -1160,6 +1203,39 @@ object Extras {
         |SELECT l_returnflag, n, round(b, 9) AS slope,
         |round((sy - b * sx) / n, 9) AS intercept
         |FROM b ORDER BY l_returnflag""".stripMargin,
+    // same exact decimal moments (v² exact at scale 4), same left-assoc
+    // double chain; the flag is decided on the rounded t in both engines
+    "stat_ab_welch" ->
+      """WITH m AS (SELECT event_type,
+        |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0
+        |    THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |    END) AS DOUBLE) AS ssq_a,
+        |  SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_b,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1
+        |    THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |    END) AS DOUBLE) AS ssq_b
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n_a, n_b,
+        |  s_a / CAST(n_a AS DOUBLE) AS mean_a,
+        |  s_b / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (ssq_a - s_a * s_a / CAST(n_a AS DOUBLE)) /
+        |    (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+        |  (ssq_b - s_b * s_b / CAST(n_b AS DOUBLE)) /
+        |    (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+        |  FROM m),
+        |t AS (SELECT event_type, n_a, n_b, mean_a, mean_b,
+        |  round((mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE) +
+        |    var_b / CAST(n_b AS DOUBLE)), 6) AS t_welch
+        |  FROM w)
+        |SELECT event_type, n_a, n_b, round(mean_a, 6) AS mean_a,
+        |  round(mean_b, 6) AS mean_b, t_welch,
+        |  abs(t_welch) > 1.96 AS significant
+        |FROM t ORDER BY event_type""".stripMargin,
     "stat_corr" ->
       """WITH c AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -250,6 +250,69 @@ object Lifecycle {
       .withColumn("files_after", lit(filesAfter))
   }
 
+  /** Versioned-table time travel — the BASELINE "Parquet/Delta" storage
+    * face the engine was still missing natively: a commit-log table
+    * format ([[graft.matview.Snapshots]] — immutable data dirs + ordered
+    * manifests, the public Delta/Iceberg log pattern re-expressed over
+    * plain parquet). Two appends build the table shard-by-shard (commit
+    * cost O(shard), never O(table) — the 100 TB ingestion property), an
+    * overwrite commit rewrites it with a DELETE applied, and then all
+    * THREE versions are read back — after every commit has landed — which
+    * is the time-travel proof: the v0 numbers are reconstructed from
+    * manifests alone while the table's latest state no longer contains
+    * them. The oracle replays each version's predicate against the base
+    * table. */
+  def tableTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/snaps")
+    val t = f"orders_tt_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t) // re-runnable: every run starts from version 0
+    val orders = load(s, d, "orders")
+    val v0 = snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+    val v1 = snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+    // delete-as-rewrite: drop filled orders, committed as a fresh
+    // snapshot; v0/v1 manifests still reference the superseded dirs
+    val v2 = snap.commitOverwrite(t,
+      snap.read(t, v1).filter(col("o_orderstatus") =!= "F"))
+    val summaries = Seq(v0, v1, v2).map { v =>
+      snap.read(t, v)
+        .agg(count(lit(1)).as("n_rows"),
+          exactSum(col("o_totalprice")).as("total_spend"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_spend"))
+    }
+    summaries.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Incremental log consumption (CDC-style) over the
+    * [[graft.matview.Snapshots]] commit log: three append commits land
+    * shard-by-shard, and a downstream reader processes each version's
+    * DELTA exactly once by manifest diff — never re-scanning the table
+    * (at 100 TB, re-reading a table per arriving shard is the difference
+    * between a pipeline and a bill). Emits per version the delta's
+    * count/sum next to the cumulative table state, which the oracle
+    * replays as disjoint predicates and their running union; the delta
+    * rows must partition the final table exactly. */
+  def tableIncrementalRead(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/snaps")
+    val t = f"orders_cdc_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val orders = load(s, d, "orders")
+    val vs = (0 to 2).map(m => snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === m)))
+    val summaries = vs.map { v =>
+      snap.readDelta(t, v)
+        .agg(count(lit(1)).as("delta_rows"),
+          exactSum(col("o_totalprice")).as("delta_spend"))
+        .crossJoin(snap.read(t, v).agg(count(lit(1)).as("table_rows")))
+        .select(lit(v).as("version"), col("delta_rows"),
+          col("delta_spend"), col("table_rows"))
+    }
+    summaries.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** Schema evolution via mergeSchema — the ingest reality that batches
     * gain columns over time: batch 1 writes (doc_id, lang), batch 2 adds
     * n_chars; the merged read unions the schemas, nulls where a batch
@@ -979,6 +1042,8 @@ object Lifecycle {
     "ingest_csv_quoted" -> (ingestCsvQuoted _),
     "merge_upsert" -> (mergeUpsert _),
     "maintenance_compact" -> (maintenanceCompact _),
+    "table_time_travel" -> (tableTimeTravel _),
+    "table_incremental_read" -> (tableIncrementalRead _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
@@ -1055,6 +1120,39 @@ object Lifecycle {
         |64::BIGINT AS files_before,
         |4::BIGINT AS files_after
         |FROM documents""".stripMargin,
+    // deltas replayed as the disjoint mod-3 predicates; the cumulative
+    // table state is their running union
+    "table_incremental_read" ->
+      """WITH d AS (SELECT o_orderkey % 3 AS version,
+        |  COUNT(*) AS delta_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS delta_spend
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT version, SUM(delta_rows)
+        |    OVER (ORDER BY version)::BIGINT AS table_rows
+        |  FROM d)
+        |SELECT version::INTEGER AS version, delta_rows, delta_spend,
+        |  table_rows
+        |FROM d JOIN c USING (version) ORDER BY version""".stripMargin,
+    // each version's visible state replayed as a predicate over the base
+    // table: v0 = first append, v1 = both appends, v2 = the rewrite with
+    // the DELETE applied
+    "table_time_travel" ->
+      """WITH s0 AS (SELECT 0 AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |s1 AS (SELECT 1 AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |s2 AS (SELECT 2 AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
     "ingest_schema_evolution" ->
       """SELECT batch, COUNT(*) AS n_rows,
         |COUNT(n_chars) AS n_with_chars,

@@ -163,6 +163,62 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_winnowing matches an independent local recompute exactly") {
+    // replays hash + selection in plain Scala (MessageDigest md5, same
+    // 48-bit prefix; rightmost-min winnowing) for every sf0.001 doc and
+    // pins n_grams / n_selected / fp_checksum — the coverage guarantee
+    // (>= 1 fingerprint per window) holds by construction of the replay
+    def h48(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val expected = Tables.load(spark, SF, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 11)
+      .map { case (id, ws) =>
+        val hs = ws.sliding(8).map(g => h48(g.mkString(" "))).toArray
+        val sel = (0 to hs.length - 4).map { st =>
+          val win = hs.slice(st, st + 4)
+          val m = win.min
+          st + win.lastIndexOf(m)
+        }.distinct
+        (id, (hs.length.toLong, sel.length.toLong, sel.map(hs).sum))
+      }.toMap
+    val got = graft.ext.TextOps.textWinnowing(spark, SF).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
+  }
+
+  test("text_perplexity_buckets cuts strict per-language terciles") {
+    val rows = graft.ext.TextOps.textPerplexityBuckets(spark, SF).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val by = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      def bucket(b: String): Array[Double] =
+        by.getOrElse(b, Array.empty[Double])
+      val nHead = bucket("head").length.toLong
+      val nMid = bucket("middle").length.toLong
+      assert(nHead + nMid + bucket("tail").length == n)
+      // inclusive boundary: head holds at least ceil(n/3) docs, head and
+      // middle together at least ceil(2n/3)
+      assert(nHead >= (n + 2) / 3, s"$lang head")
+      assert(nHead + nMid >= (2 * n + 2) / 3, s"$lang head+middle")
+      // buckets are disjoint score ranges: every head score is strictly
+      // below every middle score, middle strictly below tail
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
+        (by.get(lo), by.get(hi)) match {
+          case (Some(a), Some(b)) => assert(a.max < b.min, s"$lang $lo<$hi")
+          case _ => ()
+        }
+    }
+  }
+
   test("embedding_quantize saturates the max element and bounds the L2 error") {
     val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
     // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
