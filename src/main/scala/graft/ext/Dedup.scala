@@ -649,6 +649,132 @@ object Dedup {
       .orderBy("id")
   }
 
+  // -- co-purchase graph analytics ------------------------------------
+  // Customer co-purchase graph: an edge (u, v) for every customer pair
+  // sharing >= 4 distinct non-hub parts. Hub removal (parts bought by
+  // > 64 distinct customers are dropped) is the standard co-occurrence
+  // cap: one globally popular item otherwise creates a near-clique whose
+  // pair explosion is quadratic in its buyer count, and its edges carry
+  // no affinity signal anyway. At 100 TB the per-part pair fan-out is
+  // thus bounded by 64^2, and every join below is a keyed hash shuffle
+  // (part key, then pair key) — no all-pairs anywhere.
+  private val COPURCHASE_MIN_SHARED = 4
+  private val COPURCHASE_HUB_CAP = 64
+
+  /** Co-purchase edge relation `(u, v)` with `u < v`, both BIGINT. */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val cp = load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(load(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val nonHub = cp.groupBy("p").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") <= COPURCHASE_HUB_CAP).select("p")
+    val capped = cp.join(nonHub, "p")
+    capped.as("a").join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("nshared"))
+      .filter(col("nshared") >= COPURCHASE_MIN_SHARED)
+      .select("u", "v")
+  }
+
+  /** Distributed triangle counting over the co-purchase graph — the
+    * clustering-coefficient / community-density primitive. Compact-
+    * forward algorithm (Schank & Wagner 2005): every edge is oriented
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * triangle is generated by exactly ONE wedge at its lowest-order
+    * corner and total wedge work is O(m^1.5) regardless of skew — a
+    * popular node's wedges are enumerated only from its low-degree
+    * neighbors, never quadratically from the hub itself. Both the wedge
+    * build and the closing-edge probe are keyed hash joins.
+    *
+    * The oracle enumerates triangles by plain id order (x < y < z) —
+    * orientation changes WHICH wedge finds a triangle, never the
+    * triangle set, so per-node participation counts agree exactly. */
+  def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchaseEdges(s, d).localCheckpoint()
+    triangleCounts(pairs)
+      .select(col("id").as("custkey"), col("n_triangles"))
+      .orderBy("custkey")
+  }
+
+  /** Compact-forward core over an undirected `(u, v)` pair relation
+    * (`u < v`, each edge once): per-node triangle participation counts
+    * `(id, n_triangles)`, nodes in no triangle omitted. */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("u").as("du_id"), col("deg").as("du")),
+        col("u") === col("du_id"))
+      .join(deg.select(col("u").as("dv_id"), col("deg").as("dv")),
+        col("v") === col("dv_id"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge carries the dst's (deg, id) so the wedge join can
+    // order its two legs without re-joining degrees
+    val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
+    val legLess = col("e1.ddeg") < col("e2.ddeg") ||
+      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && legLess)
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val tri = wedges.join(oriented.as("e3"),
+        col("y") === col("e3.src") && col("z") === col("e3.dst"))
+      .select("x", "y", "z")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Bounded-depth reachability over the co-purchase graph — the
+    * `WITH RECURSIVE` capability (PostgreSQL's recursive CTE, which the
+    * reference engine supports natively) re-expressed as Spark's
+    * iterative-fixpoint idiom: a driver-orchestrated BFS frontier loop,
+    * one keyed join + anti-join per level, every intermediate
+    * localCheckpoint'd so lineage stays flat. Depth is bounded at 6 —
+    * the same bound that makes the oracle's recursive CTE terminate on
+    * a cyclic graph — and the loop body is a no-op once the frontier
+    * empties, so the fixed trip count costs nothing beyond the metadata
+    * jobs. Output: minimum hop distance from the seed (the lowest node
+    * id) for every node reached within the bound; integers end-to-end,
+    * so the oracle compare is exact. */
+  def recursiveCteReach(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchaseEdges(s, d)
+    val edges = pairs.union(pairs.select(col("v"), col("u")))
+      .toDF("src", "dst").localCheckpoint()
+    val seed = edges.agg(min(col("src"))).first().getLong(0) // 1-row action
+    bfsLevels(edges, seed, maxDepth = 6)
+      .select(col("id").as("custkey"), col("dist")).orderBy("custkey")
+  }
+
+  /** BFS min-hop distances from `seed` over a directed `(src, dst)` edge
+    * relation, bounded at `maxDepth` levels: `(id, dist)` for every node
+    * reached within the bound. */
+  private[graft] def bfsLevels(
+      edges: DataFrame, seed: Long, maxDepth: Int): DataFrame = {
+    var visited = edges.sparkSession.range(1)
+      .select(lit(seed).as("id"), lit(0).as("dist"))
+    var frontier = visited.select("id")
+    for (k <- 1 to maxDepth) {
+      val next = edges.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(next)
+      frontier = next.select("id")
+    }
+    visited
+  }
+
   /** Sub-document (block-level) duplication — the line-dedup analog for
     * a corpus with no line structure: each doc's non-overlapping 16-token
     * blocks are hashed, block frequency is counted as DISTINCT docs per
@@ -859,6 +985,8 @@ object Dedup {
     "dedup_exact"            -> (dedupExact _),
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
+    "graph_triangle_count"   -> (graphTriangleCount _),
+    "recursive_cte_reach"    -> (recursiveCteReach _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
@@ -912,6 +1040,50 @@ object Dedup {
          |round(rank * n, 9) AS rank_scaled
          |FROM r10 CROSS JOIN nn ORDER BY id""".stripMargin
     },
+
+    // triangle set enumerated in plain id order x < y < z — orientation
+    // only changes which wedge DISCOVERS a triangle, so per-node
+    // participation counts match the compact-forward Spark plan exactly
+    "graph_triangle_count" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey::BIGINT AS c,
+        |              l_partkey::BIGINT AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT p FROM (SELECT p, COUNT(*) AS nc FROM cp GROUP BY p)
+        |       WHERE nc <= 64),
+        |cpc AS (SELECT c, p FROM cp JOIN ok USING (p)),
+        |e AS (SELECT a.c AS u, b.c AS v
+        |      FROM cpc a JOIN cpc b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT x AS id FROM tri UNION ALL
+        |            SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT id AS custkey, COUNT(*)::BIGINT AS n_triangles
+        |FROM corners GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WITH RECURSIVE with UNION (not UNION ALL) dedups (id, dist) states;
+    // dist < 6 bounds the recursion on the cyclic graph, MIN(dist) is the
+    // BFS distance — exactly the Spark frontier loop's bounded fixpoint
+    "recursive_cte_reach" ->
+      """WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey::BIGINT AS c,
+        |              l_partkey::BIGINT AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT p FROM (SELECT p, COUNT(*) AS nc FROM cp GROUP BY p)
+        |       WHERE nc <= 64),
+        |cpc AS (SELECT c, p FROM cp JOIN ok USING (p)),
+        |e AS (SELECT a.c AS u, b.c AS v
+        |      FROM cpc a JOIN cpc b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |seed AS (SELECT MIN(u) AS sid FROM ed),
+        |reach(id, dist) AS (
+        |  SELECT sid, 0 FROM seed
+        |  UNION
+        |  SELECT ed.v, reach.dist + 1
+        |  FROM reach JOIN ed ON ed.u = reach.id WHERE reach.dist < 6)
+        |SELECT id AS custkey, MIN(dist) AS dist
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // components via transitive closure (recursive CTE), labeled by the
     // minimum reachable doc_id — equality with the propagation loop's

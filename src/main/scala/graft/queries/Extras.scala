@@ -435,6 +435,47 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Chi-square test of independence over the order-priority × order-
+    * status contingency table — the categorical-association readout next
+    * to [[statCorr]]'s numeric one. Observed counts are exact longs from
+    * one keyed aggregate; marginals are tiny rollups of the cell
+    * relation (nothing re-scans the fact); expected counts and per-cell
+    * contributions are closed-form double arithmetic on identical bits.
+    * The chi2 total folds the ROUNDED per-cell contributions
+    * sequentially in (prio, status) order — the [[graph.Dedup
+    * graphPagerank]] sorted-fold contract — so both engines sum the
+    * same doubles in the same order. Every cell of the full marginal
+    * grid is emitted (absent combinations as n=0), so the hash pins the
+    * whole decision surface, and chi2/dof ride every row as broadcast
+    * constants. */
+  def statChiSquare(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"))
+    val cells = o.groupBy("prio", "status").agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("prio").agg(sum(col("n")).as("nr"))
+    val colT = cells.groupBy("status").agg(sum(col("n")).as("nc"))
+    val tot = o.agg(count(lit(1)).as("nn"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("prio", "status"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val e = col("nr").cast(DoubleType) * col("nc").cast(DoubleType) /
+      col("nn").cast(DoubleType)
+    val dn = col("n").cast(DoubleType)
+    val perCell = grid.select(col("prio"), col("status"), col("n"),
+      round(e, 6).as("expected"),
+      round((dn - e) * (dn - e) / e, 9).as("contrib"))
+    val stats = perCell.agg(
+      expr("round(aggregate(array_sort(collect_list(" +
+        "struct(prio, status, contrib))), CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> acc + x.contrib), 9)").as("chi2"),
+      ((countDistinct(col("prio")) - lit(1)) *
+        (countDistinct(col("status")) - lit(1))).as("dof"))
+    perCell.crossJoin(broadcast(stats))
+      .orderBy("prio", "status")
+  }
+
   /** Market-basket association mining: part pairs co-occurring in an
     * order, with support and lift. The pair generation self-joins WITHIN
     * an order (bounded by the ≤7-line order size, so pairs grow linearly
@@ -903,6 +944,7 @@ object Extras {
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
     "stat_ab_welch"         -> (statAbWelch _),
+    "stat_chi_square"       -> (statChiSquare _),
     "stat_regression"       -> (statRegression _),
     "sample_hash_portable"  -> (sampleHashPortable _),
     "assoc_rules"           -> (assocRules _),
@@ -1236,6 +1278,37 @@ object Extras {
         |  round(mean_b, 6) AS mean_b, t_welch,
         |  abs(t_welch) > 1.96 AS significant
         |FROM t ORDER BY event_type""".stripMargin,
+    // chi2 folds the ROUNDED per-cell contributions in (prio, status)
+    // order via list_reduce — same doubles, same order as Spark's
+    // aggregate(array_sort(collect_list(...))) fold
+    "stat_chi_square" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderstatus AS status
+        |           FROM orders),
+        |cells AS (SELECT prio, status, COUNT(*)::BIGINT AS n
+        |          FROM o GROUP BY 1, 2),
+        |rt AS (SELECT prio, SUM(n)::BIGINT AS nr FROM cells GROUP BY 1),
+        |ct AS (SELECT status, SUM(n)::BIGINT AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS nn FROM o),
+        |grid AS (SELECT rt.prio, ct.status,
+        |           COALESCE(cells.n, 0)::BIGINT AS n, nr, nc, nn
+        |         FROM rt CROSS JOIN ct
+        |         LEFT JOIN cells ON cells.prio = rt.prio
+        |           AND cells.status = ct.status
+        |         CROSS JOIN tot),
+        |pc AS (SELECT prio, status, n,
+        |         round(nr::DOUBLE * nc::DOUBLE / nn::DOUBLE, 6) AS expected,
+        |         round((n::DOUBLE - nr::DOUBLE * nc::DOUBLE / nn::DOUBLE)
+        |           * (n::DOUBLE - nr::DOUBLE * nc::DOUBLE / nn::DOUBLE)
+        |           / (nr::DOUBLE * nc::DOUBLE / nn::DOUBLE), 9) AS contrib
+        |       FROM grid),
+        |st AS (SELECT round(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list(contrib ORDER BY prio, status)),
+        |         (a, x) -> a + x), 9) AS chi2,
+        |       ((COUNT(DISTINCT prio) - 1)
+        |         * (COUNT(DISTINCT status) - 1))::BIGINT AS dof
+        |       FROM pc)
+        |SELECT prio, status, n, expected, contrib, chi2, dof
+        |FROM pc CROSS JOIN st ORDER BY prio, status""".stripMargin,
     "stat_corr" ->
       """WITH c AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
