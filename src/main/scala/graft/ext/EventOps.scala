@@ -149,6 +149,21 @@ object EventOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** Per-user funnel progression as a REAL Structured Streaming query:
+    * the [[graft.streaming.StreamingOps.funnelStream]] state machine
+    * over a 4-micro-batch time-ordered arrival replay, so funnel state
+    * genuinely carries across batches (a user's view can land three
+    * batches before their purchase). Emits one conversion record per
+    * converted user; the oracle replays the same first-view ->
+    * first-later-click -> first-later-purchase MIN-chain in SQL. */
+  def eventsStreamFunnel(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    StreamingOps.runToCompletion(s,
+        StreamingOps.funnelStream(StreamingOps.eventsStreamChunked(s, d)).toDF(),
+        "verify_stream_funnel", mode = "append")
+      .orderBy("user_id")
+  }
+
   /** Sliding windows over the stream (1 hour every 15 minutes) — each
     * event feeds four windows' state; oracle shared with the batch
     * sliding query. */
@@ -336,6 +351,7 @@ object EventOps {
     "events_sessionize"      -> (eventsSessionize _),
     "events_session_window"  -> (eventsSessionWindow _),
     "events_stream_session"  -> (eventsStreamSession _),
+    "events_stream_funnel"   -> (eventsStreamFunnel _),
     "events_stream_sliding"  -> (eventsStreamSliding _),
     "events_json_extract"    -> (eventsJsonExtract _),
     "events_gap_fill"        -> (eventsGapFill _),
@@ -460,6 +476,25 @@ object EventOps {
         |ORDER BY user_id, session_id""".stripMargin,
     "events_session_window" -> sessionWindowSql,
     "events_stream_session" -> sessionWindowSql,
+    // the stream's greedy per-user state machine on the (ts, event_id)
+    // total order equals this MIN-chain: strict > throughout, so the
+    // emitted timestamps depend only on the ts values, never on arrival
+    "events_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS view_us
+        |      FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.view_us, MIN(e.ts_us) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.view_us
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, c.view_us, c.click_us,
+        |        MIN(e.ts_us) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us
+        |      GROUP BY 1, 2, 3)
+        |SELECT user_id, view_us, click_us, purchase_us
+        |FROM p ORDER BY user_id""".stripMargin,
     "events_stream_static_join" ->
       """SELECT 'tier_' || (user_id % 3) AS tier, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

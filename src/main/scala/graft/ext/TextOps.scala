@@ -325,6 +325,70 @@ object TextOps {
       .limit(20)
   }
 
+  /** TF-IDF cosine retrieval — the vector-space sibling of [[textBm25]]:
+    * every document scored by the cosine between its full tf-idf vector
+    * and the fixed query-term vector (query weight = idf, tf 1), top-20
+    * returned. Unlike BM25's length normalization, cosine divides by the
+    * document's TRUE vector norm over its whole vocabulary — so the key
+    * exercises the corpus-wide word->idf join BM25 avoids.
+    *
+    * Determinism: idf quantizes to an e9 long in a MATERIALIZED,
+    * dataset-keyed artifact (the [[textUnigramNll]] model contract), so
+    * per-word weights are identical doubles in both engines; each doc's
+    * norm² and query-dot fold row-locally in WORD order
+    * (aggregate(array_sort(...)) vs list_reduce(list(... ORDER BY w)) —
+    * same doubles, same order), and the final cosine is one sqrt+divide
+    * on identical bits, rounded to 6.
+    *
+    * 100 TB shape: the only corpus-scale relation on the move is the
+    * per-doc (w, tf) stream, already map-side combined; the idf model is
+    * vocab-sized (Heaps ~sqrt tokens), its Zipf head (top-1000 by df —
+    * the mass concentration) joins BROADCAST so "the" never shuffles,
+    * the tail hash-joins; the dot only touches query-term rows; the
+    * result is one 20-row TakeOrderedAndProject. */
+  def textTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "window", "vector", "data")
+    val tf = load(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = load(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val artifact = f"tfidf_idf_${d.hashCode & 0x7fffffff}%08x"
+    val idf = graft.matview.Materializer(s).create(artifact,
+      dfreq.crossJoin(broadcast(nd))
+        .select(col("w"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df").cast("double")) *
+            lit(1000000000.0)).cast("long").as("idf_e9")))
+    val head = idf.orderBy(col("df").desc, col("w")).limit(1000)
+      .select("w", "idf_e9")
+    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val resolved = viaHead.filter(col("idf_e9").isNotNull)
+      .unionByName(viaHead.filter(col("idf_e9").isNull).drop("idf_e9")
+        .join(idf.select("w", "idf_e9"), "w"))
+    val weighted = resolved.select(col("doc_id"), col("w"),
+      (col("tf").cast("double") *
+        (col("idf_e9").cast("double") / lit(1000000000.0))).as("wt"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(w, wt))), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.wt * x.wt)").as("norm_sq"))
+    val qidf = idf.filter(col("w").isin(terms: _*))
+      .select(col("w"),
+        (col("idf_e9").cast("double") / lit(1000000000.0)).as("qw"))
+    val dots = weighted.join(broadcast(qidf), "w")
+      .groupBy("doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(w, wt, qw))), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.wt * x.qw)").as("dot"))
+    val qnorm = qidf.agg(
+      expr("aggregate(array_sort(collect_list(struct(w, qw))), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.qw * x.qw)").as("qnorm_sq"))
+    dots.join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        round(col("dot") / (sqrt(col("norm_sq")) * sqrt(col("qnorm_sq"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(20)
+  }
+
   /** Sliding-window document chunking: 64-token chunks at stride 48 (16
     * tokens of overlap) with per-chunk token offsets — the
     * context-window-packing step between a cleaned corpus and a training
@@ -819,6 +883,7 @@ object TextOps {
     "text_bigram_nll"  -> (textBigramNll _),
     "corpus_importance_weights" -> (corpusImportanceWeights _),
     "text_bm25"        -> (textBm25 _),
+    "text_tfidf_cosine" -> (textTfidfCosine _),
     "text_chunk"       -> (textChunk _),
     "text_contamination" -> (textContamination _),
     "text_ngram_topk"  -> (textNgramTopk _),
@@ -1075,6 +1140,38 @@ object TextOps {
     // left-associated arithmetic, so every double matches bitwise up to
     // the per-term ln() (one call on identical inputs; round 6 absorbs
     // any ulp divergence)
+    // idf quantized to e9 longs exactly as Spark's materialized model;
+    // norm²/dot/query-norm fold in word order via list_reduce — the
+    // same doubles in the same order as aggregate(array_sort(...))
+    "text_tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*)::BIGINT AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT w, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        |idf AS (SELECT w,
+        |          CAST(round(ln(n_docs::DOUBLE / df::DOUBLE)
+        |            * 1000000000.0) AS BIGINT) AS idf_e9
+        |        FROM dfreq CROSS JOIN nd),
+        |wt AS (SELECT doc_id, w,
+        |         tf::DOUBLE * (idf_e9::DOUBLE / 1000000000.0) AS wt
+        |       FROM tf JOIN idf USING (w)),
+        |nrm AS (SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(wt ORDER BY w)), (a, x) -> a + x * x) AS norm_sq
+        |        FROM wt GROUP BY 1),
+        |qi AS (SELECT w, idf_e9::DOUBLE / 1000000000.0 AS qw FROM idf
+        |       WHERE w IN ('hash', 'join', 'window', 'vector', 'data')),
+        |dt AS (SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+        |         list(wt * qw ORDER BY w)), (a, x) -> a + x) AS dot
+        |       FROM wt JOIN qi USING (w) GROUP BY 1),
+        |qn AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |         list(qw ORDER BY w)), (a, x) -> a + x * x) AS qnorm_sq
+        |       FROM qi)
+        |SELECT doc_id,
+        |  round(dot / (sqrt(norm_sq) * sqrt(qnorm_sq)), 6) AS cosine
+        |FROM dt JOIN nrm USING (doc_id) CROSS JOIN qn
+        |ORDER BY cosine DESC, doc_id LIMIT 20""".stripMargin,
     "text_bm25" ->
       """WITH t AS (SELECT doc_id,
         |  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS dl,

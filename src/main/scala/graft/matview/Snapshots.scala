@@ -86,6 +86,17 @@ class Snapshots(spark: SparkSession, root: String) {
 
   def readLatest(t: String): DataFrame = read(t, latest(t))
 
+  /** Read AS OF `version` with the schema UNION of that version's data
+    * directories (parquet mergeSchema): a column added by a later append
+    * reads as NULL from shards that predate it, and a version pinned
+    * before the addition never sees the column at all — schema evolution
+    * without rewriting history, the same contract as the open
+    * log-structured formats. Footer-merge cost is per-dir, so prefer
+    * [[read]] where the schema is known to be uniform. */
+  def readEvolved(t: String, version: Int): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(readManifest(t, version): _*)
+
   /** Read only what version `v` ADDED over version `v-1` (v = 0 reads the
     * first commit whole) — the incremental-consumption face of the log:
     * a downstream pipeline processes each append exactly once by manifest

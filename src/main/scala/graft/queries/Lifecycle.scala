@@ -313,6 +313,42 @@ object Lifecycle {
     summaries.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** Schema evolution ON THE COMMIT LOG — the versioned-table face of
+    * [[ingestSchemaEvolution]]: an append adds a column WITHOUT rewriting
+    * any earlier shard (immutable data dirs), the evolved read unions the
+    * schemas (old shards surface NULL for the new column), and a reader
+    * pinned to the pre-evolution version never sees the column at all —
+    * the history-preserving evolution contract of the open log-structured
+    * formats. At 100 TB this is the only affordable way to add a column:
+    * O(new shard) commit, zero rewrite of the existing table. The oracle
+    * replays each version's shard predicates against the base table. */
+  def tableSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/snaps")
+    val t = f"orders_evo_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t) // re-runnable: every run starts from version 0
+    val orders = load(s, d, "orders")
+    val v0 = snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice")))
+    val v1 = snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+    val summaries = Seq(v0, v1).map { v =>
+      val df = snap.readEvolved(t, v)
+      val prio =
+        if (df.columns.contains("o_orderpriority"))
+          count(col("o_orderpriority"))
+        else lit(0L) // pre-evolution version: the column does not exist
+      df.agg(count(lit(1)).as("n_rows"), prio.as("n_with_prio"),
+          exactSum(col("o_totalprice")).as("total_spend"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_with_prio"),
+          col("total_spend"))
+    }
+    summaries.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** Schema evolution via mergeSchema — the ingest reality that batches
     * gain columns over time: batch 1 writes (doc_id, lang), batch 2 adds
     * n_chars; the merged read unions the schemas, nulls where a batch
@@ -1043,6 +1079,7 @@ object Lifecycle {
     "merge_upsert" -> (mergeUpsert _),
     "maintenance_compact" -> (maintenanceCompact _),
     "table_time_travel" -> (tableTimeTravel _),
+    "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1153,6 +1190,22 @@ object Lifecycle {
         |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
         |UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
+    // v0 predates the column (n_with_prio pinned 0); v1's merged read
+    // counts the column only on the second shard
+    "table_schema_evolution" ->
+      """WITH s0 AS (SELECT 0 AS version, COUNT(*) AS n_rows,
+        |  0::BIGINT AS n_with_prio,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |s1 AS (SELECT 1 AS version, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_with_prio,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |ORDER BY version""".stripMargin,
     "ingest_schema_evolution" ->
       """SELECT batch, COUNT(*) AS n_rows,
         |COUNT(n_chars) AS n_with_chars,

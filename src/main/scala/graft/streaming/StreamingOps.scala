@@ -135,6 +135,88 @@ object StreamingOps {
       }
   }
 
+  // ---- stateful funnel progression (flatMapGroupsWithState) ------------
+
+  /** Per-user funnel progress carried across micro-batches: timestamps
+    * of the first view and the first post-view click (-1 = not yet),
+    * plus a done flag so only the FIRST completed funnel emits. */
+  final case class FunnelState(viewUs: Long, clickUs: Long, done: Boolean)
+
+  /** Completed conversion record; times in epoch micros. */
+  final case class FunnelConv(
+      user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
+
+  final case class FEv(
+      user_id: Long, event_id: Long, ts: java.time.Instant,
+      event_type: String) {
+    def tsUs: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+
+  /** Incremental funnel progression over the stream: a per-user state
+    * machine (view -> first later click -> first later purchase) via
+    * `flatMapGroupsWithState`, emitting one conversion record the moment
+    * the purchase lands — the realtime face of the batch
+    * `events_funnel` chain. Greedy processing in (ts, event_id) order is
+    * exact here because the chunked arrival replay delivers each user's
+    * events in nondecreasing event-time order ACROSS micro-batches
+    * (time-range chunks) and sorted within each batch — so "first click
+    * after the first view" is decided on the same total order the
+    * batch oracle's MIN-chain uses.
+    *
+    * Scale: state is one 17-byte record per user ever seen. A production
+    * deployment bounds it with an event-time timeout evicting users
+    * whose conversion window has passed (the [[sessionizeStream]]
+    * pattern); this bounded replay keeps NoTimeout so the final state
+    * is exactly the batch semantics with an unbounded window. */
+  def funnelStream(events: DataFrame): org.apache.spark.sql.Dataset[FunnelConv] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[FEv]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, false))
+          val out = Seq.newBuilder[FunnelConv]
+          batch.toArray.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            if (!st.done) e.event_type match {
+              case "view" if st.viewUs < 0 =>
+                st = st.copy(viewUs = e.tsUs)
+              case "click" if st.viewUs >= 0 && st.clickUs < 0 &&
+                  e.tsUs > st.viewUs =>
+                st = st.copy(clickUs = e.tsUs)
+              case "purchase" if st.clickUs >= 0 && e.tsUs > st.clickUs =>
+                out += FunnelConv(uid, st.viewUs, st.clickUs, e.tsUs)
+                st = st.copy(done = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Chunked arrival replay of the events fixture: 4 time-range chunk
+    * files, one micro-batch each — the bounded harness that makes a
+    * stateful operator genuinely carry state ACROSS batches. */
+  def eventsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get(
+      s"${graft.matview.Materializer.defaultScratch}/stream_chunked")
+    del(staged)
+    Files.createDirectories(staged)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stageChunkFiles(spark, dir, staged)
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Bounded-stream harness for the stateful operators: stages the events
     * file plus a later "flush" sentinel file (one event, user_id = -1, far
     * past the last real timestamp), processed one file per micro-batch so
@@ -249,10 +331,21 @@ object StreamingOps {
     Files.createDirectories(staged)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stageChunkFiles(spark, dir, staged)
+
+    upsertMvRun(spark, staged, mvPath, ckpt)
+  }
+
+  /** Write the events fixture into `staged` as 4 time-range chunk files
+    * with ascending modification times, so a maxFilesPerTrigger=1 file
+    * stream replays them as 4 ordered micro-batches. One distributed job
+    * writes all chunks (each range partition lands in its own __chunk=i
+    * directory; the partition column itself is not stored, so the chunk
+    * files keep the raw events schema). */
+  private[graft] def stageChunkFiles(spark: SparkSession, dir: String,
+      staged: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // one distributed job writes all 4 chunks (each range partition lands
-    // in its own __chunk=i directory; the partition column itself is not
-    // stored, so the chunk files keep the raw events schema)
     val tmp = staged.resolve("tmp_chunks")
     stageChunks(raw).write.partitionBy("__chunk")
       .mode("overwrite").parquet(tmp.toString)
@@ -269,8 +362,6 @@ object StreamingOps {
       }
     }
     del(tmp)
-
-    upsertMvRun(spark, staged, mvPath, ckpt)
   }
 
   /** Time-ordered 4-way chunking of the arrival fixture, fully

@@ -71,6 +71,26 @@ class SnapshotsSpec extends AnyFunSuite {
     snap.drop(t)
   }
 
+  test("schema evolution: new column reads NULL on old shards, absent on old versions") {
+    val snap = new Snapshots(spark, root)
+    val t = "spec_evo"
+    snap.drop(t)
+    val docs = Tables.load(spark, SF, "documents")
+    snap.commitAppend(t, docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")))
+    snap.commitAppend(t, docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang")))
+    // pre-evolution version: the column does not exist at all
+    assert(!snap.readEvolved(t, 0).columns.contains("lang"))
+    // post-evolution merged read: old shard surfaces NULL for it
+    val v1 = snap.readEvolved(t, 1)
+    assert(v1.columns.contains("lang"))
+    assert(v1.filter(col("lang").isNull).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(v1.count() == docs.count())
+    snap.drop(t)
+  }
+
   test("a data dir without its manifest is invisible (atomicity)") {
     val snap = new Snapshots(spark, root)
     val t = "spec_torn"

@@ -35,4 +35,39 @@ class StatefulSessionSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming funnel == batch MIN-chain, with state carried across batches") {
+    val streamed = EventOps.eventsStreamFunnel(spark, SF)
+
+    // batch MIN-chain on the same fixture, epoch-micros throughout
+    val e = Tables.load(spark, SF, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("view_us"))
+      .groupBy("user_id", "view_us").agg(min(col("ts_us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("click_us"))
+      .groupBy("user_id", "view_us", "click_us")
+      .agg(min(col("ts_us")).as("purchase_us"))
+    val batch = p.select("user_id", "view_us", "click_us", "purchase_us")
+
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // the replay genuinely spans micro-batches: at least one converted
+    // user's view and purchase fall in different time-range chunks
+    // (chunk boundaries = the range partitioner's (ts, event_id) split)
+    val bounds = StreamingOps
+      .stageChunks(Tables.load(spark, SF, "events"))
+      .groupBy("__chunk").agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def chunkOf(us: Long): Int = bounds.lastIndexWhere(b => us >= b._1)
+    val spanning = batch.collect().count(r =>
+      chunkOf(r.getLong(1)) != chunkOf(r.getLong(3)))
+    assert(spanning > 0, "no conversion spans a micro-batch boundary")
+  }
 }
