@@ -130,7 +130,7 @@ object Bench {
       // the rest of the ordering sensitivity)
       val probe = Seq("dedup_ngram_jaccard", "dedup_containment",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_block_ratio",
-        "dedup_span_coverage",
+        "dedup_span_coverage", "text_tfidf_cosine",
         "join_natural_5way", "window_cumulative", "agg_sum_group3",
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
         "similarity_ivf_pq",

@@ -101,6 +101,30 @@ object EventOps {
       .orderBy("user_id", "island_start", "event_type")
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the path-analysis primitive behind "what do users do
+    * next" readouts. One user-keyed window builds consecutive pairs
+    * (lag chain), then the matrix is a tiny |types|² rollup; transition
+    * probability is one exact-long division per cell. The per-user
+    * window is the only corpus-scale shuffle, and it is keyed — no
+    * global sort anywhere. */
+  def eventsMarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = load(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 9)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** JSON property extraction from the `props` column (semi-structured
     * payload — standard event-pipeline surface). */
   def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -354,6 +378,7 @@ object EventOps {
     "events_stream_funnel"   -> (eventsStreamFunnel _),
     "events_stream_sliding"  -> (eventsStreamSliding _),
     "events_json_extract"    -> (eventsJsonExtract _),
+    "events_markov_transitions" -> (eventsMarkovTransitions _),
     "events_gap_fill"        -> (eventsGapFill _),
     "events_islands"         -> (eventsIslands _),
   )
@@ -548,6 +573,18 @@ object EventOps {
         |SELECT s.hour_start, s.event_type, COALESCE(n, 0)::BIGINT AS n
         |FROM spine s LEFT JOIN hourly h USING (event_type, hour_start)
         |ORDER BY 1, 2""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / n_from::DOUBLE, 9) AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "events_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
         |COUNT(*) AS n,

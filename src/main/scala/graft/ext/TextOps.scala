@@ -365,9 +365,14 @@ object TextOps {
     val resolved = viaHead.filter(col("idf_e9").isNotNull)
       .unionByName(viaHead.filter(col("idf_e9").isNull).drop("idf_e9")
         .join(idf.select("w", "idf_e9"), "w"))
+    // checkpoint: BOTH consumers below (norms over all words, dots over
+    // query words) would otherwise re-execute the corpus explode + idf
+    // join — measured 12.0s -> 5.4s at sf1. Same two-consumer fan-out
+    // rule as dedupCluster's edge relation.
     val weighted = resolved.select(col("doc_id"), col("w"),
       (col("tf").cast("double") *
         (col("idf_e9").cast("double") / lit(1000000000.0))).as("wt"))
+      .localCheckpoint()
     val norms = weighted.groupBy("doc_id")
       .agg(expr("aggregate(array_sort(collect_list(struct(w, wt))), " +
         "CAST(0.0 AS DOUBLE), (a, x) -> a + x.wt * x.wt)").as("norm_sq"))

@@ -435,6 +435,52 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Mann–Whitney U test per event type between the user_id-mod-2
+    * variants — the rank-based (distribution-free) sibling of
+    * [[statAbWelch]], the right readout when values are skewed and a
+    * mean-based t is misleading. All rank arithmetic is EXACT LONG math:
+    * ranks are computed on the per-(type, value) rollup (|distinct
+    * values| rows, never the event stream) via one type-keyed window;
+    * tie handling uses midranks DOUBLED to stay integral (2·rank =
+    * 2·count_below + t + 1), so the variant rank sum is an exact long
+    * halved once at the end. The normal-approximation z applies the
+    * standard tie correction; doubles appear only in the final
+    * closed-form z on identical bits, rounded to 6. Long-exactness
+    * bound: rank sums reach n², exact below 2^63 — fine to ~3e9 rows
+    * per type; beyond that the sums move to decimal like the other
+    * component-sum keys. */
+  def statMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+      .select(col("event_type"), dec(col("value")).as("v"),
+        pmod(col("user_id"), lit(2)).as("variant"))
+    val cells = e.groupBy("event_type", "v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ta"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val ranked = cells
+      .withColumn("below", sum(col("t")).over(w) - col("t"))
+      // doubled midrank keeps tie averages integral: 2r = 2*below + t + 1
+      .withColumn("r2", lit(2) * col("below") + col("t") + lit(1))
+    val m = ranked.groupBy("event_type").agg(
+        sum(col("ta")).as("n_a"),
+        sum(col("t") - col("ta")).as("n_b"),
+        sum(col("ta") * col("r2")).as("r2_a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .withColumn("u_a",
+        col("r2_a").cast(DoubleType) / lit(2.0) -
+          col("n_a").cast(DoubleType) * (col("n_a").cast(DoubleType) +
+            lit(1.0)) / lit(2.0))
+    val nA = col("n_a").cast(DoubleType)
+    val nB = col("n_b").cast(DoubleType)
+    val n = nA + nB
+    val sigma = sqrt(nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("tie3").cast(DoubleType) / (n * (n - lit(1.0)))))
+    val z = round((col("u_a") - nA * nB / lit(2.0)) / sigma, 6)
+    m.select(col("event_type"), col("n_a"), col("n_b"), col("u_a"),
+        z.as("z"), (abs(z) > lit(1.96)).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Chi-square test of independence over the order-priority × order-
     * status contingency table — the categorical-association readout next
     * to [[statCorr]]'s numeric one. Observed counts are exact longs from
@@ -945,6 +991,7 @@ object Extras {
     "stat_corr"             -> (statCorr _),
     "stat_ab_welch"         -> (statAbWelch _),
     "stat_chi_square"       -> (statChiSquare _),
+    "stat_mann_whitney"     -> (statMannWhitney _),
     "stat_regression"       -> (statRegression _),
     "sample_hash_portable"  -> (sampleHashPortable _),
     "assoc_rules"           -> (assocRules _),
@@ -1278,6 +1325,36 @@ object Extras {
         |  round(mean_b, 6) AS mean_b, t_welch,
         |  abs(t_welch) > 1.96 AS significant
         |FROM t ORDER BY event_type""".stripMargin,
+    // doubled midranks (2r = 2*below + t + 1) keep all rank arithmetic
+    // in exact BIGINTs; doubles appear only in the final closed-form z
+    "stat_mann_whitney" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |             user_id % 2 AS variant
+        |           FROM events),
+        |cells AS (SELECT event_type, v, COUNT(*)::BIGINT AS t,
+        |            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
+        |              AS ta
+        |          FROM e GROUP BY 1, 2),
+        |rk AS (SELECT event_type, t, ta,
+        |         SUM(t) OVER (PARTITION BY event_type ORDER BY v) - t
+        |           AS below
+        |       FROM cells),
+        |m AS (SELECT event_type, SUM(ta)::BIGINT AS n_a,
+        |        SUM(t - ta)::BIGINT AS n_b,
+        |        SUM(ta * (2 * below + t + 1))::BIGINT AS r2_a,
+        |        SUM(t * t * t - t)::BIGINT AS tie3
+        |      FROM rk GROUP BY 1),
+        |u AS (SELECT *, r2_a::DOUBLE / 2.0 -
+        |        n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0 AS u_a
+        |      FROM m),
+        |z AS (SELECT *, round((u_a - n_a::DOUBLE * n_b::DOUBLE / 2.0) /
+        |        sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 *
+        |          ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+        |            - tie3::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+        |              * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))), 6) AS z
+        |      FROM u)
+        |SELECT event_type, n_a, n_b, u_a, z, abs(z) > 1.96 AS significant
+        |FROM z ORDER BY event_type""".stripMargin,
     // chi2 folds the ROUNDED per-cell contributions in (prio, status)
     // order via list_reduce — same doubles, same order as Spark's
     // aggregate(array_sort(collect_list(...))) fold

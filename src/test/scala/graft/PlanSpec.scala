@@ -175,6 +175,40 @@ class PlanSpec extends AnyFunSuite {
       s"chunk staging is not a range exchange on ts:\n$p")
   }
 
+  test("graph ops stay keyed: no cartesian product, no single partition") {
+    // triangle counting and the BFS loop must be pure keyed-join plans —
+    // a cartesian product or a single-partition exchange would be the
+    // all-pairs / global-sort failure mode at scale
+    Seq(
+      graft.ext.Dedup.graphTriangleCount(spark, SF),
+      graft.ext.Dedup.recursiveCteReach(spark, SF)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian product in graph plan:\n$p")
+      assert(!p.contains("SinglePartition") ||
+        p.contains("TakeOrderedAndProject"),
+        s"single-partition exchange in graph plan:\n$p")
+    }
+  }
+
+  test("markov/mann-whitney windows are keyed, never empty-partitioned") {
+    // both keys run their window over a PARTITION BY key (user_id /
+    // event_type) — an empty partition spec would be the 100 TB
+    // global-sort trap the bench log flags as "No Partition Defined"
+    Seq(
+      graft.ext.EventOps.eventsMarkovTransitions(spark, SF),
+      graft.queries.Extras.statMannWhitney(spark, SF)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Window [") ||
+        !p.contains("windowspecdefinition()"),
+        s"empty window partition spec:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"single-partition exchange:\n$p")
+    }
+  }
+
   test("ANALYZE flips the same join from sort-merge to broadcast (CBO)") {
     // the reference's VACUUM ANALYZE plan flip, as executable evidence:
     // identical query, stats presence is the only variable
