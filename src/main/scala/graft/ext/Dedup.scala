@@ -750,7 +750,12 @@ object Dedup {
     val pairs = coPurchaseEdges(s, d)
     val edges = pairs.union(pairs.select(col("v"), col("u")))
       .toDF("src", "dst").localCheckpoint()
-    val seed = edges.agg(min(col("src"))).first().getLong(0) // 1-row action
+    // 1-row action; guard the degenerate empty-graph case (min = NULL)
+    // with a clear contract error instead of an NPE
+    val seedRow = edges.agg(min(col("src"))).first()
+    require(!seedRow.isNullAt(0),
+      "recursive_cte_reach: co-purchase graph is empty at this SF")
+    val seed = seedRow.getLong(0)
     bfsLevels(edges, seed, maxDepth = 6)
       .select(col("id").as("custkey"), col("dist")).orderBy("custkey")
   }

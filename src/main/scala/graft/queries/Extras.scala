@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 import graft.Tables._
 
@@ -445,14 +445,19 @@ object Extras {
     * 2·count_below + t + 1), so the variant rank sum is an exact long
     * halved once at the end. The normal-approximation z applies the
     * standard tie correction; doubles appear only in the final
-    * closed-form z on identical bits, rounded to 6. Long-exactness
-    * bound: rank sums reach n², exact below 2^63 — fine to ~3e9 rows
-    * per type; beyond that the sums move to decimal like the other
-    * component-sum keys. */
+    * closed-form z on identical bits, rounded to 6. Exactness bounds:
+    * doubled rank sums reach n², exact below 2^63 → ~2e9 rows per type;
+    * the tie term t³ would overflow long at only ~2e6 tied rows per
+    * value, so it accumulates in DECIMAL(38,0) (Spark) / HUGEINT-backed
+    * DECIMAL (DuckDB) — exact to 10^38. NULL values carry no rank and
+    * are excluded in both engines (Spark and DuckDB default NULL sort
+    * order differ, so leaving them in would silently shift every rank
+    * in the partition). */
   def statMannWhitney(s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "events")
       .select(col("event_type"), dec(col("value")).as("v"),
         pmod(col("user_id"), lit(2)).as("variant"))
+      .filter(col("v").isNotNull)
     val cells = e.groupBy("event_type", "v").agg(
       count(lit(1)).as("t"),
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ta"))
@@ -465,7 +470,10 @@ object Extras {
         sum(col("ta")).as("n_a"),
         sum(col("t") - col("ta")).as("n_b"),
         sum(col("ta") * col("r2")).as("r2_a"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        // t³ in decimal BEFORE the multiply: the long product wraps at
+        // t ~2e6 tied rows per value
+        sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t") -
+          col("t")).as("tie3"))
       .withColumn("u_a",
         col("r2_a").cast(DoubleType) / lit(2.0) -
           col("n_a").cast(DoubleType) * (col("n_a").cast(DoubleType) +
@@ -501,7 +509,9 @@ object Extras {
     val cells = o.groupBy("prio", "status").agg(count(lit(1)).as("n"))
     val rowT = cells.groupBy("prio").agg(sum(col("n")).as("nr"))
     val colT = cells.groupBy("status").agg(sum(col("n")).as("nc"))
-    val tot = o.agg(count(lit(1)).as("nn"))
+    // grand total from the cell relation, like the marginals — a
+    // count(*) over `o` would re-scan the fact a second time
+    val tot = cells.agg(sum(col("n")).as("nn"))
     val grid = rowT.crossJoin(colT)
       .join(cells, Seq("prio", "status"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
@@ -1330,7 +1340,8 @@ object Extras {
     "stat_mann_whitney" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
         |             user_id % 2 AS variant
-        |           FROM events),
+        |           FROM events
+        |           WHERE value IS NOT NULL),
         |cells AS (SELECT event_type, v, COUNT(*)::BIGINT AS t,
         |            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
         |              AS ta
@@ -1342,7 +1353,7 @@ object Extras {
         |m AS (SELECT event_type, SUM(ta)::BIGINT AS n_a,
         |        SUM(t - ta)::BIGINT AS n_b,
         |        SUM(ta * (2 * below + t + 1))::BIGINT AS r2_a,
-        |        SUM(t * t * t - t)::BIGINT AS tie3
+        |        SUM(t::HUGEINT * t * t - t) AS tie3
         |      FROM rk GROUP BY 1),
         |u AS (SELECT *, r2_a::DOUBLE / 2.0 -
         |        n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0 AS u_a
@@ -1365,7 +1376,7 @@ object Extras {
         |          FROM o GROUP BY 1, 2),
         |rt AS (SELECT prio, SUM(n)::BIGINT AS nr FROM cells GROUP BY 1),
         |ct AS (SELECT status, SUM(n)::BIGINT AS nc FROM cells GROUP BY 1),
-        |tot AS (SELECT COUNT(*)::BIGINT AS nn FROM o),
+        |tot AS (SELECT SUM(n)::BIGINT AS nn FROM cells),
         |grid AS (SELECT rt.prio, ct.status,
         |           COALESCE(cells.n, 0)::BIGINT AS n, nr, nc, nn
         |         FROM rt CROSS JOIN ct

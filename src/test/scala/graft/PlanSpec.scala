@@ -200,10 +200,15 @@ class PlanSpec extends AnyFunSuite {
       graft.ext.EventOps.eventsMarkovTransitions(spark, SF),
       graft.queries.Extras.statMannWhitney(spark, SF)
     ).foreach { df =>
+      // inspect the operator, not the plan string: every Window node
+      // must carry a non-empty PARTITION BY
+      val emptySpec = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(emptySpec.isEmpty,
+        s"window with empty partition spec:\n${emptySpec.mkString}")
       val p = plan(df)
-      assert(!p.contains("Window [") ||
-        !p.contains("windowspecdefinition()"),
-        s"empty window partition spec:\n$p")
       assert(!p.contains("SinglePartition"),
         s"single-partition exchange:\n$p")
     }
