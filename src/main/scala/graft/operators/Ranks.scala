@@ -45,6 +45,8 @@ object Ranks {
   private val V = "__rank_v"
   private val OFF = "__rank_off"
   private val PID2 = "__rank_pid2"
+  private val RUNX = "__rank_runx"
+  private val RUNI = "__rank_runi"
 
   def rowNumberByRange(
       df: DataFrame,
@@ -68,6 +70,76 @@ object Ranks {
     prefixByRange(df, numPartitions, order, value.cast("long"))
       .withColumn(out, col(OFF) + col(RUN))
       .drop(RN, RUN, OFF)
+
+  /** Distributed EXCLUSIVE prefix max of `value` (a non-null long) in
+    * `order`: each row gets the max over all rows strictly before it in
+    * the total order, NULL for the globally first row. The dominance
+    * primitive behind skyline/Pareto queries — "best value among
+    * everything cheaper than me" — with the same two-phase shape (and
+    * total-order precondition) as [[rowNumberByRange]]: one range
+    * exchange, a narrow per-partition scan emitting the running max
+    * BEFORE each row, then per-partition totals folded to prefix offsets
+    * through the numPartitions-sized triangle join and broadcast back.
+    * Unlike the sum scans, max has no inverse, so the exclusive value is
+    * emitted directly by the scan rather than derived from an inclusive
+    * one. */
+  def prefixMaxByRange(
+      df: DataFrame,
+      numPartitions: Int,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val scanned =
+      scanStagingMax(df, numPartitions, order, value.cast("long"))
+        .localCheckpoint()
+    // partition total = inclusive running max at the last row = max of
+    // the per-row inclusive column
+    val counts = scanned.groupBy(col(PID))
+      .agg(max(col(RUNI)).as("__rank_m"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left")
+      .groupBy(col(s"a.$PID").as(PID2))
+      .agg(max(col("b.__rank_m")).as(OFF)) // null for partition 0
+    scanned.join(broadcast(offsets), col(PID) === col(PID2))
+      // greatest skips nulls: null OFF (first partition) and null RUNX
+      // (first row of a partition) fall back to the other side; both
+      // null -> globally first row -> null out
+      .withColumn(out, greatest(col(OFF), col(RUNX)))
+      .drop(PID, PID2, RN, RUNI, RUNX, OFF)
+  }
+
+  /** Phase-1 scan for [[prefixMaxByRange]]: range partition + sort, then
+    * one narrow pass emitting each row's EXCLUSIVE (null-first) and
+    * inclusive local running max. Exposed for the staging-plan pin. */
+  private[graft] def scanStagingMax(
+      df: DataFrame,
+      numPartitions: Int,
+      order: Seq[Column],
+      value: Column): DataFrame = {
+    val base = df
+      .withColumn(V, value)
+      .repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = base.schema
+      .add(PID, IntegerType, nullable = false)
+      .add(RN, LongType, nullable = false)
+      .add(RUNX, LongType, nullable = true)
+      .add(RUNI, LongType, nullable = false)
+    val vIdx = base.schema.fieldIndex(V)
+    base.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var rn = 0L
+      var seen = false
+      var acc = 0L
+      it.map { r =>
+        rn += 1
+        val before: Any = if (seen) acc else null
+        val v = r.getLong(vIdx) // contract: non-null long
+        if (!seen || v > acc) { acc = v; seen = true }
+        Row.fromSeq(r.toSeq :+ pid :+ rn :+ before :+ acc)
+      }
+    }(Encoders.row(schema)).drop(V)
+  }
 
   /** Phase 1 BEFORE materialization — exposed so the specs can pin the
     * staging plan (exactly one exchange, the range one; no Window, no

@@ -532,6 +532,126 @@ object Extras {
       .orderBy("prio", "status")
   }
 
+  /** Kolmogorov–Smirnov two-sample test per event type between the
+    * user_id-mod-2 variants — the distribution-SHAPE readout next to
+    * [[statAbWelch]] (means) and [[statMannWhitney]] (location shift):
+    * D = sup |F_a(x) - F_b(x)| reacts to ANY difference between the two
+    * empirical CDFs, variance and tail shifts included. All CDF
+    * arithmetic is EXACT LONG math on the per-(type, value) rollup
+    * (|distinct values| rows, never the event stream): cumulative
+    * variant counts from one type-keyed window, then the sup of the
+    * CROSS-MULTIPLIED gap |cum_a·n_b - cum_b·n_a| — an integer, so the
+    * max is found on exact values and divided by n_a·n_b once at the
+    * end. The α=0.05 asymptotic decision (D > 1.358·sqrt((n_a+n_b)/
+    * (n_a·n_b))) is taken with both sides SQUARED and scaled to
+    * integers — d_num²·10⁶ > 1844164·(n_a+n_b)·n_a·n_b — in
+    * DECIMAL(38,0) / HUGEINT (the scaled square passes 2^63 once
+    * n_a·n_b exceeds ~3·10⁶, i.e. ≈2·10³ rows per variant; the decimal
+    * form is exact to ~10⁸ rows per variant), so the significance flag
+    * is decided on exact integers in both engines. NULL values are
+    * excluded for the same cross-engine NULL sort-order reason as
+    * [[statMannWhitney]]. */
+  def statKsTest(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+      .select(col("event_type"), dec(col("value")).as("v"),
+        pmod(col("user_id"), lit(2)).as("variant"))
+      .filter(col("v").isNotNull)
+    val cells = e.groupBy("event_type", "v").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val cum = cells.select(col("event_type"),
+      sum(col("ca")).over(w).as("cum_a"),
+      sum(col("cb")).over(w).as("cum_b"))
+    val totals = cum.groupBy("event_type")
+      .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val m = cum.join(broadcast(totals), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("d_num"))
+    val big = DecimalType(38, 0)
+    val d_ = round(col("d_num").cast(DoubleType) /
+      (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+    val sig = (col("d_num").cast(big) * col("d_num") * lit(1000000L)) >
+      (lit(1844164L).cast(big) * (col("n_a") + col("n_b")) *
+        col("n_a") * col("n_b"))
+    m.select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        d_.as("d"), sig.as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** 2-D skyline (Pareto frontier) over parts — maximize p_size at
+    * minimal p_retailprice; a part is on the frontier iff nothing is
+    * simultaneously cheaper-or-equal AND bigger-or-equal with one strict.
+    * The naive form is a quadratic NOT EXISTS self-join (the oracle runs
+    * exactly that); the distributed form is linear: dominance against
+    * all STRICTLY CHEAPER rows collapses to one exclusive prefix max of
+    * size in price order — [[graft.operators.Ranks.prefixMaxByRange]]
+    * over the per-distinct-price rollup (range exchange + narrow scan,
+    * no global window even when every price is distinct) — and
+    * dominance within a price tie is the rollup's own per-price max.
+    * Every part is emitted with its decision (`on_frontier`), so the
+    * hash pins the whole surface, not just the winners. */
+  def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    val p = load(s, d, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val byPrice = p.groupBy("p_retailprice")
+      .agg(max(col("p_size")).cast("long").as("max_sz"))
+    val scanned = graft.operators.Ranks.prefixMaxByRange(
+      byPrice, 32, Seq(col("p_retailprice")), col("max_sz"),
+      "max_sz_cheaper")
+    p.join(scanned, Seq("p_retailprice"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        (coalesce(col("max_sz_cheaper"), lit(Long.MinValue)) <
+          col("p_size") &&
+          col("max_sz") === col("p_size")).as("on_frontier"))
+      .orderBy("p_partkey")
+  }
+
+  /** PostgreSQL's LATERAL top-n-per-group, run as ACTUAL SQL text — for
+    * each customer, its 2 highest-value orders via a correlated ORDER BY
+    * ... LIMIT subquery in the FROM clause. Catalyst decorrelates the
+    * per-row LIMIT into a keyed WindowGroupLimit (partial top-k BEFORE
+    * the shuffle — no per-customer nested-loop execution survives, and
+    * no global sort appears), which is exactly the plan a hand-written
+    * window rewrite would produce; the SQL-text form proves the API
+    * surface. DuckDB runs the same text natively. */
+  def joinLateralTopn(s: SparkSession, d: String): DataFrame = {
+    load(s, d, "customer").createOrReplaceTempView("customer_lat")
+    load(s, d, "orders").createOrReplaceTempView("orders_lat")
+    s.sql("""
+      SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      FROM customer_lat c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c.c_custkey, o.o_orderkey""")
+  }
+
+  /** Higher-order array functions — transform / filter / exists /
+    * aggregate-with-finish / zip_with over the per-order quantity array
+    * (built deterministically: sort_array over a collect_list). All
+    * lambda arithmetic is integral, so both engines fold identical
+    * values; arrays render to CSV for engine-neutral hashing. */
+  def fnHigherOrder(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("long")))
+        .as("qtys"))
+      .select(col("l_orderkey"),
+        expr("array_join(transform(qtys, x -> x * 2), ',')")
+          .as("doubled_csv"),
+        expr("array_join(filter(qtys, x -> x > 25), ',')")
+          .as("large_csv"),
+        expr("exists(qtys, x -> x = 1)").as("has_single"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("qty_sum"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x," +
+          " acc -> acc * 10)").as("qty_sum_x10"),
+        expr("array_join(zip_with(qtys, reverse(qtys)," +
+          " (a, b) -> a + b), ',')").as("palindrome_sum_csv"))
+      .orderBy("l_orderkey")
+
   /** Market-basket association mining: part pairs co-occurring in an
     * order, with support and lift. The pair generation self-joins WITHIN
     * an order (bounded by the ≤7-line order size, so pairs grow linearly
@@ -1019,6 +1139,10 @@ object Extras {
     "agg_median_disc"       -> (aggMedianDisc _),
     "window_range_interval" -> (windowRangeInterval _),
     "join_correlated_scalar" -> (joinCorrelatedScalar _),
+    "stat_ks_test"          -> (statKsTest _),
+    "skyline_pareto"        -> (skylinePareto _),
+    "join_lateral_topn"     -> (joinLateralTopn _),
+    "fn_higher_order"       -> (fnHigherOrder _),
   )
 
   /** DuckDB CTE chain computing mix64(xor(k, seed)) for every row of
@@ -1585,6 +1709,72 @@ object Extras {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
         |true AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KS: same rollup-window construction; DuckDB's integer SUM widens to
+    // HUGEINT, cast back to BIGINT at the seams; the significance
+    // comparison runs in HUGEINT exactly as Spark's DECIMAL(38,0)
+    "stat_ks_test" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |             user_id % 2 AS variant
+        |           FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT event_type, v,
+        |            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
+        |              AS ca,
+        |            SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT
+        |              AS cb
+        |          FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |          SUM(ca) OVER (PARTITION BY event_type ORDER BY v)
+        |            AS cum_a,
+        |          SUM(cb) OVER (PARTITION BY event_type ORDER BY v)
+        |            AS cum_b
+        |        FROM cells),
+        |t AS (SELECT event_type, MAX(cum_a)::BIGINT AS n_a,
+        |        MAX(cum_b)::BIGINT AS n_b
+        |      FROM cum GROUP BY 1),
+        |m AS (SELECT cum.event_type, MAX(n_a)::BIGINT AS n_a,
+        |        MAX(n_b)::BIGINT AS n_b,
+        |        MAX(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num
+        |      FROM cum JOIN t USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_a, n_b, d_num,
+        |round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS d,
+        |(d_num::HUGEINT * d_num * 1000000) >
+        |  (1844164::HUGEINT * (n_a + n_b) * n_a * n_b) AS significant
+        |FROM m ORDER BY event_type""".stripMargin,
+    // skyline: the oracle IS the quadratic NOT EXISTS dominance check the
+    // distributed prefix-max form replaces
+    "skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size,
+        |NOT EXISTS (SELECT 1 FROM p q
+        |            WHERE q.p_retailprice <= p.p_retailprice
+        |              AND q.p_size >= p.p_size
+        |              AND (q.p_retailprice < p.p_retailprice
+        |                   OR q.p_size > p.p_size)) AS on_frontier
+        |FROM p ORDER BY p_partkey""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+    "fn_higher_order" ->
+      """WITH g AS (SELECT l_orderkey,
+        |  list(l_quantity::BIGINT ORDER BY l_quantity::BIGINT) AS qtys
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |array_to_string(list_transform(qtys, x -> x * 2), ',')
+        |  AS doubled_csv,
+        |array_to_string(list_filter(qtys, x -> x > 25), ',')
+        |  AS large_csv,
+        |list_contains(qtys, 1) AS has_single,
+        |list_reduce(qtys, (acc, x) -> acc + x)::BIGINT AS qty_sum,
+        |(list_reduce(qtys, (acc, x) -> acc + x) * 10)::BIGINT
+        |  AS qty_sum_x10,
+        |array_to_string(list_transform(range(1, len(qtys) + 1),
+        |  i -> qtys[i] + qtys[len(qtys) + 1 - i]), ',')
+        |  AS palindrome_sum_csv
+        |FROM g ORDER BY l_orderkey""".stripMargin,
   )
 
   /** Encoder row for [[typedDataset]]. */
