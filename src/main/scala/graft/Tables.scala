@@ -34,18 +34,43 @@ object Tables {
   /** Read one testdata table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain file-source relation.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; it is read as a nanosecond long
-    * (legacy.parquet.nanosAsLong) and truncated to microseconds — the same
-    * ns->us truncation DuckDB applies, so oracle values agree.
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS) in others, so the shim dispatches on
+    * the actual read schema via [[normalizeTs]] instead of assuming one.
+    * `nanosAsLong` is set unconditionally: it only affects NANOS files
+    * (which the vectorized reader otherwise rejects) and is a no-op for
+    * MICROS files.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Normalize an events frame so `ts` is always session-TZ TIMESTAMP
+    * (sessions run UTC) holding exact epoch micros, whatever physical type
+    * the parquet carried. ONE dispatch shared by batch [[load]] and the
+    * streaming stagers ([[graft.streaming.StreamingOps]]) so the two paths
+    * cannot diverge:
+    *
+    *   - LongType: nanosAsLong read of a TIMESTAMP(NANOS) file — truncate
+    *     ns -> us (the same truncation DuckDB applies reading NANOS).
+    *   - TIMESTAMP_NTZ: a TIMESTAMP(MICROS, isAdjustedToUTC=false) file —
+    *     reinterpret in the UTC session zone (identical micros value).
+    *   - TIMESTAMP: already normalized — pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected LONG nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP)")
     }
 
   /** Register every table as a temp view so SQL-surface queries

@@ -19,32 +19,51 @@ import graft.Tables.{dec, exactSum}
   */
 object StreamingOps {
 
-  /** events.ts arrives as parquet TIMESTAMP(NANOS) (see Tables.load); the
-    * stream source reads it as a nanosecond long and converts. */
+  /** Schema of STAGED event files. Staging always rewrites the fixture
+    * through [[graft.Tables.normalizeTs]], so whatever physical ts type the
+    * source parquet carries (NANOS long or MICROS ntz — see Tables.load),
+    * every staged file has ts as session-TZ TIMESTAMP and the stream reads
+    * it with no per-row conversion. One normalization point for batch and
+    * streaming means the two paths cannot diverge. */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (legacy.parquet.nanosAsLong)
+    StructField("ts", TimestampType), // normalized at staging
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Write one normalized single-file parquet chunk into `staged` with a
+    * pinned modification time (the file stream source orders by mtime). */
+  private def writeChunk(df: DataFrame, staged: java.nio.file.Path,
+      name: String, mtime: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = staged.resolve("tmp_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    del(tmp)
+    Files.setLastModifiedTime(staged.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
   /** Unbounded view of the events table (file-source stream). The file
-    * stream source requires a directory, so the single events.parquet file
-    * is staged into scratch — in production the source would already be a
-    * directory of arriving files. */
+    * stream source requires a directory, so the events fixture is staged
+    * (normalized) into scratch — in production the source would already be
+    * a directory of arriving files with a known schema. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val staged = Paths.get(
       s"${graft.matview.Materializer.defaultScratch}/stream_events")
+    del(staged)
     Files.createDirectories(staged)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    writeChunk(graft.Tables.load(spark, dir, "events"), staged,
+      "events.parquet", 1000000L)
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour event-time aggregation with watermark — identical
@@ -208,13 +227,11 @@ object StreamingOps {
       s"${graft.matview.Materializer.defaultScratch}/stream_chunked")
     del(staged)
     Files.createDirectories(staged)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stageChunkFiles(spark, dir, staged)
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Bounded-stream harness for the stateful operators: stages the events
@@ -224,41 +241,29 @@ object StreamingOps {
     * remaining session state. Production streams run forever and need no
     * sentinel; this exists so bounded tests observe the timeout path. */
   def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import spark.implicits._
     val staged = Paths.get(
       s"${graft.matview.Materializer.defaultScratch}/stream_events_flush")
-    if (Files.exists(staged)) {
-      Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+    del(staged)
     Files.createDirectories(staged)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      staged.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val events = graft.Tables.load(spark, dir, "events")
+    writeChunk(events, staged, "00_events.parquet", 1000000L)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxNs = spark.read.parquet(staged.toString)
-      .agg(max(col("ts"))).collect().head.getLong(0)
-    val flushNs = maxNs + (GAP_US + 7200L * 1000000L) * 1000L
-    val tmp = staged.resolve("tmp_flush")
-    Seq((-1L, flushNs, -1L, "flush", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
-    Files.move(part, staged.resolve("10_flush.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.deleteIfExists(f))
-    // one file per trigger; source orders by modification time, so pin it
-    Files.setLastModifiedTime(staged.resolve("00_events.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    val maxUs = events.agg(max(unix_micros(col("ts"))))
+      .collect().head.getLong(0)
+    val flushUs = maxUs + GAP_US + 7200L * 1000000L
+    writeChunk(
+      Seq((-1L, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(lit(flushUs)))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      staged, "10_flush.parquet", 2000000L)
 
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run a streaming aggregation to completion against a bounded file
@@ -330,7 +335,6 @@ object StreamingOps {
     Seq(staged, mvPath, ckpt).foreach(del)
     Files.createDirectories(staged)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stageChunkFiles(spark, dir, staged)
 
     upsertMvRun(spark, staged, mvPath, ckpt)
@@ -345,7 +349,7 @@ object StreamingOps {
   private[graft] def stageChunkFiles(spark: SparkSession, dir: String,
       staged: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.Tables.load(spark, dir, "events")
     val tmp = staged.resolve("tmp_chunks")
     stageChunks(raw).write.partitionBy("__chunk")
       .mode("overwrite").parquet(tmp.toString)
@@ -393,7 +397,6 @@ object StreamingOps {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = tumblingAgg(events)
 
     val q = agg.writeStream
@@ -439,7 +442,7 @@ object StreamingOps {
     * alone — exactly what the oracle computes — even though the late
     * duplicates really were fed through the stream. */
   def streamingLateDrop(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import spark.implicits._
     val scratch = graft.matview.Materializer.defaultScratch
     val staged = Paths.get(s"$scratch/stream_late_src")
@@ -448,33 +451,20 @@ object StreamingOps {
     Seq(staged, mvPath, ckpt).foreach(del)
     Files.createDirectories(staged)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = staged.resolve("tmp_" + name)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      del(tmp)
-      Files.setLastModifiedTime(staged.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      staged.resolve("chunk_01.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(staged.resolve("chunk_01.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(1000000L))
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts"))).collect().head.getLong(0)
+    val events = graft.Tables.load(spark, dir, "events")
+    writeChunk(events, staged, "chunk_01.parquet", 1000000L)
+    val maxUs = events.agg(max(unix_micros(col("ts"))))
+      .collect().head.getLong(0)
     writeChunk(
-      Seq((-1L, maxNs + 4L * 3600 * 1000000000L, -1L, "flush", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-      "chunk_02.parquet", 2000000L)
+      Seq((-1L, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(lit(maxUs + 4L * 3600 * 1000000L)))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      staged, "chunk_02.parquet", 2000000L)
     writeChunk(
-      spark.read.parquet(s"$dir/events.parquet")
-        .orderBy(col("ts"), col("event_id")).limit(100)
+      events.orderBy(col("ts"), col("event_id")).limit(100)
         .withColumn("event_id", col("event_id") + 1000000000L),
-      "chunk_03.parquet", 3000000L)
+      staged, "chunk_03.parquet", 3000000L)
 
     upsertMvRun(spark, staged, mvPath, ckpt)
       .filter(col("event_type") =!= "flush") // the sentinel's own group

@@ -165,8 +165,7 @@ class PlanSpec extends AnyFunSuite {
     // the arrival-fixture chunker must never funnel the events table
     // through a global-sort ntile: chunk order comes from a range
     // repartition, the tag from the partition id (both fully distributed)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$SF/events.parquet")
+    val raw = graft.Tables.load(spark, SF, "events")
     val p = plan(graft.streaming.StreamingOps.stageChunks(raw))
     assert(!p.contains("Window"), s"window in the chunk staging plan:\n$p")
     assert(!p.contains("SinglePartition"),
