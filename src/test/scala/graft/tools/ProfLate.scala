@@ -21,11 +21,6 @@ object ProfLate {
       if (Files.exists(p)) Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
     del(staged); Files.createDirectories(staged)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      staged.resolve("chunk_01.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(staged.resolve("chunk_01.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(1000000L))
     def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = staged.resolve("tmp_" + name)
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -38,29 +33,34 @@ object ProfLate {
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }
     import spark.implicits._
-    val maxNs = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).collect().head.getLong(0)
+    // all ts handling goes through Tables.normalizeTs (physical-type agnostic)
+    val events = graft.Tables.load(spark, sfDir, "events")
+    writeChunk(events, "chunk_01.parquet", 1000000L)
+    val maxUs = events.agg(max(unix_micros(col("ts"))))
+      .collect().head.getLong(0)
     // intermediate batch: one sentinel 4h past the end -> state eviction
-    writeChunk(Seq((-1L, maxNs + 4L * 3600 * 1000000000L, -1L, "flush", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+    writeChunk(Seq((-1L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(maxUs + 4L * 3600 * 1000000L)))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"),
       "chunk_02.parquet", 2000000L)
-    val late = spark.read.parquet(s"$sfDir/events.parquet")
+    val late = events
       .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("event_id", col("event_id") + 1000000000L)
     writeChunk(late, "chunk_03.parquet", 3000000L)
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val events = spark.readStream.schema(schema)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType), // normalized at staging
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val eventsStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
+    val agg = eventsStream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
