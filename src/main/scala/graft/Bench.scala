@@ -80,14 +80,18 @@ object Bench {
       System.gc()
     }
 
-    // the one measurement discipline behind every tier: best-of-reps
-    // noop-write wall-clock, failures logged (a crashed query reports its
-    // crash-time sample rather than killing the bench JSON line)
+    // the one measurement discipline behind every tier: noop-write
+    // wall-clock over `reps` samples, failures logged (a crashed query
+    // reports its crash-time sample rather than killing the bench JSON
+    // line). Both best (round-comparable steady state) and median
+    // (contention-robust) are emitted per probe: r6's driver box was
+    // under heavy external load and best-of hid how much of each number
+    // was machine noise.
     def probeTier(tier: String, dir: String, names: Seq[String],
-        reps: Int, isolate: Boolean = false): Seq[(String, Double)] =
+        reps: Int, isolate: Boolean = false): Seq[(String, Seq[Double])] =
       names.map { name =>
         if (isolate) quiesce()
-        val best = (1 to reps).map { _ =>
+        val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
@@ -95,9 +99,11 @@ object Bench {
             System.err.println(s"[bench] $tier $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best
+        }.sorted
+        name -> samples
       }
+    def bestOf(s: Seq[Double]): Double = s.head
+    def medianOf(s: Seq[Double]): Double = s(s.size / 2)
 
     // warmup: touch codegen, parquet footers, shuffle machinery. Guarded —
     // the bench must emit its JSON line even if a query can't run.
@@ -135,7 +141,8 @@ object Bench {
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
         "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
-        "text_contamination", "events_funnel", "events_retention")
+        "text_contamination", "events_funnel", "events_retention",
+        "graph_triangle_sketch")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
@@ -214,13 +221,25 @@ object Bench {
       def martQ = topk(m.table("bench_fact").groupBy("o_custkey")
         .agg(min(col("c_name")).as("name"), exactSum(col("o_totalprice")).as("spend")))
       def viewQ = topk(m.table("bench_preagg"))
-      def time(mk: => org.apache.spark.sql.DataFrame): Double =
-        (1 to REPS).map { _ =>
+      // raw > mart > view is the reference's Q4 ordering invariant and the
+      // driver-visible scoreboard, so it gets the most contention-robust
+      // discipline in the file: 5 reps, INTERLEAVED round-robin (a load
+      // burst degrades all three variants' same-index sample, not one
+      // variant's whole run), median taken. r6's mart-over-raw inversion
+      // was a best-of-3 sequential artifact on a loaded box.
+      val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+        Seq("raw" -> (() => rawQ), "mart" -> (() => martQ),
+          "view" -> (() => viewQ))
+      val samples = (1 to 5).map { _ =>
+        variants.map { case (_, mk) =>
           val t0 = System.nanoTime()
-          mk.write.format("noop").mode("overwrite").save()
+          mk().write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        }.min
-      Seq("raw" -> time(rawQ), "mart" -> time(martQ), "view" -> time(viewQ))
+        }
+      }
+      variants.map(_._1).zipWithIndex.map { case (name, i) =>
+        name -> medianOf(samples.map(_(i)).sorted)
+      }
     }
 
     // skew-join triplet: one hot key holds ~80% of the fact rows; compare
@@ -341,23 +360,65 @@ object Bench {
         "embedding_dedup" -> dedupRecall)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
+    // sketched-triangle error contract, measured (not asserted): node
+    // recall (share of exact triangle participants the sketch finds) and
+    // total-triangle ratio vs the exact key. Both are <= 1 by the
+    // one-sided contract (sketched edges are a subset of exact edges).
+    // Measured at sf0.01 — the gate SF — NOT sfDir: the co-purchase
+    // graph at sf0.1 has no >= 4-shared pairs at all (both keys return
+    // empty there), so sf0.01 is where triangle structure exists. The
+    // exact key stays excluded from the timed sf1 tier (24s standalone,
+    // documented cost center) — this quantifies what the candidate cap
+    // gives up.
+    val triSketch = {
+      val triDir = "/root/testdata/sf0.01"
+      def counts(name: String): Option[Map[Long, Long]] =
+        try Some(SparkEntry.queries(name)(spark, triDir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      (counts("graph_triangle_count"), counts("graph_triangle_sketch")) match {
+        case (Some(ex), Some(sk)) if ex.nonEmpty =>
+          Seq(
+            "node_recall" ->
+              ex.keySet.intersect(sk.keySet).size.toDouble / ex.size,
+            "triangle_ratio" ->
+              sk.values.sum.toDouble / math.max(1L, ex.values.sum))
+        case _ => Seq("node_recall" -> -1.0, "triangle_ratio" -> -1.0)
+      }
+    }
+
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+        .mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, s) => k -> bestOf(s) })
+    val qsMed = jmap(results.map { case (k, s) => k -> medianOf(s) })
     val pn = planNodes.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
-    val mv = mvTriplet.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
-    val sk = skewTriplet.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
-    val ar = annRecall.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
-    val s1 = sf1.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
+    val mv = jmap(mvTriplet)
+    val sk = jmap(skewTriplet)
+    val ar = jmap(annRecall)
+    val tsk = jmap(triSketch)
+    val s1 = jmap(sf1.map { case (k, s) => k -> bestOf(s) })
+    val s1Med = jmap(sf1.map { case (k, s) => k -> medianOf(s) })
     val s10 = if (sf10.isEmpty) "" else
-      sf10.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-        .mkString(""","queries_sf10":{""", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_sf1":$s1$s10,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"sf":"$sfDir"}""")
+      jmap(sf10.map { case (k, s) => k -> bestOf(s) })
+        .patch(0, ""","queries_sf10":""", 0) +
+      jmap(sf10.map { case (k, s) => k -> medianOf(s) })
+        .patch(0, ""","queries_sf10_median":""", 0)
+    // contention canary: SfGen is a byte-identical workload every round
+    // (pure spark.range arithmetic, fixed seed structure), so its
+    // wall-clock is a direct probe of machine load. r5's quiet-box value
+    // was 8.3s; r6's 46.0s run (same code, git-verified) flagged a
+    // heavily contended box that inflated every probe 20-40%. A flagged
+    // run means: read medians, not bests, and distrust ~2x outliers.
+    val genExpected = 8.3
+    val contended = sf1gen > 2 * genExpected
+    val canary = f"""{"sf1_gen_sec":$sf1gen%.4f,"expected_sec":$genExpected%.1f,"contended":$contended}"""
+    val total = results.map { case (_, s) => bestOf(s) }.sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_sf1":$s1,"queries_sf1_median":$s1Med$s10,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":$canary,"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -701,6 +701,81 @@ object Dedup {
       .orderBy("custkey")
   }
 
+  private val TRI_SKETCH_K = 16
+  private val TRI_SKETCH_MIN_SHARED = 4
+
+  /** Sketched triangle counting: the exact key's one documented cost
+    * center is the per-part pair expansion (~87M candidate pairs at sf1
+    * before the >=4-shared filter — inherent to exact co-occurrence
+    * mining). This variant pre-aggregates each part's buyer list into a
+    * deterministic bottom-k sketch (the k buyers with the smallest
+    * md5(custkey), k=16) BEFORE pairing, so per-part fan-out is bounded
+    * by C(16,2)=120 instead of C(64,2)=2016 — a 17x candidate-set cap
+    * that holds at any scale because it is per-part, not global.
+    *
+    * Error contract (vs `graph_triangle_count`): ONE-SIDED. The sketch
+    * keeps the exact key's >= 4 shared-parts threshold over the SAMPLED
+    * lists, and sampled co-occurrence never exceeds true co-occurrence,
+    * so every sketched edge is a true exact-graph edge (zero false
+    * edges) — the error is only missed edges: a pair survives a busy
+    * part's sketch with probability ~(k/nc)^2, so pairs whose shared
+    * parts are all popular under-count toward the threshold (parts with
+    * <= k buyers are sampled whole and lose nothing). The sketch is a
+    * deterministic pure function of the data (no RNG), so the DuckDB
+    * oracle replays it exactly and the correctness gate is an equality
+    * check, not a tolerance; the recall actually achieved is measured
+    * per round in the bench `triangle_sketch` field (node recall +
+    * triangle ratio at sf0.01, the gate SF — both <= 1 by the one-sided
+    * contract, up to wedge recombination). Triangle enumeration over
+    * the sketched edge set reuses the exact compact-forward core. */
+  def graphTriangleSketch(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchaseEdgesSketch(s, d).localCheckpoint()
+    triangleCounts(pairs)
+      .select(col("id").as("custkey"), col("n_triangles"))
+      .orderBy("custkey")
+  }
+
+  /** Co-purchase edges from bottom-k-sketched buyer lists; `(u, v)`,
+    * `u < v`. Same hub cap as the exact relation. ONE keyed aggregate
+    * computes both the buyer count (hub cap) and the bottom-k sketch —
+    * [[graft.functions.TopKAgg]] over the NEGATED 52-bit md5 prefix of
+    * the custkey (13 hex digits: exact in a double, so top-k by -hash ==
+    * bottom-k by (hash, c); hash ties break by id ascending in the
+    * aggregate and by `c` in the oracle's ORDER BY — same order). State
+    * is O(k) per part map-side — a hub part folds its million buyers
+    * into 16 slots instead of collecting a list to later discard — and
+    * the C(k,2) pair fan-out is generated ROW-LOCALLY with nested array
+    * transforms, so nothing unbounded ever reaches an exchange. Two
+    * shuffles total: by part, then by pair. */
+  private[graft] def coPurchaseEdgesSketch(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.{load, md5Bucket}
+    val cp = load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(load(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+    cp.groupBy("p")
+      .agg(
+        count(lit(1)).as("nc"),
+        graft.functions.TopKAgg.top_k(
+          -md5Bucket(col("c"), 13).cast("double"), col("c"),
+          TRI_SKETCH_K).as("topk"))
+      .filter(col("nc") <= COPURCHASE_HUB_CAP)
+      .select(expr("transform(topk, x -> x.neighbor_id)").as("sk"))
+      .select(explode(expr(
+        """flatten(transform(sk, (x, i) ->
+          |  transform(slice(sk, i + 2, size(sk)),
+          |    y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("nshared"))
+      .filter(col("nshared") >= TRI_SKETCH_MIN_SHARED)
+      .select("u", "v")
+  }
+
   /** Compact-forward core over an undirected `(u, v)` pair relation
     * (`u < v`, each edge once): per-node triangle participation counts
     * `(id, n_triangles)`, nodes in no triangle omitted. */
@@ -991,6 +1066,7 @@ object Dedup {
     "dedup_normalized"       -> (dedupNormalized _),
     "graph_pagerank"         -> (graphPagerank _),
     "graph_triangle_count"   -> (graphTriangleCount _),
+    "graph_triangle_sketch"  -> (graphTriangleSketch _),
     "recursive_cte_reach"    -> (recursiveCteReach _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_containment"      -> (dedupContainment _),
@@ -1058,6 +1134,34 @@ object Dedup {
         |cpc AS (SELECT c, p FROM cp JOIN ok USING (p)),
         |e AS (SELECT a.c AS u, b.c AS v
         |      FROM cpc a JOIN cpc b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT x AS id FROM tri UNION ALL
+        |            SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT id AS custkey, COUNT(*)::BIGINT AS n_triangles
+        |FROM corners GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical enumeration over the bottom-16-by-md5-prefix sketched
+    // buyer lists; the sketch is a deterministic function of the data
+    // (52-bit md5 prefix: the engine-portable md5Bucket hash, exact in
+    // the aggregate's double), so the oracle replays it exactly and the
+    // compare stays an equality check
+    "graph_triangle_sketch" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey::BIGINT AS c,
+        |              l_partkey::BIGINT AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT p FROM (SELECT p, COUNT(*) AS nc FROM cp GROUP BY p)
+        |       WHERE nc <= 64),
+        |cpc AS (SELECT c, p FROM cp JOIN ok USING (p)),
+        |sk AS (SELECT c, p FROM (
+        |        SELECT c, p, ROW_NUMBER() OVER (PARTITION BY p
+        |          ORDER BY CAST(('0x' || substr(md5(c::VARCHAR), 1, 13))
+        |            AS BIGINT), c) AS rn FROM cpc)
+        |       WHERE rn <= 16),
+        |e AS (SELECT a.c AS u, b.c AS v
+        |      FROM sk a JOIN sk b ON a.p = b.p AND a.c < b.c
         |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
         |        FROM e e1 JOIN e e2 ON e2.u = e1.v

@@ -32,6 +32,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sketched triangles: deterministic and one-sided (edges ⊆ exact)") {
+    // 1) determinism: two runs produce identical counts (the sketch is a
+    //    pure function of the data — no RNG, so the oracle can replay it)
+    val run1 = Dedup.graphTriangleSketch(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = Dedup.graphTriangleSketch(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2)
+    // 2) the ONE-SIDED contract: sampled co-occurrence never exceeds
+    //    true co-occurrence and both relations use the same >= 4
+    //    threshold, so every sketched edge must be an exact-graph edge
+    //    (zero false edges — the property that makes every reported
+    //    triangle a true triangle)
+    val exactEdges = Dedup.coPurchaseEdges(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketchEdges = Dedup.coPurchaseEdgesSketch(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sketchEdges.nonEmpty, "sketch produced an empty edge set")
+    val false_ = sketchEdges -- exactEdges
+    assert(false_.isEmpty,
+      s"${false_.size} sketched edges are not exact-graph edges: " +
+        false_.take(5).mkString(", "))
+  }
+
   test("bounded BFS walks a chain level by level and stops at the bound") {
     import spark.implicits._
     // 0 -> 1 -> ... -> 9 (undirected): from seed 0, dist = node id,
