@@ -678,6 +678,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic training shuffle + shard assignment — the data-ORDER
+    * step between curation and the training loop: every epoch needs the
+    * corpus in a fresh pseudo-random order, split into balanced shards
+    * that workers read independently, and the order must be reproducible
+    * (resume after preemption, replay a loss spike, audit which shard a
+    * doc landed in) without materializing any RNG state. The shuffle key
+    * is the engine-portable 52-bit md5 prefix of "epoch:doc_id"
+    * ([[graft.Tables.md5Bucket]]) — salting by epoch makes the orders
+    * statistically independent across epochs while any engine, or a
+    * rerun years later, reproduces them bit-identically.
+    *
+    * Scale shape: the global position within an epoch is the two-phase
+    * range rank ([[graft.operators.Ranks.rowNumberByRange]] — range
+    * exchange + narrow local scan + tiny offset join; NO single-partition
+    * window anywhere), and shard/slot are pure integer arithmetic on the
+    * position (round-robin `pos % NSHARDS`, so shard sizes differ by at
+    * most one). The per-epoch offset is a 2-row aggregate broadcast
+    * back. At 100 TB the only corpus-wide movement is the range
+    * exchange the rank already pays. */
+  def corpusShuffleShard(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val salted = load(s, d, "documents")
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("h", md5Bucket(
+        concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")), 13).cast("long"))
+    val ranked = graft.operators.Ranks.rowNumberByRange(
+      salted, 8, Seq(col("epoch"), col("h"), col("doc_id")), "__pos")
+    // per-epoch exclusive base (2 rows, broadcast): epoch blocks are
+    // contiguous in the global order because epoch leads the sort
+    val base = ranked.groupBy(col("epoch").as("__e"))
+      .agg(min(col("__pos")).as("__base"))
+    ranked.join(broadcast(base), col("epoch") === col("__e"))
+      .select(col("epoch"), col("doc_id"),
+        ((col("__pos") - col("__base")) % nShards).cast("long").as("shard"),
+        expr(s"(__pos - __base) div $nShards").cast("long")
+          .as("pos_in_shard"))
+      .orderBy("epoch", "shard", "pos_in_shard")
+  }
+
   /** Provenance profile — the per-source curation sweep a pipeline runs
     * before deciding what to keep: per `source`, document and token
     * volume, language spread, exact-duplicate rate (1 - distinct content
@@ -883,6 +923,7 @@ object TextOps {
     "text_repetition"       -> (textRepetition _),
     "corpus_split_assign"   -> (corpusSplitAssign _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
+    "corpus_shuffle_shard"  -> (corpusShuffleShard _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bigram_nll"  -> (textBigramNll _),
@@ -902,6 +943,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the epoch-salted 52-bit md5-prefix shuffle key is replayed
+    // verbatim; ROW_NUMBER per epoch over (hash, doc_id) is the same
+    // total order the two-phase range rank computes
+    "corpus_shuffle_shard" ->
+      """WITH e AS (SELECT doc_id, epoch
+        |           FROM documents CROSS JOIN (VALUES (0), (1)) AS t(epoch)),
+        |h AS (SELECT epoch, doc_id,
+        |        CAST(('0x' || substr(md5(epoch::VARCHAR || ':' ||
+        |          doc_id::VARCHAR), 1, 13)) AS BIGINT) AS hv FROM e),
+        |r AS (SELECT epoch, doc_id, ROW_NUMBER() OVER (PARTITION BY epoch
+        |        ORDER BY hv, doc_id) AS pos FROM h)
+        |SELECT epoch, doc_id,
+        |  ((pos - 1) % 8)::BIGINT AS shard,
+        |  ((pos - 1) // 8)::BIGINT AS pos_in_shard
+        |FROM r ORDER BY epoch, shard, pos_in_shard""".stripMargin,
+
     // the 48-bit md5-prefix gram hash is replayed verbatim, so min/argmin
     // selection is value-exact; list_distinct reorders but only the size
     // and the order-independent checksum are emitted

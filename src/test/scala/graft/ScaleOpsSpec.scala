@@ -75,4 +75,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter(col("click_ts").isNull && col("ts") >= col("first_click"))
     assert(bad.count() == 0)
   }
+
+  test("shuffle-shard: per-epoch permutation, balanced shards, epoch-independent orders") {
+    val rows = graft.ext.TextOps.corpusShuffleShard(spark, SF).collect()
+    val docs = graft.Tables.load(spark, SF, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // each epoch is a full permutation: every doc exactly once
+    Seq(0, 1).foreach { e =>
+      val ep = rows.filter(_.getInt(0) == e)
+      assert(ep.map(_.getLong(1)).toSet == docs)
+      assert(ep.length == docs.size)
+      // shards balanced within 1 (round-robin on the global position)
+      val sizes = ep.groupBy(_.getLong(2)).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"epoch $e shard sizes $sizes")
+      // (shard, pos_in_shard) is a dense injective addressing
+      val addr = ep.map(r => (r.getLong(2), r.getLong(3)))
+      assert(addr.distinct.length == addr.length)
+    }
+    // the two epochs order the corpus differently (salted hash): the
+    // within-shard sequences cannot coincide for 500 docs
+    def orderOf(e: Int) = rows.filter(_.getInt(0) == e)
+      .sortBy(r => (r.getLong(2), r.getLong(3))).map(_.getLong(1)).toSeq
+    assert(orderOf(0) != orderOf(1))
+  }
 }
