@@ -678,6 +678,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Filter attrition waterfall — the report every production cleaning
+    * pipeline publishes before training: rules applied in a FIXED order,
+    * and per rule the docs entering, dropped, surviving, and the token
+    * mass removed. Attribution is first-failing-rule (a doc failing
+    * rules 2 and 3 counts against 2 only), which is what makes the
+    * waterfall rows sum: docs_out of rule k == docs_in of rule k+1.
+    *
+    * Rules (each a per-row codegen predicate — ONE corpus scan computes
+    * every doc's failing stage; no rule re-scans): 1) under 20 tokens,
+    * 2) language outside the known set, 3) within-doc repetition
+    * (distinct/total token ratio < 0.35 — the Gopher-family signal),
+    * 4) over 90 tokens (truncation cap). The per-stage tally is <= 5
+    * rows; the running "dropped before" arithmetic is a tiny triangle
+    * join over it, so at 100 TB the only corpus-wide work is the one
+    * scan + one 5-row aggregate. The ratio is a single long/long IEEE
+    * division compared to a literal — bit-identical in any engine. */
+  def corpusFilterWaterfall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = load(s, d, "documents").select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " ")))
+          .cast("long").as("n_uniq"))
+      .select(col("n_tok"),
+        when(col("n_tok") < 20, 1)
+          .when(!col("lang").isin("en", "de", "es", "fr"), 2)
+          .when(col("n_uniq").cast("double") / col("n_tok").cast("double")
+            < lit(0.35), 3)
+          .when(col("n_tok") > 90, 4)
+          .otherwise(5).as("stage"))
+    val tally = staged.groupBy("stage")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+    val rules = Seq((1, "1_min_tokens"), (2, "2_langid"),
+      (3, "3_repetition"), (4, "4_too_long"), (5, "5_kept"))
+      .toDF("stage", "rule")
+    val t = broadcast(rules).join(tally, Seq("stage"), "left")
+      .select(col("stage"), col("rule"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tok"), lit(0L)).as("tok"))
+    val w = t.as("a").join(t.as("b"), col("b.stage") < col("a.stage"),
+        "left")
+      .groupBy(col("a.stage").as("stage"), col("a.rule").as("rule"),
+        col("a.n").as("n"), col("a.tok").as("tok"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("dropped_before"))
+    val total = staged.agg(count(lit(1)).as("__total"))
+    w.crossJoin(broadcast(total))
+      .select(col("rule"),
+        (col("__total") - col("dropped_before")).as("docs_in"),
+        when(col("stage") === 5, lit(0L)).otherwise(col("n"))
+          .as("docs_dropped"),
+        when(col("stage") === 5, col("n"))
+          .otherwise(col("__total") - col("dropped_before") - col("n"))
+          .as("docs_out"),
+        when(col("stage") === 5, lit(0L)).otherwise(col("tok"))
+          .as("tokens_dropped"))
+      .orderBy("rule")
+  }
+
   /** Deterministic training shuffle + shard assignment — the data-ORDER
     * step between curation and the training loop: every epoch needs the
     * corpus in a fresh pseudo-random order, split into balanced shards
@@ -924,6 +982,7 @@ object TextOps {
     "corpus_split_assign"   -> (corpusSplitAssign _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_shuffle_shard"  -> (corpusShuffleShard _),
+    "corpus_filter_waterfall" -> (corpusFilterWaterfall _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bigram_nll"  -> (textBigramNll _),
@@ -958,6 +1017,41 @@ object TextOps {
         |  ((pos - 1) % 8)::BIGINT AS shard,
         |  ((pos - 1) // 8)::BIGINT AS pos_in_shard
         |FROM r ORDER BY epoch, shard, pos_in_shard""".stripMargin,
+
+    // first-failing-rule staging in the same CASE order; the repetition
+    // ratio is one long/long IEEE division in both engines
+    "corpus_filter_waterfall" ->
+      """WITH s AS (SELECT CASE
+        |    WHEN len(string_split(text, ' ')) < 20 THEN 1
+        |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 2
+        |    WHEN len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |         len(string_split(text, ' ')) < 0.35 THEN 3
+        |    WHEN len(string_split(text, ' ')) > 90 THEN 4
+        |    ELSE 5 END AS stage,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |tally AS (SELECT stage, COUNT(*)::BIGINT AS n,
+        |            SUM(n_tok)::BIGINT AS tok FROM s GROUP BY 1),
+        |rules AS (SELECT * FROM (VALUES (1, '1_min_tokens'),
+        |            (2, '2_langid'), (3, '3_repetition'),
+        |            (4, '4_too_long'), (5, '5_kept')) AS v(stage, rule)),
+        |t AS (SELECT r.stage, r.rule, COALESCE(n, 0)::BIGINT AS n,
+        |        COALESCE(tok, 0)::BIGINT AS tok
+        |      FROM rules r LEFT JOIN tally USING (stage)),
+        |w AS (SELECT stage, rule, n, tok,
+        |        COALESCE(SUM(n) OVER (ORDER BY stage
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0)::BIGINT AS dropped_before,
+        |        SUM(n) OVER ()::BIGINT AS total
+        |      FROM t)
+        |SELECT rule,
+        |  (total - dropped_before)::BIGINT AS docs_in,
+        |  (CASE WHEN stage = 5 THEN 0 ELSE n END)::BIGINT AS docs_dropped,
+        |  (CASE WHEN stage = 5 THEN n
+        |        ELSE total - dropped_before - n END)::BIGINT AS docs_out,
+        |  (CASE WHEN stage = 5 THEN 0 ELSE tok END)::BIGINT
+        |    AS tokens_dropped
+        |FROM w ORDER BY rule""".stripMargin,
 
     // the 48-bit md5-prefix gram hash is replayed verbatim, so min/argmin
     // selection is value-exact; list_distinct reorders but only the size

@@ -106,4 +106,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning(doc_id"),
       s"two-phase boundary scan missing from plan:\n$p")
   }
+
+  test("filter waterfall rows chain: docs_out(k) == docs_in(k+1), totals conserve") {
+    val rows = graft.ext.TextOps.corpusFilterWaterfall(spark, SF)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_min_tokens", "2_langid", "3_repetition", "4_too_long", "5_kept"))
+    val total = graft.Tables.load(spark, SF, "documents").count()
+    assert(rows.head.getLong(1) == total) // first rule sees the whole corpus
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) == b.getLong(1), // docs_out -> next docs_in
+        s"${a.getString(0)} out ${a.getLong(3)} != ${b.getString(0)} in ${b.getLong(1)}")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3)) // in - dropped = out
+    }
+    assert(rows.map(_.getLong(2)).sum + rows.last.getLong(3) == total)
+  }
 }
