@@ -361,7 +361,45 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** CDC change-log application — the "apply a day of changes to the
+    * serving table" operator downstream of any log-structured ingest:
+    * events are read as per-user change records (the LAST event per user
+    * wins; `error` means delete, anything else upserts the user's state
+    * to that event's value), applied to the customer base relation in
+    * one pass. Emits the resulting table plus each row's applied-change
+    * count (0 = untouched base row).
+    *
+    * Scale shape: last-writer-wins per key is an ARG-MAX — a packed
+    * struct max inside a keyed aggregate (ts leads the struct, event_id
+    * breaks ties; no window over the change stream) — and application
+    * is one keyed full-outer join. Cost is O(|changes| + |base|) with
+    * two keyed shuffles, never a sort of either relation: exactly the
+    * contract that lets a 100 TB base absorb a day's log. Inserts
+    * (change key absent from base) and deletes both fall out of the
+    * full-outer + filter. */
+  def eventsCdcApply(s: SparkSession, d: String): DataFrame = {
+    val last = load(s, d, "events")
+      .groupBy(col("user_id").as("k"))
+      .agg(
+        max(struct(col("ts"), col("event_id"),
+          col("event_type").as("t"), col("value").as("v"))).as("last"),
+        count(lit(1)).as("nch"))
+      .select(col("k"), col("last.t").as("op_type"),
+        col("last.v").as("new_val"), col("nch"))
+    val base = load(s, d, "customer")
+      .select(col("c_custkey").cast("long").as("ck"), col("c_acctbal"))
+    base.join(last, col("ck") === col("k"), "full_outer")
+      .filter(col("op_type").isNull || col("op_type") =!= "error")
+      .select(
+        coalesce(col("ck"), col("k")).as("custkey"),
+        when(col("op_type").isNotNull, col("new_val"))
+          .otherwise(col("c_acctbal")).as("balance"),
+        coalesce(col("nch"), lit(0L)).as("n_changes"))
+      .orderBy("custkey")
+  }
+
   val entries: Map[String, Q] = Map(
+    "events_cdc_apply"      -> (eventsCdcApply _),
     "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
     "events_retention"       -> (eventsRetention _),
@@ -407,6 +445,24 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // last-writer-wins replayed as a rank window (the oracle may sort;
+    // the engine's arg-max is the same (ts, event_id) total order)
+    "events_cdc_apply" ->
+      """WITH ranked AS (SELECT user_id AS k, event_type AS op_type,
+        |    value AS new_val,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS nch,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT k, op_type, new_val, nch FROM ranked WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.k)::BIGINT AS custkey,
+        |  CASE WHEN l.op_type IS NOT NULL THEN l.new_val
+        |       ELSE c.c_acctbal END AS balance,
+        |  COALESCE(l.nch, 0)::BIGINT AS n_changes
+        |FROM customer c FULL OUTER JOIN l ON c.c_custkey = l.k
+        |WHERE l.op_type IS NULL OR l.op_type <> 'error'
+        |ORDER BY custkey""".stripMargin,
+
     // same exact long moments, same left-assoc double formula; the
     // rounded z feeds the flag in both engines
     "events_anomaly" ->

@@ -191,6 +191,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle sketch: one keyed aggregate, no window, no join before the pair build") {
+    // the sketch's whole point is plan shape: the bottom-k fold happens
+    // INSIDE the part-keyed aggregate (TopKAgg partials map-side), pairs
+    // are generated row-locally — so the plan must contain no Window, no
+    // cartesian product, and no single-partition exchange
+    val p = plan(graft.ext.Dedup.graphTriangleSketch(spark, SF))
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"window in triangle-sketch plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in triangle-sketch plan:\n$p")
+    assert(!p.contains("SinglePartition") ||
+      p.contains("TakeOrderedAndProject"),
+      s"single-partition exchange in triangle-sketch plan:\n$p")
+  }
+
+  test("shuffle-shard ranks through the range scan: no window anywhere") {
+    // the per-epoch global position must come from the two-phase range
+    // rank — a Window (empty partition spec) here would be the global
+    // sort that single-threads a 100 TB corpus
+    val p = plan(graft.ext.TextOps.corpusShuffleShard(spark, SF))
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"window survived in shuffle-shard plan:\n$p")
+    assert(p.contains("rangepartitioning("),
+      s"no range exchange in shuffle-shard plan:\n$p")
+  }
+
   test("markov/mann-whitney windows are keyed, never empty-partitioned") {
     // both keys run their window over a PARTITION BY key (user_id /
     // event_type) — an empty partition spec would be the 100 TB
