@@ -398,8 +398,64 @@ object EventOps {
       .orderBy("custkey")
   }
 
+  /** Poisson-bootstrap confidence intervals — THE resampling scheme that
+    * works at corpus scale (used for exactly this reason in large-scale
+    * A/B systems): classical bootstrap needs B passes drawing n rows
+    * WITH replacement (a global operation per resample); the Poisson
+    * approximation instead gives every row an independent Poisson(1)
+    * weight per resample, so all B resamples compute in ONE pass over
+    * the data as a keyed aggregate of weighted sums. Here: B = 64
+    * resamples of the per-event-type mean value, CI = the (2nd, 63rd)
+    * order statistics of the resample means (~95%).
+    *
+    * Determinism contract: the "random" weight is the inverse Poisson
+    * CDF applied to the 52-bit md5 fraction of "b:event_id"
+    * ([[graft.Tables.md5Bucket]]) — any engine reproduces every weight,
+    * so the oracle replays the whole bootstrap bit-exactly (CDF
+    * threshold literals shared verbatim with the SQL). Arithmetic:
+    * weighted sums fold in exact long cents; each resample mean is ONE
+    * long/long IEEE division; the CI picks (never interpolates) sorted
+    * doubles. Scale shape: the B-fold explode is row-local; the only
+    * shuffles are the (type, b) aggregate — 5·64 groups — and the 5-row
+    * final fold. */
+  def statBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    val ev = load(s, d, "events").select(col("event_type"), col("event_id"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    val rs = ev
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", md5Bucket(concat(col("b").cast("string"), lit(":"),
+        col("event_id").cast("string")), 13).cast("double")
+        / lit(4503599627370496.0)) // / 16^13: uniform in [0, 1)
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .when(col("u") < 0.9963401531726562, 4L)
+          .otherwise(5L))
+    val means = rs.groupBy(col("event_type"), col("b"))
+      .agg((sum(col("w") * col("cents")).cast("double")
+        / (sum(col("w")) * 100).cast("double")).as("m"))
+    val ci = means.groupBy("event_type")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("event_type"),
+        element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), 63).as("ci_hi"))
+    val point = ev.groupBy("event_type")
+      .agg((sum(col("cents")).cast("double")
+        / (count(lit(1)) * 100).cast("double")).as("mean_value"),
+        count(lit(1)).as("n_events"))
+    point.join(ci, "event_type")
+      .select(col("event_type"), col("n_events"), col("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val entries: Map[String, Q] = Map(
     "events_cdc_apply"      -> (eventsCdcApply _),
+    "stat_bootstrap_ci"     -> (statBootstrapCi _),
     "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
     "events_retention"       -> (eventsRetention _),
@@ -445,6 +501,38 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the full Poisson bootstrap replayed bit-exactly: same md5
+    // fraction, same CDF threshold literals, same exact-cent weighted
+    // sums, same single IEEE division per resample mean, same picked
+    // (2nd, 63rd) order statistics
+    "stat_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |rs AS (SELECT event_type, cents, b,
+        |    CAST(('0x' || substr(md5(b::VARCHAR || ':' ||
+        |      event_id::VARCHAR), 1, 13)) AS BIGINT)
+        |      / 4503599627370496.0 AS u
+        |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |w AS (SELECT event_type, cents, b, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726562 THEN 4
+        |    ELSE 5 END::BIGINT AS w FROM rs),
+        |means AS (SELECT event_type, b,
+        |    SUM(w * cents)::DOUBLE / (SUM(w) * 100)::DOUBLE AS m
+        |  FROM w GROUP BY 1, 2),
+        |ci AS (SELECT event_type, list(m ORDER BY m) AS ms
+        |  FROM means GROUP BY 1),
+        |pt AS (SELECT event_type, COUNT(*)::BIGINT AS n_events,
+        |    SUM(cents)::DOUBLE / (COUNT(*) * 100)::DOUBLE AS mean_value
+        |  FROM ev GROUP BY 1)
+        |SELECT pt.event_type, n_events, mean_value,
+        |  ms[2] AS ci_lo, ms[63] AS ci_hi
+        |FROM pt JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // last-writer-wins replayed as a rank window (the oracle may sort;
     // the engine's arg-max is the same (ts, event_id) total order)
     "events_cdc_apply" ->
