@@ -453,8 +453,15 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Streaming CDC through the driver gate: the chunked change stream
+    * applied batch-by-batch (StreamingOps.streamingCdcApply) must yield
+    * the same table as the one-shot batch apply — same oracle SQL. */
+  def eventsStreamCdc(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.streamingCdcApply(s, d)
+
   val entries: Map[String, Q] = Map(
     "events_cdc_apply"      -> (eventsCdcApply _),
+    "events_stream_cdc"     -> (eventsStreamCdc _),
     "stat_bootstrap_ci"     -> (statBootstrapCi _),
     "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
@@ -532,6 +539,24 @@ object EventOps {
         |  ms[2] AS ci_lo, ms[63] AS ci_hi
         |FROM pt JOIN ci USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // the streaming apply must equal the batch apply — SAME oracle: the
+    // gate is the stream==batch equivalence proof
+    "events_stream_cdc" ->
+      """WITH ranked AS (SELECT user_id AS k, event_type AS op_type,
+        |    value AS new_val,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS nch,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT k, op_type, new_val, nch FROM ranked WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.k)::BIGINT AS custkey,
+        |  CASE WHEN l.op_type IS NOT NULL THEN l.new_val
+        |       ELSE c.c_acctbal END AS balance,
+        |  COALESCE(l.nch, 0)::BIGINT AS n_changes
+        |FROM customer c FULL OUTER JOIN l ON c.c_custkey = l.k
+        |WHERE l.op_type IS NULL OR l.op_type <> 'error'
+        |ORDER BY custkey""".stripMargin,
 
     // last-writer-wins replayed as a rank window (the oracle may sort;
     // the engine's arg-max is the same (ts, event_id) total order)

@@ -477,6 +477,79 @@ object StreamingOps {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
 
+  /** Streaming CDC application — the continuous face of the batch
+    * last-writer-wins apply ([[graft.ext.EventOps.eventsCdcApply]]): the
+    * change log arrives as 4 time-ordered micro-batches; each batch
+    * folds to per-key last-writer-wins (packed struct arg-max, no
+    * window), then merges into a persisted key-state table with a keyed
+    * full-outer join (batch wins on collision — batches are time-ordered
+    * by construction, so batch-local LWW + later-batch-overwrite IS
+    * global LWW). Deletes are TOMBSTONES (alive=false), not physical
+    * removals, so a key deleted in batch 1 and re-upserted in batch 3
+    * resurrects with its full change count — exactly the batch
+    * semantics. The final serve applies the state to the base relation;
+    * the oracle is the SAME SQL as the batch key, so the gate proves
+    * stream == batch. Per batch this touches |batch keys| + |state|
+    * rows — never the full change history. */
+  def streamingCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val scratch = graft.matview.Materializer.defaultScratch
+    val staged = Paths.get(s"$scratch/stream_cdc_src")
+    val statePath = Paths.get(s"$scratch/stream_cdc_state")
+    val ckpt = Paths.get(s"$scratch/stream_cdc_ckpt")
+    Seq(staged, statePath, ckpt).foreach(del)
+    Files.createDirectories(staged)
+    stageChunkFiles(spark, dir, staged)
+    val events = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lww = batch.groupBy(col("user_id").as("k"))
+          .agg(max(struct(col("ts"), col("event_id"),
+            col("event_type").as("t"), col("value").as("v"))).as("last"),
+            count(lit(1)).as("bn"))
+          .select(col("k"), (col("last.t") =!= "error").as("b_alive"),
+            col("last.v").as("b_val"), col("bn"))
+        val merged =
+          if (!Files.exists(statePath))
+            lww.select(col("k"), col("b_alive").as("alive"),
+              col("b_val").as("balance"), col("bn").as("n_changes"))
+          else {
+            val prev = spark.read.parquet(statePath.toString)
+            prev.join(lww, prev("k") === lww("k"), "full_outer")
+              .select(
+                coalesce(lww("k"), prev("k")).as("k"),
+                coalesce(col("b_alive"), col("alive")).as("alive"),
+                coalesce(col("b_val"), col("balance")).as("balance"),
+                (coalesce(col("n_changes"), lit(0L)) +
+                  coalesce(col("bn"), lit(0L))).as("n_changes"))
+          }
+        val tmp = Paths.get(statePath.toString + "__stage")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        del(statePath)
+        Files.move(tmp, statePath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val state = spark.read.parquet(statePath.toString)
+    val base = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("ck"), col("c_acctbal"))
+    base.join(state, col("ck") === col("k"), "full_outer")
+      .filter(col("alive").isNull || col("alive"))
+      .select(
+        coalesce(col("ck"), col("k")).as("custkey"),
+        when(col("k").isNotNull, col("balance"))
+          .otherwise(col("c_acctbal")).as("balance"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy("custkey")
+  }
+
   /** Sliding 1-hour windows every 15 minutes over the stream — the
     * overlap case: each event feeds four windows' state. */
   def slidingAgg(events: DataFrame): DataFrame =

@@ -70,4 +70,20 @@ class StatefulSessionSpec extends AnyFunSuite {
       chunkOf(r.getLong(1)) != chunkOf(r.getLong(3)))
     assert(spanning > 0, "no conversion spans a micro-batch boundary")
   }
+
+  test("streaming CDC equals batch apply and genuinely merges across batches") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val batch = asMap(EventOps.eventsCdcApply(spark, SF))
+    val stream = asMap(EventOps.eventsStreamCdc(spark, SF))
+    assert(stream == batch)
+    // the equality is only meaningful if per-key state really crossed a
+    // micro-batch boundary: some user must have changes in >1 chunk
+    val spanning = StreamingOps.stageChunks(
+        graft.Tables.load(spark, SF, "events"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("__chunk")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(spanning > 0, "no user's change stream spans a chunk boundary")
+  }
 }
