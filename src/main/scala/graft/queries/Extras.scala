@@ -829,6 +829,32 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** As-of with a staleness tolerance — the feature-store contract: a
+    * feature value older than the allowed staleness must NOT be served,
+    * even if it is the most recent one. Same one-shuffle as-of compose,
+    * then the match is nulled (both payload columns together — a
+    * half-nulled match would be a corrupt feature row) when the matched
+    * click is more than 30 minutes before the purchase. The tolerance is
+    * a post-filter on the SINGLE as-of match, not a range join: there is
+    * still exactly one candidate per left row. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val fresh =
+      col("asof_click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES")
+    graft.operators.AsOfJoin.asofBackward(
+        purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("asof_click_ts")).as("click_ts"),
+        when(fresh, col("click_id")).as("click_id"))
+      .orderBy("event_id")
+  }
+
   /** The same as-of semantics through the native custom operator stack
     * (graft.plans.AsOfJoinNative: LogicalPlan + SparkStrategy +
     * BinaryExecNode per-partition merge) — same oracle as the composed
@@ -1107,6 +1133,7 @@ object Extras {
     "sample_stratified"     -> (sampleStratified _),
     "join_asof"             -> (joinAsof _),
     "join_asof_native"      -> (joinAsofNative _),
+    "join_asof_tolerance"   -> (joinAsofTolerance _),
     "fn_string"             -> (fnString _),
     "fn_math"               -> (fnMath _),
     "expr_null_handling"    -> (exprNullHandling _),
@@ -1636,6 +1663,22 @@ object Extras {
         |p AS (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // native ASOF then the staleness CASE — both payload columns null
+    // together when the single match is older than the tolerance
+    "join_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN c.click_ts >= p.ts - INTERVAL 30 MINUTE
+        |       THEN c.click_ts END AS click_ts,
+        |  CASE WHEN c.click_ts >= p.ts - INTERVAL 30 MINUTE
+        |       THEN c.click_id END AS click_id
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
