@@ -532,6 +532,55 @@ object Extras {
       .orderBy("prio", "status")
   }
 
+  /** Population-stability-index drift monitor — the check a serving
+    * pipeline runs before trusting a new data window: the event value
+    * distribution of the LATER half of the observed time range compared
+    * to the EARLIER half over 10 fixed-width buckets,
+    * PSI = Σ (p_b − q_b)·ln(p_b/q_b), flag at the conventional 0.2.
+    * Proportions are Laplace-smoothed ((n+1)/(N+10) — zero buckets stay
+    * finite) with each p a single long/long IEEE division; per-bucket
+    * contributions are rounded then folded in pinned bucket order (the
+    * chi-square sorted-fold contract), so both engines sum identical
+    * doubles in identical order. One corpus scan computes every event's
+    * (half, bucket); everything after is a 10-row relation. The time
+    * midpoint comes from a 1-row min/max aggregate in exact micros
+    * (×2 comparison — no division). */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .select(
+        when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), "old")
+          .otherwise("new").as("half"),
+        least(expr("cents div 6000"), lit(9L)).as("bucket"))
+    val cells = halves.groupBy("bucket").agg(
+      sum(when(col("half") === "old", 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("half") === "new", 1L).otherwise(0L)).as("n_new"))
+    val tot = cells.agg(sum("n_old").as("ta"), sum("n_new").as("tb"))
+    val grid = s.range(10).select(col("id").as("bucket"))
+      .join(cells, Seq("bucket"), "left")
+      .withColumn("n_old", coalesce(col("n_old"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val p = (col("n_old") + 1).cast(DoubleType) /
+      (col("ta") + 10).cast(DoubleType)
+    val q = (col("n_new") + 1).cast(DoubleType) /
+      (col("tb") + 10).cast(DoubleType)
+    val perB = grid.select(col("bucket"), col("n_old"), col("n_new"),
+      round(p, 9).as("p_old"), round(q, 9).as("p_new"),
+      round((p - q) * log(p / q), 9).as("contrib"))
+    val psi = perB.agg(
+      expr("round(aggregate(array_sort(collect_list(" +
+        "struct(bucket, contrib))), CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> acc + x.contrib), 9)").as("psi"))
+    perB.crossJoin(broadcast(psi))
+      .withColumn("drift_flag", col("psi") > 0.2)
+      .orderBy("bucket")
+  }
+
   /** Kolmogorov–Smirnov two-sample test per event type between the
     * user_id-mod-2 variants — the distribution-SHAPE readout next to
     * [[statAbWelch]] (means) and [[statMannWhitney]] (location shift):
@@ -1134,6 +1183,7 @@ object Extras {
     "join_asof"             -> (joinAsof _),
     "join_asof_native"      -> (joinAsofNative _),
     "join_asof_tolerance"   -> (joinAsofTolerance _),
+    "profile_drift"         -> (profileDrift _),
     "fn_string"             -> (fnString _),
     "fn_math"               -> (fnMath _),
     "expr_null_handling"    -> (exprNullHandling _),
@@ -1666,6 +1716,45 @@ object Extras {
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // same smoothed proportions, same single divisions, same rounded
+    // contributions folded in pinned bucket order
+    "profile_drift" ->
+      """WITH ev AS (SELECT ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |bounds AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM ev),
+        |b AS (SELECT CASE WHEN epoch_us(ts) * 2 < lo + hi
+        |        THEN 'old' ELSE 'new' END AS half,
+        |      least(cents // 6000, 9)::BIGINT AS bucket
+        |  FROM ev CROSS JOIN bounds),
+        |cells AS (SELECT bucket,
+        |    COUNT(*) FILTER (WHERE half = 'old')::BIGINT AS n_old,
+        |    COUNT(*) FILTER (WHERE half = 'new')::BIGINT AS n_new
+        |  FROM b GROUP BY 1),
+        |grid AS (SELECT r.bucket::BIGINT AS bucket,
+        |    COALESCE(n_old, 0)::BIGINT AS n_old,
+        |    COALESCE(n_new, 0)::BIGINT AS n_new
+        |  FROM range(0, 10) r(bucket) LEFT JOIN cells
+        |    ON r.bucket = cells.bucket),
+        |tot AS (SELECT SUM(n_old)::BIGINT AS ta, SUM(n_new)::BIGINT AS tb
+        |  FROM grid),
+        |per AS (SELECT bucket, n_old, n_new,
+        |    round((n_old + 1)::DOUBLE / (ta + 10)::DOUBLE, 9) AS p_old,
+        |    round((n_new + 1)::DOUBLE / (tb + 10)::DOUBLE, 9) AS p_new,
+        |    round(((n_old + 1)::DOUBLE / (ta + 10)::DOUBLE
+        |         - (n_new + 1)::DOUBLE / (tb + 10)::DOUBLE)
+        |      * ln(((n_old + 1)::DOUBLE / (ta + 10)::DOUBLE)
+        |          / ((n_new + 1)::DOUBLE / (tb + 10)::DOUBLE)), 9)
+        |      AS contrib
+        |  FROM grid CROSS JOIN tot),
+        |psi AS (SELECT round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(contrib ORDER BY bucket)), (a, x) -> a + x), 9) AS psi
+        |  FROM per)
+        |SELECT bucket, n_old, n_new, p_old, p_new, contrib, psi,
+        |  psi > 0.2 AS drift_flag
+        |FROM per CROSS JOIN psi ORDER BY bucket""".stripMargin,
+
     // native ASOF then the staleness CASE — both payload columns null
     // together when the single match is older than the tolerance
     "join_asof_tolerance" ->

@@ -285,6 +285,40 @@ object Lifecycle {
     summaries.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** Retention VACUUM over the [[graft.matview.Snapshots]] commit log —
+    * the storage-reclaim half of the table format: after two appends and
+    * a delete-as-rewrite overwrite, retaining only the latest version
+    * must physically delete exactly the two data dirs referenced solely
+    * by expired manifests (computed from manifests alone — never file
+    * ages) while the retained version reads back byte-identical. The
+    * emitted row carries the retained version's stats next to the
+    * (dirs_removed, dirs_live) accounting, both deterministic; the
+    * shared-dir append-reuse case (retained manifest still referencing
+    * an old dir ⇒ nothing deletable) and expired-version unreadability
+    * are pinned in SnapshotsSpec. At 100 TB the deletion set is an
+    * O(|manifests|) metadata computation whose only I/O is removing
+    * genuinely dead files. */
+  def tableVacuum(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/snaps")
+    val t = f"orders_vac_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val orders = load(s, d, "orders")
+    snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+    snap.commitAppend(t,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+    val v2 = snap.commitOverwrite(t,
+      snap.read(t, 1).filter(col("o_orderstatus") =!= "F"))
+    val (removed, live) = snap.vacuum(t, retainFrom = v2)
+    snap.read(t, v2)
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col("o_totalprice")).as("total_spend"))
+      .select(lit(v2).as("version"), col("n_rows"), col("total_spend"),
+        lit(removed.toLong).as("dirs_removed"),
+        lit(live.toLong).as("dirs_live"))
+  }
+
   /** Incremental log consumption (CDC-style) over the
     * [[graft.matview.Snapshots]] commit log: three append commits land
     * shard-by-shard, and a downstream reader processes each version's
@@ -1081,6 +1115,7 @@ object Lifecycle {
     "table_time_travel" -> (tableTimeTravel _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_incremental_read" -> (tableIncrementalRead _),
+    "table_vacuum" -> (tableVacuum _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
@@ -1171,6 +1206,16 @@ object Lifecycle {
         |SELECT version::INTEGER AS version, delta_rows, delta_spend,
         |  table_rows
         |FROM d JOIN c USING (version) ORDER BY version""".stripMargin,
+    // the retained version's predicate over the base table; the vacuum
+    // accounting is structurally determined (2 appends + 1 overwrite,
+    // retain latest => d0/d1 dead, d2 live)
+    "table_vacuum" ->
+      """SELECT 2 AS version, COUNT(*)::BIGINT AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend,
+        |  2::BIGINT AS dirs_removed, 1::BIGINT AS dirs_live
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'""".stripMargin,
     // each version's visible state replayed as a predicate over the base
     // table: v0 = first append, v1 = both appends, v2 = the rewrite with
     // the DELETE applied

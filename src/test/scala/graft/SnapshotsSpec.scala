@@ -104,4 +104,26 @@ class SnapshotsSpec extends AnyFunSuite {
       Tables.load(spark, SF, "region").count())
     snap.drop(t)
   }
+
+  test("vacuum: shared dirs survive, expired versions die, retained bytes intact") {
+    val snap = new Snapshots(spark, root)
+    val t = "spec_vacuum"
+    snap.drop(t)
+    val docs = Tables.load(spark, SF, "documents").select(col("doc_id"))
+    snap.commitAppend(t, docs.filter(col("doc_id") % 3 === 0))
+    snap.commitAppend(t, docs.filter(col("doc_id") % 3 === 1))
+    snap.commitOverwrite(t, snap.read(t, 1).filter(col("doc_id") % 2 === 0))
+    val before = snap.read(t, 2).collect().map(_.getLong(0)).sorted.toSeq
+    // retain from v1: v1's manifest still references d0 (append reuse),
+    // so NOTHING is deletable even though v0's manifest goes away
+    val (r1, l1) = snap.vacuum(t, 1)
+    assert(r1 == 0, s"shared data dir deleted by vacuum: removed $r1")
+    assert(snap.read(t, 1).inputFiles.exists(_.contains("/d0/")))
+    // retain only the overwrite: d0/d1 now dead, d2 live
+    val (r2, l2) = snap.vacuum(t, 2)
+    assert(r2 == 2 && l2 == 1, s"expected (2 dead, 1 live), got ($r2, $l2)")
+    assert(snap.read(t, 2).collect().map(_.getLong(0)).sorted.toSeq == before)
+    intercept[Exception] { snap.read(t, 0).count() }
+    intercept[Exception] { snap.read(t, 1).count() }
+  }
 }
