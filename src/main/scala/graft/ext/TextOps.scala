@@ -678,6 +678,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE vocabulary training IN-ENGINE — the tokenizer-training step of
+    * a pretraining pipeline, run where the data already lives instead of
+    * exporting word counts to a separate trainer. Classic byte-pair
+    * encoding over the corpus word-frequency table: start from character
+    * symbols, repeatedly (6 rounds) find the adjacent symbol pair with
+    * the highest corpus-weighted count (ties: lexicographically smallest
+    * pair — a total order, so training is deterministic) and merge its
+    * non-overlapping occurrences greedily left-to-right. Emits the merge
+    * table — the trained artifact a tokenizer loads.
+    *
+    * Scale shape: BPE only ever needs the WORD-FREQUENCY table (one
+    * corpus scan), which is Heaps-law small relative to the corpus;
+    * each round is one keyed pair-count aggregate over the symbol
+    * streams plus a 1-row argmax action (the driver-orchestrated
+    * fixpoint idiom shared with PageRank/BFS, localCheckpoint per round
+    * so lineage stays flat), and the merge itself is a row-local array
+    * fold — no shuffle. The greedy fold (merge when the accumulator's
+    * last symbol is `a` and the next is `b`) handles overlapping runs
+    * exactly like the sequential algorithm: in a run of k identical
+    * symbols it merges floor(k/2) leftmost pairs. The oracle replays
+    * every round with the run-parity window formulation, which is
+    * provably the same greedy choice set. */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ROUNDS = 6
+    var words = load(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (k <- 1 to ROUNDS) {
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          """transform(slice(syms, 1, size(syms) - 1),
+            |  (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      // 1-row bounded action — the same driver-argmax contract as the
+      // PageRank node count; the pair table is Heaps-law small
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1),
+        best.getLong(2))
+      merges += ((k, a, b, a + b, cnt))
+      def q(x: String): String =
+        x.replace("\\", "\\\\").replace("'", "\\'")
+      words = words.select(col("freq"), expr(
+        s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+           |  CASE WHEN size(acc) > 0
+           |            AND element_at(acc, size(acc)) = '${q(a)}'
+           |            AND x = '${q(b)}'
+           |       THEN concat(slice(acc, 1, size(acc) - 1),
+           |                   array('${q(a)}${q(b)}'))
+           |       ELSE concat(acc, array(x)) END)""".stripMargin)
+        .as("syms"))
+        .localCheckpoint()
+    }
+    merges.result()
+      .toDF("round", "merge_left", "merge_right", "merged", "support")
+      .orderBy("round")
+  }
+
   /** Filter attrition waterfall — the report every production cleaning
     * pipeline publishes before training: rules applied in a FIXED order,
     * and per rule the docs entering, dropped, surviving, and the token
@@ -983,6 +1048,7 @@ object TextOps {
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_shuffle_shard"  -> (corpusShuffleShard _),
     "corpus_filter_waterfall" -> (corpusFilterWaterfall _),
+    "text_bpe_train"        -> (textBpeTrain _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bigram_nll"  -> (textBigramNll _),
@@ -1001,7 +1067,60 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
   )
 
+  /** Program-generated BPE oracle: round k's greedy left-to-right merge
+    * is replayed with the run-parity window formulation — among each
+    * word's consecutive runs of matching positions, keep the odd ones
+    * (1st, 3rd, ...), which is exactly the greedy non-overlapping choice
+    * set; the argmax tie order (cnt DESC, l, r) matches the engine's. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT w, freq,
+        |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+        |      AS syms
+        |  FROM (SELECT w, COUNT(*)::BIGINT AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |              FROM documents)
+        |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+         |    SUM(freq)::BIGINT AS cnt
+         |  FROM w${k - 1}, unnest(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r
+         |  LIMIT 1),
+         |e$k AS (SELECT w, freq, syms, i,
+         |    COALESCE(i < len(syms) AND syms[i] = (SELECT l FROM b$k)
+         |      AND syms[i + 1] = (SELECT r FROM b$k), false) AS m
+         |  FROM w${k - 1}, unnest(range(1, len(syms) + 1)) t(i)),
+         |g$k AS (SELECT *, CASE WHEN m THEN
+         |      i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i)
+         |    END AS grp
+         |  FROM e$k),
+         |k$k AS (SELECT *, m AND (ROW_NUMBER() OVER
+         |      (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS keep
+         |  FROM g$k),
+         |s$k AS (SELECT w, freq, i,
+         |    CASE WHEN keep THEN syms[i] || syms[i + 1]
+         |         ELSE syms[i] END AS sym,
+         |    COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY i), false)
+         |      AS prev_keep
+         |  FROM k$k),
+         |w$k AS (SELECT w, freq, list(sym ORDER BY i) AS syms
+         |  FROM s$k WHERE NOT prev_keep GROUP BY w, freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { k =>
+      s"""SELECT $k AS round, (SELECT l FROM b$k) AS merge_left,
+         |  (SELECT r FROM b$k) AS merge_right,
+         |  (SELECT l || r FROM b$k) AS merged,
+         |  (SELECT cnt FROM b$k) AS support""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$steps\n$out\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeOracleSql(6),
+
     // the epoch-salted 52-bit md5-prefix shuffle key is replayed
     // verbatim; ROW_NUMBER per epoch over (hash, doc_id) is the same
     // total order the two-phase range rank computes
