@@ -556,9 +556,13 @@ object Extras {
         when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), "old")
           .otherwise("new").as("half"),
         least(expr("cents div 6000"), lit(9L)).as("bucket"))
+    // <=10 rows, TWO consumers (tot, grid): checkpoint so the corpus
+    // scan behind it runs once, not once per consumer (the two-consumer
+    // rule from dedup_cluster / text_tfidf_cosine)
     val cells = halves.groupBy("bucket").agg(
       sum(when(col("half") === "old", 1L).otherwise(0L)).as("n_old"),
       sum(when(col("half") === "new", 1L).otherwise(0L)).as("n_new"))
+      .localCheckpoint()
     val tot = cells.agg(sum("n_old").as("ta"), sum("n_new").as("tb"))
     val grid = s.range(10).select(col("id").as("bucket"))
       .join(cells, Seq("bucket"), "left")
