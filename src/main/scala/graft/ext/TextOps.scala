@@ -702,15 +702,24 @@ object TextOps {
     * provably the same greedy choice set. */
   def textBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ROUNDS = 6
+    bpeTrain(s, d, rounds = 6)._2
+      .toDF("round", "merge_left", "merge_right", "merged", "support")
+      .orderBy("round")
+  }
+
+  /** The shared training loop behind [[textBpeTrain]] (merge table) and
+    * [[corpusBpeEncode]] (final symbol table): returns the post-training
+    * word relation `(w, freq, syms)` and the merge sequence. */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     var words = load(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("w"), "").as("syms"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (k <- 1 to ROUNDS) {
+    for (k <- 1 to rounds) {
       val pairs = words
         .select(col("freq"), explode(expr(
           """transform(slice(syms, 1, size(syms) - 1),
@@ -727,7 +736,7 @@ object TextOps {
       merges += ((k, a, b, a + b, cnt))
       def q(x: String): String =
         x.replace("\\", "\\\\").replace("'", "\\'")
-      words = words.select(col("freq"), expr(
+      words = words.select(col("w"), col("freq"), expr(
         s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
            |  CASE WHEN size(acc) > 0
            |            AND element_at(acc, size(acc)) = '${q(a)}'
@@ -738,9 +747,34 @@ object TextOps {
         .as("syms"))
         .localCheckpoint()
     }
-    merges.result()
-      .toDF("round", "merge_left", "merge_right", "merged", "support")
-      .orderBy("round")
+    (words, merges.result())
+  }
+
+  /** BPE ENCODING — the apply half of the tokenizer loop: run the
+    * trained merge table over the corpus and report per document its
+    * word/char counts, post-BPE token count, and chars-per-token
+    * compression. Because BPE operates on word TYPES, encoding is a
+    * broadcast join from each document's words to the trained
+    * word -> |symbols| table (Heaps-law small) — the corpus-scale side
+    * never shuffles for the lookup, and per-doc totals are one keyed
+    * aggregate. The compression ratio is a single long/long IEEE
+    * division. */
+  def corpusBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (words, _) = bpeTrain(s, d, rounds = 6)
+    val sizes = words.select(col("w"),
+      size(col("syms")).cast("long").as("n_bpe"))
+    load(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(sizes), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_bpe")).as("n_tokens_bpe"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") /
+          col("n_tokens_bpe").cast("double"), 9))
+      .orderBy("doc_id")
   }
 
   /** Filter attrition waterfall — the report every production cleaning
@@ -1049,6 +1083,7 @@ object TextOps {
     "corpus_shuffle_shard"  -> (corpusShuffleShard _),
     "corpus_filter_waterfall" -> (corpusFilterWaterfall _),
     "text_bpe_train"        -> (textBpeTrain _),
+    "corpus_bpe_encode"     -> (corpusBpeEncode _),
     "corpus_mix_weights" -> (corpusMixWeights _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bigram_nll"  -> (textBigramNll _),
@@ -1072,43 +1107,27 @@ object TextOps {
     * word's consecutive runs of matching positions, keep the odd ones
     * (1st, 3rd, ...), which is exactly the greedy non-overlapping choice
     * set; the argmax tie order (cnt DESC, l, r) matches the engine's. */
+  /** Encoding oracle: the same generated rounds rebuild w6, then each
+    * document's words join the trained word -> |symbols| table. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val (base, steps) = bpeOracleParts(rounds)
+    s"""WITH $base,
+       |$steps,
+       |sizes AS MATERIALIZED (SELECT w, len(syms)::BIGINT AS n_bpe FROM w$rounds),
+       |dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(len(w))::BIGINT AS n_chars,
+       |  SUM(n_bpe)::BIGINT AS n_tokens_bpe,
+       |  round(SUM(len(w))::DOUBLE / SUM(n_bpe)::DOUBLE, 9)
+       |    AS compression
+       |FROM dw JOIN sizes USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeOracleSql(rounds: Int): String = {
-    val base =
-      """w0 AS (
-        |  SELECT w, freq,
-        |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
-        |      AS syms
-        |  FROM (SELECT w, COUNT(*)::BIGINT AS freq
-        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
-        |              FROM documents)
-        |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
-    val steps = (1 to rounds).map { k =>
-      s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r,
-         |    SUM(freq)::BIGINT AS cnt
-         |  FROM w${k - 1}, unnest(range(1, len(syms))) t(i)
-         |  GROUP BY 1, 2),
-         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r
-         |  LIMIT 1),
-         |e$k AS (SELECT w, freq, syms, i,
-         |    COALESCE(i < len(syms) AND syms[i] = (SELECT l FROM b$k)
-         |      AND syms[i + 1] = (SELECT r FROM b$k), false) AS m
-         |  FROM w${k - 1}, unnest(range(1, len(syms) + 1)) t(i)),
-         |g$k AS (SELECT *, CASE WHEN m THEN
-         |      i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i)
-         |    END AS grp
-         |  FROM e$k),
-         |k$k AS (SELECT *, m AND (ROW_NUMBER() OVER
-         |      (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS keep
-         |  FROM g$k),
-         |s$k AS (SELECT w, freq, i,
-         |    CASE WHEN keep THEN syms[i] || syms[i + 1]
-         |         ELSE syms[i] END AS sym,
-         |    COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY i), false)
-         |      AS prev_keep
-         |  FROM k$k),
-         |w$k AS (SELECT w, freq, list(sym ORDER BY i) AS syms
-         |  FROM s$k WHERE NOT prev_keep GROUP BY w, freq)""".stripMargin
-    }.mkString(",\n")
+    val (base, steps) = bpeOracleParts(rounds)
     val out = (1 to rounds).map { k =>
       s"""SELECT $k AS round, (SELECT l FROM b$k) AS merge_left,
          |  (SELECT r FROM b$k) AS merge_right,
@@ -1118,8 +1137,49 @@ object TextOps {
     s"WITH $base,\n$steps\n$out\nORDER BY round"
   }
 
+  private def bpeOracleParts(rounds: Int): (String, String) = {
+    val base =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+        |      AS syms
+        |  FROM (SELECT w, COUNT(*)::BIGINT AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |              FROM documents)
+        |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT syms[i] AS l, syms[i + 1] AS r,
+         |    SUM(freq)::BIGINT AS cnt
+         |  FROM w${k - 1}, unnest(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r
+         |  LIMIT 1),
+         |e$k AS MATERIALIZED (SELECT w, freq, syms, i,
+         |    COALESCE(i < len(syms) AND syms[i] = (SELECT l FROM b$k)
+         |      AND syms[i + 1] = (SELECT r FROM b$k), false) AS m
+         |  FROM w${k - 1}, unnest(range(1, len(syms) + 1)) t(i)),
+         |g$k AS MATERIALIZED (SELECT *, CASE WHEN m THEN
+         |      i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i)
+         |    END AS grp
+         |  FROM e$k),
+         |k$k AS MATERIALIZED (SELECT *, m AND (ROW_NUMBER() OVER
+         |      (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS keep
+         |  FROM g$k),
+         |s$k AS MATERIALIZED (SELECT w, freq, i,
+         |    CASE WHEN keep THEN syms[i] || syms[i + 1]
+         |         ELSE syms[i] END AS sym,
+         |    COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY i), false)
+         |      AS prev_keep
+         |  FROM k$k),
+         |w$k AS MATERIALIZED (SELECT w, freq, list(sym ORDER BY i) AS syms
+         |  FROM s$k WHERE NOT prev_keep GROUP BY w, freq)""".stripMargin
+    }.mkString(",\n")
+    (base, steps)
+  }
+
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracleSql(6),
+    "corpus_bpe_encode" -> bpeEncodeOracleSql(6),
 
     // the epoch-salted 52-bit md5-prefix shuffle key is replayed
     // verbatim; ROW_NUMBER per epoch over (hash, doc_id) is the same
