@@ -1008,6 +1008,53 @@ object Extras {
       .orderBy("grp", "k")
   }
 
+  /** CMS heavy hitters over the STREAM — the proof that the engine's
+    * custom mergeable sketch aggregate ([[graft.functions.CmsAgg]], a
+    * TypedImperativeAggregate) runs inside Structured Streaming state:
+    * the event stream arrives as 4 time-ordered micro-batches, each
+    * 3-day window's d×w counter buffer lives in the state store and
+    * MERGES across batches (the mergeable-partial contract is exactly
+    * what streaming state needs), and after the drain each window's
+    * sketch is probed for keys above 3% of the window's mass. The key
+    * stream plants 7 hot keys (~30% of events over users < 45, ~4.3%
+    * each) against a uniform 0.67% tail — the sketch must separate the
+    * two through collision noise. At the gate SF the probe enumerates
+    * the whole 112-key planted domain; at corpus scale the candidate
+    * set comes from a deterministic row sample exactly as in
+    * [[aggCmsHeavyHitters]]. Counters, probes, and estimates replay
+    * bit-exactly in the oracle (SplitMix64 chains + power-of-two
+    * modulus, per window). */
+  def eventsStreamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Mix64.mix64
+    val ev = graft.streaming.StreamingOps.eventsStreamChunked(s, d)
+      .select(col("ts"),
+        when(col("user_id") < 45, pmod(col("user_id"), lit(7L)))
+          .otherwise(col("user_id")).as("k"))
+      .withWatermark("ts", "2 hours")
+    val agg = ev.groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(
+        graft.functions.CmsAgg.cms(col("k"), CMS_SEEDS.toSeq, CMS_W).as("sk"),
+        count(lit(1)).as("total"))
+    val drained = graft.streaming.StreamingOps
+      .runToCompletion(s, agg, "verify_stream_hh")
+    val cand = s.range(150).select(
+        when(col("id") < 45, pmod(col("id"), lit(7L)))
+          .otherwise(col("id")).as("k"))
+      .distinct()
+    val est = least(CMS_SEEDS.toIndexedSeq.zipWithIndex.map { case (seed, r) =>
+      element_at(col("sk"),
+        (pmod(mix64(col("k"), seed), lit(CMS_W)) + lit(r.toLong * CMS_W) +
+          lit(1L)).cast("int"))
+    }: _*)
+    drained.select(col("w.start").as("win_start"), col("sk"), col("total"))
+      .crossJoin(broadcast(cand))
+      .select(col("win_start"), col("k"), est.as("est"),
+        floor(col("total") / lit(33)).as("thr"))
+      .filter(col("est") >= col("thr"))
+      .select("win_start", "k", "est")
+      .orderBy("win_start", "k")
+  }
+
   /** The generalized rule surface: the same promotion windows as DATE
     * columns and the containment written BETWEEN (closed upper bound) —
     * date keys normalize to epoch days inside the rule (UnixDate; a
@@ -1177,6 +1224,7 @@ object Extras {
 
   val entries: Map[String, Q] = Map(
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
+    "events_stream_heavy_hitters" -> (eventsStreamHeavyHitters _),
     "agg_cms_grouped"       -> (aggCmsGrouped _),
     "join_range_auto"       -> (joinRangeAuto _),
     "join_range_dates"      -> (joinRangeDates _),
@@ -1242,6 +1290,45 @@ object Extras {
        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM m${tag}1),
        |h$tag AS (SELECT k, xor(z2, z2 >> 31) AS h FROM m${tag}2)""".stripMargin
+  }
+
+  /** Windowed (streaming) CMS replay: same grouped pattern with the
+    * group = the epoch-aligned 3-day window start; the probe domain
+    * mirrors the engine's planted-key enumeration. */
+  private def cmsStreamHhOracleSql: String = {
+    val chains = CMS_SEEDS.zipWithIndex.map { case (seed, r) =>
+      mixChainSql(r.toString, "keys", seed) +
+        s""",
+           |cnt$r AS (SELECT s.grp, h % $CMS_W AS b, COUNT(*) AS c
+           |  FROM stream s JOIN h$r ON s.k = h$r.k GROUP BY 1, 2)"""
+          .stripMargin
+    }.mkString(",\n")
+    val bk = CMS_SEEDS.indices.map(r =>
+      s"SELECT k, $r AS r, h % $CMS_W AS b FROM h$r")
+      .mkString("\n  UNION ALL ")
+    val counters = CMS_SEEDS.indices.map(r =>
+      s"SELECT grp, $r AS r, b, c FROM cnt$r").mkString("\n  UNION ALL ")
+    s"""WITH stream AS (
+       |  SELECT make_timestamp(
+       |      epoch_us(ts) // 259200000000 * 259200000000) AS grp,
+       |    CASE WHEN user_id < 45 THEN user_id % 7
+       |         ELSE user_id END AS k
+       |  FROM events),
+       |keys AS (SELECT DISTINCT CASE WHEN i < 45 THEN i % 7 ELSE i END
+       |    AS k FROM range(0, 150) t(i)),
+       |totals AS (SELECT grp, COUNT(*) AS t FROM stream GROUP BY 1),
+       |$chains,
+       |bk AS (
+       |  $bk),
+       |counters AS (
+       |  $counters),
+       |grid AS (SELECT totals.grp, bk.k, bk.r, bk.b
+       |  FROM totals CROSS JOIN bk),
+       |est AS (SELECT grp, k, MIN(COALESCE(c, 0)) AS est
+       |  FROM grid LEFT JOIN counters USING (grp, r, b) GROUP BY 1, 2)
+       |SELECT grp AS win_start, k, est
+       |FROM est JOIN totals USING (grp)
+       |WHERE est >= t // 33 ORDER BY win_start, k""".stripMargin
   }
 
   private def cmsOracleSql: String = {
@@ -1313,6 +1400,7 @@ object Extras {
   val oracles: Map[String, String] = Map(
     // counters, sample, and point estimates replayed bit-exactly
     "agg_cms_heavy_hitters" -> cmsOracleSql,
+    "events_stream_heavy_hitters" -> cmsStreamHhOracleSql,
     "agg_cms_grouped" -> cmsGroupedOracleSql,
     "fn_array" ->
       """WITH g AS (SELECT l_orderkey,
