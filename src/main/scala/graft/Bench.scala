@@ -134,15 +134,19 @@ object Bench {
       // memory-heavy dedup probes run FIRST (freshest heap — they were
       // the keys hit hardest by inherited pressure; quiesce() handles
       // the rest of the ordering sensitivity)
+      // graph_triangle_sketch sits in the memory-heavy head group (24M
+      // in-row pairs): run last in the tier it read 5.4s vs 3.9s
+      // standalone — position-inherited pressure, same artifact the
+      // dedup-first ordering exists for
       val probe = Seq("dedup_ngram_jaccard", "dedup_containment",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_block_ratio",
-        "dedup_span_coverage", "text_tfidf_cosine",
+        "dedup_span_coverage", "graph_triangle_sketch",
+        "text_tfidf_cosine",
         "join_natural_5way", "window_cumulative", "agg_sum_group3",
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
         "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
-        "text_contamination", "events_funnel", "events_retention",
-        "graph_triangle_sketch")
+        "text_contamination", "events_funnel", "events_retention")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
