@@ -554,6 +554,61 @@ object Similarity {
     topkExact(scored)
   }
 
+  /** Contrastive training-pair construction — the step between curation
+    * and contrastive/embedding training: every anchor gets one positive
+    * (the next vector of the SAME planted label, wrapping — a keyed
+    * window, deterministic) and up to 4 negatives drawn by the portable
+    * md5 hash of "anchor:j" over the corpus, kept only when the draw
+    * lands on a DIFFERENT label (rejection without redraw: deterministic,
+    * replayable, and at 10 labels rejects ~10% — the honest contract is
+    * "up to NEG negatives"). Each pair carries its exact cosine, the
+    * diagnostic a training pipeline checks (positives must score above
+    * negatives in aggregate). Scale shape: positives are one keyed
+    * window over the label partition; negative candidate ids are pure
+    * per-row hashes resolved by ONE keyed join against the embedding
+    * relation; cosines come from two keyed joins + the codegen'd
+    * VectorDot — no all-pairs anywhere. */
+  def corpusContrastivePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NEG = 4
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint() // one source, four consumers below
+    val nRow = emb.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val pos = emb.select(col("vec_id").as("anchor_id"),
+        coalesce(lead(col("vec_id"), 1).over(w),
+          first(col("vec_id")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .as("pair_id"))
+      .filter(col("pair_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("pair_id"),
+        lit(true).as("is_positive"), lit(0).as("pair_rank"))
+    val negs = emb.select(col("vec_id").as("anchor_id"),
+        col("label").as("albl"))
+      .crossJoin(broadcast(nRow))
+      .select(col("anchor_id"), col("albl"), col("n"),
+        explode(expr(s"sequence(1, $NEG)")).as("pair_rank"))
+      .withColumn("pair_id", pmod(graft.Tables.md5Bucket(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("pair_rank").cast("string")), 13).cast("long"), col("n")))
+      .join(emb.select(col("vec_id").as("pair_id"),
+        col("label").as("plbl")), "pair_id")
+      .filter(col("plbl") =!= col("albl"))
+      .select(col("anchor_id"), col("pair_id"),
+        lit(false).as("is_positive"), col("pair_rank"))
+    val a = emb.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("ae"), norm(col("embedding")).as("an"))
+    val b = emb.select(col("vec_id").as("pair_id"),
+      col("embedding").as("pe"), norm(col("embedding")).as("pn"))
+    pos.unionByName(negs)
+      .join(a, "anchor_id").join(b, "pair_id")
+      .select(col("anchor_id"), col("pair_id"), col("is_positive"),
+        col("pair_rank"),
+        round(dot("ae", "pe") / (col("an") * col("pn")), 9).as("cosine"))
+      .orderBy("anchor_id", "pair_rank", "pair_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "similarity_ann_quantized"   -> (similarityAnnQuantized _),
     "similarity_ivf_pq"          -> (similarityIvfPq _),
@@ -562,6 +617,7 @@ object Similarity {
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
+    "corpus_contrastive_pairs"   -> (corpusContrastivePairs _),
   )
 
   /** DuckDB CTE chain replaying the deterministic hyperplane draw and the
@@ -699,6 +755,39 @@ object Similarity {
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // positives replayed with the identical keyed window; negative ids
+    // from the identical md5 draw + rejection; cosines via the standard
+    // list_cosine_similarity fold (bit-equal to the VectorDot fold)
+    "corpus_contrastive_pairs" ->
+      """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings),
+        |n AS (SELECT COUNT(*) AS n FROM emb),
+        |pos AS (SELECT vec_id AS anchor_id,
+        |    COALESCE(LEAD(vec_id) OVER (PARTITION BY label
+        |        ORDER BY vec_id),
+        |      FIRST_VALUE(vec_id) OVER (PARTITION BY label
+        |        ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |          UNBOUNDED FOLLOWING)) AS pair_id
+        |  FROM emb),
+        |posf AS (SELECT anchor_id, pair_id, true AS is_positive,
+        |    0 AS pair_rank
+        |  FROM pos WHERE pair_id <> anchor_id),
+        |negs AS (SELECT e.vec_id AS anchor_id, e.label AS albl,
+        |    j AS pair_rank,
+        |    CAST(('0x' || substr(md5(e.vec_id::VARCHAR || ':' ||
+        |      j::VARCHAR), 1, 13)) AS BIGINT) % n.n AS pair_id
+        |  FROM emb e CROSS JOIN n, unnest([1, 2, 3, 4]) AS t(j)),
+        |negsf AS (SELECT anchor_id, ng.pair_id, false AS is_positive,
+        |    pair_rank
+        |  FROM negs ng JOIN emb p ON p.vec_id = ng.pair_id
+        |  WHERE p.label <> ng.albl),
+        |pairs AS (SELECT * FROM posf UNION ALL SELECT * FROM negsf)
+        |SELECT pr.anchor_id, pr.pair_id, pr.is_positive, pr.pair_rank,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 9) AS cosine
+        |FROM pairs pr
+        |JOIN emb a ON a.vec_id = pr.anchor_id
+        |JOIN emb b ON b.vec_id = pr.pair_id
+        |ORDER BY anchor_id, pair_rank, pair_id""".stripMargin,
     // keeps at most CAP per refined list, most-central (a2 dot) first;
     // ranks are identical because the dots are the identical fold
     "corpus_diversity_cap" ->
