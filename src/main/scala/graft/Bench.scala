@@ -103,7 +103,12 @@ object Bench {
         name -> samples
       }
     def bestOf(s: Seq[Double]): Double = s.head
-    def medianOf(s: Seq[Double]): Double = s(s.size / 2)
+    // true median: even-n tiers (sf1/sf10 run reps=2) average the two
+    // middle samples — s(n/2) alone would report the MAX for n=2,
+    // letting a single load burst fully determine the "median"
+    def medianOf(s: Seq[Double]): Double =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
 
     // warmup: touch codegen, parquet footers, shuffle machinery. Guarded —
     // the bench must emit its JSON line even if a query can't run.
@@ -408,10 +413,10 @@ object Bench {
     val s1 = jmap(sf1.map { case (k, s) => k -> bestOf(s) })
     val s1Med = jmap(sf1.map { case (k, s) => k -> medianOf(s) })
     val s10 = if (sf10.isEmpty) "" else
-      jmap(sf10.map { case (k, s) => k -> bestOf(s) })
-        .patch(0, ""","queries_sf10":""", 0) +
-      jmap(sf10.map { case (k, s) => k -> medianOf(s) })
-        .patch(0, ""","queries_sf10_median":""", 0)
+      ""","queries_sf10":""" +
+        jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
+      ""","queries_sf10_median":""" +
+        jmap(sf10.map { case (k, s) => k -> medianOf(s) })
     // contention canary: SfGen is a byte-identical workload every round
     // (pure spark.range arithmetic, fixed seed structure), so its
     // wall-clock is a direct probe of machine load. r5's quiet-box value

@@ -812,16 +812,24 @@ object TextOps {
     val rules = Seq((1, "1_min_tokens"), (2, "2_langid"),
       (3, "3_repetition"), (4, "4_too_long"), (5, "5_kept"))
       .toDF("stage", "rule")
+    // 5 rows, THREE consumers (both sides of the triangle self-join +
+    // the total) — checkpoint so the corpus scan behind the tally runs
+    // exactly once
     val t = broadcast(rules).join(tally, Seq("stage"), "left")
       .select(col("stage"), col("rule"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("tok"), lit(0L)).as("tok"))
+      .localCheckpoint()
     val w = t.as("a").join(t.as("b"), col("b.stage") < col("a.stage"),
         "left")
       .groupBy(col("a.stage").as("stage"), col("a.rule").as("rule"),
         col("a.n").as("n"), col("a.tok").as("tok"))
       .agg(coalesce(sum(col("b.n")), lit(0L)).as("dropped_before"))
-    val total = staged.agg(count(lit(1)).as("__total"))
+    // every doc lands in exactly one stage, so the corpus total is the
+    // tally's sum — deriving it from `staged` would re-scan and
+    // re-tokenize the whole corpus for a number the 5-row relation
+    // already holds (the oracle computes it the same way: SUM(n) OVER ())
+    val total = t.agg(sum(col("n")).as("__total"))
     w.crossJoin(broadcast(total))
       .select(col("rule"),
         (col("__total") - col("dropped_before")).as("docs_in"),

@@ -555,7 +555,11 @@ object Extras {
       .select(
         when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), "old")
           .otherwise("new").as("half"),
-        least(expr("cents div 6000"), lit(9L)).as("bucket"))
+        // clamp BOTH ends: a negative cent value would otherwise
+        // truncate toward zero here (div) but floor in the oracle (//),
+        // and fall outside the 0-9 grid — engine-portable only clamped
+        least(greatest(expr("cents div 6000"), lit(0L)), lit(9L))
+          .as("bucket"))
     // <=10 rows, TWO consumers (tot, grid): checkpoint so the corpus
     // scan behind it runs once, not once per consumer (the two-consumer
     // rule from dedup_cluster / text_tfidf_cosine)
@@ -1818,7 +1822,7 @@ object Extras {
         |  FROM ev),
         |b AS (SELECT CASE WHEN epoch_us(ts) * 2 < lo + hi
         |        THEN 'old' ELSE 'new' END AS half,
-        |      least(cents // 6000, 9)::BIGINT AS bucket
+        |      least(greatest(cents // 6000, 0), 9)::BIGINT AS bucket
         |  FROM ev CROSS JOIN bounds),
         |cells AS (SELECT bucket,
         |    COUNT(*) FILTER (WHERE half = 'old')::BIGINT AS n_old,

@@ -40,9 +40,11 @@ object StreamingOps {
     import java.nio.file.{Files, StandardCopyOption}
     val tmp = staged.resolve("tmp_" + name)
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
     Files.move(part, staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     del(tmp)
     Files.setLastModifiedTime(staged.resolve(name),
@@ -520,11 +522,18 @@ object StreamingOps {
               col("b_val").as("balance"), col("bn").as("n_changes"))
           else {
             val prev = spark.read.parquet(statePath.toString)
+            // batch-wins is decided on KEY PRESENCE (lww("k") not null),
+            // never by coalescing payloads: a last writer whose value IS
+            // NULL must overwrite the older balance with NULL, exactly
+            // as the batch apply and the shared oracle do
+            val inBatch = lww("k").isNotNull
             prev.join(lww, prev("k") === lww("k"), "full_outer")
               .select(
                 coalesce(lww("k"), prev("k")).as("k"),
-                coalesce(col("b_alive"), col("alive")).as("alive"),
-                coalesce(col("b_val"), col("balance")).as("balance"),
+                when(inBatch, col("b_alive")).otherwise(col("alive"))
+                  .as("alive"),
+                when(inBatch, col("b_val")).otherwise(col("balance"))
+                  .as("balance"),
                 (coalesce(col("n_changes"), lit(0L)) +
                   coalesce(col("bn"), lit(0L))).as("n_changes"))
           }
