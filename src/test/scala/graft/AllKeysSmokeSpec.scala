@@ -35,7 +35,14 @@ class AllKeysSmokeSpec extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"key executes: $name") {
-      val n = fn(spark, SF).count()
+      val df = fn(spark, SF)
+      // the driver sorts columns BY NAME before hashing: duplicate or
+      // empty column names would corrupt the compare silently
+      val cols = df.columns.toSeq
+      assert(cols.distinct.size == cols.size,
+        s"key $name has duplicate column names: $cols")
+      assert(cols.forall(_.nonEmpty), s"key $name has an empty column name")
+      val n = df.count()
       assert(n >= 0)
       if (!mayBeEmpty(name))
         assert(n > 0, s"key $name returned an empty result at sf0.001")
