@@ -285,6 +285,44 @@ object Lifecycle {
     summaries.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** Index-analog point lookup — the closest Spark expression of the
+    * reference's B-tree index scan (SURVEY §2.3 J2 notes the index
+    * nested loop as covered-by-BHJ; this key covers the OTHER index use,
+    * selective point access): orders bucketed+sorted on the key, then a
+    * 3-key IN lookup. Bucket pruning turns the scan into an index-like
+    * probe — only the buckets the looked-up keys hash to are read
+    * (SelectedBucketsCount <= 3 out of 16, pinned in PlanSpec), and
+    * within each bucket the sorted layout keeps the touched row groups
+    * minimal. At 100 TB this is the difference between a full scan and
+    * reading ~3/16 of one table's files for a point query — the same
+    * access-cost asymmetry the reference gets from its B-tree. */
+  def lookupBucketPruned(s: SparkSession, d: String): DataFrame = {
+    // autoBucketedScan (default on) lets the planner fall back to a
+    // plain file scan when no join/agg needs the bucket distribution —
+    // but a point LOOKUP benefits from the bucketed path purely for
+    // pruning, so force it, scoped: the lookup materializes eagerly
+    // (localCheckpoint) under the conf, which is then restored
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try bucketLookupRaw(s, d).localCheckpoint().orderBy("o_orderkey")
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  /** The lazy pruned-scan lookup — split out so PlanSpec can pin the
+    * SelectedBucketsCount on the un-materialized plan. Caller must hold
+    * autoBucketedScan=false while planning/executing. */
+  private[graft] def bucketLookupRaw(s: SparkSession, d: String): DataFrame = {
+    val m = Materializer(s)
+    val t = f"bkt_lookup_${d.hashCode & 0x7fffffff}%08x"
+    m.createBucketed(t,
+      load(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus")),
+      Seq("o_orderkey"), 16)
+    m.table(t).filter(col("o_orderkey").isin(7L, 500L, 997L))
+  }
+
   /** Retention VACUUM over the [[graft.matview.Snapshots]] commit log —
     * the storage-reclaim half of the table format: after two appends and
     * a delete-as-rewrite overwrite, retaining only the latest version
@@ -1116,6 +1154,7 @@ object Lifecycle {
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_vacuum" -> (tableVacuum _),
+    "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
     "ingest_partitioned_prune" -> (ingestPartitionedPrune _),
@@ -1206,6 +1245,12 @@ object Lifecycle {
         |SELECT version::INTEGER AS version, delta_rows, delta_spend,
         |  table_rows
         |FROM d JOIN c USING (version) ORDER BY version""".stripMargin,
+    // the lookup is pure row selection — bucketing only changes the
+    // ACCESS path (pruned scan), never the result
+    "lookup_bucket_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey IN (7, 500, 997)
+        |ORDER BY o_orderkey""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,
     // retain latest => d0/d1 dead, d2 live)
