@@ -296,16 +296,25 @@ object Lifecycle {
     * minimal. At 100 TB this is the difference between a full scan and
     * reading ~3/16 of one table's files for a point query — the same
     * access-cost asymmetry the reference gets from its B-tree. */
-  def lookupBucketPruned(s: SparkSession, d: String): DataFrame = {
-    // autoBucketedScan (default on) lets the planner fall back to a
-    // plain file scan when no join/agg needs the bucket distribution —
-    // but a point LOOKUP benefits from the bucketed path purely for
-    // pruning, so force it, scoped: the lookup materializes eagerly
-    // (localCheckpoint) under the conf, which is then restored
+  def lookupBucketPruned(s: SparkSession, d: String): DataFrame =
+    // the lookup materializes eagerly (localCheckpoint) under the
+    // scoped conf, which is then restored
+    withAutoBucketedScanDisabled(s) {
+      bucketLookupRaw(s, d).localCheckpoint().orderBy("o_orderkey")
+    }
+
+  /** autoBucketedScan (default on) lets the planner fall back to a plain
+    * file scan when no join/agg needs the bucket distribution — but a
+    * point LOOKUP benefits from the bucketed path purely for PRUNING, so
+    * callers (the key above; PlanSpec's pin) force it through this one
+    * scoped override so production and test plan under the same
+    * planner environment. */
+  private[graft] def withAutoBucketedScanDisabled[A](s: SparkSession)(
+      f: => A): A = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "false")
-    try bucketLookupRaw(s, d).localCheckpoint().orderBy("o_orderkey")
+    try f
     finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 

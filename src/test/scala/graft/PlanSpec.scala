@@ -209,16 +209,13 @@ class PlanSpec extends AnyFunSuite {
   test("point lookup prunes buckets: <= 3 of 16 buckets scanned") {
     // the index-scan analog: the 3-key IN must turn into a pruned
     // bucketed scan, not a full table read
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
+    graft.queries.Lifecycle.withAutoBucketedScanDisabled(spark) {
       val p = plan(graft.queries.Lifecycle.bucketLookupRaw(spark, SF))
       val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(p)
       assert(m.isDefined, s"no bucket pruning in lookup plan:\n$p")
       val selected = m.get.group(1).toInt
       assert(selected <= 3, s"lookup scanned $selected of 16 buckets:\n$p")
-    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
   }
 
   test("shuffle-shard ranks through the range scan: no window anywhere") {
