@@ -107,4 +107,20 @@ object Tables {
     */
   def md5Bucket(key: Column, hexChars: Int): Column =
     conv(substring(md5(key.cast("string")), 1, hexChars), 16, 10)
+
+  /** Run `f` with session confs temporarily overridden, restoring the
+    * previous values (or unsetting) on the way out. The override only
+    * affects plans that PLAN AND EXECUTE inside the scope — callers must
+    * eagerly materialize (localCheckpoint / write) within `f`; a lazy
+    * DataFrame returned out of the scope plans under the restored confs.
+    * (Same contract as Lifecycle.withAutoBucketedScanDisabled, generic.) */
+  private[graft] def withConf[A](s: SparkSession, kvs: (String, String)*)(
+      f: => A): A = {
+    val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally saved.foreach { case (k, prev) =>
+      prev.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }

@@ -663,13 +663,21 @@ object Dedup {
 
   /** Co-purchase edge relation `(u, v)` with `u < v`, both BIGINT. */
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // one repartition(p) up front makes every downstream step partition-
+    // local: the (c, p) distinct (HashPartitioning(p) satisfies
+    // ClusteredDistribution(c, p) by the subset rule), the hub-cap
+    // rollup, the cap join, AND the per-part self-join all cluster on p,
+    // so the only remaining exchange before the final (u, v) rollup is
+    // this one — and ReuseExchange serves every branch of the DAG from
+    // the same shuffle instead of re-running the scan+join per consumer.
     val cp = load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(load(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long").as("c"),
         col("l_partkey").cast("long").as("p"))
-      .distinct()
+      .repartition(col("p"))
+      .dropDuplicates("c", "p")
     val nonHub = cp.groupBy("p").agg(count(lit(1)).as("nc"))
       .filter(col("nc") <= COPURCHASE_HUB_CAP).select("p")
     val capped = cp.join(nonHub, "p")
@@ -729,7 +737,23 @@ object Dedup {
     * contract, up to wedge recombination). Triangle enumeration over
     * the sketched edge set reuses the exact compact-forward core. */
   def graphTriangleSketch(s: SparkSession, d: String): DataFrame = {
-    val pairs = coPurchaseEdgesSketch(s, d).localCheckpoint()
+    // the sketch aggregate's groups (one per part) far exceed
+    // ObjectHashAggregateExec's 128-group sort-fallback threshold, so by
+    // default the WHOLE aggregation runs as an external row sort with
+    // per-row buffer serialization — disk-spill-prone exactly where the
+    // r7 driver box diverged (52.8s median vs 3.9s quiet-box; the probe
+    // degraded rep-over-rep as sort churn met a loaded spark.local.dir).
+    // With the relation pre-partitioned by p (coPurchaseEdgesSketch),
+    // each partition holds only its own ~|parts|/shuffle.partitions
+    // groups x O(k) TopKAgg state — a few MB — so keeping the aggregate
+    // HASH-based is strictly bounded memory at any scale. Scoped raise +
+    // eager materialization inside the scope (localCheckpoint), same
+    // pattern as Lifecycle.withAutoBucketedScanDisabled.
+    val pairs = graft.Tables.withConf(s,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        -> (1 << 21).toString) {
+      coPurchaseEdgesSketch(s, d).localCheckpoint()
+    }
     triangleCounts(pairs)
       .select(col("id").as("custkey"), col("n_triangles"))
       .orderBy("custkey")
@@ -750,13 +774,24 @@ object Dedup {
   private[graft] def coPurchaseEdgesSketch(
       s: SparkSession, d: String): DataFrame = {
     import graft.Tables.{load, md5Bucket}
+    // ONE exchange for the whole sketch build: hash-partition by p, then
+    // the (c, p) distinct AND the per-part aggregate both run in-stage —
+    // HashPartitioning(p) satisfies ClusteredDistribution(c, p) (subset
+    // rule) and ClusteredDistribution(p), so EnsureRequirements inserts
+    // no further shuffle. The former plan exchanged twice (distinct by
+    // (c, p), then 200k-group partials by p) and built partial aggregate
+    // maps over the FULL part domain on every map-side partition; now
+    // every map is partition-local (|parts|/shuffle.partitions groups).
+    // Skew-safe: TPC-H order lines spread ~uniformly over parts (30
+    // lines/part at sf1, growing in part COUNT with SF, not per-part).
     val cp = load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(load(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long").as("c"),
         col("l_partkey").cast("long").as("p"))
-      .distinct()
+      .repartition(col("p"))
+      .dropDuplicates("c", "p")
     cp.groupBy("p")
       .agg(
         count(lit(1)).as("nc"),

@@ -206,6 +206,23 @@ class PlanSpec extends AnyFunSuite {
       s"single-partition exchange in triangle-sketch plan:\n$p")
   }
 
+  test("triangle sketch build: distinct, hub cap, and top-k cluster on one p-exchange") {
+    // the r8 one-exchange restructure: repartition(p) up front, then the
+    // (c, p) distinct, the hub-cap rollup, and the TopKAgg sketch all run
+    // partition-local (HashPartitioning(p) satisfies ClusteredDistribution
+    // by the subset rule). Regression pin: the only hashpartitioning
+    // exchanges are the p-repartition and the final (u, v) pair rollup —
+    // a third would mean EnsureRequirements re-shuffled the pipeline and
+    // the partial aggregate maps are back to spanning the full part
+    // domain (the sort-fallback/spill shape that diverged on the r7
+    // driver box).
+    val p = plan(graft.ext.Dedup.coPurchaseEdgesSketch(spark, SF))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash <= 2, s"expected <= 2 hash exchanges (p, pair rollup), got $nHash:\n$p")
+    assert("hashpartitioning\\(p#".r.findAllIn(p).size >= 1,
+      s"no p-partitioned exchange in sketch-build plan:\n$p")
+  }
+
   test("point lookup prunes buckets: <= 3 of 16 buckets scanned") {
     // the index-scan analog: the 3-key IN must turn into a pruned
     // bucketed scan, not a full table read

@@ -72,8 +72,13 @@ class StatefulSessionSpec extends AnyFunSuite {
   }
 
   test("streaming CDC equals batch apply and genuinely merges across batches") {
+    // balance read null-safely: the CDC merge's last-writer-wins contract
+    // explicitly lets a NULL payload overwrite (StreamingOps
+    // .streamingCdcApply) — getDouble would NPE on such a key and crash
+    // the spec instead of reporting a comparison failure
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Double](1)), r.getLong(2))).toMap
     val batch = asMap(EventOps.eventsCdcApply(spark, SF))
     val stream = asMap(EventOps.eventsStreamCdc(spark, SF))
     assert(stream == batch)
