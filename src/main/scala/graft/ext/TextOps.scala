@@ -422,6 +422,59 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** CCNet-style line-level boilerplate removal: segment each document
+    * into fixed-width "lines" (W=8 tokens — this corpus has no newlines,
+    * so fixed segmentation stands in for the paragraph split), count each
+    * line's distinct-document frequency over the WHOLE corpus, drop lines
+    * appearing in >= 3 documents (the header/nav/cookie-banner boilerplate
+    * of a real crawl), and reassemble the cleaned text in original line
+    * order with per-doc attrition stats.
+    *
+    * 100 TB shape — the CCNet sharded-hash pipeline as keyed exchanges:
+    * corpus scan 1 explodes to lines and builds the boilerplate set
+    * (groupBy(line) with a partial count-distinct map side — the result
+    * is corpus-frequency-skimmed, orders of magnitude smaller than the
+    * line stream, so AQE broadcasts the join back at moderate scale);
+    * corpus scan 2 re-derives the lines (recompute beats checkpointing —
+    * the exploded relation is LARGER than the corpus, so persisting it
+    * would write more bytes than the second columnar scan reads), flags
+    * them with one left join, and folds per-doc counts + reassembly in a
+    * single doc_id aggregation. No per-group windows: reassembly is a
+    * sorted-struct array aggregate with O(lines per doc) state, and
+    * collect_list's null-skipping gives the kept-only filter for free.
+    *
+    * Cross-engine determinism: line strings are the join keys (the
+    * Jaccard-family precedent — no hash mismatch across engines), kept
+    * order is pinned by line_no, and removed_frac is one small-integer
+    * division rounded to 9 dp. */
+  def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val K = 3
+    def lines = load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $W)")).as("st"))
+      .select(col("doc_id"), (col("st") / W).cast("int").as("line_no"),
+        expr(s"concat_ws(' ', slice(ws, st + 1, $W))").as("line"))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= K)
+      .select(col("line"), lit(true).as("bl"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("bl").isNull, 1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN bl IS NULL THEN struct(line_no, line) END)), " +
+          "x -> x.line), ' ')").as("cleaned_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        round((col("n_lines") - col("n_kept")).cast("double") /
+          col("n_lines"), 9).as("removed_frac"),
+        col("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model quality scoring: per-document mean negative
     * log-likelihood under an add-1-smoothed unigram model fit on the corpus
     * itself — the perplexity-filter step (CCNet/Gopher style) that ranks
@@ -1099,6 +1152,7 @@ object TextOps {
     "text_bm25"        -> (textBm25 _),
     "text_tfidf_cosine" -> (textTfidfCosine _),
     "text_chunk"       -> (textChunk _),
+    "text_line_dedup"  -> (textLineDedup _),
     "text_contamination" -> (textContamination _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "corpus_token_budget" -> (corpusTokenBudget _),
@@ -1639,6 +1693,26 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // line strings as join keys, not hashes — the Jaccard-family
+    // precedent; slice/range bounds replay Spark's sequence/slice exactly
+    "text_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, (st // 8)::INTEGER AS line_no,
+        |        array_to_string(ws[st + 1 : st + 8], ' ') AS line
+        |      FROM w, unnest(range(0, len(ws), 8)) AS t(st)),
+        |b AS (SELECT line FROM l GROUP BY line
+        |      HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.doc_id, l.line_no, l.line,
+        |        b.line IS NOT NULL AS bl
+        |      FROM l LEFT JOIN b ON l.line = b.line)
+        |SELECT doc_id,
+        |  count(*)::BIGINT AS n_lines,
+        |  count(CASE WHEN NOT bl THEN 1 END)::BIGINT AS n_kept,
+        |  round((count(*) - count(CASE WHEN NOT bl THEN 1 END))::DOUBLE
+        |    / count(*), 9) AS removed_frac,
+        |  coalesce(string_agg(CASE WHEN NOT bl THEN line END, ' '
+        |    ORDER BY line_no), '') AS cleaned_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 61-bit Rabin fingerprint, h = (h*257 + byte + 1) mod 2^61-1, replayed
     // per character with HUGEINT intermediates (ASCII corpus: codepoint ==
     // UTF-8 byte; RollingHashSpec pins the byte-level semantics).

@@ -219,6 +219,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_line_dedup removes only corpus-repeated lines, reassembly is exact") {
+    val out = graft.ext.TextOps.textLineDedup(spark, SF)
+    val docs = Tables.load(spark, SF, "documents")
+    // one row per document — fully-boilerplate docs must not vanish
+    assert(out.count() == docs.count())
+    // attrition arithmetic holds row by row
+    assert(out.filter(col("n_kept") > col("n_lines") ||
+      col("removed_frac") =!= round((col("n_lines") - col("n_kept"))
+        .cast("double") / col("n_lines"), 9)).isEmpty)
+    // untouched docs reassemble to the EXACT original text (segmentation
+    // + sorted-struct rebuild is lossless); touched docs shrink
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.filter(col("n_kept") === col("n_lines") &&
+      col("cleaned_text") =!= col("text")).isEmpty)
+    assert(joined.filter(col("n_kept") < col("n_lines") &&
+      length(col("cleaned_text")) >= length(col("text"))).isEmpty)
+    // the generator's planted near-dup spans make the operator non-vacuous
+    assert(out.agg(sum(col("n_lines") - col("n_kept"))).head.getLong(0) > 0)
+  }
+
   test("embedding_quantize saturates the max element and bounds the L2 error") {
     val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
     // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
