@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -531,6 +531,97 @@ object TextOps {
         round(-col("xent_e9").cast("double") /
           (col("n_tokens").cast("double") * lit(1000000000.0)), 9)
           .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained model-based document classifier — the fastText-analog step
+    * of a real pipeline (CCNet's lang-ID filter, GPT-3's quality
+    * classifier), as multinomial Naive Bayes fit in-engine: class priors
+    * from document counts, per-(lang, word) likelihoods add-1 smoothed
+    * over the corpus vocabulary, every document scored against all five
+    * classes and argmax'd. On this synthetic corpus the classes share one
+    * vocabulary, so (as with [[textLangid]]) the contract is the exact
+    * cross-engine training + scoring semantics, not classifier skill.
+    *
+    * Determinism is the [[textUnigramNll]] contract: each ln() runs once
+    * on identical doubles in both engines, quantizes to an e9 long in the
+    * MATERIALIZED model artifact, and scoring is pure integer arithmetic.
+    * The smoothing floor factors out of the model — log p(w|l) =
+    * floor_l + ln(c_lw + 1) with floor_l = -ln(tok_l + V) — so the
+    * artifact holds only OBSERVED (lang, word) pairs (no dense V x 5
+    * cross join) and each doc's score folds as
+    * prior_l + n_tok * floor_l + sum(tf * delta).
+    *
+    * 100 TB shape: the model is vocabulary-sized (Heaps ~sqrt corpus) x
+    * #classes; the token->model join takes the Zipf split from
+    * [[textUnigramNll]] — the top-1000-word head (with its <= 5k model
+    * rows) joins BROADCAST so no hot word ever shuffles, the near-uniform
+    * tail hash-joins — over the map-side-collapsed per-doc (word, tf)
+    * relation. Class-wide scores then fold in ONE doc_id aggregation
+    * (conditional sums, no pivot shuffle) against a broadcast 1-row
+    * priors relation. */
+  def textNbClassifier(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val docs = load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val cw = docs.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val vocab = cw.groupBy("w").agg(sum("c").as("c_tot"))
+    val lt = cw.groupBy("lang").agg(sum("c").as("tok"))
+    val dl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = dl.agg(sum("n_docs").as("nd"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v")))
+    val artifact = f"nb_model_${d.hashCode & 0x7fffffff}%08x"
+    val model = graft.matview.Materializer(s).create(artifact,
+      cw.select(col("lang").as("cls"), col("w"),
+        round(log(col("c").cast("double") + lit(1.0)) *
+          lit(1000000000.0)).cast("long").as("delta_e9")))
+    val pri = dl.join(lt, "lang").crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round(log(col("n_docs").cast("double") / col("nd").cast("double")) *
+          lit(1000000000.0)).cast("long").as("prior_e9"),
+        round(-log(col("tok").cast("double") + col("v").cast("double")) *
+          lit(1000000000.0)).cast("long").as("floor_e9"))
+    val priCols = langs.map(l =>
+      max(when(col("lang") === l, col("prior_e9"))).as(s"prior_$l")) ++
+      langs.map(l =>
+        max(when(col("lang") === l, col("floor_e9"))).as(s"floor_$l"))
+    val priRow = pri.agg(priCols.head, priCols.tail: _*)
+    val headW = vocab.orderBy(col("c_tot").desc, col("w")).limit(1000)
+      .select("w")
+    val scored = tf.join(broadcast(headW), Seq("w"), "left_semi")
+      .join(broadcast(model.join(broadcast(headW), Seq("w"), "left_semi")), "w")
+      .unionByName(tf.join(broadcast(headW), Seq("w"), "left_anti")
+        .join(model.join(broadcast(headW), Seq("w"), "left_anti"), "w"))
+    val dCols = langs.map(l =>
+      sum(when(col("cls") === l, col("tf") * col("delta_e9"))
+        .otherwise(lit(0L))).as(s"d_$l"))
+    val dsum = scored.groupBy("doc_id").agg(dCols.head, dCols.tail: _*)
+    val wide = docs.select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_tok"))
+      .join(dsum, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priRow))
+    val withScores = langs.foldLeft(wide) { (df, l) =>
+      df.withColumn(s"s_$l",
+        col(s"prior_$l") + col("n_tok") * col(s"floor_$l") +
+          coalesce(col(s"d_$l"), lit(0L)))
+    }
+    // argmax with the textLangid tie-break: first class in alphabetical
+    // order wins ties (>= against every later class)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), rest) =>
+        if (i == langs.size - 1) rest
+        else when(langs.drop(i + 1)
+          .map(m => col(s"s_$l") >= col(s"s_$m")).reduce(_ && _), l)
+          .otherwise(rest)
+    }
+    withScores
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => col(s"s_$l")) :+ predicted.as("predicted") :+
+        (predicted === col("lang")).as("correct"): _*)
       .orderBy("doc_id")
   }
 
@@ -1153,6 +1244,7 @@ object TextOps {
     "text_tfidf_cosine" -> (textTfidfCosine _),
     "text_chunk"       -> (textChunk _),
     "text_line_dedup"  -> (textLineDedup _),
+    "text_nb_classifier" -> (textNbClassifier _),
     "text_contamination" -> (textContamination _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "corpus_token_budget" -> (corpusTokenBudget _),
@@ -1693,6 +1785,59 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays train + score with the same e9-quantized log arithmetic:
+    // delta = ln(c+1), floor = -ln(tok_l + V), prior = ln(docs_l / docs);
+    // argmax is the alphabetical >=-chain (first class wins ties)
+    "text_nb_classifier" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |cw AS (SELECT lang, w, count(*)::BIGINT AS c
+        |       FROM (SELECT d.lang, unnest(d.ws) AS w FROM d) GROUP BY 1, 2),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM t),
+        |lt AS (SELECT lang, sum(c)::BIGINT AS tok FROM cw GROUP BY 1),
+        |dl AS (SELECT lang, count(*)::BIGINT AS n_docs FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS nd FROM dl),
+        |pri AS (SELECT dl.lang,
+        |          round(ln(dl.n_docs::DOUBLE / tot.nd::DOUBLE)
+        |            * 1000000000.0)::BIGINT AS prior_e9,
+        |          round(-ln(lt.tok::DOUBLE + vocab.v::DOUBLE)
+        |            * 1000000000.0)::BIGINT AS floor_e9
+        |        FROM dl, lt, tot, vocab WHERE dl.lang = lt.lang),
+        |model AS (SELECT lang AS cls, w,
+        |            round(ln(c::DOUBLE + 1.0) * 1000000000.0)::BIGINT
+        |              AS delta_e9 FROM cw),
+        |ds AS (SELECT tf.doc_id, m.cls,
+        |         sum(tf.tf * m.delta_e9)::BIGINT AS dsum
+        |       FROM tf JOIN model m ON tf.w = m.w GROUP BY 1, 2),
+        |sc AS (SELECT dn.doc_id, dn.lang, p.lang AS cls,
+        |         p.prior_e9 + dn.n_tok * p.floor_e9
+        |           + coalesce(ds.dsum, 0) AS score_e9
+        |       FROM (SELECT doc_id, lang, len(ws)::BIGINT AS n_tok FROM d) dn
+        |       CROSS JOIN pri p
+        |       LEFT JOIN ds ON ds.doc_id = dn.doc_id AND ds.cls = p.lang),
+        |wide AS (SELECT doc_id, lang,
+        |    max(CASE WHEN cls = 'de' THEN score_e9 END) AS s_de,
+        |    max(CASE WHEN cls = 'en' THEN score_e9 END) AS s_en,
+        |    max(CASE WHEN cls = 'es' THEN score_e9 END) AS s_es,
+        |    max(CASE WHEN cls = 'fr' THEN score_e9 END) AS s_fr,
+        |    max(CASE WHEN cls = 'zh' THEN score_e9 END) AS s_zh
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |         AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted,
+        |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |         AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END) = lang AS correct
+        |FROM wide ORDER BY doc_id""".stripMargin,
     // line strings as join keys, not hashes — the Jaccard-family
     // precedent; slice/range bounds replay Spark's sequence/slice exactly
     "text_line_dedup" ->

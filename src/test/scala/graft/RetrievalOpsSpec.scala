@@ -239,6 +239,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n_lines") - col("n_kept"))).head.getLong(0) > 0)
   }
 
+  test("text_nb_classifier scores all classes and argmaxes deterministically") {
+    val out = graft.ext.TextOps.textNbClassifier(spark, SF)
+    val docs = Tables.load(spark, SF, "documents")
+    assert(out.count() == docs.count())
+    // scores are log-probabilities scaled to e9 longs: strictly negative
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    assert(out.filter(langs.map(l => col(s"s_$l") >= 0L).reduce(_ || _))
+      .isEmpty)
+    // predicted really is the alphabetical->=-chain argmax of the columns
+    val chain = langs.map(l => col(s"s_$l"))
+    val recomputed =
+      when(chain(0) >= chain(1) && chain(0) >= chain(2) &&
+           chain(0) >= chain(3) && chain(0) >= chain(4), "de")
+      .when(chain(1) >= chain(2) && chain(1) >= chain(3) &&
+            chain(1) >= chain(4), "en")
+      .when(chain(2) >= chain(3) && chain(2) >= chain(4), "es")
+      .when(chain(3) >= chain(4), "fr").otherwise("zh")
+    assert(out.filter(col("predicted") =!= recomputed ||
+      col("correct") =!= (col("predicted") === col("lang"))).isEmpty)
+    // the fitted model separates SOMETHING: every class is predicted at
+    // least once at gate SF, and train-set accuracy beats 1/#classes
+    assert(out.select("predicted").distinct().count() == langs.size)
+    val acc = out.agg(avg(col("correct").cast("double"))).head.getDouble(0)
+    assert(acc > 1.0 / langs.size, s"train accuracy $acc")
+  }
+
   test("embedding_quantize saturates the max element and bounds the L2 error") {
     val q = graft.ext.Similarity.embeddingQuantize(spark, SF)
     // the max-abs element quantizes to exactly +-127 -> n_sat >= 1; the
