@@ -482,6 +482,80 @@ object Bench {
       }
     }
 
+    // ANALYZE-driven join reorder — stats_join_flip one level up: that
+    // key flips a join STRATEGY (SMJ -> BHJ) when stats land; this probe
+    // flips the join ORDER. The same 3-table query written in the worst
+    // left-deep order (fact ⋈ fact-sized ⋈ selective dim) runs over the
+    // generated sf1 catalog tables, ANALYZEd FOR ALL COLUMNS, with CBO
+    // join reorder off vs on — same data, same stats on disk, only the
+    // optimizer flag differs. As-written, the 6M x 1.5M join executes
+    // first and the selective dim prunes AFTER the big shuffle; with
+    // cbo.joinReorder the dim's filter selectivity (column stats) moves
+    // it innermost, orders collapse ~25x before the fact join, and AQE
+    // then broadcasts the shrunken side. The reference gets this from
+    // VACUUM ANALYZE + the PG planner; `reordered` pins the plan fact
+    // (deepest join touches the dim only under CBO).
+    val joinReorder = {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.load
+      try {
+        val sf1Dir = graft.matview.Materializer.defaultScratch + "/sf1"
+        val scratch = graft.matview.Materializer.defaultScratch
+        def mkTable(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.mode("overwrite")
+            .option("path", s"$scratch/$name").saveAsTable(name)
+        }
+        mkTable("br_li", load(spark, sf1Dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice"))
+        mkTable("br_ord", load(spark, sf1Dir, "orders")
+          .select("o_orderkey", "o_custkey"))
+        mkTable("br_cust", load(spark, sf1Dir, "customer")
+          .select("c_custkey", "c_nationkey"))
+        Seq("br_li", "br_ord", "br_cust").foreach(t => spark.sql(
+          s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        def query = spark.table("br_li")
+          .join(spark.table("br_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(spark.table("br_cust").filter(col("c_nationkey") === 5),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("rev"))
+        val touched = Seq("spark.sql.cbo.enabled",
+          "spark.sql.cbo.joinReorder.enabled")
+        val saved = touched.map(k => k -> spark.conf.getOption(k))
+        def setCbo(on: Boolean): Unit =
+          touched.foreach(k => spark.conf.set(k, on.toString))
+        def deepestJoinHasDim: Boolean = {
+          import org.apache.spark.sql.catalyst.plans.logical.Join
+          query.queryExecution.optimizedPlan
+            .collect { case j: Join => j }.lastOption
+            .exists(_.collectLeaves().exists(_.toString.contains("br_cust")))
+        }
+        setCbo(true)
+        val withCbo = deepestJoinHasDim
+        setCbo(false)
+        val without = deepestJoinHasDim
+        val samples = (1 to REPS).map { _ =>
+          Seq(false, true).map { on =>
+            setCbo(on)
+            val t0 = System.nanoTime()
+            query.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+        saved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+        Seq("as_written_sec" -> samples.map(_(0)).min,
+          "cbo_sec" -> samples.map(_(1)).min,
+          "reordered" -> (if (withCbo && !without) 1.0 else 0.0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] join reorder failed: ${e.getMessage}")
+        Seq("as_written_sec" -> -1.0, "cbo_sec" -> -1.0, "reordered" -> -1.0)
+      }
+    }
+
     // ---- output ---------------------------------------------------------
     // r7 lesson (BENCH_r07 "parsed": null): the driver keeps only a
     // ~2.4 KB stdout TAIL, and the single JSON line had grown past it —
@@ -526,6 +600,7 @@ object Bench {
     val ar = jmap(annRecall)
     val tsk = jmap(triSketch)
     val lk = jmap(lookupPair)
+    val jr = jmap(joinReorder)
     val s10full = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" +
         jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
@@ -537,7 +612,7 @@ object Bench {
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })}$s10full,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
-        canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"sf":"$sfDir"}"""
+        canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     try {
       java.nio.file.Files.createDirectories(fullPath.getParent)
@@ -552,7 +627,7 @@ object Bench {
       ""","queries_sf10":""" + best2(sf10)
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${
       best2(results)},"queries_sf1":${best2(sf1)}$s10compact,"sf1_gen_sec":$sf1gen%.2f,"sf10_gen_sec":$sf10gen%.2f,"contention_canary":${
-      canary(2)},"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"bench_full":"target/bench_full.json","sf":"$sfDir"}""")
+      canary(2)},"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"bench_full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
