@@ -185,7 +185,10 @@ object Bench {
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
         "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
-        "text_contamination", "events_funnel", "events_retention")
+        "text_contamination", "events_funnel", "events_retention",
+        // r8 session-2 additions: the line-dedup global count/anti-join
+        // and the NB train+score pipeline (both corpus-model shaped)
+        "text_line_dedup", "text_nb_classifier")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

@@ -556,19 +556,33 @@ object TextOps {
     * #classes; the token->model join takes the Zipf split from
     * [[textUnigramNll]] — the top-1000-word head (with its <= 5k model
     * rows) joins BROADCAST so no hot word ever shuffles, the near-uniform
-    * tail hash-joins — over the map-side-collapsed per-doc (word, tf)
-    * relation. Class-wide scores then fold in ONE doc_id aggregation
-    * (conditional sums, no pivot shuffle) against a broadcast 1-row
-    * priors relation. */
+    * tail hash-joins — over the RAW token stream (no per-(doc, word) tf
+    * pre-aggregation: see the comment at `tokens`). Class-wide scores
+    * then fold in ONE doc_id aggregation (conditional sums, no pivot
+    * shuffle) against a broadcast 1-row priors relation. */
   def textNbClassifier(s: SparkSession, d: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val docs = load(s, d, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
-    val tf = docs
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // raw token stream, NOT a per-(doc, word) tf pre-aggregation: scoring
+    // is linear in occurrences either way (sum tf*delta == sum delta over
+    // occurrences), and the tf groupBy would shuffle the whole token
+    // stream by (doc_id, w) before the join — at sf1 that one exchange
+    // was the single largest cost in the key (2.4s of 4.2). The token
+    // stream instead flows shuffle-free into the broadcast head join and
+    // the doc_id aggregation's map-side combine collapses it to 5 longs
+    // per doc per partition.
+    val tokens = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    // the fitted (class, word) count relation feeds FOUR consumers
+    // (vocabulary, per-class totals, the model artifact, the head list);
+    // left lazy each would re-run the corpus explode + shuffle. It is
+    // vocabulary x #classes sized (Heaps ~sqrt corpus), so pinning it is
+    // cheap where recomputing is not — the inverse of the line-dedup
+    // trade, and the same call the tfidf key documents. (sf1: 4.2s ->
+    // 2.6s for the whole key.)
     val cw = docs.select(col("lang"), explode(col("ws")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val vocab = cw.groupBy("w").agg(sum("c").as("c_tot"))
     val lt = cw.groupBy("lang").agg(sum("c").as("tok"))
     val dl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -592,12 +606,12 @@ object TextOps {
     val priRow = pri.agg(priCols.head, priCols.tail: _*)
     val headW = vocab.orderBy(col("c_tot").desc, col("w")).limit(1000)
       .select("w")
-    val scored = tf.join(broadcast(headW), Seq("w"), "left_semi")
+    val scored = tokens.join(broadcast(headW), Seq("w"), "left_semi")
       .join(broadcast(model.join(broadcast(headW), Seq("w"), "left_semi")), "w")
-      .unionByName(tf.join(broadcast(headW), Seq("w"), "left_anti")
+      .unionByName(tokens.join(broadcast(headW), Seq("w"), "left_anti")
         .join(model.join(broadcast(headW), Seq("w"), "left_anti"), "w"))
     val dCols = langs.map(l =>
-      sum(when(col("cls") === l, col("tf") * col("delta_e9"))
+      sum(when(col("cls") === l, col("delta_e9"))
         .otherwise(lit(0L))).as(s"d_$l"))
     val dsum = scored.groupBy("doc_id").agg(dCols.head, dCols.tail: _*)
     val wide = docs.select(col("doc_id"), col("lang"),
