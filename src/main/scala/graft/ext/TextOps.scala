@@ -491,14 +491,22 @@ object TextOps {
     * the corpus. The plan splits it: the top-1000 head of the vocabulary
     * (the entire Zipf mass concentration) joins BROADCAST, so no hot key
     * ever shuffles; only the long tail — whose keys are near-uniform by
-    * construction — takes the hash join. Both joins run over the per-doc
-    * (word, tf) relation, which a map-side partial aggregate already
-    * collapsed. */
+    * construction — takes the hash join. Both joins run over the raw
+    * token stream (no per-(doc, word) pre-aggregation — see the comment
+    * at `tokens`). */
   def textUnigramNll(s: SparkSession, d: String): DataFrame = {
-    val tf = load(s, d, "documents")
+    // raw token stream, not a per-(doc, word) tf pre-aggregation: the
+    // score is linear in occurrences (sum tf*lp == sum lp over
+    // occurrences), and a (doc_id, w) groupBy gets almost no map-side
+    // reduction (docs are partition-local, so the combine output IS the
+    // per-doc tf stream) — it shuffles corpus-scale rows for nothing.
+    // The w-keyed vocabulary aggregate below collapses to ~|V| rows per
+    // partition instead, and scoring folds straight into the doc_id
+    // aggregation. Same rewrite as textNbClassifier (sf1: 4.2 -> 2.8s
+    // there).
+    val tokens = load(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
+    val vocab = tokens.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = vocab.agg(sum(col("c")).as("t_tokens"),
       count(lit(1)).as("v_size"))
     // The fitted model is MATERIALIZED (one corpus scan), not left as a
@@ -520,13 +528,13 @@ object TextOps {
             lit(1000000000.0)).cast("long").as("lp_e9")))
     val head = lp.orderBy(col("c").desc, col("w")).limit(1000)
       .select("w", "lp_e9")
-    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val viaHead = tokens.join(broadcast(head), Seq("w"), "left")
     val resolved = viaHead.filter(col("lp_e9").isNotNull)
       .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
         .join(lp.select("w", "lp_e9"), "w"))
     resolved.groupBy("doc_id")
-      .agg(sum(col("tf") * col("lp_e9")).as("xent_e9"),
-        sum(col("tf")).as("n_tokens"))
+      .agg(sum(col("lp_e9")).as("xent_e9"),
+        count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("xent_e9").cast("double") /
           (col("n_tokens").cast("double") * lit(1000000000.0)), 9)
@@ -660,13 +668,21 @@ object TextOps {
     * materialized artifact, its Zipf head (top-1000 bigrams — the mass
     * concentration) joins BROADCAST so no hot bigram ever shuffles, the
     * tail hash-joins, and the only corpus-scale relation on the move is
-    * the per-doc (w1, w2, tf) stream, already collapsed by a map-side
-    * partial aggregate. */
+    * the per-doc (w1, w2, tf) stream — pre-aggregated, unlike the
+    * unigram key's raw-stream scoring; see the measured rationale at
+    * `btf`. */
   def textBigramNll(s: SparkSession, d: String): DataFrame = {
     val docs = load(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       // < 2 tokens -> no bigrams; filter in BOTH engines
       .filter(size(col("ws")) >= 2)
+    // this key KEEPS its per-(doc, bigram) pre-aggregation where
+    // textUnigramNll/textNbClassifier dropped theirs: the bigram builder
+    // (explode over a transform lambda) is CodegenFallback — expensive
+    // per row — and btf's exchange is REUSED by both scoring consumers
+    // below, so the lambda runs once. The raw-stream formulation
+    // recomputes it per consumer and measured 3x SLOWER at sf1 (11.8s
+    // vs 3.9s) despite moving fewer shuffle bytes.
     val btf = docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), " +
