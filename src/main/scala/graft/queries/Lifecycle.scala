@@ -345,6 +345,60 @@ object Lifecycle {
     * are pinned in SnapshotsSpec. At 100 TB the deletion set is an
     * O(|manifests|) metadata computation whose only I/O is removing
     * genuinely dead files. */
+  /** Dynamic partition overwrite — the warehouse restatement write path
+    * (PostgreSQL's partition-exchange / per-partition reload analog): a
+    * day-partitioned events table gets ONE day re-stated from a
+    * corrected batch. Under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, an overwrite
+    * write replaces exactly the partitions PRESENT in the batch and
+    * leaves every other day's files physically untouched — the property
+    * that matters when the table is 100 TB and the restatement is one
+    * day (a static overwrite would drop all 30 partitions; a
+    * read-union-rewrite would move the whole table). Both physical
+    * facts are emitted as data and oracle-pinned: the untouched day's
+    * file set is byte-identical before/after, the restated day's was
+    * replaced. */
+  def tablePartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val scratch = s"${Materializer.defaultScratch}/events_by_day"
+    val restatedDay = "2024-01-15"
+    val witnessDay = "2024-01-01"
+    def withDay = load(s, d, "events")
+      .withColumn("ev_day", to_date(col("ts")))
+    withDay.write.mode("overwrite").partitionBy("ev_day").parquet(scratch)
+    def files(day: String): Set[String] = {
+      val dir = new java.io.File(s"$scratch/ev_day=$day")
+      Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val witnessBefore = files(witnessDay)
+    val restatedBefore = files(restatedDay)
+    val restated = withDay
+      .filter(col("ev_day") === lit(restatedDay).cast("date"))
+      .withColumn("value", col("value") * 2)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      restated.write.mode("overwrite").partitionBy("ev_day").parquet(scratch)
+    } finally {
+      prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val stable = witnessBefore.nonEmpty && files(witnessDay) == witnessBefore
+    val replaced = files(restatedDay).nonEmpty &&
+      files(restatedDay) != restatedBefore
+    s.read.parquet(scratch)
+      .groupBy("ev_day")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .withColumn("restated",
+        col("ev_day") === lit(restatedDay).cast("date"))
+      .withColumn("untouched_files_stable", lit(stable))
+      .withColumn("restated_files_replaced", lit(replaced))
+      .orderBy("ev_day")
+  }
+
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
@@ -1204,6 +1258,7 @@ object Lifecycle {
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_vacuum" -> (tableVacuum _),
+    "table_partition_overwrite" -> (tablePartitionOverwrite _),
     "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1318,6 +1373,24 @@ object Lifecycle {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey IN (7, 500, 997)
         |ORDER BY o_orderkey""".stripMargin,
+    // final table state replayed relationally (all other days + the
+    // doubled restated day); the two physical facts are TRUE literals —
+    // a full-table rewrite or a clobbered untouched partition flips
+    // them false and fails the hash
+    "table_partition_overwrite" ->
+      """WITH base AS (SELECT date_trunc('day', ts)::DATE AS ev_day, value
+        |              FROM events),
+        |final AS (
+        |  SELECT ev_day, value FROM base WHERE ev_day <> DATE '2024-01-15'
+        |  UNION ALL
+        |  SELECT ev_day, value * 2 FROM base
+        |  WHERE ev_day = DATE '2024-01-15')
+        |SELECT ev_day, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  (ev_day = DATE '2024-01-15') AS restated,
+        |  TRUE AS untouched_files_stable,
+        |  TRUE AS restated_files_replaced
+        |FROM final GROUP BY ev_day ORDER BY ev_day""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,
     // retain latest => d0/d1 dead, d2 live)
