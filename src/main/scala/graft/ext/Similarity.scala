@@ -609,7 +609,43 @@ object Similarity {
       .orderBy("anchor_id", "pair_rank", "pair_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
+    * semantic dedup, the embedding-space dedup formulation that SCALES:
+    * k-means first (reusing [[ivfLists]]'s deterministic 1-Lloyd-pass
+    * training, so the cluster structure is shared with the IVF index and
+    * both oracles), then each vector compares ONLY against its own
+    * cluster's lower-id members; max cosine >= 0.4 marks it a semantic
+    * duplicate of an earlier representative (keep-lowest-id is the
+    * deterministic greedy rule; 0.4 is this synthetic corpus's
+    * documented threshold, as in the LSH embedding-dedup key).
+    *
+    * 100 TB shape: the cluster scope bounds candidate pairs at
+    * sum C(|cluster|, 2) instead of global C(N, 2) — clusters ARE the
+    * shards, no pair ever crosses one, and NLISTS grows with the corpus
+    * so per-cluster work stays bounded. The pair join shuffles on cid
+    * once; per-pair scoring is the codegen'd [[graft.functions.VectorDot]];
+    * the max folds map-side per vec_id. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned, _) = ivfLists(s, d)
+    val m = assigned.select(
+      col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    val mx = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        (graft.functions.VectorDot
+          .vector_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("mxraw"))
+    m.select("vec_id", "cid").join(mx, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(coalesce(col("mxraw"), lit(-1.0)), 9).as("max_sim_lower"))
+      .withColumn("kept", col("max_sim_lower") < lit(0.4))
+      .orderBy("vec_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "dedup_semantic"             -> (dedupSemantic _),
     "similarity_ann_quantized"   -> (similarityAnnQuantized _),
     "similarity_ivf_pq"          -> (similarityIvfPq _),
     "embedding_quantize"         -> (embeddingQuantize _),
@@ -719,6 +755,30 @@ object Similarity {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // the ivf assignment CTEs give the shared cluster structure; pair
+    // scoring replays VectorDot's element-ordered double fold
+    "dedup_semantic" ->
+      s"""WITH $ivfAssignSql,
+         |nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM),
+         |      i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)),
+         |    (acc, x) -> acc + x)) AS nrm FROM embeddings),
+         |mem AS (SELECT a2.vec_id, a2.cid, e.embedding, n.nrm
+         |  FROM a2 JOIN embeddings e USING (vec_id)
+         |  JOIN nrm n USING (vec_id)),
+         |p AS (SELECT a.vec_id,
+         |    max(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range($DIM),
+         |        i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)),
+         |      (acc, x) -> acc + x) / (a.nrm * b.nrm)) AS mx
+         |  FROM mem a JOIN mem b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT m.vec_id, m.cid,
+         |  round(coalesce(p.mx, -1.0), 9) AS max_sim_lower,
+         |  (round(coalesce(p.mx, -1.0), 9) < 0.4) AS kept
+         |FROM (SELECT vec_id, cid FROM a2) m
+         |LEFT JOIN p ON p.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     // coarse probe (the similarity_ivf CTEs) intersected with the PQ
     // pipeline (per-subspace CTEs above); ADC = left-associated sum of
     // the M codeword dots, matching the Spark fold's (((0+p0)+p1)+...)

@@ -107,4 +107,20 @@ class SimilaritySpec extends AnyFunSuite {
     // kept vec_id is a real embedding row, kept at most once
     assert(rows.map(_._2).distinct.length == rows.length)
   }
+
+  test("dedup_semantic drops only above-threshold vectors, cluster-scoped") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.{spark, SF}
+    val out = Similarity.dedupSemantic(spark, SF)
+    assert(out.count() == Tables.load(spark, SF, "embeddings").count())
+    // kept is exactly the threshold predicate on the emitted score
+    assert(out.filter(
+      col("kept") =!= (col("max_sim_lower") < 0.4)).isEmpty)
+    // each cluster's lowest vec_id has no lower member: sentinel -1, kept
+    val minIds = out.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    assert(out.join(minIds, Seq("cid", "vec_id")).filter(
+      col("max_sim_lower") =!= -1.0 || !col("kept")).isEmpty)
+    // the planted clusters make the operator non-vacuous at gate SF
+    assert(out.filter(!col("kept")).count() > 0)
+  }
 }
