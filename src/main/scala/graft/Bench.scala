@@ -186,9 +186,10 @@ object Bench {
         "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
         "text_contamination", "events_funnel", "events_retention",
-        // r8 session-2 additions: the line-dedup global count/anti-join
-        // and the NB train+score pipeline (both corpus-model shaped)
-        "text_line_dedup", "text_nb_classifier")
+        // r8 session-2 additions: the line-dedup global count/anti-join,
+        // the NB train+score pipeline, and SemDeDup's cluster-scoped
+        // pair scoring (all corpus-model shaped)
+        "text_line_dedup", "text_nb_classifier", "dedup_semantic")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
