@@ -267,6 +267,80 @@ object EventOps {
     * the standard n-stage funnel plan, no all-pairs or window-over-all
     * step, so it holds at 100 TB. The final ratio divides two exact longs
     * in one IEEE step (deterministic across engines). */
+  /** Multi-touch attribution — the marketing-analytics companion to
+    * [[eventsFunnel]]: each purchase's value is credited to the user's
+    * preceding touch events (view/click) inside a 7-day lookback, under
+    * the three standard models — first_touch (all credit to the earliest
+    * touch), last_touch (latest), linear (equal split across touches).
+    * Purchases with no in-window touch report as `none` per model, so
+    * the total credited mass is conserved and auditable.
+    *
+    * Determinism: per-credit amounts quantize to e6 longs
+    * (round(value * 1e6 / n) on the 2-dec money value — identical
+    * doubles, identical rounding in both engines), so every aggregation
+    * is exact integer arithmetic; first/last pick by (ts, event_id)
+    * struct order, replayed as ROW_NUMBER in the oracle.
+    *
+    * 100 TB shape: ONE user-keyed equi-join co-partitions purchases and
+    * touches (the 7-day window is a join-condition filter, not a
+    * time-range explosion); per-purchase extremes and counts fold in a
+    * single aggregation with map-side combine; the model outputs are
+    * touch-type-sized rollups. No event-stream windows anywhere. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val vdec = dec(col("value")).cast("double")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), vdec.as("p_value"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("t_id"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val per = joined.groupBy("p_id", "p_value")
+      .agg(count(lit(1)).as("n_touch"),
+        min(struct(col("t_ts"), col("t_id"), col("touch_type")))
+          .as("first_t"),
+        max(struct(col("t_ts"), col("t_id"), col("touch_type")))
+          .as("last_t"))
+      // per-purchase relation has three consumers (first/last rollups +
+      // the linear credit join) over a purchase-sized relation
+      .localCheckpoint()
+    def model(name: String, t: org.apache.spark.sql.Column) = per
+      .groupBy(t.as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(round(col("p_value") * lit(1000000.0)).cast("long"))
+          .as("credited_e6"))
+      .withColumn("model", lit(name))
+    val linear = joined
+      .join(per.select(col("p_id"), col("n_touch")), "p_id")
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(round(col("p_value") * lit(1000000.0) / col("n_touch"))
+          .cast("long")).as("credited_e6"))
+      .withColumn("model", lit("linear"))
+    val unattributed = purchases
+      .join(per.select("p_id"), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(round(col("p_value") * lit(1000000.0)).cast("long"))
+          .as("credited_e6"))
+      .withColumn("touch_type", lit("none"))
+    // a global agg over an empty anti-join still emits its one row —
+    // drop it so `none` rows appear only when unattributed purchases
+    // exist (the oracle's HAVING count(*) > 0)
+    val un3 = Seq("first_touch", "last_touch", "linear").map(m =>
+      unattributed.filter(col("n_credits") > 0)
+        .withColumn("model", lit(m))).reduce(_ unionByName _)
+    model("first_touch", col("first_t.touch_type"))
+      .unionByName(model("last_touch", col("last_t.touch_type")))
+      .unionByName(linear).unionByName(un3)
+      .select(col("model"), col("touch_type"), col("n_credits"),
+        round(col("credited_e6").cast("double") / lit(1000000.0), 6)
+          .as("credited"))
+      .orderBy("model", "touch_type")
+  }
+
   def eventsFunnel(s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "events")
     val views = e.filter(col("event_type") === "view")
@@ -465,6 +539,7 @@ object EventOps {
     "stat_bootstrap_ci"     -> (statBootstrapCi _),
     "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
+    "events_attribution"     -> (eventsAttribution _),
     "events_retention"       -> (eventsRetention _),
     "events_stream_late_drop" -> (eventsStreamLateDrop _),
     "matview_stream_refresh" -> (matviewStreamRefresh _),
@@ -599,6 +674,52 @@ object EventOps {
         |SELECT event_type, hour_start, n, mean_hourly, z,
         |  abs(z) > 3.0 AS is_anomaly
         |FROM z ORDER BY event_type, hour_start""".stripMargin,
+    // e6-quantized credits (identical doubles -> identical rounding), so
+    // every model aggregate is exact integer arithmetic; first/last as
+    // ROW_NUMBER over (t_ts, t_id), the oracle replay of the struct order
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS p_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, ts AS t_ts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, p.p_value, t.t_id, t.t_ts, t.touch_type
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+        |per AS (SELECT p_id, p_value, count(*)::BIGINT AS n_touch
+        |  FROM j GROUP BY 1, 2),
+        |firstt AS (SELECT p_id, p_value, touch_type FROM (
+        |    SELECT j.*, ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts, t_id) AS rn FROM j) WHERE rn = 1),
+        |lastt AS (SELECT p_id, p_value, touch_type FROM (
+        |    SELECT j.*, ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts DESC, t_id DESC) AS rn FROM j) WHERE rn = 1),
+        |m1 AS (SELECT 'first_touch' AS model, touch_type,
+        |    count(*)::BIGINT AS n_credits,
+        |    sum(CAST(round(p_value * 1000000.0) AS BIGINT)) AS credited_e6
+        |  FROM firstt GROUP BY 2),
+        |m2 AS (SELECT 'last_touch' AS model, touch_type,
+        |    count(*)::BIGINT AS n_credits,
+        |    sum(CAST(round(p_value * 1000000.0) AS BIGINT)) AS credited_e6
+        |  FROM lastt GROUP BY 2),
+        |m3 AS (SELECT 'linear' AS model, j.touch_type,
+        |    count(*)::BIGINT AS n_credits,
+        |    sum(CAST(round(j.p_value * 1000000.0 / per.n_touch) AS BIGINT))
+        |      AS credited_e6
+        |  FROM j JOIN per USING (p_id) GROUP BY 2),
+        |un AS (SELECT p_id, p_value FROM p ANTI JOIN per USING (p_id)),
+        |m4 AS (SELECT m.model, 'none' AS touch_type,
+        |    count(*)::BIGINT AS n_credits,
+        |    sum(CAST(round(p_value * 1000000.0) AS BIGINT)) AS credited_e6
+        |  FROM un CROSS JOIN (VALUES ('first_touch'), ('last_touch'),
+        |    ('linear')) m(model)
+        |  GROUP BY 1 HAVING count(*) > 0)
+        |SELECT model, touch_type, n_credits,
+        |  round(credited_e6::DOUBLE / 1000000.0, 6) AS credited
+        |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+        |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
+        |ORDER BY model, touch_type""".stripMargin,
     "events_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -90,4 +90,24 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got == want, s"emulation $got != countDistinct $want")
     assert(want("p3") == 0L)
   }
+
+  test("events_attribution conserves credited mass across all three models") {
+    val out = graft.ext.EventOps.eventsAttribution(spark, SF)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    val models = out.map(_._1).distinct.sorted
+    assert(models.toSeq == Seq("first_touch", "last_touch", "linear"))
+    val purchases = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase").count()
+    // first/last credit each purchase exactly once (incl. `none`)
+    for (m <- Seq("first_touch", "last_touch"))
+      assert(out.filter(_._1 == m).map(_._3).sum == purchases, m)
+    // every model distributes the same total purchase value: linear's
+    // per-credit e6 rounding can drift at most 0.5e-6 per credit
+    val totals = models.map(m => m -> out.filter(_._1 == m).map(_._4).sum).toMap
+    val credits = out.filter(_._1 == "linear").map(_._3).sum
+    assert(math.abs(totals("first_touch") - totals("last_touch")) < 1e-6)
+    assert(math.abs(totals("linear") - totals("first_touch")) <=
+      credits * 0.5e-6 + 1e-6)
+  }
 }
