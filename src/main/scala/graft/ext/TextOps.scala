@@ -447,10 +447,15 @@ object TextOps {
     * Jaccard-family precedent — no hash mismatch across engines), kept
     * order is pinned by line_no, and removed_frac is one small-integer
     * division rounded to 9 dp. */
-  def textLineDedup(s: SparkSession, d: String): DataFrame = {
+  def textLineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupOf(load(s, d, "documents"))
+
+  /** [[textLineDedup]] over an explicit (doc_id, text) frame — the
+    * fixture-testable core, as with the span-coverage family. */
+  private[graft] def lineDedupOf(docs: DataFrame): DataFrame = {
     val W = 8
     val K = 3
-    def lines = load(s, d, "documents")
+    def lines = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(expr(s"sequence(0, size(ws) - 1, $W)")).as("st"))

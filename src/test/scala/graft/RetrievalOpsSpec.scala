@@ -239,6 +239,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n_lines") - col("n_kept"))).head.getLong(0) > 0)
   }
 
+  test("line dedup drops exactly the planted boilerplate, goldens pinned") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1-3 share an 8-token header (>= K=3 docs -> boilerplate);
+    // docs 1-2 also share an 8-token footer (only 2 docs -> kept);
+    // doc 4 is all boilerplate (3 copies of the header would need 3 docs,
+    // so give it the header alone: 1 line, dropped entirely)
+    def toks(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val header = toks("h", 8)
+    val footer = toks("f", 8)
+    val docs = Seq(
+      (1L, (header ++ toks("a", 8) ++ footer).mkString(" ")),
+      (2L, (header ++ toks("b", 8) ++ footer).mkString(" ")),
+      (3L, (header ++ toks("c", 8)).mkString(" ")),
+      (4L, header.mkString(" ")),
+      (5L, toks("z", 12).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.lineDedupOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got(1L) == ((3L, 2L, (toks("a", 8) ++ footer).mkString(" "))))
+    assert(got(2L) == ((3L, 2L, (toks("b", 8) ++ footer).mkString(" "))))
+    assert(got(3L) == ((2L, 1L, toks("c", 8).mkString(" "))))
+    // fully-boilerplate doc survives as a row with empty cleaned text
+    assert(got(4L) == ((1L, 0L, "")))
+    // untouched doc: short final line (4 tokens) reassembles losslessly
+    assert(got(5L) == ((2L, 2L, toks("z", 12).mkString(" "))))
+  }
+
   test("text_nb_classifier scores all classes and argmaxes deterministically") {
     val out = graft.ext.TextOps.textNbClassifier(spark, SF)
     val docs = Tables.load(spark, SF, "documents")
