@@ -341,6 +341,49 @@ object EventOps {
       .orderBy("model", "touch_type")
   }
 
+  /** RFM segmentation — the classic mart rollup: per purchasing user,
+    * Recency (days since last purchase vs the corpus max), Frequency
+    * (purchase count), Monetary (exact 2-dec spend); each metric cut
+    * into quintiles (tile 1 = best: most recent / most frequent /
+    * biggest spender), then the 5x5x5 segment grid rolled up.
+    *
+    * The scale point is the quintile cut: a global NTILE window is a
+    * single-partition sort over every user — the trap the two-phase
+    * [[graft.operators.Ranks.rowNumberByRange]] exists for. Three
+    * chained range-partitioned rank passes (metric, user_id total
+    * order) give global row numbers with no global window; the tile is
+    * then pure integer arithmetic `(rn-1)*5 div n`, replayed verbatim
+    * by the oracle (documented: this spreads remainders evenly, unlike
+    * SQL NTILE's front-loading — the formula IS the contract). */
+  def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    val e = load(s, d, "events")
+    val per = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        exactSum(col("value")).as("monetary"))
+    val scal = per.agg(max(col("last_ts")).as("max_ts"),
+      count(lit(1)).as("n"))
+    val base = per.crossJoin(broadcast(scal))
+      .withColumn("recency_days",
+        datediff(to_date(col("max_ts")), to_date(col("last_ts"))))
+    val ranked = Seq(
+      ("r_rn", Seq(col("recency_days").asc, col("user_id").asc)),
+      ("f_rn", Seq(col("frequency").desc, col("user_id").asc)),
+      ("m_rn", Seq(col("monetary").desc, col("user_id").asc)))
+      .foldLeft(base) { case (df, (out, order)) =>
+        graft.operators.Ranks.rowNumberByRange(df, 32, order, out)
+      }
+    ranked
+      .withColumn("r_tile", expr("((r_rn - 1) * 5) div n + 1"))
+      .withColumn("f_tile", expr("((f_rn - 1) * 5) div n + 1"))
+      .withColumn("m_tile", expr("((m_rn - 1) * 5) div n + 1"))
+      .groupBy("r_tile", "f_tile", "m_tile")
+      .agg(count(lit(1)).as("n_users"),
+        exactSum(col("monetary")).as("total_monetary"))
+      .orderBy("r_tile", "f_tile", "m_tile")
+  }
+
   def eventsFunnel(s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "events")
     val views = e.filter(col("event_type") === "view")
@@ -540,6 +583,7 @@ object EventOps {
     "events_anomaly"         -> (eventsAnomaly _),
     "events_funnel"          -> (eventsFunnel _),
     "events_attribution"     -> (eventsAttribution _),
+    "events_rfm"             -> (eventsRfm _),
     "events_retention"       -> (eventsRetention _),
     "events_stream_late_drop" -> (eventsStreamLateDrop _),
     "matview_stream_refresh" -> (matviewStreamRefresh _),
@@ -674,6 +718,32 @@ object EventOps {
         |SELECT event_type, hour_start, n, mean_hourly, z,
         |  abs(z) > 3.0 AS is_anomaly
         |FROM z ORDER BY event_type, hour_start""".stripMargin,
+    // the (rn-1)*5 div n tile formula replayed verbatim (NOT SQL NTILE —
+    // remainders spread evenly; the formula is the documented contract)
+    "events_rfm" ->
+      """WITH per AS (SELECT user_id, max(ts) AS last_ts,
+        |    count(*)::BIGINT AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |scal AS (SELECT max(last_ts) AS max_ts, count(*)::BIGINT AS n
+        |  FROM per),
+        |base AS (SELECT per.*, scal.n,
+        |    date_diff('day', last_ts::DATE, max_ts::DATE) AS recency_days
+        |  FROM per, scal),
+        |rk AS (SELECT user_id, monetary, n,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS r_rn,
+        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS f_rn,
+        |    ROW_NUMBER() OVER (ORDER BY monetary DESC, user_id) AS m_rn
+        |  FROM base),
+        |t AS (SELECT monetary,
+        |    ((r_rn - 1) * 5) // n + 1 AS r_tile,
+        |    ((f_rn - 1) * 5) // n + 1 AS f_tile,
+        |    ((m_rn - 1) * 5) // n + 1 AS m_tile
+        |  FROM rk)
+        |SELECT r_tile, f_tile, m_tile, count(*)::BIGINT AS n_users,
+        |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_monetary
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // e6-quantized credits (identical doubles -> identical rounding), so
     // every model aggregate is exact integer arithmetic; first/last as
     // ROW_NUMBER over (t_ts, t_id), the oracle replay of the struct order

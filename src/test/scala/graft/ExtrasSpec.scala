@@ -91,6 +91,23 @@ class ExtrasSpec extends AnyFunSuite {
     assert(want("p3") == 0L)
   }
 
+  test("events_rfm partitions users into balanced quintiles per dimension") {
+    val rows = graft.ext.EventOps.eventsRfm(spark, SF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    val users = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users)
+    // the (rn-1)*5 div n cut spreads remainders evenly: every marginal
+    // tile holds floor(n/5) or ceil(n/5) users, in each dimension
+    for (dim <- 0 to 2) {
+      val marginal = rows.groupBy(_._1.productElement(dim))
+        .map { case (_, v) => v.map(_._2).sum }
+      assert(marginal.size == 5)
+      assert(marginal.forall(c => c == users / 5 || c == users / 5 + 1))
+    }
+  }
+
   test("events_attribution conserves credited mass across all three models") {
     val out = graft.ext.EventOps.eventsAttribution(spark, SF)
       .collect().map(r => (r.getString(0), r.getString(1),
