@@ -621,9 +621,15 @@ object Similarity {
     *
     * 100 TB shape: the cluster scope bounds candidate pairs at
     * sum C(|cluster|, 2) instead of global C(N, 2) — clusters ARE the
-    * shards, no pair ever crosses one, and NLISTS grows with the corpus
-    * so per-cluster work stays bounded. The pair join shuffles on cid
-    * once; per-pair scoring is the codegen'd [[graft.functions.VectorDot]];
+    * shards and no pair ever crosses one. NLISTS is the lever that
+    * keeps per-cluster work bounded: production sets it ~N/1000 so
+    * clusters stay constant-sized as the corpus grows (SemDeDup used
+    * 11k clusters on LAION); HERE it stays at the IVF keys' fixed 16 so
+    * the cluster structure — and the oracle's assignment CTEs — are
+    * shared verbatim, which caps the honest probe range at ~sf1
+    * (quadratic-in-cluster-size pair work beyond that is the constant's
+    * artifact, not the operator's). The pair join shuffles on cid once;
+    * per-pair scoring is the codegen'd [[graft.functions.VectorDot]];
     * the max folds map-side per vec_id. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val (_, assigned, _) = ivfLists(s, d)
