@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectResolutionRule(s => graft.plans.FdGroupByRule(s))
     e.injectOptimizerRule(s => graft.plans.RangeJoinRule(s))
+    // the native kernels as SQL functions (graft_vector_dot,
+    // graft_minhash, ...) so pure-SQL sessions reach them too
+    graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }
