@@ -591,8 +591,10 @@ object TextOps {
     // left lazy each would re-run the corpus explode + shuffle. It is
     // vocabulary x #classes sized (Heaps ~sqrt corpus), so pinning it is
     // cheap where recomputing is not — the inverse of the line-dedup
-    // trade, and the same call the tfidf key documents. (sf1: 4.2s ->
-    // 2.6s for the whole key.)
+    // trade, and the same call the tfidf key documents. (Measured
+    // neutral at sf1 alone — the corpus scans it saves are cheap there —
+    // but it is the right shape at scale; the key's measured win, 4.2s
+    // -> 2.8s, came from the raw-token-stream scoring above.)
     val cw = docs.select(col("lang"), explode(col("ws")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("c"))
       .localCheckpoint()
