@@ -39,10 +39,16 @@ object Bench {
     "text_bpe_train",        // driver-iterated BPE merge loop
     "events_stream_heavy_hitters") // CMS state across micro-batches
 
+  /** The three r8 probe additions, named explicitly so the r7 basis
+    * below cannot silently drift when headline is reordered or extended
+    * in a later round. */
+  private val r8Additions = Set(
+    "lookup_bucket_pruned", "text_bpe_train", "events_stream_heavy_hitters")
+
   /** r7-and-earlier headline basis — kept so `total` stays comparable
     * round-over-round after the r8 key additions (full file carries
     * both sums). */
-  val headlineR7: Seq[String] = headline.dropRight(3)
+  val headlineR7: Seq[String] = headline.filterNot(r8Additions)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -536,24 +542,27 @@ object Bench {
             .collect { case j: Join => j }.lastOption
             .exists(_.collectLeaves().exists(_.toString.contains("br_cust")))
         }
-        setCbo(true)
-        val withCbo = deepestJoinHasDim
-        setCbo(false)
-        val without = deepestJoinHasDim
-        val samples = (1 to REPS).map { _ =>
-          Seq(false, true).map { on =>
-            setCbo(on)
-            val t0 = System.nanoTime()
-            query.write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+        // restore in finally: a throw mid-probe (caught below as
+        // sentinels) must not leave CBO flipped for the rest of the run
+        try {
+          setCbo(true)
+          val withCbo = deepestJoinHasDim
+          setCbo(false)
+          val without = deepestJoinHasDim
+          val samples = (1 to REPS).map { _ =>
+            Seq(false, true).map { on =>
+              setCbo(on)
+              val t0 = System.nanoTime()
+              query.write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
           }
-        }
-        saved.foreach { case (k, v) =>
+          Seq("as_written_sec" -> samples.map(_(0)).min,
+            "cbo_sec" -> samples.map(_(1)).min,
+            "reordered" -> (if (withCbo && !without) 1.0 else 0.0))
+        } finally saved.foreach { case (k, v) =>
           v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
         }
-        Seq("as_written_sec" -> samples.map(_(0)).min,
-          "cbo_sec" -> samples.map(_(1)).min,
-          "reordered" -> (if (withCbo && !without) 1.0 else 0.0))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] join reorder failed: ${e.getMessage}")
         Seq("as_written_sec" -> -1.0, "cbo_sec" -> -1.0, "reordered" -> -1.0)
@@ -588,8 +597,12 @@ object Bench {
     // quiet-box median of shuffleCanarySec(), measured r8 (1.73s pre-sf1,
     // 1.77s pre-sf10 on an otherwise idle 32-core box)
     val shufExpected = 1.8
+    // the sf10-adjacent shuffle canary counts too: contention arising
+    // BETWEEN the tiers (the r7 incident shape) must flip the flag even
+    // when the pre-sf1 probes were quiet (-1 = tier not reached)
     val contended = sf1gen > 2 * genExpected ||
-      shuffleCanarySf1 > 2 * shufExpected
+      shuffleCanarySf1 > 2 * shufExpected ||
+      shuffleCanarySf10 > 2 * shufExpected
     def canary(dp: Int) =
       jmap(Seq("sf1_gen_sec" -> sf1gen, "expected_sec" -> genExpected,
         "shuffle_sec" -> shuffleCanarySf1,

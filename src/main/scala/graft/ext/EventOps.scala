@@ -333,18 +333,25 @@ object EventOps {
       // an empty filtered side still emits its one global-agg row
       .filter(col("n_credits").isNotNull)
       .withColumn("model", lit("linear"))
+    // aggregate the unattributed remainder ONCE and fan out to the
+    // three model rows with a 3-row literal frame (the oracle's
+    // un CROSS JOIN VALUES shape) — a per-model map would embed the
+    // events-scan anti-join subtree three times in the final plan.
+    // The n_credits > 0 filter drops the one row a global agg still
+    // emits over an empty anti-join, so `none` rows appear only when
+    // unattributed purchases exist (the oracle's HAVING count(*) > 0)
     val unattributed = purchases
       .join(per.select("p_id"), Seq("p_id"), "left_anti")
       .agg(count(lit(1)).as("n_credits"),
         sum(round(col("p_value") * lit(1000000.0)).cast("long"))
           .as("credited_e6"))
       .withColumn("touch_type", lit("none"))
-    // a global agg over an empty anti-join still emits its one row —
-    // drop it so `none` rows appear only when unattributed purchases
-    // exist (the oracle's HAVING count(*) > 0)
-    val un3 = Seq("first_touch", "last_touch", "linear").map(m =>
-      unattributed.filter(col("n_credits") > 0)
-        .withColumn("model", lit(m))).reduce(_ unionByName _)
+      .filter(col("n_credits") > 0)
+    val modelNames = {
+      import s.implicits._
+      Seq("first_touch", "last_touch", "linear").toDF("model")
+    }
+    val un3 = unattributed.crossJoin(modelNames)
     model("first_touch", col("first_t.touch_type"))
       .unionByName(model("last_touch", col("last_t.touch_type")))
       .unionByName(linear).unionByName(un3)

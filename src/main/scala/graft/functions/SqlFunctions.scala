@@ -30,9 +30,13 @@ object SqlFunctions {
 
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    // range-check before narrowing: a silent toInt would turn
+    // 4294967297 into 1 (wrong k) or 2147483648 into a negative that
+    // fails deep in buffer allocation instead of here
+    case Literal(v: Long, LongType)
+        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+      s"$fn: $arg must be an INT-range integer literal, got $other")
   }
 
   private def litLong(e: Expression, fn: String, arg: String): Long = e match {

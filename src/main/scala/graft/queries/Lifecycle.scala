@@ -380,17 +380,8 @@ object Lifecycle {
     val restated = withDay
       .filter(col("ev_day") === lit(restatedDay).cast("date"))
       .withColumn("value", col("value") * 2)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    withConf(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       restated.write.mode("overwrite").partitionBy("ev_day").parquet(scratch)
-    } finally {
-      prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
     }
     val stable = witnessBefore.nonEmpty && files(witnessDay) == witnessBefore
     val replaced = files(restatedDay).nonEmpty &&

@@ -92,6 +92,10 @@ class SqlFunctionsSpec extends AnyFunSuite
   }
 
   test("non-literal shape parameters fail with the registration's error") {
+    // register the view here too — this test must not depend on the
+    // scalar test having run first (isolated -z runs)
+    Tables.load(spark, TestSpark.SF, "documents")
+      .createOrReplaceTempView("sqlfn_docs")
     val ex = intercept[Exception] {
       spark.sql("SELECT graft_minhash(doc_id, doc_id) FROM sqlfn_docs")
         .collect()
