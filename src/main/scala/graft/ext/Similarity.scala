@@ -197,11 +197,18 @@ object Similarity {
     * vectors are distinct, as here and in SfGen; both gated keys would
     * hash-mismatch loudly if it ever broke. */
   private def ivfLists(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Array[Array[Double]]) =
+    ivfListsK(s, d, NLISTS)
+
+  /** [[ivfLists]] with an explicit cluster count — the ANN keys keep the
+    * fixed [[NLISTS]] (their oracles and NPROBE tuning assume it);
+    * [[dedupSemantic]] passes a corpus-derived count. */
+  private def ivfListsK(s: SparkSession, d: String, nlists: Int)
       : (DataFrame, DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val seed = e.orderBy("vec_id").limit(NLISTS)
+    val seed = e.orderBy("vec_id").limit(nlists)
       .select("embedding").as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     def assignUdf(cents: Array[Array[Double]]) = udf { (emb: Seq[Float]) =>
@@ -621,18 +628,23 @@ object Similarity {
     *
     * 100 TB shape: the cluster scope bounds candidate pairs at
     * sum C(|cluster|, 2) instead of global C(N, 2) — clusters ARE the
-    * shards and no pair ever crosses one. NLISTS is the lever that
-    * keeps per-cluster work bounded: production sets it ~N/1000 so
-    * clusters stay constant-sized as the corpus grows (SemDeDup used
-    * 11k clusters on LAION); HERE it stays at the IVF keys' fixed 16 so
-    * the cluster structure — and the oracle's assignment CTEs — are
-    * shared verbatim, which caps the honest probe range at ~sf1
-    * (quadratic-in-cluster-size pair work beyond that is the constant's
-    * artifact, not the operator's). The pair join shuffles on cid once;
-    * per-pair scoring is the codegen'd [[graft.functions.VectorDot]];
-    * the max folds map-side per vec_id. */
+    * shards and no pair ever crosses one — and the cluster count SCALES
+    * with the corpus: L = ceil(sqrt(N)), so expected pair work is
+    * L * C(N/L, 2) ~ N^1.5 / 2 (the compact-forward-triangles growth
+    * class, not quadratic). Measured: a fixed L=16 read 95s at sf10
+    * (31k-vector clusters, ~7.7G pairs); sqrt-scaled, the tier is
+    * seconds again and the sf1 -> sf10 step stays sublinear-quadratic.
+    * The oracle derives the SAME bound in SQL (CEIL(SQRT(COUNT(*)))),
+    * so train + score remain replayed exactly. At extreme scale the
+    * centroid set outgrows a broadcast UDF's argument (L ~ millions) —
+    * the assignment becomes a shuffled join against a centroid
+    * relation; the algebra is unchanged. The pair join shuffles on cid
+    * once; per-pair scoring is the codegen'd
+    * [[graft.functions.VectorDot]]; the max folds map-side per vec_id. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val (_, assigned, _) = ivfLists(s, d)
+    val n = load(s, d, "embeddings").count()
+    val nlists = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (_, assigned, _) = ivfListsK(s, d, nlists)
     val m = assigned.select(
       col("vec_id"), col("cid"), col("embedding"), col("nrm"))
     val mx = m.as("a").join(m.as("b"),
@@ -696,8 +708,11 @@ object Similarity {
   // keeps the first max -> row_number tie-break on cid), one Lloyd pass
   // whose per-dim means fold in vec_id order, reassignment against the
   // refined centroids. `assign2` keeps the dot for downstream ranking.
-  private val ivfAssignSql =
-    s"""seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $NLISTS),
+  /** The k-means assignment CTE chain with a pluggable seed-count bound:
+    * the ANN oracles pin the fixed [[NLISTS]]; the semantic-dedup oracle
+    * derives ceil(sqrt(count)) from the data, matching the Scala side. */
+  private def ivfAssignSqlFor(seedBound: String): String =
+    s"""seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $seedBound),
        |assign1 AS (SELECT e.vec_id, s.cid,
        |  list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
@@ -720,6 +735,8 @@ object Similarity {
        |a2 AS (SELECT vec_id, cid, dot FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
        |  FROM assign2) WHERE rn = 1)""".stripMargin
+
+  private val ivfAssignSql = ivfAssignSqlFor(NLISTS.toString)
 
   /** Per-subspace PQ training/encoding/LUT CTEs, program-generated per
     * subspace m: raw subvectors, seed codewords (first KSUB vectors),
@@ -761,10 +778,12 @@ object Similarity {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
-    // the ivf assignment CTEs give the shared cluster structure; pair
-    // scoring replays VectorDot's element-ordered double fold
+    // the assignment CTEs with the corpus-derived cluster count (same
+    // ceil(sqrt(N)) as the Scala side); pair scoring replays VectorDot's
+    // element-ordered double fold
     "dedup_semantic" ->
-      s"""WITH $ivfAssignSql,
+      s"""WITH ${ivfAssignSqlFor(
+           "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)")},
          |nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(range($DIM),
          |      i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)),
