@@ -573,9 +573,19 @@ object TextOps {
     * pre-aggregation: see the comment at `tokens`). Class-wide scores
     * then fold in ONE doc_id aggregation (conditional sums, no pivot
     * shuffle) against a broadcast 1-row priors relation. */
-  def textNbClassifier(s: SparkSession, d: String): DataFrame = {
+  def textNbClassifier(s: SparkSession, d: String): DataFrame =
+    nbClassifierOf(s, load(s, d, "documents"),
+      artifact = f"nb_model_${d.hashCode & 0x7fffffff}%08x")
+
+  /** [[textNbClassifier]] over an explicit (doc_id, text, lang) frame —
+    * the fixture-testable core (the span-coverage / line-dedup pattern):
+    * a planted corpus with DISJOINT per-class vocabularies must classify
+    * perfectly, which pins "the model actually learns" separately from
+    * the cross-engine argmax contract. */
+  private[graft] def nbClassifierOf(s: SparkSession, docsIn: DataFrame,
+      artifact: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
-    val docs = load(s, d, "documents")
+    val docs = docsIn
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
     // raw token stream, NOT a per-(doc, word) tf pre-aggregation: scoring
     // is linear in occurrences either way (sum tf*delta == sum delta over
@@ -603,7 +613,6 @@ object TextOps {
     val dl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val tot = dl.agg(sum("n_docs").as("nd"))
       .crossJoin(vocab.agg(count(lit(1)).as("v")))
-    val artifact = f"nb_model_${d.hashCode & 0x7fffffff}%08x"
     val model = graft.matview.Materializer(s).create(artifact,
       cw.select(col("lang").as("cls"), col("w"),
         round(log(col("c").cast("double") + lit(1.0)) *

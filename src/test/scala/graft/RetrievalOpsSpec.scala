@@ -268,6 +268,23 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 2L, toks("z", 12).mkString(" "))))
   }
 
+  test("NB classifier is perfect on a planted separable corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // five classes with fully DISJOINT vocabularies: the add-1-smoothed
+    // model must recover every label on its own training set
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val docs = (0 until 40).map { i =>
+      val l = langs(i % 5)
+      (i.toLong, (0 until 6).map(j => s"w_${l}_${(i + j) % 4}")
+        .mkString(" "), l)
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextOps.nbClassifierOf(spark, docs, "nb_model_fixture")
+    assert(out.count() == 40)
+    assert(out.filter(col("predicted") =!= col("lang")).isEmpty)
+    assert(out.filter(!col("correct")).isEmpty)
+  }
+
   test("text_nb_classifier scores all classes and argmaxes deterministically") {
     val out = graft.ext.TextOps.textNbClassifier(spark, SF)
     val docs = Tables.load(spark, SF, "documents")
