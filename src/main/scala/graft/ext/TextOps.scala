@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -478,6 +479,47 @@ object TextOps {
           col("n_lines"), 9).as("removed_frac"),
         col("cleaned_text"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document keyword extraction: each document's top-5 terms by
+    * TF-IDF — the doc-tagging step (search facets, cluster labels,
+    * topic summaries) that every curation pipeline publishes. Weights
+    * are exact longs (tf * idf_e9, one ln() per distinct word on
+    * identical inputs in both engines), so the ranking needs no float
+    * tolerance anywhere; ties break on the term itself.
+    *
+    * 100 TB shape: the per-(doc, word) tf aggregation is the OUTPUT
+    * grain here (unlike the NLL scorers, which only need sums), so its
+    * exchange is inherent; the idf join takes the unigram Zipf split
+    * (head broadcast, near-uniform tail hashed); the top-5 cut is a
+    * doc_id-keyed window — keyed, never global. */
+  def textKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfRel.crossJoin(broadcast(nd))
+      .select(col("w"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) *
+          lit(1000000000.0)).cast("long").as("idf_e9"))
+    val head = idf.orderBy(col("df").desc, col("w")).limit(1000)
+      .select("w", "idf_e9")
+    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
+    val resolved = viaHead.filter(col("idf_e9").isNotNull)
+      .unionByName(viaHead.filter(col("idf_e9").isNull).drop("idf_e9")
+        .join(idf.select("w", "idf_e9"), "w"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("weight_e9").desc, col("w"))
+    resolved
+      .select(col("doc_id"), col("w"),
+        (col("tf") * col("idf_e9")).as("weight_e9"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("weight_e9"))
+      .orderBy("doc_id", "rank")
   }
 
   /** Unigram language-model quality scoring: per-document mean negative
@@ -1291,6 +1333,7 @@ object TextOps {
     "text_chunk"       -> (textChunk _),
     "text_line_dedup"  -> (textLineDedup _),
     "text_nb_classifier" -> (textNbClassifier _),
+    "text_keywords"    -> (textKeywords _),
     "text_contamination" -> (textContamination _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "corpus_token_budget" -> (corpusTokenBudget _),
@@ -1831,6 +1874,25 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact-long weights (tf * round(1e9*ln(N/df))) make the ranking
+    // tolerance-free; ties break on the term itself in both engines
+    "text_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |dfr AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |idf AS (SELECT w,
+        |    round(ln(nd.n_docs::DOUBLE / dfr.df::DOUBLE)
+        |      * 1000000000.0)::BIGINT AS idf_e9
+        |  FROM dfr, nd),
+        |wt AS (SELECT tf.doc_id, tf.w, tf.tf * idf.idf_e9 AS weight_e9
+        |  FROM tf JOIN idf USING (w)),
+        |r AS (SELECT doc_id, w, weight_e9,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY weight_e9 DESC, w) AS rank FROM wt)
+        |SELECT doc_id, rank::INTEGER AS rank, w AS term, weight_e9
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     // replays train + score with the same e9-quantized log arithmetic:
     // delta = ln(c+1), floor = -ln(tok_l + V), prior = ln(docs_l / docs);
     // argmax is the alphabetical >=-chain (first class wins ties)

@@ -268,6 +268,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 2L, toks("z", 12).mkString(" "))))
   }
 
+  test("text_keywords emits consecutive ranks with non-increasing weights") {
+    val out = graft.ext.TextOps.textKeywords(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val docs = Tables.load(spark, SF, "documents").count()
+    assert(out.map(_._1).distinct.length == docs)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 5)
+      // ranking really follows the weight, term tie-break included
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._4 > lo._4 || (hi._4 == lo._4 && hi._3 < lo._3))
+        case _ =>
+      }
+      // a doc never lists the same term twice
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+  }
+
   test("NB classifier is perfect on a planted separable corpus") {
     val spark2 = spark
     import spark2.implicits._
