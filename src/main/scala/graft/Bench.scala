@@ -195,7 +195,8 @@ object Bench {
         // r8 session-2 additions: the line-dedup global count/anti-join,
         // the NB train+score pipeline, and SemDeDup's cluster-scoped
         // pair scoring (all corpus-model shaped)
-        "text_line_dedup", "text_nb_classifier", "dedup_semantic")
+        "text_line_dedup", "text_nb_classifier", "dedup_semantic",
+        "text_keywords")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
