@@ -189,42 +189,48 @@ object Similarity {
     * the oracle replays with `list(... ORDER BY vec_id)`); only the K
     * centroid rows ever reach the driver.
     *
-    * Invariant: every seed list must stay non-empty after the first
-    * assignment — the refined-centroid array is indexed by POSITION of
-    * the surviving cids in sorted order, so an emptied list would shift
-    * indices (consistently within this engine, but away from the
-    * oracle's cid numbering). Holds on any corpus whose first NLISTS
-    * vectors are distinct, as here and in SfGen; both gated keys would
-    * hash-mismatch loudly if it ever broke. */
+    * Centroids are returned as (cid, centroid) PAIRS with their original
+    * labels, and the refined assignment maps its argmax back through
+    * those labels — so an emptied seed list (possible under dot-product
+    * argmax: a low-norm seed need not win its own vector) merely drops
+    * out of the candidate set, exactly as in the oracle's cents CTE,
+    * instead of silently shifting every later cid off the oracle's
+    * numbering. That hazard was latent while the count was a fixed 16;
+    * with [[dedupSemantic]]'s corpus-scaled ceil(sqrt(N)) lists it had
+    * real probability, hence labels-not-positions. */
   private def ivfLists(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Array[Array[Double]]) =
+      : (DataFrame, DataFrame, Array[(Int, Array[Double])]) =
     ivfListsK(s, d, NLISTS)
 
   /** [[ivfLists]] with an explicit cluster count — the ANN keys keep the
     * fixed [[NLISTS]] (their oracles and NPROBE tuning assume it);
     * [[dedupSemantic]] passes a corpus-derived count. */
   private def ivfListsK(s: SparkSession, d: String, nlists: Int)
-      : (DataFrame, DataFrame, Array[Array[Double]]) = {
+      : (DataFrame, DataFrame, Array[(Int, Array[Double])]) = {
     import s.implicits._
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val seed = e.orderBy("vec_id").limit(nlists)
+    val seed: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(nlists)
       .select("embedding").as[Array[Float]].collect()
-      .map(_.map(_.toDouble))
-    def assignUdf(cents: Array[Array[Double]]) = udf { (emb: Seq[Float]) =>
+      .map(_.map(_.toDouble)).zipWithIndex.map(_.swap)
+    // argmax over the centroid PAIRS, returning the winner's LABEL —
+    // positions and labels coincide for the seed pass, and for the
+    // refined pass the label mapping is what keeps an emptied list from
+    // shifting later cids off the oracle's numbering
+    def assignUdf(cents: Array[(Int, Array[Double])]) = udf { (emb: Seq[Float]) =>
       var best = 0; var bestDot = Double.MinValue
       var c = 0
       while (c < cents.length) {
         var acc = 0.0; var i = 0
-        val cent = cents(c)
+        val cent = cents(c)._2
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
         if (acc > bestDot) { bestDot = acc; best = c }
         c += 1
       }
-      best
+      cents(best)._1
     }
     val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
-    val refined: Array[Array[Double]] = assigned0
+    val refined: Array[(Int, Array[Double])] = assigned0
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("vs"))
@@ -236,7 +242,7 @@ object Similarity {
            |  m -> m / size(vs))""".stripMargin).as("cent"))
       .as[(Int, Array[Double])]
       .collect()
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1)
     (e, e.withColumn("cid", assignUdf(refined)(col("embedding"))), refined)
   }
 
@@ -247,7 +253,7 @@ object Similarity {
 
     // probe: rank centroids per query, take NPROBE nearest lists
     val probeUdf = udf { (emb: Seq[Float]) =>
-      refined.zipWithIndex.map { case (cent, cid) =>
+      refined.map { case (cid, cent) =>
         var acc = 0.0; var i = 0
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
         (acc, cid)
@@ -282,8 +288,9 @@ object Similarity {
     * UDF closure exactly like assignment. */
   def corpusDiversityCap(s: SparkSession, d: String): DataFrame = {
     val (_, lists, refined) = ivfLists(s, d)
+    val centByCid = refined.toMap
     val centDot = udf { (emb: Seq[Float], cid: Int) =>
-      val cent = refined(cid)
+      val cent = centByCid(cid)
       var acc = 0.0; var i = 0
       while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
       acc
@@ -512,7 +519,7 @@ object Similarity {
 
     // --- query side: coarse probe + ADC lookup table
     val probeUdf = udf { (emb: Seq[Float]) =>
-      coarse.zipWithIndex.map { case (cent, cid) =>
+      coarse.map { case (cid, cent) =>
         var acc = 0.0; var i = 0
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
         (acc, cid)
@@ -642,6 +649,8 @@ object Similarity {
     * once; per-pair scoring is the codegen'd
     * [[graft.functions.VectorDot]]; the max folds map-side per vec_id. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    // a column-less parquet scan (count reads no column chunks); the
+    // driver needs L before it can build the assignment closure
     val n = load(s, d, "embeddings").count()
     val nlists = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     val (_, assigned, _) = ivfListsK(s, d, nlists)

@@ -347,8 +347,14 @@ object TextOps {
     * the mass concentration) joins BROADCAST so "the" never shuffles,
     * the tail hash-joins; the dot only touches query-term rows; the
     * result is one 20-row TakeOrderedAndProject. */
-  def textTfidfCosine(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("hash", "join", "window", "vector", "data")
+  /** Shared tf-idf fit behind [[textTfidfCosine]] and [[textKeywords]]:
+    * per-(doc, word) tf, document frequencies, the MATERIALIZED
+    * e9-quantized idf artifact (dataset-keyed, one fit reused by both
+    * keys), and the Zipf head-broadcast/tail-hash resolution of the tf
+    * relation against it. Returns (resolved (doc_id, w, tf, idf_e9)
+    * rows, the idf relation). */
+  private def tfIdfResolved(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val tf = load(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -366,6 +372,12 @@ object TextOps {
     val resolved = viaHead.filter(col("idf_e9").isNotNull)
       .unionByName(viaHead.filter(col("idf_e9").isNull).drop("idf_e9")
         .join(idf.select("w", "idf_e9"), "w"))
+    (resolved, idf)
+  }
+
+  def textTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "window", "vector", "data")
+    val (resolved, idf) = tfIdfResolved(s, d)
     // checkpoint: BOTH consumers below (norms over all words, dots over
     // query words) would otherwise re-execute the corpus explode + idf
     // join — measured 12.0s -> 5.4s at sf1. Same two-consumer fan-out
@@ -490,26 +502,13 @@ object TextOps {
     *
     * 100 TB shape: the per-(doc, word) tf aggregation is the OUTPUT
     * grain here (unlike the NLL scorers, which only need sums), so its
-    * exchange is inherent; the idf join takes the unigram Zipf split
-    * (head broadcast, near-uniform tail hashed); the top-5 cut is a
-    * doc_id-keyed window — keyed, never global. */
+    * exchange is inherent; the whole tf/idf fit — including the
+    * materialized idf artifact and the Zipf head-broadcast/tail-hash
+    * resolution — is [[tfIdfResolved]], shared verbatim with
+    * [[textTfidfCosine]]; the top-5 cut is a doc_id-keyed window —
+    * keyed, never global. */
   def textKeywords(s: SparkSession, d: String): DataFrame = {
-    val docs = load(s, d, "documents")
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfRel = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = dfRel.crossJoin(broadcast(nd))
-      .select(col("w"), col("df"),
-        round(log(col("n_docs").cast("double") / col("df").cast("double")) *
-          lit(1000000000.0)).cast("long").as("idf_e9"))
-    val head = idf.orderBy(col("df").desc, col("w")).limit(1000)
-      .select("w", "idf_e9")
-    val viaHead = tf.join(broadcast(head), Seq("w"), "left")
-    val resolved = viaHead.filter(col("idf_e9").isNotNull)
-      .unionByName(viaHead.filter(col("idf_e9").isNull).drop("idf_e9")
-        .join(idf.select("w", "idf_e9"), "w"))
+    val (resolved, _) = tfIdfResolved(s, d)
     val win = Window.partitionBy("doc_id")
       .orderBy(col("weight_e9").desc, col("w"))
     resolved
