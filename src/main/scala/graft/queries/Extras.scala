@@ -357,6 +357,60 @@ object Extras {
     * engine. Shape: one (type)-keyed aggregate with conditional
     * per-variant measures and map-side combine; the result is |types|
     * rows — nothing corpus-scale moves but the rollup shuffle. */
+  /** Experiment-design power analysis — the planning companion to
+    * [[statAbWelch]]: for each non-purchase event type as a
+    * treatment-exposure cohort, the baseline conversion rate (a
+    * purchase by the SAME user within one hour of the exposure — event
+    * grain, so the rate is non-degenerate on a corpus where every user
+    * eventually purchases) and the required per-arm sample size to
+    * detect a 5% relative lift at alpha 0.05 / power 0.8
+    * (two-proportion normal approximation,
+    * n = (z_a + z_b)^2 (p1 q1 + p2 q2) / (p1 - p2)^2). The z constants
+    * are exact double literals — the oracle casts its copies ::DOUBLE
+    * so neither engine routes them through decimal arithmetic — and
+    * every input moment is an exact long count.
+    *
+    * 100 TB shape: one user-keyed semi join (equi on user_id, the
+    * 1-hour window as a join-condition filter — the attribution
+    * pattern), two |types|-row rollups; the closed form runs on the
+    * rollup, never the event stream. */
+  def statPowerAnalysis(s: SparkSession, d: String): DataFrame = {
+    val za = 1.959963984540054 // z_{0.975}
+    val zb = 0.8416212335729143 // z_{0.8}
+    val ev = load(s, d, "events")
+    val exposures = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = exposures.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("ts") &&
+          col("p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .groupBy("event_type").agg(count(lit(1)).as("n_conv"))
+    val st = exposures.groupBy("event_type")
+      .agg(count(lit(1)).as("n_exposures"))
+      .join(converted, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exposures"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+      // p1 = 0 has no lift to scale; p1 = 1 is saturated (capped p2
+      // equals p1, the denominator vanishes). Neither admits an
+      // experiment; filter in BOTH engines.
+      .filter(col("n_conv") > 0 && col("n_conv") < col("n_exposures"))
+    val p1 = col("n_conv").cast("double") / col("n_exposures").cast("double")
+    val p2 = least(p1 * lit(1.05), lit(1.0))
+    val n = ceil(
+      (lit(za + zb) * lit(za + zb) *
+        (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))) /
+        ((p1 - p2) * (p1 - p2))).cast("long")
+    st.select(col("event_type"), col("n_exposures"),
+        round(p1, 9).as("p_base"),
+        lit(0.05).as("mde_rel"),
+        n.as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
   def statAbWelch(s: SparkSession, d: String): DataFrame = {
     val v = dec(col("value"))
     val variant = pmod(col("user_id"), lit(2))
@@ -1253,6 +1307,7 @@ object Extras {
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
     "stat_ab_welch"         -> (statAbWelch _),
+    "stat_power_analysis"   -> (statPowerAnalysis _),
     "stat_chi_square"       -> (statChiSquare _),
     "stat_mann_whitney"     -> (statMannWhitney _),
     "stat_regression"       -> (statRegression _),
@@ -1601,6 +1656,36 @@ object Extras {
         |FROM b ORDER BY l_returnflag""".stripMargin,
     // same exact decimal moments (v² exact at scale 4), same left-assoc
     // double chain; the flag is decided on the rounded t in both engines
+    // identical closed form on identical doubles: exact-count moments,
+    // literal z constants, same operation order; ceil -> exact long
+    "stat_power_analysis" ->
+      """WITH e AS (SELECT event_id, event_type, user_id, ts FROM events
+        |           WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |conv AS (SELECT e.event_type, count(*)::BIGINT AS n_conv
+        |  FROM e WHERE EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = e.user_id AND p.ts > e.ts
+        |      AND p.ts <= e.ts + INTERVAL 1 HOUR)
+        |  GROUP BY 1),
+        |st AS (SELECT e.event_type, count(*)::BIGINT AS n_exposures,
+        |         coalesce(any_value(conv.n_conv), 0)::BIGINT AS n_conv
+        |       FROM e LEFT JOIN conv ON e.event_type = conv.event_type
+        |       GROUP BY 1
+        |       HAVING coalesce(any_value(conv.n_conv), 0) > 0
+        |         AND coalesce(any_value(conv.n_conv), 0) < count(*)),
+        |f AS (SELECT event_type, n_exposures,
+        |        n_conv::DOUBLE / n_exposures::DOUBLE AS p1 FROM st),
+        |g AS (SELECT event_type, n_exposures, p1,
+        |        least(p1 * 1.05::DOUBLE, 1.0::DOUBLE) AS p2 FROM f)
+        |SELECT event_type, n_exposures, round(p1, 9) AS p_base,
+        |  0.05::DOUBLE AS mde_rel,
+        |  CAST(ceil(
+        |    ((1.959963984540054::DOUBLE + 0.8416212335729143::DOUBLE)
+        |      * (1.959963984540054::DOUBLE + 0.8416212335729143::DOUBLE)
+        |      * (p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2)))
+        |    / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm
+        |FROM g ORDER BY event_type""".stripMargin,
     "stat_ab_welch" ->
       """WITH m AS (SELECT event_type,
         |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
