@@ -114,7 +114,11 @@ object Bench {
             System.err.println(s"[bench] $tier $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
+        // rep order preserved (NOT sorted): bench_full's per-rep sample
+        // arrays are the rep-over-rep degradation evidence the r8 VERDICT
+        // asked for (driver sketch reps read 19.1 then ~33.7 — that shape
+        // is the diagnosis, and sorting would erase it)
         name -> samples
       }
     // shuffle-sensitive contention canary: the gen canary (sf1_gen_sec)
@@ -140,14 +144,51 @@ object Bench {
       }.sorted
       samples(1)
     }
+    // memory/CPU-pressure canary — the mode the shuffle canary can't see:
+    // r8's graph_triangle_sketch read 19.1s driver-side vs 6.1s quiet-box
+    // median WITH a clean shuffle canary, so whatever inflated it lives in
+    // the hash/object-aggregate + string-hash mode, not the exchange path.
+    // This probe is a fixed-size miniature of exactly that mode: 8M longs
+    // md5-hashed (the same string-md5 kernel the sketch's bottom-k uses)
+    // into a 200k-group ObjectHashAggregate carrying TopKAgg's O(k) object
+    // state per group, under the same scoped fallback-threshold raise the
+    // sketch runs with. Constant input (pure spark.range arithmetic), so
+    // its wall-clock is a pure machine-state read. Median of 3. Rule (the
+    // r8 VERDICT's adjudication ask): when `mem_contended` is set, the
+    // memory-heavy keys' numbers that ALSO appear in the `drift` block are
+    // environment-suspect and excluded from round-over-round regression
+    // comparison — read bench_full.json's per-rep samples instead.
+    def memCanarySec(): Double = {
+      import org.apache.spark.sql.functions._
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.Tables.withConf(spark,
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+            -> (1 << 21).toString) {
+          spark.range(0, 8000000L, 1, 32)
+            .select(pmod(col("id") * 2654435761L, lit(200003L)).as("p"),
+              col("id").as("c"))
+            .repartition(col("p"))
+            .groupBy("p")
+            .agg(graft.functions.TopKAgg.top_k(
+              -graft.Tables.md5Bucket(col("c"), 13).cast("double"),
+              col("c"), 16).as("topk"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      samples(1)
+    }
 
-    def bestOf(s: Seq[Double]): Double = s.head
+    def bestOf(s: Seq[Double]): Double = s.min
     // true median: even-n tiers (sf1/sf10 run reps=2) average the two
     // middle samples — s(n/2) alone would report the MAX for n=2,
     // letting a single load burst fully determine the "median"
-    def medianOf(s: Seq[Double]): Double =
+    def medianOf(s0: Seq[Double]): Double = {
+      val s = s0.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
     // warmup: touch codegen, parquet footers, shuffle machinery. Guarded —
     // the bench must emit its JSON line even if a query can't run.
@@ -171,6 +212,7 @@ object Bench {
     // every cardinality with the data, so shuffle-bound behavior at real
     // row widths is visible round-over-round.
     val shuffleCanarySf1 = shuffleCanarySec()
+    val memCanarySf1 = memCanarySec()
     val (sf1gen, sf1) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
@@ -192,11 +234,15 @@ object Bench {
         "similarity_ivf_pq",
         "text_quality", "text_repetition", "text_bm25",
         "text_contamination", "events_funnel", "events_retention",
-        // r8 session-2 additions: the line-dedup global count/anti-join,
-        // the NB train+score pipeline, and SemDeDup's cluster-scoped
-        // pair scoring (all corpus-model shaped)
+        // r8 session-2 additions (four): the line-dedup global
+        // count/anti-join, the NB train+score pipeline, SemDeDup's
+        // cluster-scoped pair scoring, and the shared-tf-idf keyword
+        // extractor (all corpus-model shaped)
         "text_line_dedup", "text_nb_classifier", "dedup_semantic",
-        "text_keywords")
+        "text_keywords",
+        // r9 probe additions (VERDICT r8 item 3): the unprobed new keys
+        "events_attribution", "events_rfm", "table_partition_overwrite",
+        "stat_power_analysis")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
@@ -204,6 +250,7 @@ object Bench {
     }
 
     var shuffleCanarySf10 = -1.0
+    var memCanarySf10 = -1.0
     // Third decade (scale=10 — 60M-row lineitem, 500k docs): a default
     // 3-key subset keeps the two-decade scaling curve in every round's
     // driver-visible BENCH (queries_sf10) at ~2 min of budget;
@@ -223,14 +270,24 @@ object Bench {
       // tier shows position-dependent inflation on memory-heavy keys
       // (full-tier probe of dedup_ngram_jaccard read 11.3s in 4th
       // position vs 7.4s when run first in the default subset)
+      // r9: the round-8 scale claims move into the driver-visible tier
+      // (VERDICT r8 item 2) — the N^1.5 SemDeDup bound, the two-scan line
+      // dedup, the NB train+score, and the single-join attribution all
+      // carry their sf10 numbers in BENCH rather than ROADMAP only.
+      // Memory-heavy corpus keys keep the dedup-first discipline.
+      val r9Sf10 = Seq("dedup_semantic", "text_line_dedup",
+        "text_nb_classifier", "events_attribution")
       val keys =
         if (sf10full)
-          Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-            "join_natural_5way", "window_cumulative", "agg_sum_group3",
-            "similarity_ann_lsh", "text_quality", "text_contamination")
-        else Seq("dedup_ngram_jaccard", "join_natural_5way", "agg_sum_group3")
+          Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash") ++
+            r9Sf10 ++
+            Seq("join_natural_5way", "window_cumulative", "agg_sum_group3",
+              "similarity_ann_lsh", "text_quality", "text_contamination")
+        else Seq("dedup_ngram_jaccard") ++ r9Sf10 ++
+          Seq("join_natural_5way", "agg_sum_group3")
       quiesce()
       shuffleCanarySf10 = shuffleCanarySec()
+      memCanarySf10 = memCanarySec()
       val dir = graft.matview.Materializer.defaultScratch + "/sf10"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
@@ -598,18 +655,64 @@ object Bench {
     // quiet-box median of shuffleCanarySec(), measured r8 (1.73s pre-sf1,
     // 1.77s pre-sf10 on an otherwise idle 32-core box)
     val shufExpected = 1.8
+    // quiet-box median of memCanarySec(), measured r9 open on an
+    // otherwise idle 32-core box
+    val memExpected = 2.4
     // the sf10-adjacent shuffle canary counts too: contention arising
     // BETWEEN the tiers (the r7 incident shape) must flip the flag even
     // when the pre-sf1 probes were quiet (-1 = tier not reached)
     val contended = sf1gen > 2 * genExpected ||
       shuffleCanarySf1 > 2 * shufExpected ||
       shuffleCanarySf10 > 2 * shufExpected
+    // memory/CPU mode flagged separately: it adjudicates the hash-agg-
+    // heavy keys (see memCanarySec) without polluting the shuffle flag
+    val memContended = memCanarySf1 > 2 * memExpected ||
+      memCanarySf10 > 2 * memExpected
     def canary(dp: Int) =
-      jmap(Seq("sf1_gen_sec" -> sf1gen, "expected_sec" -> genExpected,
+      jmap(Seq("sf1_gen_sec" -> sf1gen, "sf10_gen_sec" -> sf10gen,
+        "expected_sec" -> genExpected,
         "shuffle_sec" -> shuffleCanarySf1,
         "shuffle_expected_sec" -> shufExpected,
-        "shuffle_sf10_sec" -> shuffleCanarySf10), dp)
-        .dropRight(1) + s""","contended":$contended}"""
+        "shuffle_sf10_sec" -> shuffleCanarySf10,
+        "mem_sec" -> memCanarySf1,
+        "mem_expected_sec" -> memExpected,
+        "mem_sf10_sec" -> memCanarySf10), dp)
+        .dropRight(1) +
+        s""","contended":$contended,"mem_contended":$memContended}"""
+    // Per-key drift surface (r8 VERDICT item 4): any sf1-tier key whose
+    // THIS-RUN median exceeds 1.5x the recorded quiet-box median is
+    // carried in the compact line as [best, median, quiet_median] — the
+    // driver sees environment drift per key without reading the full
+    // file (r8: dedup_containment read 1.66x quiet with nothing in the
+    // compact line to say so). Reference medians measured at r9 open on
+    // an otherwise idle 32-core box, same probe discipline (reps=2,
+    // isolated); a key missing here (added later, never baselined) just
+    // doesn't participate.
+    val quietSf1Median: Map[String, Double] = Map(
+      "dedup_ngram_jaccard" -> 1.48, "dedup_containment" -> 2.85,
+      "dedup_simhash" -> 1.15, "dedup_minhash_lsh" -> 1.86,
+      "dedup_block_ratio" -> 1.33, "dedup_span_coverage" -> 1.53,
+      "graph_triangle_sketch" -> 4.03, "text_tfidf_cosine" -> 5.33,
+      "join_natural_5way" -> 1.86, "window_cumulative" -> 1.19,
+      "agg_sum_group3" -> 0.43, "agg_count_distinct" -> 0.81,
+      "similarity_ann_lsh" -> 1.16, "similarity_ivf" -> 1.26,
+      "similarity_ivf_pq" -> 1.97, "text_quality" -> 0.42,
+      "text_repetition" -> 1.29, "text_bm25" -> 0.51,
+      "text_contamination" -> 0.65, "events_funnel" -> 1.66,
+      "events_retention" -> 0.81, "text_line_dedup" -> 1.56,
+      "text_nb_classifier" -> 4.33, "dedup_semantic" -> 3.41,
+      "text_keywords" -> 2.54, "events_attribution" -> 2.63,
+      "events_rfm" -> 1.98, "table_partition_overwrite" -> 1.42,
+      "stat_power_analysis" -> 1.10)
+    val driftRows = sf1.flatMap { case (k, s) =>
+      quietSf1Median.get(k).flatMap { q =>
+        val m = medianOf(s)
+        if (m > 1.5 * q) Some((k, bestOf(s), m, q)) else None
+      }
+    }.sortBy { case (_, _, m, q) => -(m / q) }.take(4)
+    val driftJson = driftRows.map { case (k, b, m, q) =>
+      "\"" + k + f"""\":[$b%.2f,$m%.2f,$q%.2f]"""
+    }.mkString("{", ",", "}")
     val total = results.map { case (_, s) => bestOf(s) }.sum
     val totalR7 = results.filter(r => headlineR7.contains(r._1))
       .map { case (_, s) => bestOf(s) }.sum
@@ -619,17 +722,25 @@ object Bench {
     val tsk = jmap(triSketch)
     val lk = jmap(lookupPair)
     val jr = jmap(joinReorder)
+    // per-rep sample arrays, REP ORDER (not sorted): degradation within a
+    // key's own reps is the memory-mode signature the canary adjudicates
+    def samplesMap(xs: Seq[(String, Seq[Double])]): String =
+      xs.map { case (k, s) =>
+        "\"" + k + "\":[" + s.map(v => f"$v%.4f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val s10full = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" +
         jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
       ""","queries_sf10_median":""" +
-        jmap(sf10.map { case (k, s) => k -> medianOf(s) })
+        jmap(sf10.map { case (k, s) => k -> medianOf(s) }) +
+      ""","queries_sf10_samples":""" + samplesMap(sf10)
     val fullJson =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_r7_basis":$totalR7%.4f,"queries":${
         jmap(results.map { case (k, s) => k -> bestOf(s) })},"queries_median":${
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
-        jmap(sf1.map { case (k, s) => k -> medianOf(s) })}$s10full,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
+        jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
+        samplesMap(sf1)}$s10full,"drift":$driftJson,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     try {
@@ -643,9 +754,19 @@ object Bench {
     }
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + best2(sf10)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${
-      best2(results)},"queries_sf1":${best2(sf1)}$s10compact,"sf1_gen_sec":$sf1gen%.2f,"sf10_gen_sec":$sf10gen%.2f,"contention_canary":${
-      canary(2)},"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"bench_full":"target/bench_full.json","sf":"$sfDir"}""")
+    def compactLine(withDrift: Boolean) = {
+      val d = if (withDrift) s""","drift":$driftJson""" else
+        ""","drift":"over_budget_see_bench_full""""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${
+        best2(results)},"queries_sf1":${best2(sf1)}$s10compact$d,"contention_canary":${
+        canary(2)},"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
+    }
+    // the driver keeps only a ~2.4 KB stdout tail (r7 lesson) and a
+    // trailer of ~2 sbt lines follows this one — if the line with the
+    // drift block would risk head-truncation, the drift detail defers to
+    // bench_full.json rather than losing the whole record
+    val line = compactLine(withDrift = true)
+    println(if (line.length <= 2100) line else compactLine(withDrift = false))
     spark.stop()
   }
 }

@@ -752,7 +752,16 @@ object Dedup {
     val pairs = graft.Tables.withConf(s,
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
         -> (1 << 21).toString) {
-      coPurchaseEdgesSketch(s, d).localCheckpoint()
+      // serialized checkpoint storage (r8 VERDICT item 1): the default
+      // deserialized MEMORY_AND_DISK caches row OBJECTS, whose heap
+      // footprint (and GC scan cost) is ~4x the serialized bytes — under
+      // a pressured heap that is exactly the mode where this key's
+      // driver-box numbers diverged. The edge relation is read twice
+      // downstream (degree agg + wedge join legs); paying one
+      // deserialization per read for a flat, GC-invisible byte buffer is
+      // the right trade on every box and free on a quiet one.
+      coPurchaseEdgesSketch(s, d).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     triangleCounts(pairs)
       .select(col("id").as("custkey"), col("n_triangles"))
@@ -830,7 +839,12 @@ object Dedup {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint()
+      // serialized for the same reason as the sketch's edge checkpoint:
+      // three downstream consumers (both wedge legs + the closing probe)
+      // re-read this relation, and flat byte buffers keep it off the GC's
+      // object graph
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val legLess = col("e1.ddeg") < col("e2.ddeg") ||
       (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),

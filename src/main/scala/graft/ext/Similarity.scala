@@ -792,7 +792,11 @@ object Similarity {
     // element-ordered double fold
     "dedup_semantic" ->
       s"""WITH ${ivfAssignSqlFor(
-           "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)")},
+           // GREATEST(2, ...) mirrors the Scala side's math.max(2, ...)
+           // clamp exactly — without it the engines coincide only because
+           // the floor is unobservable for n >= 2, an implicit contract
+           // that would silently diverge if the floor were ever raised
+           "(SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)")},
          |nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(range($DIM),
          |      i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)),

@@ -128,6 +128,23 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     table(name)
   }
 
+  /** (Re-)assert `name`'s defining query for auto-rewrite against its
+    * CURRENT storage. PostgreSQL's model: an MV's defining query never
+    * changes — REFRESH only brings storage up to date with it. Our
+    * incremental refresh path deregisters the MV mid-flight (storage
+    * diverges from the registered plan while the merge is staged, see
+    * [[refreshIncremental]]); once the refresh has landed, the caller —
+    * who knows what base window the MV now covers — re-asserts the full
+    * defining query here, and the rewriter resumes answering matching
+    * subtrees from the refreshed storage. The assertion is checked by the
+    * correctness gate, not trusted: the MV keys' oracles recompute the
+    * defining query from base tables, so a redefine that misdescribes
+    * storage hash-fails. */
+  def redefine(name: String, defining: DataFrame): Unit = {
+    require(deps.contains(name), s"no such materialized view: $name")
+    rewrite.foreach(_.register(name, defining, () => table(name)))
+  }
+
   /** Drop every rewrite-registry entry this materializer created — scopes
     * MV substitution to the query that registered the MVs, so a rewrite-
     * enabled query can't silently re-plan later unrelated queries in the

@@ -371,9 +371,15 @@ object Lifecycle {
     // and the restatement's witness comparison sees stable file sets)
     withDay.repartition(col("ev_day"))
       .write.mode("overwrite").partitionBy("ev_day").parquet(scratch)
+    // Hadoop FS listing, not java.io.File: defaultScratch is overridable
+    // (graft.scratch sysprop) and may be a non-local URI — a local-only
+    // listing would read both witness flags false there and misattribute
+    // the oracle failure to the write path
     def files(day: String): Set[String] = {
-      val dir = new java.io.File(s"$scratch/ev_day=$day")
-      Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      val p = new org.apache.hadoop.fs.Path(s"$scratch/ev_day=$day")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
     }
     val witnessBefore = files(witnessDay)
     val restatedBefore = files(restatedDay)
@@ -1230,7 +1236,59 @@ object Lifecycle {
       .orderBy("nation", "day")
   }
 
+  /** The reference's windowed-MV lifecycle closed THROUGH THE REWRITER
+    * (assignment-5.sql:567–588 end-to-end): same April build + May
+    * fact-delta refresh as [[matviewWindowRefresh]], but the reference's
+    * cumulative query (Q5b) is then written against the BASE tables and
+    * answered from the refreshed MV *automatically* — the rewriter
+    * substitutes the aggregate subtree under the running-total window
+    * with a scan of the maintained MV. PG semantics for the registry:
+    * REFRESH never changes the defining query, it brings storage up to
+    * date with it; our incremental path deregisters mid-merge, so after
+    * the refresh lands the full-window definition is re-asserted
+    * ([[graft.matview.Materializer.redefine]]) and checked by this key's
+    * oracle (full recompute from base tables + `true AS served_from_mv`).
+    * At 100 TB the win stacks: the daily refresh touches |delta| + |MV|
+    * rows, and every analyst query shaped like the definition reads the
+    * |MV|-sized relation with zero query changes. */
+  def matviewWindowRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.matview.Materializer.Measure
+    import org.apache.spark.sql.expressions.Window
+    val m = Materializer(s).enableAutoRewrite()
+    val dim = load(s, d, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      .join(load(s, d, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_custkey"), col("n_name"))
+    val o = load(s, d, "orders").filter(
+      col("o_orderdate").between("1995-04-01", "1995-05-31"))
+    m.createJoinAggregated("mv_day_nation_rw",
+      o.filter(month(col("o_orderdate")) === 4), dim, Seq("o_custkey"),
+      Seq("n_name", "o_orderdate"),
+      Seq(Measure.sumOf(dec(col("o_totalprice")), "day_spend_dec")))
+    m.refreshJoinDelta("mv_day_nation_rw",
+      o.filter(month(col("o_orderdate")) === 5))
+    // the defining query (never changed by REFRESH): the full-window
+    // day-grain aggregate the refreshed storage now covers
+    def defining = o.join(dim, Seq("o_custkey"))
+      .groupBy("n_name", "o_orderdate")
+      .agg(sum(dec(col("o_totalprice"))).as("day_spend_dec"))
+    m.redefine("mv_day_nation_rw", defining)
+    // Q5b as an analyst would write it — against base tables, no mention
+    // of the MV; the cumulative frame is tie-free on the MV's group key
+    val w = Window.partitionBy("n_name").orderBy("o_orderdate")
+    val q = defining
+      .select(col("n_name").as("nation"), col("o_orderdate").as("day"),
+        col("day_spend_dec").cast(DoubleType).as("day_spend"),
+        sum(col("day_spend_dec")).over(w).cast(DoubleType).as("cum_spend"))
+    val served = q.queryExecution.executedPlan.toString
+      .contains("mv_day_nation_rw")
+    m.deregisterAll() // scope the rewrite to this query
+    q.withColumn("served_from_mv", lit(served)).orderBy("nation", "day")
+  }
+
   val entries: Map[String, Q] = Map(
+    "matview_window_rewrite" -> (matviewWindowRewrite _),
     "matview_incremental_refresh" -> (matviewIncrementalRefresh _),
     "matview_incremental_join" -> (matviewIncrementalJoin _),
     "matview_window_refresh" -> (matviewWindowRefresh _),
@@ -1275,6 +1333,23 @@ object Lifecycle {
     // full recompute of the reference's sum_per_day_per_city + running
     // total (assignment-5.sql:567–588) over the whole April–May window —
     // equality proves the April-build + May-delta merge path
+    // the rewriter variant pins the same full recompute PLUS the plan
+    // fact that the optimizer answered it from the refreshed MV
+    "matview_window_rewrite" ->
+      """SELECT nation, day,
+        |CAST(day_spend_dec AS DOUBLE) AS day_spend,
+        |CAST(SUM(day_spend_dec) OVER (PARTITION BY nation ORDER BY day)
+        |  AS DOUBLE) AS cum_spend,
+        |true AS served_from_mv
+        |FROM (
+        |  SELECT n_name AS nation, o_orderdate AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate BETWEEN DATE '1995-04-01' AND DATE '1995-05-31'
+        |  GROUP BY 1, 2)
+        |ORDER BY nation, day""".stripMargin,
     "matview_window_refresh" ->
       """SELECT nation, day,
         |CAST(day_spend_dec AS DOUBLE) AS day_spend,

@@ -46,6 +46,28 @@ class MvRewriteSpec extends AnyFunSuite {
     m.dropCascade("mv_rev_by_prio2")
   }
 
+  test("matview_window_rewrite: refreshed window MV answers the base-table" +
+      " cumulative query via the rewriter, values = direct recompute") {
+    val rows = SparkEntry.queries("matview_window_rewrite")(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // the plan fact the oracle pins: every row carries served_from_mv=true
+    assert(rows.forall(_.getAs[Boolean]("served_from_mv")),
+      "cumulative query was not answered from the refreshed MV")
+    // values equal the non-rewriting refresh key's (same lifecycle, same
+    // window) — cross-checks the rewrite changed the PLAN, not the data
+    val refresh = SparkEntry.queries("matview_window_refresh")(spark, SF)
+      .collect()
+    assert(rows.length == refresh.length)
+    rows.zip(refresh).foreach { case (a, b) =>
+      assert(a.getAs[String]("nation") == b.getAs[String]("nation"))
+      // day's external type follows the fixture's physical type
+      // (timestamp or date) — compare as Any, both keys read the same way
+      assert(a.getAs[Any]("day") == b.getAs[Any]("day"))
+      assert(a.getAs[Double]("day_spend") == b.getAs[Double]("day_spend"))
+      assert(a.getAs[Double]("cum_spend") == b.getAs[Double]("cum_spend"))
+    }
+  }
+
   test("after drop, the rewrite no longer fires") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw3")
       .enableAutoRewrite()
