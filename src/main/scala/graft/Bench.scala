@@ -655,9 +655,9 @@ object Bench {
     // quiet-box median of shuffleCanarySec(), measured r8 (1.73s pre-sf1,
     // 1.77s pre-sf10 on an otherwise idle 32-core box)
     val shufExpected = 1.8
-    // quiet-box median of memCanarySec(), measured r9 open on an
-    // otherwise idle 32-core box
-    val memExpected = 2.4
+    // quiet-box median of memCanarySec(), measured r9 open (1.03s pre-sf1,
+    // 1.25s pre-sf10 on an otherwise idle 32-core box)
+    val memExpected = 1.2
     // the sf10-adjacent shuffle canary counts too: contention arising
     // BETWEEN the tiers (the r7 incident shape) must flip the flag even
     // when the pre-sf1 probes were quiet (-1 = tier not reached)
@@ -685,31 +685,32 @@ object Bench {
     // driver sees environment drift per key without reading the full
     // file (r8: dedup_containment read 1.66x quiet with nothing in the
     // compact line to say so). Reference medians measured at r9 open on
-    // an otherwise idle 32-core box, same probe discipline (reps=2,
-    // isolated); a key missing here (added later, never baselined) just
-    // doesn't participate.
+    // an otherwise idle 32-core box, full-bench discipline (reps=2,
+    // isolated, in-tier position identical to a driver run); a key
+    // missing here (added later, never baselined) just doesn't
+    // participate.
     val quietSf1Median: Map[String, Double] = Map(
-      "dedup_ngram_jaccard" -> 1.48, "dedup_containment" -> 2.85,
-      "dedup_simhash" -> 1.15, "dedup_minhash_lsh" -> 1.86,
-      "dedup_block_ratio" -> 1.33, "dedup_span_coverage" -> 1.53,
-      "graph_triangle_sketch" -> 4.03, "text_tfidf_cosine" -> 5.33,
-      "join_natural_5way" -> 1.86, "window_cumulative" -> 1.19,
-      "agg_sum_group3" -> 0.43, "agg_count_distinct" -> 0.81,
-      "similarity_ann_lsh" -> 1.16, "similarity_ivf" -> 1.26,
-      "similarity_ivf_pq" -> 1.97, "text_quality" -> 0.42,
-      "text_repetition" -> 1.29, "text_bm25" -> 0.51,
-      "text_contamination" -> 0.65, "events_funnel" -> 1.66,
-      "events_retention" -> 0.81, "text_line_dedup" -> 1.56,
-      "text_nb_classifier" -> 4.33, "dedup_semantic" -> 3.41,
-      "text_keywords" -> 2.54, "events_attribution" -> 2.63,
-      "events_rfm" -> 1.98, "table_partition_overwrite" -> 1.42,
-      "stat_power_analysis" -> 1.10)
+      "dedup_ngram_jaccard" -> 1.83, "dedup_containment" -> 2.91,
+      "dedup_simhash" -> 1.22, "dedup_minhash_lsh" -> 2.03,
+      "dedup_block_ratio" -> 1.53, "dedup_span_coverage" -> 2.06,
+      "graph_triangle_sketch" -> 5.47, "text_tfidf_cosine" -> 4.57,
+      "join_natural_5way" -> 1.88, "window_cumulative" -> 2.11,
+      "agg_sum_group3" -> 0.84, "agg_count_distinct" -> 1.55,
+      "similarity_ann_lsh" -> 1.74, "similarity_ivf" -> 1.46,
+      "similarity_ivf_pq" -> 2.17, "text_quality" -> 0.77,
+      "text_repetition" -> 1.25, "text_bm25" -> 0.63,
+      "text_contamination" -> 0.86, "events_funnel" -> 1.70,
+      "events_retention" -> 1.25, "text_line_dedup" -> 1.98,
+      "text_nb_classifier" -> 4.18, "dedup_semantic" -> 3.63,
+      "text_keywords" -> 3.67, "events_attribution" -> 3.92,
+      "events_rfm" -> 2.83, "table_partition_overwrite" -> 1.81,
+      "stat_power_analysis" -> 1.47)
     val driftRows = sf1.flatMap { case (k, s) =>
       quietSf1Median.get(k).flatMap { q =>
         val m = medianOf(s)
         if (m > 1.5 * q) Some((k, bestOf(s), m, q)) else None
       }
-    }.sortBy { case (_, _, m, q) => -(m / q) }.take(4)
+    }.sortBy { case (_, _, m, q) => -(m / q) }.take(3)
     val driftJson = driftRows.map { case (k, b, m, q) =>
       "\"" + k + f"""\":[$b%.2f,$m%.2f,$q%.2f]"""
     }.mkString("{", ",", "}")
@@ -752,21 +753,57 @@ object Bench {
       // the file is best-effort; the compact stdout line is the contract
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    val s10compact = if (sf10.isEmpty) "" else
-      ""","queries_sf10":""" + best2(sf10)
-    def compactLine(withDrift: Boolean) = {
-      val d = if (withDrift) s""","drift":$driftJson""" else
-        ""","drift":"over_budget_see_bench_full""""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${
-        best2(results)},"queries_sf1":${best2(sf1)}$s10compact$d,"contention_canary":${
-        canary(2)},"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
+    // ---- compact stdout line -------------------------------------------
+    // The driver keeps only a 2000-byte stdout TAIL (measured: BENCH_r07/
+    // r08 "tail" is exactly 2000 chars), and sbt's "[success] Total time"
+    // trailer (~75 bytes) follows the line — so the line must stay under
+    // ~1850 bytes or its HEAD (with "metric") falls off and the round's
+    // bench record parses null (the r7 incident). With the r9 tier
+    // additions that budget no longer fits the sf0.1 per-key map, so the
+    // compact line carries the SCALE tiers (sf1/sf10 — the driver-graded
+    // story), the scoreboard blocks (BASELINE.md shape invariants), the
+    // canaries, the drift block, and the headline totals; the sf0.1
+    // per-key map (fixed-cost dominated, stable since r5) lives in
+    // bench_full.json alongside medians, samples and plan_nodes.
+    // Trimmed floats (1.50 -> 1.5, 1.00 -> 1) buy ~60 bytes across the
+    // ~70 values at zero information cost.
+    def trim(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".format(v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
-    // the driver keeps only a ~2.4 KB stdout tail (r7 lesson) and a
-    // trailer of ~2 sbt lines follows this one — if the line with the
-    // drift block would risk head-truncation, the drift detail defers to
-    // bench_full.json rather than losing the whole record
+    def jmapT(xs: Seq[(String, Double)], dp: Int): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + trim(v, dp) }
+        .mkString("{", ",", "}")
+    def bestT(xs: Seq[(String, Seq[Double])]): String =
+      jmapT(xs.map { case (k, s) => k -> bestOf(s) }, 2)
+    val driftT = driftRows.map { case (k, b, m, q) =>
+      "\"" + k + s"""\":[${trim(b, 2)},${trim(m, 2)},${trim(q, 2)}]"""
+    }.mkString("{", ",", "}")
+    // slim canary: measured values + flags only — the expected constants
+    // are static (in this file and bench_full), not round data
+    val canaryT = jmapT(Seq("sf1_gen_sec" -> sf1gen,
+      "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
+      "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
+      "mem_sf10_sec" -> memCanarySf10), 2).dropRight(1) +
+      s""","contended":$contended,"mem_contended":$memContended}"""
+    val s10compact = if (sf10.isEmpty) "" else
+      ""","queries_sf10":""" + bestT(sf10)
+    def compactLine(withDrift: Boolean) = {
+      val d = if (withDrift) s""","drift":$driftT""" else
+        ""","drift":"full""""
+      f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":"sf01_tier_moved_to_bench_full_r9","queries_sf1":${
+        bestT(sf1)}$s10compact$d,"contention_canary":$canaryT,"mv_speedup":${
+        jmapT(mvTriplet, 3)},"skew_join":${jmapT(skewTriplet, 2)},"ann_recall":${
+        jmapT(annRecall, 2)},"triangle_sketch":${jmapT(triSketch, 3)},"lookup":${
+        jmapT(lookupPair, 3)},"join_reorder":${jmapT(joinReorder, 2)},"sf":"$sfDir"}"""
+    }
     val line = compactLine(withDrift = true)
-    println(if (line.length <= 2100) line else compactLine(withDrift = false))
+    val out = if (line.length <= 1870) line else compactLine(withDrift = false)
+    if (out.length > 1870)
+      System.err.println(s"[bench] compact line ${out.length}B exceeds the " +
+        "tail budget even without drift — driver parse at risk")
+    println(out)
     spark.stop()
   }
 }
