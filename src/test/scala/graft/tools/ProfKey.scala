@@ -15,9 +15,16 @@ object ProfKey {
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // decade-scaled shuffle width: at sf100 (600M-row lineitem) 32
+    // partitions put ~4.7M rows in each shuffled-hash build side —
+    // hundreds of MB per concurrent task, which no fixed heap absorbs.
+    // A deployment sizes spark.sql.shuffle.partitions to the data (the
+    // knob a 1000-executor cluster sets in the thousands); this override
+    // is that knob for one-box decade probes.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
