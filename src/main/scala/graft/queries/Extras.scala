@@ -411,6 +411,64 @@ object Extras {
       .orderBy("event_type")
   }
 
+  /** Approximate quantiles with a pinned rank-error contract — the
+    * order-statistic member of the batch sketch family
+    * (`agg_approx_distinct`/`agg_kmv_distinct` cover cardinality;
+    * [[aggPercentilesCont]]'s own doc defers 100 TB quantiles to the
+    * sketch this key pins). Exact global quantiles at scale need a full
+    * sort or the two-phase rank scan; a Greenwald–Khanna summary
+    * (Greenwald & Khanna 2001, Spark's
+    * `approx_percentile`) carries O(1/eps · log(eps·N)) state through an
+    * ordinary partial aggregate instead). The GK VALUE is merge-order
+    * sensitive (partials arrive at the final reduce in shuffle-fetch
+    * order), so it never reaches the output; what the key emits is
+    *   - the EXACT quantile values, computed scale-shaped: per-value
+    *     counts (a |distinct values|-sized relation), the shared
+    *     two-phase range prefix scan ([[graft.operators.Ranks]] — no
+    *     single-partition window), then min value whose cumulative
+    *     count reaches rank ceil(q·N); and
+    *   - the GK error contract AS DATA: the sketch value's exact rank
+    *     interval [count(<v)+1, count(<=v)] must come within
+    *     ceil(N/accuracy)+1 of the target rank (the published eps·N
+    *     bound, +1 for the ceil edge). One scalar crossJoin pass
+    *     computes all interval endpoints; the oracle pins TRUE.
+    * Targets ceil(q·N) are IEEE-identical in both engines (same double
+    * literals, one multiply, one ceil); the driver-side count() is a
+    * column-less parquet-footer read (the dedup_semantic pattern). */
+  def statApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ACC = 10000 // GK accuracy: rank error <= N/ACC
+    val li = load(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+    val n = load(s, d, "lineitem").count()
+    val slack = math.ceil(n.toDouble / ACC).toLong + 1
+    import s.implicits._
+    val targets = qs.map(q => (q, math.ceil(q * n).toLong)).toDF("q", "r")
+    val counts = li.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.Ranks.runningSumByRange(
+      counts, 32, Seq(col("v")), col("c"), "cum")
+    // 3-row broadcast theta join (sanctioned scalar-frame pattern): the
+    // exact quantile is the least v whose cumulative count covers r
+    val exact = cum.join(broadcast(targets), col("cum") >= col("r"))
+      .groupBy("q", "r").agg(min(col("v")).as("exact_value"))
+    val ap = li.agg(expr(
+      s"approx_percentile(v, array(${qs.mkString(", ")}), $ACC)").as("avs"))
+    val cmps = qs.indices.flatMap(i => Seq(
+      sum(when(col("v") < element_at(col("avs"), i + 1), 1L)
+        .otherwise(0L)).as(s"lt_$i"),
+      sum(when(col("v") <= element_at(col("avs"), i + 1), 1L)
+        .otherwise(0L)).as(s"le_$i")))
+    val ranks = li.crossJoin(broadcast(ap)).agg(cmps.head, cmps.tail: _*)
+    val perQ = ranks.select(expr(
+      s"stack(${qs.size}, " + qs.indices.map(i =>
+        s"CAST(${qs(i)} AS DOUBLE), lt_$i, le_$i").mkString(", ") +
+        ") AS (q, lt, le)"))
+    exact.join(perQ, "q")
+      .select(col("q"), col("exact_value"),
+        (col("lt") + 1 <= col("r") + lit(slack) &&
+          col("le") >= col("r") - lit(slack)).as("within_rank_contract"))
+      .orderBy("q")
+  }
+
   def statAbWelch(s: SparkSession, d: String): DataFrame = {
     val v = dec(col("value"))
     val variant = pmod(col("user_id"), lit(2))
@@ -1308,6 +1366,7 @@ object Extras {
     "stat_corr"             -> (statCorr _),
     "stat_ab_welch"         -> (statAbWelch _),
     "stat_power_analysis"   -> (statPowerAnalysis _),
+    "stat_approx_quantiles" -> (statApproxQuantiles _),
     "stat_chi_square"       -> (statChiSquare _),
     "stat_mann_whitney"     -> (statMannWhitney _),
     "stat_regression"       -> (statRegression _),
@@ -1686,6 +1745,23 @@ object Extras {
         |      * (p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2)))
         |    / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm
         |FROM g ORDER BY event_type""".stripMargin,
+    // exact quantiles replayed by the same rank rule (least v whose
+    // cumulative count reaches ceil(q*N) — identical double literals,
+    // one multiply, one ceil in both engines); the GK contract is a
+    // TRUE literal that hash-fails if Spark's sketch exceeds its
+    // published eps*N rank-error bound
+    "stat_approx_quantiles" ->
+      """WITH t AS (SELECT CAST(q AS DOUBLE) AS q,
+        |    CAST(CEIL(CAST(q AS DOUBLE) *
+        |      (SELECT COUNT(*) FROM lineitem)) AS BIGINT) AS r
+        |  FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+        |c AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+        |      FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM c)
+        |SELECT t.q, MIN(cum.v) AS exact_value,
+        |  true AS within_rank_contract
+        |FROM t JOIN cum ON cum.cum >= t.r
+        |GROUP BY t.q ORDER BY t.q""".stripMargin,
     "stat_ab_welch" ->
       """WITH m AS (SELECT event_type,
         |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,

@@ -32,6 +32,23 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("stat_approx_quantiles: exact values are true rank-quantiles and " +
+      "the GK contract holds") {
+    val rows = Extras.statApproxQuantiles(spark, SF).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
+    // every row's GK rank-error contract must hold (the oracle pins TRUE)
+    assert(rows.forall(_.getAs[Boolean]("within_rank_contract")))
+    // cross-check the distributed rank scan against a driver-side sort
+    val vs = graft.Tables.load(spark, SF, "lineitem")
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val q = r.getDouble(0)
+      val want = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(r.getAs[Double]("exact_value") == want,
+        s"q=$q: ${r.getAs[Double]("exact_value")} != $want")
+    }
+  }
+
   test("approx_count_distinct within 2 sigma of exact (HLL++ rsd=0.05)") {
     val rows = Extras.aggApproxDistinctRaw(spark, SF).collect()
     rows.foreach { r =>
