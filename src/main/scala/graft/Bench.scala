@@ -251,10 +251,11 @@ object Bench {
 
     var shuffleCanarySf10 = -1.0
     var memCanarySf10 = -1.0
-    // Third decade (scale=10 — 60M-row lineitem, 500k docs): a default
-    // 3-key subset keeps the two-decade scaling curve in every round's
-    // driver-visible BENCH (queries_sf10) at ~2 min of budget;
-    // SPARK_GRAFT_SF10=1 widens it to the full 9-key tier (~4 min) for
+    // Third decade (scale=10 — 60M-row lineitem, 500k docs): the default
+    // 7-key subset (3 legacy curve keys + the 4 r8-claim keys) keeps the
+    // scaling curve in every round's driver-visible BENCH (queries_sf10)
+    // at ~4 min of budget (dedup_semantic alone is ~50s x 2 reps);
+    // SPARK_GRAFT_SF10=1 widens it to the full 13-key tier (~6 min) for
     // the ROADMAP curve.
     val (sf10gen, sf10) = {
       val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
@@ -352,7 +353,7 @@ object Bench {
         }
       }
       variants.map(_._1).zipWithIndex.map { case (name, i) =>
-        name -> medianOf(samples.map(_(i)).sorted)
+        name -> medianOf(samples.map(_(i)))
       }
     }
 
@@ -640,8 +641,6 @@ object Bench {
     def jmap(xs: Seq[(String, Double)], dp: Int = 4): String =
       xs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
         .mkString("{", ",", "}")
-    def best2(xs: Seq[(String, Seq[Double])]): String =
-      jmap(xs.map { case (k, s) => k -> bestOf(s) }, 2)
     val pn = planNodes.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     // contention canary: SfGen is a byte-identical workload every round
@@ -789,20 +788,27 @@ object Bench {
       s""","contended":$contended,"mem_contended":$memContended}"""
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
-    def compactLine(withDrift: Boolean) = {
-      val d = if (withDrift) s""","drift":$driftT""" else
+    // degrade levels: 0 = everything; 1 = drift detail deferred to the
+    // full file; 2 = scoreboard blocks deferred too (metric/tiers/canary
+    // always survive — a future tier growth can cost detail, never the
+    // round's parse)
+    def compactLine(level: Int) = {
+      val d = if (level < 1) s""","drift":$driftT""" else
         ""","drift":"full""""
+      val boards = if (level < 2)
+        s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${
+          jmapT(skewTriplet, 2)},"ann_recall":${jmapT(annRecall, 2)},"triangle_sketch":${
+          jmapT(triSketch, 3)},"lookup":${jmapT(lookupPair, 3)},"join_reorder":${
+          jmapT(joinReorder, 2)}"""
+      else ""","scoreboards":"full""""
       f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":"sf01_tier_moved_to_bench_full_r9","queries_sf1":${
-        bestT(sf1)}$s10compact$d,"contention_canary":$canaryT,"mv_speedup":${
-        jmapT(mvTriplet, 3)},"skew_join":${jmapT(skewTriplet, 2)},"ann_recall":${
-        jmapT(annRecall, 2)},"triangle_sketch":${jmapT(triSketch, 3)},"lookup":${
-        jmapT(lookupPair, 3)},"join_reorder":${jmapT(joinReorder, 2)},"sf":"$sfDir"}"""
+        bestT(sf1)}$s10compact$d,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
     }
-    val line = compactLine(withDrift = true)
-    val out = if (line.length <= 1870) line else compactLine(withDrift = false)
+    val out = (0 to 2).map(compactLine).find(_.length <= 1870)
+      .getOrElse(compactLine(2))
     if (out.length > 1870)
       System.err.println(s"[bench] compact line ${out.length}B exceeds the " +
-        "tail budget even without drift — driver parse at risk")
+        "tail budget at every degrade level — driver parse at risk")
     println(out)
     spark.stop()
   }

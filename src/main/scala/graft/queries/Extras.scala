@@ -452,12 +452,16 @@ object Extras {
       .groupBy("q", "r").agg(min(col("v")).as("exact_value"))
     val ap = li.agg(expr(
       s"approx_percentile(v, array(${qs.mkString(", ")}), $ACC)").as("avs"))
+    // interval endpoints fold over the |distinct values|-sized counts
+    // relation (already materialized inside the Ranks scan that `cum`
+    // reuses), weighting each value by its multiplicity — rank-identical
+    // to scanning the corpus again and a full base-table scan cheaper
     val cmps = qs.indices.flatMap(i => Seq(
-      sum(when(col("v") < element_at(col("avs"), i + 1), 1L)
+      sum(when(col("v") < element_at(col("avs"), i + 1), col("c"))
         .otherwise(0L)).as(s"lt_$i"),
-      sum(when(col("v") <= element_at(col("avs"), i + 1), 1L)
+      sum(when(col("v") <= element_at(col("avs"), i + 1), col("c"))
         .otherwise(0L)).as(s"le_$i")))
-    val ranks = li.crossJoin(broadcast(ap)).agg(cmps.head, cmps.tail: _*)
+    val ranks = cum.crossJoin(broadcast(ap)).agg(cmps.head, cmps.tail: _*)
     val perQ = ranks.select(expr(
       s"stack(${qs.size}, " + qs.indices.map(i =>
         s"CAST(${qs(i)} AS DOUBLE), lt_$i, le_$i").mkString(", ") +

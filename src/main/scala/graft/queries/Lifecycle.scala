@@ -1283,8 +1283,15 @@ object Lifecycle {
         sum(col("day_spend_dec")).over(w).cast(DoubleType).as("cum_spend"))
     val served = q.queryExecution.executedPlan.toString
       .contains("mv_day_nation_rw")
-    m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("served_from_mv", lit(served)).orderBy("nation", "day")
+    // materialize THROUGH the rewritten plan before deregistering: a lazy
+    // return would re-plan at the caller's materialization time, AFTER the
+    // registry is emptied, so the delivered rows would silently recompute
+    // from base tables while claiming served_from_mv — the checkpoint pins
+    // that the data the gate hashes actually flowed through the MV scan
+    val out = q.withColumn("served_from_mv", lit(served))
+      .orderBy("nation", "day").localCheckpoint()
+    m.deregisterAll() // scope the rewrite to later queries
+    out
   }
 
   val entries: Map[String, Q] = Map(
