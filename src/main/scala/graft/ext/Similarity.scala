@@ -299,7 +299,9 @@ object Similarity {
   def corpusDiversityCap(s: SparkSession, d: String): DataFrame = {
     val (_, lists, refined) = ivfLists(s, d)
     val centByCid = refined.toMap
-    val centDot = udf { (emb: Seq[Float], cid: Int) =>
+    // primitive signature (the assignUdf unboxing rationale) — this one
+    // also walks the whole corpus, one dot per row
+    val centDot = udf { (emb: Array[Float], cid: Int) =>
       val cent = centByCid(cid)
       var acc = 0.0; var i = 0
       while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
