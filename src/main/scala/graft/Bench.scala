@@ -254,9 +254,9 @@ object Bench {
     // Third decade (scale=10 — 60M-row lineitem, 500k docs): the default
     // 7-key subset (3 legacy curve keys + the 4 r8-claim keys) keeps the
     // scaling curve in every round's driver-visible BENCH (queries_sf10)
-    // at ~4 min of budget (dedup_semantic alone is ~50s x 2 reps);
-    // SPARK_GRAFT_SF10=1 widens it to the full 13-key tier (~6 min) for
-    // the ROADMAP curve.
+    // at ~2.5 min of budget (dedup_semantic ~12s x 2 reps after the r9
+    // assignUdf unboxing); SPARK_GRAFT_SF10=1 widens it to the full
+    // 13-key tier (~4 min) for the ROADMAP curve.
     val (sf10gen, sf10) = {
       val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
         case Some(v) if v == "1" || v.equalsIgnoreCase("true") => true

@@ -530,14 +530,17 @@ object Similarity {
       (id, cid, encode(refinedCb, emb)) }.toDF("vec_id", "cid", "codes")
 
     // --- query side: coarse probe + ADC lookup table
-    val probeUdf = udf { (emb: Seq[Float]) =>
+    // primitive signatures (the assignUdf unboxing rationale) — these
+    // two only touch NUM_QUERIES rows, but one convention for every
+    // vector UDF in the file
+    val probeUdf = udf { (emb: Array[Float]) =>
       coarse.map { case (cid, cent) =>
         var acc = 0.0; var i = 0
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
         (acc, cid)
       }.sortBy(-_._1).take(NPROBE).map(_._2)
     }
-    val lutUdf = udf { (emb: Seq[Float]) =>
+    val lutUdf = udf { (emb: Array[Float]) =>
       Array.tabulate(PQ_M * PQ_KSUB) { j =>
         val m = j / PQ_KSUB; val k = j % PQ_KSUB
         var acc = 0.0; var i = 0

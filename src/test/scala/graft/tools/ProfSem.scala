@@ -34,7 +34,10 @@ object ProfSem {
     val nlists = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     println(s"[profsem] n=$n nlists=$nlists")
     // stage 0: ONE assignment UDF pass alone (replicates ivfListsK's
-    // seed + argmax-dot udf, dev-only copy)
+    // seed + argmax-dot udf, dev-only copy; the literal 64 below and the
+    // nlists formula above are FROZEN copies of Similarity's private DIM
+    // and dedupSemantic's ceil(sqrt(N)) — if either changes there, this
+    // profiler times a stale shape until updated to match)
     locally {
       import spark.implicits._
       val e = graft.Tables.load(spark, dir, "embeddings")
@@ -57,8 +60,12 @@ object ProfSem {
         e.withColumn("cid", assign(col("embedding")))
           .write.format("noop").mode("overwrite").save()
       }
-      // the Lloyd refine aggregate alone (collect_list + sorted fold)
+      // the Lloyd refine aggregate alone — assigned0 MUST be
+      // materialized first or the noop write re-runs the assignment UDF
+      // inside the timed window and the stage number misattributes a
+      // whole corpus pass to the refine
       val assigned0 = e.withColumn("cid", assign(col("embedding")))
+        .localCheckpoint()
       time("refine_agg") {
         assigned0.groupBy(col("cid"))
           .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
