@@ -281,11 +281,42 @@ object EventOps {
     * is exact integer arithmetic; first/last pick by (ts, event_id)
     * struct order, replayed as ROW_NUMBER in the oracle.
     *
-    * 100 TB shape: ONE user-keyed equi-join co-partitions purchases and
-    * touches (the 7-day window is a join-condition filter, not a
-    * time-range explosion); per-purchase extremes and counts fold in a
-    * single aggregation with map-side combine; the model outputs are
-    * touch-type-sized rollups. No event-stream windows anywhere. */
+    * 100 TB shape: ONE (user, day-bucket)-keyed equi-join co-partitions
+    * purchases and touches ([[touchWindowPairs]] — the day bucket in
+    * the key bounds a whale user's per-task fan-out; the exact 7-day
+    * window stays a join-condition filter, not a time-range explosion);
+    * per-purchase extremes and counts fold in a single aggregation with
+    * map-side combine; the model outputs are touch-type-sized rollups.
+    * No event-stream windows anywhere. */
+  /** The purchases ⋈ touches lookback join with a hot-user fan-out
+    * guard. Joining on `user_id` alone makes one power-law "whale"
+    * user's pair count quadratic inside a single task (10⁴ touches x
+    * 10³ purchases = 10⁷ rows through one hash cell) — the one
+    * data-dependent skew hazard every other hot-key-exposed operator in
+    * the tree already guards. The guard: add the touch's UTC day bucket
+    * to the equi-join key. A purchase's 7-day lookback spans at most 8
+    * calendar days (unix(p_ts - 7d) div 86400 = pday - 7 exactly), so
+    * the purchase side — a small fraction of events — replicates x8
+    * while a whale's pair work both spreads across its active days and
+    * shrinks per cell to (touches that day) x (purchases probing it).
+    * The pair SET is unchanged: each touch lives in exactly one bucket,
+    * each (purchase, touch) pair meets only in the touch's bucket, and
+    * the exact window predicate still runs — so the oracle (a plain
+    * windowed join) replays identically. Whale bound pinned by
+    * ExtrasSpec's planted-whale fixture. */
+  private[graft] def touchWindowPairs(
+      purchases: DataFrame, touches: DataFrame): DataFrame = {
+    val pDay = expr("unix_timestamp(p_ts) div 86400")
+    val pb = purchases.withColumn("__day",
+      explode(sequence(pDay - 7, pDay)))
+    val tb = touches.withColumn("__day",
+      expr("unix_timestamp(t_ts) div 86400"))
+    pb.join(tb, Seq("user_id", "__day"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .drop("__day")
+  }
+
   def eventsAttribution(s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "events")
     val vdec = dec(col("value")).cast("double")
@@ -295,9 +326,7 @@ object EventOps {
     val touches = e.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts").as("t_ts"),
         col("event_type").as("touch_type"), col("event_id").as("t_id"))
-    val joined = purchases.join(touches, Seq("user_id"))
-      .filter(col("t_ts") <= col("p_ts") &&
-        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val joined = touchWindowPairs(purchases, touches)
     // ONE aggregation collapses the events-scale join output to a
     // purchase-sized relation carrying everything every model needs —
     // including per-type touch counts, because linear's equal-split

@@ -36,7 +36,10 @@ object Similarity {
   // tables with the recall target.
   private val TABLES = 20
   private val BITS = 5
-  private val DIM = 64
+  // private[graft]: ProfSem's stage-0 probe rebuilds the assignment
+  // shape and must read the SAME dimension (a frozen copy silently
+  // drifts when this changes)
+  private[graft] val DIM = 64
   private val NLISTS = 16
   // 6/16 lists probed: recall@5 0.98 -> 1.00 at sf0.1 (the r3 attempt to
   // buy recall with a SECOND Lloyd pass instead moved it 0.98 -> 0.96 and
@@ -44,6 +47,14 @@ object Similarity {
   // 3/8 more corpus read per query, no extra training pass)
   private val NPROBE = 6
   private val DIVERSITY_CAP = 8
+
+  /** SemDeDup's cluster count: L = max(2, ceil(sqrt(N))) — the bound
+    * that makes cluster-scoped pair work L * C(N/L, 2) ~ N^1.5 / 2.
+    * Shared with ProfSem (stage profiler) and mirrored by the oracle's
+    * GREATEST(2, CEIL(SQRT(COUNT(*)))) so all three shapes stay in
+    * lockstep. */
+  private[graft] def nlistsFor(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   // norm/dot run through the native codegen'd VectorDot expression — the
   // element-ordered double fold is bit-identical to the
@@ -667,7 +678,7 @@ object Similarity {
     // a column-less parquet scan (count reads no column chunks); the
     // driver needs L before it can build the assignment closure
     val n = load(s, d, "embeddings").count()
-    val nlists = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nlists = nlistsFor(n)
     val (_, assigned, _) = ivfListsK(s, d, nlists)
     val m = assigned.select(
       col("vec_id"), col("cid"), col("embedding"), col("nrm"))

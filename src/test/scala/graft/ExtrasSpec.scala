@@ -144,4 +144,44 @@ class ExtrasSpec extends AnyFunSuite {
     assert(math.abs(totals("linear") - totals("first_touch")) <=
       credits * 0.5e-6 + 1e-6)
   }
+
+  test("attribution whale guard: day-bucket key bounds per-cell fan-out " +
+      "and keeps the pair set identical") {
+    import spark.implicits._
+    // a planted power-law whale: 2000 touches + 400 purchases spread over
+    // 100 days, plus a normal user. user_id-only join = 2000*400 = 800k
+    // pairs through ONE hash cell before the window filter even runs.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(hours: Long) = new java.sql.Timestamp(base + hours * 3600000L)
+    val touches = ((0 until 2000).map(i => (7L, ts(i * 100 / 83), "view", 10000L + i)) ++
+      Seq((9L, ts(5), "click", 90001L)))
+      .toDF("user_id", "t_ts", "touch_type", "t_id")
+    val purchases = ((0 until 400).map(i => (20000L + i, 7L, ts(i * 6), 5.0)) ++
+      Seq((90002L, 9L, ts(30), 7.0)))
+      .toDF("p_id", "user_id", "p_ts", "p_value")
+    val guarded = graft.ext.EventOps.touchWindowPairs(purchases, touches)
+    val naive = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "t_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = pairSet(guarded)
+    assert(g == pairSet(naive), "guarded pair set differs from the naive join")
+    assert(g.nonEmpty)
+    // the fan-out bound itself: rows entering the exact-window filter.
+    // Naive = per-user cross product (800k+ for the whale); guarded = only
+    // (purchase, touch) pairs whose day buckets align — the whale's 100
+    // active days shrink each cell to ~1 day of touches x the <=8-day
+    // probe window, an order of magnitude less pre-filter work.
+    val naivePre = purchases.join(touches, Seq("user_id")).count()
+    val pDay = expr("unix_timestamp(p_ts) div 86400")
+    val guardedPre = purchases
+      .withColumn("__day", explode(sequence(pDay - 7, pDay)))
+      .join(touches.withColumn("__day",
+        expr("unix_timestamp(t_ts) div 86400")), Seq("user_id", "__day"))
+      .count()
+    assert(guardedPre * 5 < naivePre,
+      s"guard did not bound fan-out: $guardedPre vs naive $naivePre")
+  }
 }

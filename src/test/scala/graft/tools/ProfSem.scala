@@ -31,13 +31,12 @@ object ProfSem {
         ts.map(t => f"$t%.2f").mkString(",")}")
     }
     val n = graft.Tables.load(spark, dir, "embeddings").count()
-    val nlists = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nlists = graft.ext.Similarity.nlistsFor(n)
     println(s"[profsem] n=$n nlists=$nlists")
     // stage 0: ONE assignment UDF pass alone (replicates ivfListsK's
-    // seed + argmax-dot udf, dev-only copy; the literal 64 below and the
-    // nlists formula above are FROZEN copies of Similarity's private DIM
-    // and dedupSemantic's ceil(sqrt(N)) — if either changes there, this
-    // profiler times a stale shape until updated to match)
+    // seed + argmax-dot udf, dev-only copy; the cluster count and the
+    // refine dimension read Similarity's own nlistsFor/DIM so the
+    // probe can't silently time a stale shape when those change)
     locally {
       import spark.implicits._
       val e = graft.Tables.load(spark, dir, "embeddings")
@@ -71,8 +70,8 @@ object ProfSem {
           .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
             .as("vs"))
           .select(col("cid"), expr(
-            """transform(
-              |  aggregate(vs, array_repeat(CAST(0 AS DOUBLE), 64),
+            s"""transform(
+              |  aggregate(vs, array_repeat(CAST(0 AS DOUBLE), ${graft.ext.Similarity.DIM}),
               |    (acc, v) -> zip_with(acc, v.embedding,
               |      (a, x) -> a + CAST(x AS DOUBLE))),
               |  m -> m / size(vs))""".stripMargin).as("cent"))
