@@ -213,21 +213,31 @@ object Bench {
     // row widths is visible round-over-round.
     val shuffleCanarySf1 = shuffleCanarySec()
     val memCanarySf1 = memCanarySec()
-    val (sf1gen, sf1) = {
+    val (sf1gen, sf1, triMemPair) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 1.0)
       val genSec = (System.nanoTime() - g0) / 1e9
-      // memory-heavy dedup probes run FIRST (freshest heap — they were
-      // the keys hit hardest by inherited pressure; quiesce() handles
-      // the rest of the ordering sensitivity)
-      // graph_triangle_sketch sits in the memory-heavy head group (24M
-      // in-row pairs): run last in the tier it read 5.4s vs 3.9s
-      // standalone — position-inherited pressure, same artifact the
-      // dedup-first ordering exists for
+      // graph_triangle_sketch runs FIRST in the tier (r9 verdict item 3):
+      // three rounds of driver runs showed its rep-2 sample degrading
+      // 3-6x with clean canaries while every other key's rep-2 was the
+      // FAST one — an intra-tier churn mode (page-cache/local-dir state
+      // inherited from preceding keys) the canaries don't model. Running
+      // it on the freshest tier state removes the inherited component,
+      // and the memory canary BRACKETS it (pair emitted as tri_mem) so
+      // any residual divergence arrives with a before/after machine
+      // reading instead of unadjudicated.
+      quiesce()
+      val triPre = memCanarySec()
+      val tri = probeTier("sf1", dir, Seq("graph_triangle_sketch"),
+        reps = 2, isolate = true)
+      val triPost = memCanarySec()
+      // memory-heavy dedup probes next (freshest remaining heap — they
+      // were the keys hit hardest by inherited pressure; quiesce()
+      // handles the rest of the ordering sensitivity)
       val probe = Seq("dedup_ngram_jaccard", "dedup_containment",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_block_ratio",
-        "dedup_span_coverage", "graph_triangle_sketch",
+        "dedup_span_coverage",
         "text_tfidf_cosine",
         "join_natural_5way", "window_cumulative", "agg_sum_group3",
         "agg_count_distinct", "similarity_ann_lsh", "similarity_ivf",
@@ -246,7 +256,8 @@ object Bench {
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
-      (genSec, probeTier("sf1", dir, probe, reps = 2, isolate = true))
+      (genSec, tri ++ probeTier("sf1", dir, probe, reps = 2, isolate = true),
+        (triPre, triPost))
     }
 
     var shuffleCanarySf10 = -1.0
@@ -650,23 +661,70 @@ object Bench {
     // side SfGen can't see: r7's gen canary read clean while sf10
     // shuffle-heavy probes ran 3-5x over the quiet-box curve. A flagged
     // run means: read medians, not bests, and distrust ~2x outliers.
-    val genExpected = 8.3
-    // quiet-box median of shuffleCanarySec(), measured r8 (1.73s pre-sf1,
-    // 1.77s pre-sf10 on an otherwise idle 32-core box)
-    val shufExpected = 1.8
-    // quiet-box median of memCanarySec(), measured r9 open (1.03s pre-sf1,
-    // 1.25s pre-sf10 on an otherwise idle 32-core box)
-    val memExpected = 1.2
+    // ---- quiet-box baselines (externalized, r9 ADVICE) -----------------
+    // The canary expectations and per-key quiet medians were source
+    // constants for one specific 32-core box: every re-baseline was a
+    // code edit, and a foreign box systematically misreported (false
+    // drift when slower, masked drift when faster). They now live in
+    // bench-baselines.properties (checked in, box fingerprint recorded);
+    // SPARK_GRAFT_BASELINES=<path> points elsewhere, =off disables the
+    // comparison entirely — drift blocks empty, contended flags forced
+    // false, and "baselines":"off" recorded so the driver knows the
+    // adjudication surface was intentionally dark, not clean.
+    val baselinesSetting =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINES", "bench-baselines.properties")
+    val baselinesOff = Seq("off", "none", "disabled")
+      .contains(baselinesSetting.toLowerCase)
+    val baselineProps: java.util.Properties = {
+      val p = new java.util.Properties()
+      if (!baselinesOff) {
+        try {
+          val in = java.nio.file.Files.newInputStream(
+            java.nio.file.Paths.get(baselinesSetting))
+          try p.load(in) finally in.close()
+        } catch { case e: Throwable =>
+          // a missing/unreadable file behaves like =off (loudly)
+          System.err.println(s"[bench] baselines '$baselinesSetting' " +
+            s"unreadable (${e.getMessage}): drift/contention comparison off")
+        }
+      }
+      p
+    }
+    val baselinesOn = !baselinesOff && !baselineProps.isEmpty
+    def baseline(key: String, default: Double): Double = {
+      val v = baselineProps.getProperty(key)
+      if (v == null) default
+      else try v.trim.toDouble catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] baseline '$key=$v' not a number; " +
+          "using default"); default
+      }
+    }
+    def quietMedians(prefix: String): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      baselineProps.stringPropertyNames().asScala.toSeq
+        .filter(_.startsWith(prefix))
+        .flatMap { k =>
+          try Some(k.stripPrefix(prefix) ->
+            baselineProps.getProperty(k).trim.toDouble)
+          catch { case _: NumberFormatException =>
+            System.err.println(s"[bench] baseline '$k' not a number; skipped")
+            None
+          }
+        }.toMap
+    }
+    val genExpected = baseline("canary.gen_sec", 8.3)
+    val shufExpected = baseline("canary.shuffle_sec", 1.8)
+    val memExpected = baseline("canary.mem_sec", 1.2)
     // the sf10-adjacent shuffle canary counts too: contention arising
     // BETWEEN the tiers (the r7 incident shape) must flip the flag even
     // when the pre-sf1 probes were quiet (-1 = tier not reached)
-    val contended = sf1gen > 2 * genExpected ||
+    val contended = baselinesOn && (sf1gen > 2 * genExpected ||
       shuffleCanarySf1 > 2 * shufExpected ||
-      shuffleCanarySf10 > 2 * shufExpected
+      shuffleCanarySf10 > 2 * shufExpected)
     // memory/CPU mode flagged separately: it adjudicates the hash-agg-
     // heavy keys (see memCanarySec) without polluting the shuffle flag
-    val memContended = memCanarySf1 > 2 * memExpected ||
-      memCanarySf10 > 2 * memExpected
+    val memContended = baselinesOn && (memCanarySf1 > 2 * memExpected ||
+      memCanarySf10 > 2 * memExpected)
     def canary(dp: Int) =
       jmap(Seq("sf1_gen_sec" -> sf1gen, "sf10_gen_sec" -> sf10gen,
         "expected_sec" -> genExpected,
@@ -675,47 +733,51 @@ object Bench {
         "shuffle_sf10_sec" -> shuffleCanarySf10,
         "mem_sec" -> memCanarySf1,
         "mem_expected_sec" -> memExpected,
-        "mem_sf10_sec" -> memCanarySf10), dp)
+        "mem_sf10_sec" -> memCanarySf10,
+        // the graph_triangle_sketch bracketing pair (r9 verdict item 3):
+        // the memory canary run immediately before and after that key's
+        // reps — a residual rep-2 degradation now arrives with a
+        // machine-state reading on each side
+        "tri_mem_pre_sec" -> triMemPair._1,
+        "tri_mem_post_sec" -> triMemPair._2), dp)
         .dropRight(1) +
         s""","contended":$contended,"mem_contended":$memContended}"""
-    // Per-key drift surface (r8 VERDICT item 4): any sf1-tier key whose
-    // THIS-RUN median exceeds 1.5x the recorded quiet-box median is
-    // carried in the compact line as [best, median, quiet_median] — the
-    // driver sees environment drift per key without reading the full
-    // file (r8: dedup_containment read 1.66x quiet with nothing in the
-    // compact line to say so). Reference medians measured at r9 open on
-    // an otherwise idle 32-core box, full-bench discipline (reps=2,
-    // isolated, in-tier position identical to a driver run); a key
-    // missing here (added later, never baselined) just doesn't
-    // participate.
-    val quietSf1Median: Map[String, Double] = Map(
-      "dedup_ngram_jaccard" -> 1.83, "dedup_containment" -> 2.91,
-      "dedup_simhash" -> 1.22, "dedup_minhash_lsh" -> 2.03,
-      "dedup_block_ratio" -> 1.53, "dedup_span_coverage" -> 2.06,
-      "graph_triangle_sketch" -> 5.47, "text_tfidf_cosine" -> 4.57,
-      "join_natural_5way" -> 1.88, "window_cumulative" -> 2.11,
-      "agg_sum_group3" -> 0.84, "agg_count_distinct" -> 1.55,
-      "similarity_ann_lsh" -> 1.74, "similarity_ivf" -> 1.46,
-      "similarity_ivf_pq" -> 2.17, "text_quality" -> 0.77,
-      "text_repetition" -> 1.25, "text_bm25" -> 0.63,
-      "text_contamination" -> 0.86, "events_funnel" -> 1.70,
-      "events_retention" -> 1.25, "text_line_dedup" -> 1.98,
-      // dedup_semantic re-baselined after the assignUdf unboxing (the
-      // key got 2.2x faster in-tier; the stale reference would have
-      // hidden real drift behind the old cost)
-      "text_nb_classifier" -> 4.18, "dedup_semantic" -> 2.15,
-      "text_keywords" -> 3.67, "events_attribution" -> 3.92,
-      "events_rfm" -> 2.83, "table_partition_overwrite" -> 1.81,
-      "stat_power_analysis" -> 1.47)
-    val driftRows = sf1.flatMap { case (k, s) =>
-      quietSf1Median.get(k).flatMap { q =>
-        val m = medianOf(s)
-        if (m > 1.5 * q) Some((k, bestOf(s), m, q)) else None
-      }
-    }.sortBy { case (_, _, m, q) => -(m / q) }.take(3)
-    val driftJson = driftRows.map { case (k, b, m, q) =>
-      "\"" + k + f"""\":[$b%.2f,$m%.2f,$q%.2f]"""
-    }.mkString("{", ",", "}")
+    // Per-key drift surface (r8 VERDICT item 4, r9 item 1): any scale-
+    // tier key whose THIS-RUN median exceeds 1.5x the recorded quiet-box
+    // median is carried in the compact line as [best, median,
+    // quiet_median] — the driver sees environment drift per key without
+    // reading the full file. r9 extended lessons: the cap rose 3 -> 8
+    // (cap-3 silently hid window_cumulative's entry) with an explicit
+    // omitted-count when even 8 truncates, and the surface now covers
+    // the sf10 tier too ("drift_sf10") — r9's largest divergence
+    // (events_attribution, 6.4x at median) was in the sf10 tier and
+    // arrived unadjudicated because only sf1 was surfaced. Quiet medians
+    // live in bench-baselines.properties; a key missing there (added
+    // later, never baselined) just doesn't participate.
+    val DRIFT_CAP = 8
+    def driftRowsFor(tier: Seq[(String, Seq[Double])],
+        quiet: Map[String, Double]): (Seq[(String, Double, Double, Double)], Int) = {
+      val all = tier.flatMap { case (k, s) =>
+        quiet.get(k).flatMap { q =>
+          val m = medianOf(s)
+          if (m > 1.5 * q) Some((k, bestOf(s), m, q)) else None
+        }
+      }.sortBy { case (_, _, m, q) => -(m / q) }
+      (all.take(DRIFT_CAP), (all.size - DRIFT_CAP).max(0))
+    }
+    val (driftRows, driftOmitted) = driftRowsFor(sf1, quietMedians("sf1."))
+    val (driftRowsSf10, driftOmittedSf10) =
+      driftRowsFor(sf10, quietMedians("sf10."))
+    // "omitted" rides INSIDE the drift object (query keys can't collide
+    // with it) so the object's shape is self-describing when truncated
+    def driftJsonOf(rows: Seq[(String, Double, Double, Double)],
+        omitted: Int): String =
+      (rows.map { case (k, b, m, q) =>
+        "\"" + k + f"""\":[$b%.2f,$m%.2f,$q%.2f]"""
+      } ++ (if (omitted > 0) Seq(s""""omitted":$omitted""") else Nil))
+        .mkString("{", ",", "}")
+    val driftJson = driftJsonOf(driftRows, driftOmitted)
+    val driftJsonSf10 = driftJsonOf(driftRowsSf10, driftOmittedSf10)
     val total = results.map { case (_, s) => bestOf(s) }.sum
     val totalR7 = results.filter(r => headlineR7.contains(r._1))
       .map { case (_, s) => bestOf(s) }.sum
@@ -743,7 +805,8 @@ object Bench {
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
-        samplesMap(sf1)}$s10full,"drift":$driftJson,"sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
+        samplesMap(sf1)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"baselines":"${
+        if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     try {
@@ -779,33 +842,46 @@ object Bench {
         .mkString("{", ",", "}")
     def bestT(xs: Seq[(String, Seq[Double])]): String =
       jmapT(xs.map { case (k, s) => k -> bestOf(s) }, 2)
-    val driftT = driftRows.map { case (k, b, m, q) =>
-      "\"" + k + s"""\":[${trim(b, 2)},${trim(m, 2)},${trim(q, 2)}]"""
-    }.mkString("{", ",", "}")
+    def driftT(rows: Seq[(String, Double, Double, Double)],
+        omitted: Int): String =
+      (rows.map { case (k, b, m, q) =>
+        "\"" + k + s"""\":[${trim(b, 2)},${trim(m, 2)},${trim(q, 2)}]"""
+      } ++ (if (omitted > 0) Seq(s""""omitted":$omitted""") else Nil))
+        .mkString("{", ",", "}")
     // slim canary: measured values + flags only — the expected constants
-    // are static (in this file and bench_full), not round data
+    // are static (bench-baselines.properties and bench_full), not round
+    // data. tri_mem is the sketch-bracketing pair (see canary(dp)).
     val canaryT = jmapT(Seq("sf1_gen_sec" -> sf1gen,
       "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
       "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
-      "mem_sf10_sec" -> memCanarySf10), 2).dropRight(1) +
+      "mem_sf10_sec" -> memCanarySf10, "tri_mem_pre" -> triMemPair._1,
+      "tri_mem_post" -> triMemPair._2), 2).dropRight(1) +
       s""","contended":$contended,"mem_contended":$memContended}"""
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
     // degrade levels: 0 = everything; 1 = drift detail deferred to the
     // full file; 2 = scoreboard blocks deferred too (metric/tiers/canary
     // always survive — a future tier growth can cost detail, never the
-    // round's parse)
+    // round's parse). Every field keeps ONE JSON type across levels
+    // (r9 ADVICE: the old levels substituted a string where an object
+    // was, breaking typed round-over-round parsers): deferred fields are
+    // OMITTED and a boolean *_deferred flag marks why. The sf0.1 per-key
+    // map lives only in bench_full (no sentinel field pretending
+    // otherwise); everything deferred is always in bench_full too.
     def compactLine(level: Int) = {
-      val d = if (level < 1) s""","drift":$driftT""" else
-        ""","drift":"full""""
+      val d = if (level < 1)
+        s""","drift":${driftT(driftRows, driftOmitted)},"drift_sf10":${
+          driftT(driftRowsSf10, driftOmittedSf10)}"""
+      else ""","drift_deferred":true"""
       val boards = if (level < 2)
         s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${
           jmapT(skewTriplet, 2)},"ann_recall":${jmapT(annRecall, 2)},"triangle_sketch":${
           jmapT(triSketch, 3)},"lookup":${jmapT(lookupPair, 3)},"join_reorder":${
           jmapT(joinReorder, 2)}"""
-      else ""","scoreboards":"full""""
-      f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":"sf01_tier_moved_to_bench_full_r9","queries_sf1":${
-        bestT(sf1)}$s10compact$d,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
+      else ""","scoreboards_deferred":true"""
+      val base = if (baselinesOn) "" else ""","baselines":"off""""
+      f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
+        bestT(sf1)}$s10compact$d$base,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
     }
     val out = (0 to 2).map(compactLine).find(_.length <= 1870)
       .getOrElse(compactLine(2))
