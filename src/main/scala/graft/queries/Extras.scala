@@ -473,6 +473,80 @@ object Extras {
       .orderBy("q")
   }
 
+  /** Engine-native mergeable quantile sketch — the fourth member of the
+    * native sketch family ([[graft.functions.CmsAgg]] counts,
+    * [[graft.functions.TopKAgg]] heavy hitters, MinHashAgg signatures;
+    * this one order statistics): per l_returnflag, l_extendedprice cents
+    * fold through [[graft.functions.QuantileSketchAgg]] — a log2-bucketed
+    * 1888-counter histogram (DDSketch-family relative-error sketch with a
+    * pure-integer bucket map) whose merge is element-wise long addition,
+    * so the sketch VALUE is bit-deterministic under any merge order —
+    * the property Spark's GK summary lacks (see [[statApproxQuantiles]],
+    * which keeps the GK value out of its output for exactly that reason).
+    *
+    * Emitted per (flag, q in {0.5, 0.9, 0.99}): the sketch estimate (the
+    * midpoint of the first bucket whose cumulative count reaches rank
+    * ceil(q*N)), the exact quantile (per-value counts + the shared
+    * [[graft.operators.Ranks]] two-phase range scan — per-flag cumulative
+    * counts derived by subtracting a 3-row flag-offset broadcast, no
+    * global window), and the sketch's <= 1/64 relative-error contract as
+    * data. The oracle replays bucket ids with bin-string length for
+    * floor(log2) — every arithmetic step is integer, so est/exact/err
+    * hash-match exactly.
+    *
+    * 100 TB shape: one corpus pass through an ordinary partial aggregate
+    * (map-side combine folds each partition into a 15 KiB buffer; the
+    * shuffle moves |groups| x 15 KiB, never rows); the bucket relation
+    * everything downstream touches is sketch-sized (<= 1888 rows/group),
+    * where a per-group window is post-aggregation safe. */
+  def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val li = load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val targets = broadcast(qs.toDF("q"))
+    val sk = li.groupBy("flag").agg(
+      graft.functions.QuantileSketchAgg.quantile_sketch(col("v")).as("sk"),
+      count(lit(1)).as("n"))
+    val buckets = sk
+      .select(col("flag"), col("n"), posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(graft.functions.QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(graft.functions.QuantileSketchAgg.midSql))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("flag").orderBy("idx")))
+    // bucket midpoints are monotone in idx, so the estimate is the least
+    // mid whose cumulative count covers the target rank (3-row broadcast
+    // theta join — the statApproxQuantiles pattern)
+    val est = buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("flag", "q").agg(min(col("mid")).as("est_cents"))
+    // exact per-flag quantiles, scale-shaped: per-value counts, ONE
+    // global range-prefix scan over (flag, v), then per-flag cumulative
+    // = global cumulative - the flag's 3-row exclusive offset
+    val counts = li.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+    val ft = counts.groupBy("flag").agg(sum(col("c")).as("tot"))
+    val off = ft.as("a")
+      .join(ft.as("b"), col("b.flag") < col("a.flag"), "left")
+      .groupBy(col("a.flag").as("flag"), col("a.tot").as("tot"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val fcum = graft.operators.Ranks.runningSumByRange(
+        counts, 32, Seq(col("flag"), col("v")), col("c"), "gcum")
+      .join(broadcast(off), "flag")
+      .withColumn("cum", col("gcum") - col("off"))
+    val exact = fcum.join(targets, col("cum") >= ceil(col("q") * col("tot")))
+      .groupBy("flag", "q").agg(min(col("v")).as("exact_cents"))
+    est.join(exact, Seq("flag", "q"))
+      .select(col("flag"), col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"),
+        (col("exact_cents").cast("double") / 100.0).as("exact_value"),
+        round(abs(col("est_cents") - col("exact_cents")).cast("double") /
+          col("exact_cents").cast("double"), 9).as("rel_err"),
+        (abs(col("est_cents") - col("exact_cents")).cast("double") <=
+          col("exact_cents").cast("double") / 64.0).as("within_rel_contract"))
+      .orderBy("flag", "q")
+  }
+
   def statAbWelch(s: SparkSession, d: String): DataFrame = {
     val v = dec(col("value"))
     val variant = pmod(col("user_id"), lit(2))
@@ -1371,6 +1445,7 @@ object Extras {
     "stat_ab_welch"         -> (statAbWelch _),
     "stat_power_analysis"   -> (statPowerAnalysis _),
     "stat_approx_quantiles" -> (statApproxQuantiles _),
+    "agg_quantile_sketch"   -> (aggQuantileSketch _),
     "stat_chi_square"       -> (statChiSquare _),
     "stat_mann_whitney"     -> (statMannWhitney _),
     "stat_regression"       -> (statRegression _),
@@ -1766,6 +1841,55 @@ object Extras {
         |  true AS within_rank_contract
         |FROM t JOIN cum ON cum.cum >= t.r
         |GROUP BY t.q ORDER BY t.q""".stripMargin,
+    // the QuantileSketchAgg bucket map replayed in pure integer SQL:
+    // floor(log2 v) = length(bin(v)) - 1 (a string-length read of the
+    // binary representation — no float log whose last ULP could differ),
+    // then the same shift/subdivide arithmetic as the JVM aggregate; the
+    // estimate, the exact quantile, and the relative-error contract all
+    // derive from identical BIGINTs, so the key hash-matches exactly
+    "agg_quantile_sketch" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |g AS (SELECT flag, COUNT(*)::BIGINT AS n FROM li GROUP BY 1),
+        |b AS (SELECT flag,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE 32 + (length(bin(v)) - 1 - 5) * 32
+        |           + ((v >> (length(bin(v)) - 1 - 5)) - 32) END AS idx,
+        |    COUNT(*)::BIGINT AS cnt
+        |  FROM li GROUP BY 1, 2),
+        |geo AS (SELECT flag, idx, cnt,
+        |    CASE WHEN idx < 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << CAST((idx - 32) // 32 AS INT))
+        |    END AS width,
+        |    SUM(cnt) OVER (PARTITION BY flag ORDER BY idx) AS cum
+        |  FROM b),
+        |geo2 AS (SELECT flag, idx, cnt, cum,
+        |    CASE WHEN idx < 32 THEN CAST(idx AS BIGINT)
+        |         ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width
+        |           + (width - 1) // 2 END AS mid
+        |  FROM geo),
+        |t AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+        |est AS (SELECT geo2.flag, t.q, MIN(geo2.mid) AS est_cents
+        |  FROM geo2 JOIN g ON geo2.flag = g.flag
+        |  JOIN t ON geo2.cum >= CEIL(t.q * g.n)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT flag, v, COUNT(*)::BIGINT AS c FROM li GROUP BY 1, 2),
+        |vc AS (SELECT flag, v,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY v) AS cum FROM c),
+        |ex AS (SELECT vc.flag, t.q, MIN(vc.v) AS exact_cents
+        |  FROM vc JOIN g ON vc.flag = g.flag
+        |  JOIN t ON vc.cum >= CEIL(t.q * g.n)
+        |  GROUP BY 1, 2)
+        |SELECT est.flag, est.q,
+        |  CAST(est_cents AS DOUBLE) / 100.0 AS est_value,
+        |  CAST(exact_cents AS DOUBLE) / 100.0 AS exact_value,
+        |  round(CAST(abs(est_cents - exact_cents) AS DOUBLE)
+        |    / CAST(exact_cents AS DOUBLE), 9) AS rel_err,
+        |  CAST(abs(est_cents - exact_cents) AS DOUBLE)
+        |    <= CAST(exact_cents AS DOUBLE) / 64.0 AS within_rel_contract
+        |FROM est JOIN ex ON est.flag = ex.flag AND est.q = ex.q
+        |ORDER BY 1, 2""".stripMargin,
     "stat_ab_welch" ->
       """WITH m AS (SELECT event_type,
         |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
