@@ -442,42 +442,18 @@ object Similarity {
   // (128 exact dots per query).
   private val PQ_RERANK = 128
 
-  /** IVF-PQ: the production-scale ANN composition — the [[ivfLists]]
-    * coarse quantizer prunes the corpus to NPROBE inverted lists per
-    * query, per-subspace product-quantization codes compress every
-    * vector to [[PQ_M]] one-byte code ids, candidates are scored by
-    * asymmetric distance computation (ADC: one query-side lookup table
-    * of query-subvector x codeword dots, the candidate's approximate dot
-    * = M table adds, never touching its floats), and the ADC shortlist
-    * is reranked on exact cosine — the [[similarityAnnQuantized]]
-    * two-stage contract with a pruned, compressed first stage.
-    *
-    * PQ codebooks are trained like the coarse quantizer: deterministic
-    * seeds (the first KSUB vectors' subvectors), nearest-codeword
-    * assignment by squared L2 (sequential fold, ties to the lowest
-    * code), ONE Lloyd refinement whose per-dim means fold in vec_id
-    * order on the executors — so the oracle replays training, encoding,
-    * ADC, and rerank exactly. Codes here quantize RAW vectors (not
-    * IVF residuals): residual PQ recenters each list before encoding
-    * for tighter cells, at the price of coupling the codebook to the
-    * coarse assignment; the shared-codebook form keeps the two stages
-    * independent (either can be rebuilt alone) and the exact rerank
-    * absorbs the lost precision at these list sizes.
-    *
-    * Every seed subvector of one subspace must be distinct (the
-    * [[ivfLists]] seed invariant, per subspace): a duplicated seed pair
-    * would leave the higher code id memberless (every tie breaks low),
-    * and the refine fold indexes codewords by id. Holds here and in
-    * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
-  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+  /** PQ codebook training + corpus encoding over a coarse-assigned
+    * relation `lists(vec_id, cid, embedding, ...)` — the shared first
+    * stage of [[similarityIvfPq]] and [[dedupSemantic]]'s pair
+    * pre-scoring. Training touches only the embeddings (seeds = first
+    * [[PQ_KSUB]] vec_ids, squared-L2 nearest assignment with ties to
+    * the lowest code, ONE Lloyd pass whose per-dim means fold in vec_id
+    * order), so the codebook is independent of which coarse quantizer
+    * produced `cid`; the returned codes relation carries cid through.
+    * Returns (refined codebooks [m][k][dim], codes(vec_id, cid, codes)). */
+  private[graft] def pqTrainEncode(s: SparkSession, lists: DataFrame)
+      : (Array[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
-    // the coarse-assigned relation has four consumers (seed collect, seed
-    // encode, final encode, query probe); re-derivation is deterministic
-    // (centroids are driver-collected) and an A/B showed checkpointing it
-    // buys nothing at sf1 once encoding is unboxed — at 100 TB the list
-    // assignment is a persisted index artifact either way
-    val (_, lists, coarse) = ivfLists(s, d)
-
     // --- PQ training: seeds -> assign -> one Lloyd pass -> codebooks
     val seedCb: Array[Array[Array[Double]]] = {
       val rows = lists.orderBy("vec_id").limit(PQ_KSUB)
@@ -539,6 +515,45 @@ object Similarity {
     }
     val codes = typed.map { case (id, cid, emb) =>
       (id, cid, encode(refinedCb, emb)) }.toDF("vec_id", "cid", "codes")
+    (refinedCb, codes)
+  }
+
+  /** IVF-PQ: the production-scale ANN composition — the [[ivfLists]]
+    * coarse quantizer prunes the corpus to NPROBE inverted lists per
+    * query, per-subspace product-quantization codes compress every
+    * vector to [[PQ_M]] one-byte code ids, candidates are scored by
+    * asymmetric distance computation (ADC: one query-side lookup table
+    * of query-subvector x codeword dots, the candidate's approximate dot
+    * = M table adds, never touching its floats), and the ADC shortlist
+    * is reranked on exact cosine — the [[similarityAnnQuantized]]
+    * two-stage contract with a pruned, compressed first stage.
+    *
+    * PQ codebooks are trained like the coarse quantizer ([[pqTrainEncode]]):
+    * deterministic seeds (the first KSUB vectors' subvectors),
+    * nearest-codeword assignment by squared L2 (sequential fold, ties to
+    * the lowest code), ONE Lloyd refinement whose per-dim means fold in
+    * vec_id order on the executors — so the oracle replays training,
+    * encoding, ADC, and rerank exactly. Codes here quantize RAW vectors
+    * (not IVF residuals): residual PQ recenters each list before encoding
+    * for tighter cells, at the price of coupling the codebook to the
+    * coarse assignment; the shared-codebook form keeps the two stages
+    * independent (either can be rebuilt alone) and the exact rerank
+    * absorbs the lost precision at these list sizes.
+    *
+    * Every seed subvector of one subspace must be distinct (the
+    * [[ivfLists]] seed invariant, per subspace): a duplicated seed pair
+    * would leave the higher code id memberless (every tie breaks low),
+    * and the refine fold indexes codewords by id. Holds here and in
+    * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
+  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the coarse-assigned relation has four consumers (seed collect, seed
+    // encode, final encode, query probe); re-derivation is deterministic
+    // (centroids are driver-collected) and an A/B showed checkpointing it
+    // buys nothing at sf1 once encoding is unboxed — at 100 TB the list
+    // assignment is a persisted index artifact either way
+    val (_, lists, coarse) = ivfLists(s, d)
+    val (refinedCb, codes) = pqTrainEncode(s, lists)
 
     // --- query side: coarse probe + ADC lookup table
     // primitive signatures (the assignUdf unboxing rationale) — these
@@ -679,9 +694,25 @@ object Similarity {
     // driver needs L before it can build the assignment closure
     val n = load(s, d, "embeddings").count()
     val nlists = nlistsFor(n)
-    val (_, assigned, _) = ivfListsK(s, d, nlists)
+    // checkpointed: unlike the ANN keys' fixed 16 lists, the assignment
+    // here scores L = ceil(sqrt(N)) centroids per vector (N=2M -> 1415
+    // at sf100), and the plan instantiates `m` three times (both pair
+    // sides + the final projection) — un-checkpointed, each would re-run
+    // that O(N*L*DIM) pass (~3x 40s of the sf100 budget)
+    val (_, assigned0, _) = ivfListsK(s, d, nlists)
+    val assigned = assigned0.localCheckpoint()
     val m = assigned.select(
       col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    // Pair scoring stays the EXACT codegen VectorDot over all in-cluster
+    // pairs — a PQ/SDC pre-scoring pass (score pairs from 8 one-byte
+    // codes via a broadcast codeword-dot table, exact-rerank each
+    // vector's top-32) was built and MEASURED SLOWER at sf10 (ProfSdc:
+    // exact VectorDot+max 9.3s for 44M pairs vs 14.5s for the best SDC
+    // variant): the ScalaUDF scoring breaks whole-stage codegen and the
+    // top-k shortlist needs an ObjectHashAggregate where the exact path
+    // uses a codegen max. PQ's production win is memory compression —
+    // at DIM=64 the 64-FMA codegen dot is already cheaper than any
+    // off-codegen per-pair step, so approximation buys nothing here.
     val mx = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") &&
           col("b.vec_id") < col("a.vec_id"))

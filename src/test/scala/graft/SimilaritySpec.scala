@@ -123,4 +123,31 @@ class SimilaritySpec extends AnyFunSuite {
     // the planted clusters make the operator non-vacuous at gate SF
     assert(out.filter(!col("kept")).count() > 0)
   }
+
+  test("dedup_semantic equals an un-checkpointed all-pairs rebuild " +
+      "(the assignment checkpoint is a pure materialization)") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.{spark, SF}
+    val got = Similarity.dedupSemantic(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // the same algebra rebuilt inline WITHOUT the localCheckpoint —
+    // re-deriving the assignment per consumer must give identical rows
+    val n = Tables.load(spark, SF, "embeddings").count()
+    val (_, assigned, _) =
+      Similarity.ivfListsK(spark, SF, Similarity.nlistsFor(n))
+    val m = assigned.select(
+      col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    val mx = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        (graft.functions.VectorDot
+          .vector_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("mxraw"))
+    val exact = m.select("vec_id", "cid").join(mx, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(coalesce(col("mxraw"), lit(-1.0)), 9).as("ms")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got == exact)
+  }
 }
