@@ -694,13 +694,21 @@ object Similarity {
     // driver needs L before it can build the assignment closure
     val n = load(s, d, "embeddings").count()
     val nlists = nlistsFor(n)
-    // checkpointed: unlike the ANN keys' fixed 16 lists, the assignment
-    // here scores L = ceil(sqrt(N)) centroids per vector (N=2M -> 1415
-    // at sf100), and the plan instantiates `m` three times (both pair
-    // sides + the final projection) — un-checkpointed, each would re-run
-    // that O(N*L*DIM) pass (~3x 40s of the sf100 budget)
+    // checkpointed SERIALIZED: the assignment scores L = ceil(sqrt(N))
+    // centroids per vector (N=2M -> 1415 at sf100) and the plan
+    // instantiates `m` three times (both pair sides + the final
+    // projection). Today exchange reuse happens to dedup those subtrees
+    // (measured: 370s un-checkpointed == 369s SER-checkpointed at
+    // sf100); the checkpoint PINS that single-execution property
+    // instead of trusting reuse across future plan changes. Storage
+    // level matters enormously: the default deserialized level caches
+    // 2M embedding ROW OBJECTS (~4x the serialized bytes, all
+    // GC-scanned) and measured 614s at sf100 — MEMORY_AND_DISK_SER
+    // (the graphTriangleSketch lesson) keeps the floats in a flat
+    // GC-invisible buffer at no cost on a quiet box.
     val (_, assigned0, _) = ivfListsK(s, d, nlists)
-    val assigned = assigned0.localCheckpoint()
+    val assigned = assigned0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val m = assigned.select(
       col("vec_id"), col("cid"), col("embedding"), col("nrm"))
     // Pair scoring stays the EXACT codegen VectorDot over all in-cluster
