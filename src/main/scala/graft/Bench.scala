@@ -252,7 +252,10 @@ object Bench {
         "text_keywords",
         // r9 probe additions (VERDICT r8 item 3): the unprobed new keys
         "events_attribution", "events_rfm", "table_partition_overwrite",
-        "stat_power_analysis")
+        "stat_power_analysis",
+        // r10 addition: the native quantile-sketch key (one corpus pass
+        // + the Ranks exact-quantile scan — both decade-sensitive)
+        "agg_quantile_sketch")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

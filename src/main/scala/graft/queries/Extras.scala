@@ -523,16 +523,25 @@ object Extras {
       .groupBy("flag", "q").agg(min(col("mid")).as("est_cents"))
     // exact per-flag quantiles, scale-shaped: per-value counts, ONE
     // global range-prefix scan over (flag, v), then per-flag cumulative
-    // = global cumulative - the flag's 3-row exclusive offset
+    // = global cumulative - the flag's 3-row exclusive offset. The
+    // offsets and totals derive FROM the scan itself (per-flag max of
+    // the global running sum — monotone over the flag order, so the
+    // previous flag's max IS this flag's exclusive offset): deriving
+    // them from a separate rollup of `counts` re-ran the 60M-row
+    // groupBy a second time (ProfQSk sf10: full key 28.4s before ->
+    // 19.6s after, against a 16.6s floor for the single counts+Ranks
+    // pass; the Ranks phase-1 checkpoint makes the extra 3-row
+    // consumers free).
     val counts = li.groupBy("flag", "v").agg(count(lit(1)).as("c"))
-    val ft = counts.groupBy("flag").agg(sum(col("c")).as("tot"))
-    val off = ft.as("a")
-      .join(ft.as("b"), col("b.flag") < col("a.flag"), "left")
-      .groupBy(col("a.flag").as("flag"), col("a.tot").as("tot"))
-      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
-    val fcum = graft.operators.Ranks.runningSumByRange(
-        counts, 32, Seq(col("flag"), col("v")), col("c"), "gcum")
-      .join(broadcast(off), "flag")
+    val fcum0 = graft.operators.Ranks.runningSumByRange(
+      counts, 32, Seq(col("flag"), col("v")), col("c"), "gcum")
+    val fmax = fcum0.groupBy("flag").agg(max(col("gcum")).as("gmax"))
+    val off = fmax.as("a")
+      .join(fmax.as("b"), col("b.flag") < col("a.flag"), "left")
+      .groupBy(col("a.flag").as("flag"), col("a.gmax").as("gmax"))
+      .agg(coalesce(max(col("b.gmax")), lit(0L)).as("off"))
+      .select(col("flag"), (col("gmax") - col("off")).as("tot"), col("off"))
+    val fcum = fcum0.join(broadcast(off), "flag")
       .withColumn("cum", col("gcum") - col("off"))
     val exact = fcum.join(targets, col("cum") >= ceil(col("q") * col("tot")))
       .groupBy("flag", "q").agg(min(col("v")).as("exact_cents"))
@@ -1249,6 +1258,49 @@ object Extras {
       .orderBy("win_start", "k")
   }
 
+  /** Streaming windowed quantiles — [[graft.functions.QuantileSketchAgg]]
+    * carrying state across micro-batches, the order-statistic companion
+    * to [[eventsStreamHeavyHitters]]' CMS: purchase values (cents) fold
+    * into one 15 KiB bucket-counter sketch per 3-day event-time window,
+    * partial sketches MERGE across the chunked replay's micro-batches
+    * (element-wise long adds — exactly commutative/associative, so the
+    * drained state is bit-identical to a one-shot batch sketch, which is
+    * precisely what the oracle recomputes relationally), and the drained
+    * sketches are probed for the {0.5, 0.9, 0.99} bucket-midpoint
+    * estimates with the same pure-integer geometry as the batch
+    * [[aggQuantileSketch]] key. Watermark bounds state; per window only
+    * the sketch + a count live between batches, never rows. */
+  def eventsStreamQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = graft.streaming.StreamingOps.eventsStreamChunked(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("v"))
+      .withWatermark("ts", "2 hours")
+    val agg = ev.groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(graft.functions.QuantileSketchAgg.quantile_sketch(col("v")).as("sk"),
+        count(lit(1)).as("n"))
+    val drained = graft.streaming.StreamingOps
+      .runToCompletion(s, agg, "verify_stream_quantiles")
+    val targets = broadcast(qs.toDF("q"))
+    val buckets = drained
+      .select(col("w.start").as("win_start"), col("n"),
+        posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(graft.functions.QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(graft.functions.QuantileSketchAgg.midSql))
+      // sketch-sized relation (<= 1888 rows per window): the per-window
+      // window function is post-aggregation safe
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("win_start").orderBy("idx")))
+    buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("win_start", "q").agg(min(col("mid")).as("est_cents"))
+      .select(col("win_start"), col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"))
+      .orderBy("win_start", "q")
+  }
+
   /** The generalized rule surface: the same promotion windows as DATE
     * columns and the containment written BETWEEN (closed upper bound) —
     * date keys normalize to epoch days inside the rule (UnixDate; a
@@ -1419,6 +1471,7 @@ object Extras {
   val entries: Map[String, Q] = Map(
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "events_stream_heavy_hitters" -> (eventsStreamHeavyHitters _),
+    "events_stream_quantiles" -> (eventsStreamQuantiles _),
     "agg_cms_grouped"       -> (aggCmsGrouped _),
     "join_range_auto"       -> (joinRangeAuto _),
     "join_range_dates"      -> (joinRangeDates _),
@@ -1598,6 +1651,41 @@ object Extras {
     // counters, sample, and point estimates replayed bit-exactly
     "agg_cms_heavy_hitters" -> cmsOracleSql,
     "events_stream_heavy_hitters" -> cmsStreamHhOracleSql,
+    // the stream-merged sketch must equal a batch recomputation of the
+    // same bucket counters — the mergeability contract through the gate;
+    // bucket map + geometry are the agg_quantile_sketch integer replay,
+    // the 3-day window the heavy-hitters epoch-floor arithmetic
+    "events_stream_quantiles" ->
+      """WITH pur AS (SELECT
+        |    make_timestamp(epoch_us(ts) // 259200000000 * 259200000000)
+        |      AS win_start,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |g AS (SELECT win_start, COUNT(*)::BIGINT AS n FROM pur GROUP BY 1),
+        |b AS (SELECT win_start,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE 32 + (length(bin(v)) - 1 - 5) * 32
+        |           + ((v >> (length(bin(v)) - 1 - 5)) - 32) END AS idx,
+        |    COUNT(*)::BIGINT AS cnt
+        |  FROM pur GROUP BY 1, 2),
+        |geo AS (SELECT win_start, idx, cnt,
+        |    CASE WHEN idx < 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << CAST((idx - 32) // 32 AS INT))
+        |    END AS width,
+        |    SUM(cnt) OVER (PARTITION BY win_start ORDER BY idx) AS cum
+        |  FROM b),
+        |geo2 AS (SELECT win_start, cum,
+        |    CASE WHEN idx < 32 THEN CAST(idx AS BIGINT)
+        |         ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width
+        |           + (width - 1) // 2 END AS mid
+        |  FROM geo),
+        |t AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+        |SELECT g.win_start, t.q,
+        |  CAST(MIN(geo2.mid) AS DOUBLE) / 100.0 AS est_value
+        |FROM geo2 JOIN g ON geo2.win_start = g.win_start
+        |JOIN t ON geo2.cum >= CEIL(t.q * g.n)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_cms_grouped" -> cmsGroupedOracleSql,
     "fn_array" ->
       """WITH g AS (SELECT l_orderkey,

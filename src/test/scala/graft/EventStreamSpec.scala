@@ -19,6 +19,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty)
   }
 
+  test("stream-merged quantile sketch state is bit-identical to a " +
+      "one-shot batch sketch per window") {
+    import graft.functions.QuantileSketchAgg.quantile_sketch
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("v"))
+    val agg = prep(StreamingOps.eventsStreamChunked(spark, SF))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(quantile_sketch(col("v")).as("sk"))
+    val drained = StreamingOps
+      .runToCompletion(spark, agg, "spec_stream_quantiles")
+      .select(col("w.start").as("ws"), col("sk"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    val batch = prep(graft.Tables.load(spark, SF, "events"))
+      .groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(quantile_sketch(col("v")).as("sk"))
+      .select(col("w.start").as("ws"), col("sk"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    assert(drained.nonEmpty && drained.keySet == batch.keySet)
+    // element-wise long-add merges across micro-batches must land on the
+    // exact counter array a single batch fold produces — per window
+    drained.foreach { case (ws, sk) => assert(sk == batch(ws), s"win $ws") }
+  }
+
   test("sessionize: no intra-session gap exceeds 30 minutes") {
     val sessions = EventOps.eventsSessionize(spark, SF)
     // max sessions per user bounded by events per user
