@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Mergeable distinct-count sketch: the [[KmvAgg.K]] smallest DISTINCT
+  * hash values of the group (KMV — "k minimum values", Bar-Yossef et al.
+  * 2002), returned as a sorted-ascending `array<long>` of at most K
+  * elements. The fifth member of the engine's native sketch family
+  * ([[CmsAgg]] counts, [[TopKAgg]] heavy hitters, [[MinHashAgg]]
+  * signatures, [[QuantileSketchAgg]] order statistics; this one
+  * cardinality), and the streaming-state form of the windowed-rank KMV
+  * the batch `agg_kmv_distinct` key computes relationally.
+  *
+  * The sketch VALUE is a pure set function — "the K smallest distinct
+  * elements" does not depend on arrival or merge order — so it is
+  * bit-deterministic under any partitioning, like the rest of the
+  * family. Unlike the CMS/quantile counter sketches, whose merge is
+  * element-wise ADDITION, this merge is set UNION (then re-truncate to
+  * K): it is IDEMPOTENT — merging a partial twice yields the same
+  * state, so a replayed micro-batch merge under an at-least-once sink
+  * cannot corrupt the sketch, where an add-merge sketch would
+  * double-count. That property is pinned in KmvAggSpec.
+  *
+  * Estimation contract (computed by the CALLER from the evaluated
+  * array, keeping this aggregate a pure state fold): if the sketch
+  * holds fewer than K values it IS the distinct set's hashes and the
+  * count is exact; at K, the standard estimator (K-1) * H / h_(K) with
+  * H the hash-space size — relative std error ~ 1/sqrt(K-2), ~6.3% at
+  * K=256 for 2 KiB of state.
+  *
+  * Input domain: NON-NEGATIVE longs (a 63-bit hash such as
+  * `shiftrightunsigned(mix64(x), 1)` — the `agg_kmv_distinct` hash);
+  * a negative input means the caller skipped the unsigned shift and
+  * would silently skew the estimator's hash-space constant, so it
+  * fails loudly instead.
+  */
+case class KmvAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvAgg.Buf] {
+
+  import KmvAgg.{Buf, K}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_sketch requires a BIGINT column, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(new Array[Long](K), 0)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      require(h >= 0L, s"graft_kmv_sketch: negative hash $h " +
+        "(expected a 63-bit non-negative hash)")
+      buf.insert(h)
+    }
+    buf
+  }
+
+  /** K-bounded merge of two sorted distinct arrays — one walk. */
+  override def merge(a: Buf, b: Buf): Buf = {
+    if (b.size == 0) return a
+    if (a.size == 0) { System.arraycopy(b.arr, 0, a.arr, 0, b.size); a.size = b.size; return a }
+    val out = new Array[Long](K)
+    var i = 0; var j = 0; var n = 0
+    while (n < K && (i < a.size || j < b.size)) {
+      val takeA = j >= b.size || (i < a.size && a.arr(i) <= b.arr(j))
+      val v = if (takeA) a.arr(i) else b.arr(j)
+      if (takeA) i += 1 else j += 1
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    a.arr = out; a.size = n
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.arr.slice(0, buf.size))
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val n = bytes.length / 8
+    val bb = ByteBuffer.wrap(bytes)
+    val arr = new Array[Long](K)
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong(); i += 1 }
+    new Buf(arr, n)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv_sketch"
+}
+
+object KmvAgg {
+  /** Sketch size: 2 KiB of state, ~1/sqrt(K-2) = 6.3% std error at the
+    * estimator, EXACT below K. Shared with the key SQL via [[kSql]]. */
+  val K = 256
+
+  /** Sorted-ascending distinct minima; `size` live slots in `arr`. */
+  final class Buf(var arr: Array[Long], var size: Int) {
+    def insert(h: Long): Unit = {
+      if (size == K && h >= arr(K - 1)) return // beyond the K-th minimum
+      var idx = java.util.Arrays.binarySearch(arr, 0, size, h)
+      if (idx >= 0) return // already present (set semantics)
+      idx = -idx - 1
+      val last = math.min(size, K - 1) // slot K-1 falls off when full
+      System.arraycopy(arr, idx, arr, idx + 1, last - idx)
+      arr(idx) = h
+      if (size < K) size += 1
+    }
+  }
+
+  def kmv_sketch(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(c)).toAggregateExpression())
+  }
+
+  /** K as a SQL literal so key/oracle expressions stay in lockstep. */
+  val kSql: String = K.toString
+}

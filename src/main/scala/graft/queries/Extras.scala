@@ -1301,6 +1301,49 @@ object Extras {
       .orderBy("win_start", "q")
   }
 
+  /** Streaming windowed distinct users — [[graft.functions.KmvAgg]]
+    * carrying state across micro-batches: the cardinality companion to
+    * [[eventsStreamQuantiles]]' order statistics and
+    * `events_stream_heavy_hitters`' CMS, and the streaming-state form of
+    * the batch `agg_kmv_distinct` key (same mix64 63-bit hash, same
+    * (K-1)*H/h_K estimator). Per 3-day event-time window the K=256
+    * smallest distinct user-hashes fold into one 2 KiB sketch; partial
+    * sketches merge across the chunked replay's micro-batches by set
+    * UNION — commutative, associative, and (unlike the add-merge
+    * CMS/quantile counters) IDEMPOTENT, so a replayed micro-batch under
+    * an at-least-once sink cannot corrupt the state. Emitted per window:
+    * the live slot count, the distinct estimate (EXACT when the sketch
+    * never filled — it then IS the hash set — else the order-statistic
+    * estimator, identical double formula in both engines), and the
+    * xor-fold of the retained hashes, which pins the drained state
+    * bit-exactly through the oracle gate.
+    *
+    * 100 TB shape: watermark bounds state; between batches each window
+    * holds 2 KiB, never rows; the drained relation is |windows|-sized. */
+  def eventsStreamDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg.K
+    import graft.functions.Mix64.mix64
+    val ev = graft.streaming.StreamingOps.eventsStreamChunked(s, d)
+      .select(col("ts"),
+        shiftrightunsigned(mix64(col("user_id")), 1).as("h"))
+      .withWatermark("ts", "2 hours")
+    val agg = ev.groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(col("h")).as("sk"))
+    val drained = graft.streaming.StreamingOps
+      .runToCompletion(s, agg, "verify_stream_distinct")
+    drained
+      .select(col("w.start").as("win_start"), size(col("sk")).as("n_sketch"),
+        col("sk"))
+      .select(col("win_start"), col("n_sketch"),
+        when(col("n_sketch") >= K, round(
+          lit((K - 1).toDouble * 9.223372036854775808e18) /
+            element_at(col("sk"), K).cast("double"), 6))
+          .otherwise(col("n_sketch").cast("double")).as("est_distinct"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
+          .as("h_checksum"))
+      .orderBy("win_start")
+  }
+
   /** The generalized rule surface: the same promotion windows as DATE
     * columns and the containment written BETWEEN (closed upper bound) —
     * date keys normalize to epoch days inside the rule (UnixDate; a
@@ -1472,6 +1515,7 @@ object Extras {
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "events_stream_heavy_hitters" -> (eventsStreamHeavyHitters _),
     "events_stream_quantiles" -> (eventsStreamQuantiles _),
+    "events_stream_distinct" -> (eventsStreamDistinct _),
     "agg_cms_grouped"       -> (aggCmsGrouped _),
     "join_range_auto"       -> (joinRangeAuto _),
     "join_range_dates"      -> (joinRangeDates _),
@@ -1686,6 +1730,44 @@ object Extras {
         |FROM geo2 JOIN g ON geo2.win_start = g.win_start
         |JOIN t ON geo2.cum >= CEIL(t.q * g.n)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the KMV sketch replayed relationally: same 32-bit-limb SplitMix64
+    // replay as agg_kmv_distinct's oracle (mix is bijective, so DISTINCT
+    // before hashing equals distinct hashes), ranked per window; the
+    // sketch = rows with rn <= 256, the estimate branches on whether it
+    // filled (below K the sketch IS the set -> exact count), and the
+    // xor-fold checksum pins the retained hash set bit-exactly
+    "events_stream_distinct" ->
+      """WITH ev AS (SELECT
+        |    make_timestamp(epoch_us(ts) // 259200000000 * 259200000000)
+        |      AS win_start,
+        |    user_id::UBIGINT AS z0
+        |  FROM events),
+        |d AS (SELECT DISTINCT win_start, z0 FROM ev),
+        |t1 AS (SELECT win_start, CAST((
+        |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+        |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM d),
+        |t2 AS (SELECT win_start, CAST((
+        |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+        |hx AS (SELECT DISTINCT win_start,
+        |    CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS h FROM t2),
+        |r AS (SELECT win_start, h,
+        |  ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY h) AS rn FROM hx),
+        |g AS (SELECT win_start,
+        |  CAST(CASE WHEN MAX(rn) > 256 THEN 256 ELSE MAX(rn) END AS INTEGER)
+        |    AS n_sketch,
+        |  MAX(rn) AS n_distinct,
+        |  MAX(CASE WHEN rn = 256 THEN h END) AS h_k,
+        |  bit_xor(CASE WHEN rn <= 256 THEN h END) AS h_checksum
+        | FROM r GROUP BY 1)
+        |SELECT win_start, n_sketch,
+        |  CASE WHEN n_distinct >= 256
+        |       THEN round(255.0 * 9223372036854775808.0 / CAST(h_k AS DOUBLE), 6)
+        |       ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct,
+        |  h_checksum
+        |FROM g ORDER BY win_start""".stripMargin,
     "agg_cms_grouped" -> cmsGroupedOracleSql,
     "fn_array" ->
       """WITH g AS (SELECT l_orderkey,

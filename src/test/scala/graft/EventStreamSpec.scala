@@ -44,6 +44,32 @@ class EventStreamSpec extends AnyFunSuite {
     drained.foreach { case (ws, sk) => assert(sk == batch(ws), s"win $ws") }
   }
 
+  test("stream-merged KMV sketch state is bit-identical to a one-shot " +
+      "batch sketch per window") {
+    import graft.functions.KmvAgg.kmv_sketch
+    import graft.functions.Mix64.mix64
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ts"),
+        shiftrightunsigned(mix64(col("user_id")), 1).as("h"))
+    val agg = prep(StreamingOps.eventsStreamChunked(spark, SF))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(kmv_sketch(col("h")).as("sk"))
+    val drained = StreamingOps
+      .runToCompletion(spark, agg, "spec_stream_kmv")
+      .select(col("w.start").as("ws"), col("sk"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    val batch = prep(graft.Tables.load(spark, SF, "events"))
+      .groupBy(window(col("ts"), "3 days").as("w"))
+      .agg(kmv_sketch(col("h")).as("sk"))
+      .select(col("w.start").as("ws"), col("sk"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    assert(drained.nonEmpty && drained.keySet == batch.keySet)
+    // set-union merges across micro-batches must land on exactly the
+    // K smallest distinct hashes a single batch fold produces
+    drained.foreach { case (ws, sk) => assert(sk == batch(ws), s"win $ws") }
+  }
+
   test("sessionize: no intra-session gap exceeds 30 minutes") {
     val sessions = EventOps.eventsSessionize(spark, SF)
     // max sessions per user bounded by events per user
