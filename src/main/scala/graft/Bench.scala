@@ -674,10 +674,24 @@ object Bench {
     // comparison entirely — drift blocks empty, contended flags forced
     // false, and "baselines":"off" recorded so the driver knows the
     // adjudication surface was intentionally dark, not clean.
-    val baselinesSetting =
-      sys.env.getOrElse("SPARK_GRAFT_BASELINES", "bench-baselines.properties")
-    val baselinesOff = Seq("off", "none", "disabled")
-      .contains(baselinesSetting.toLowerCase)
+    val baselinesEnv = sys.env.get("SPARK_GRAFT_BASELINES")
+    val baselinesOff = baselinesEnv.exists(v =>
+      Seq("off", "none", "disabled").contains(v.toLowerCase))
+    // The DEFAULT checked-in file is resolved against the repo root, not
+    // the process CWD (r10 ADVICE: a bench launched from another
+    // directory silently degraded to baselines=off, forcing the
+    // contended flags false) — walk up from CWD until the file (or the
+    // .git marker) appears. An explicit SPARK_GRAFT_BASELINES=<path>
+    // stays CWD-relative as given.
+    val baselinesSetting = baselinesEnv.getOrElse {
+      val name = "bench-baselines.properties"
+      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .map(_.resolve(name))
+        .find(java.nio.file.Files.isReadable)
+        .map(_.toString)
+        .getOrElse(name)
+    }
     val baselineProps: java.util.Properties = {
       val p = new java.util.Properties()
       if (!baselinesOff) {

@@ -44,11 +44,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class KmvAgg(
     child: Expression,
+    k: Int = KmvAgg.K,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvAgg.Buf] {
 
-  import KmvAgg.{Buf, K}
+  import KmvAgg.Buf
+
+  require(k >= 2, s"graft_kmv_sketch: k=$k (estimator needs k >= 2)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -56,7 +59,7 @@ case class KmvAgg(
       s"graft_kmv_sketch requires a BIGINT column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Buf =
-    new Buf(new Array[Long](K), 0)
+    new Buf(new Array[Long](k), 0, k)
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
@@ -73,9 +76,9 @@ case class KmvAgg(
   override def merge(a: Buf, b: Buf): Buf = {
     if (b.size == 0) return a
     if (a.size == 0) { System.arraycopy(b.arr, 0, a.arr, 0, b.size); a.size = b.size; return a }
-    val out = new Array[Long](K)
+    val out = new Array[Long](k)
     var i = 0; var j = 0; var n = 0
-    while (n < K && (i < a.size || j < b.size)) {
+    while (n < k && (i < a.size || j < b.size)) {
       val takeA = j >= b.size || (i < a.size && a.arr(i) <= b.arr(j))
       val v = if (takeA) a.arr(i) else b.arr(j)
       if (takeA) i += 1 else j += 1
@@ -98,10 +101,10 @@ case class KmvAgg(
   override def deserialize(bytes: Array[Byte]): Buf = {
     val n = bytes.length / 8
     val bb = ByteBuffer.wrap(bytes)
-    val arr = new Array[Long](K)
+    val arr = new Array[Long](k)
     var i = 0
     while (i < n) { arr(i) = bb.getLong(); i += 1 }
-    new Buf(arr, n)
+    new Buf(arr, n, k)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -120,28 +123,47 @@ case class KmvAgg(
 }
 
 object KmvAgg {
-  /** Sketch size: 2 KiB of state, ~1/sqrt(K-2) = 6.3% std error at the
-    * estimator, EXACT below K. Shared with the key SQL via [[kSql]]. */
+  /** Default sketch size: 2 KiB of state, ~1/sqrt(K-2) = 6.3% std error
+    * at the estimator, EXACT below K. Shared with the key SQL via
+    * [[kSql]]; per-call sizes go through the `k` constructor param. */
   val K = 256
 
-  /** Sorted-ascending distinct minima; `size` live slots in `arr`. */
-  final class Buf(var arr: Array[Long], var size: Int) {
+  /** The hash-space size H of the 63-bit non-negative domain, 2^63 as a
+    * double — the estimator's numerator constant. One definition feeds
+    * the Spark expressions, the DuckDB oracle strings ([[hSqlLit]]) and
+    * the specs, so a K change cannot desynchronize engine from oracle
+    * (r10 ADVICE: the constants were raw literals in three places). */
+  val H: Double = 9.223372036854775808e18
+
+  /** H as the exact SQL double literal the oracle strings interpolate. */
+  val hSqlLit: String = "9223372036854775808.0"
+
+  /** Estimator numerator (K-1)*H for a given sketch size, as a Spark
+    * double and as the equivalent SQL text `"(k-1).0 * H"`. */
+  def estNumerator(k: Int): Double = (k - 1).toDouble * H
+  def estNumeratorSql(k: Int): String = s"${k - 1}.0 * $hSqlLit"
+
+  /** Sorted-ascending distinct minima; `size` live slots in `arr`,
+    * capacity `k`. */
+  final class Buf(var arr: Array[Long], var size: Int, val k: Int) {
     def insert(h: Long): Unit = {
-      if (size == K && h >= arr(K - 1)) return // beyond the K-th minimum
+      if (size == k && h >= arr(k - 1)) return // beyond the k-th minimum
       var idx = java.util.Arrays.binarySearch(arr, 0, size, h)
       if (idx >= 0) return // already present (set semantics)
       idx = -idx - 1
-      val last = math.min(size, K - 1) // slot K-1 falls off when full
+      val last = math.min(size, k - 1) // slot k-1 falls off when full
       System.arraycopy(arr, idx, arr, idx + 1, last - idx)
       arr(idx) = h
-      if (size < K) size += 1
+      if (size < k) size += 1
     }
   }
 
-  def kmv_sketch(c: Column): Column = {
+  def kmv_sketch(c: Column): Column = kmv_sketch(c, K)
+
+  def kmv_sketch(c: Column, k: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(
-      KmvAgg(ColumnBridge.expression(c)).toAggregateExpression())
+      KmvAgg(ColumnBridge.expression(c), k).toAggregateExpression())
   }
 
   /** K as a SQL literal so key/oracle expressions stay in lockstep. */

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType,
+  LongType, ShortType}
 
 /** One-pass mergeable quantile sketch over non-negative BIGINTs — the
   * order-statistic member of the engine's native sketch family (next to
@@ -51,19 +52,35 @@ case class QuantileSketchAgg(
 
   import QuantileSketchAgg.{SIZE, SUB, SUBDIV}
 
-  // update() casts the child value to Long; reject other types at
-  // analysis time instead of a runtime ClassCastException
+  // any integral type folds (bucket ids are a pure function of the
+  // widened Long value, so TINYINT..BIGINT inputs sketch identically);
+  // non-integral types are rejected at analysis time instead of a
+  // runtime ClassCastException
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_quantile_sketch requires a BIGINT column, got ${child.dataType.sql}")
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_sketch requires an integral column " +
+          s"(TINYINT/SMALLINT/INT/BIGINT), got ${other.sql} — " +
+          "cast the column to BIGINT")
+    }
+
+  // dataType-dispatched ONCE here, not per row: update() stays a
+  // monomorphic unbox in the hot path
+  private lazy val widen: Any => Long = child.dataType match {
+    case LongType => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType => v => v.asInstanceOf[Short].toLong
+    case ByteType => v => v.asInstanceOf[Byte].toLong
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](SIZE)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val k = v.asInstanceOf[Long]
+      val k = widen(v)
       // the sketch's domain is non-negative (quantized money, counts,
       // sizes); a negative value means the caller quantized wrong —
       // fail loudly rather than fold it into bucket garbage

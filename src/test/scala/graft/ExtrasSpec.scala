@@ -49,6 +49,34 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_kmv_distinct: native sketch path matches the rank-window " +
+      "formulation and plans without Window") {
+    import graft.functions.Mix64.mix64
+    import org.apache.spark.sql.expressions.Window
+    val df = Extras.aggKmvDistinct(spark, SF)
+    // the r9 formulation the native KmvAgg replaced: row_number over the
+    // distinct hashes per group (3 single-task sorts at 100x — the scale
+    // shape this key migrated away from). The sketch is a pure set
+    // function, so the two must agree bit-exactly.
+    val K = 64
+    val w = Window.partitionBy("l_returnflag").orderBy("h")
+    val legacy = graft.Tables.load(spark, SF, "lineitem")
+      .select(col("l_returnflag"),
+        shiftrightunsigned(mix64(col("l_orderkey")), 1).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === K)
+      .select(col("l_returnflag"),
+        round(lit(graft.functions.KmvAgg.estNumerator(K)) / col("h"), 6)
+          .as("approx_distinct"))
+    assert(df.collect().toSeq ==
+      legacy.orderBy("l_returnflag").collect().toSeq)
+    // the point of the migration: no rank window (and no per-group sort
+    // feeding one) anywhere in the key's plan — O(K) heap state instead
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window still in plan:\n$plan")
+  }
+
   test("approx_count_distinct within 2 sigma of exact (HLL++ rsd=0.05)") {
     val rows = Extras.aggApproxDistinctRaw(spark, SF).collect()
     rows.foreach { r =>

@@ -66,10 +66,24 @@ class KmvAggSpec extends AnyFunSuite {
       .agg(kmv_sketch(col("h")).as("sk"))
       .collect().head.getSeq[Long](0)
     assert(sk.length == K)
-    val est = (K - 1).toDouble * 9.223372036854775808e18 / sk(K - 1)
+    val est = KmvAgg.estNumerator(K) / sk(K - 1)
     val sigma = 1.0 / math.sqrt(K - 2.0)
     assert(math.abs(est - n) / n <= 3 * sigma,
       s"est=$est exact=$n rel=${math.abs(est - n) / n}")
+  }
+
+  test("parameterized k: the k=64 sketch equals the first 64 of the " +
+      "default sketch (agg_kmv_distinct's batch size)") {
+    import spark.implicits._
+    val base = hashes(3000)
+    val full = base.toDF("h").repartition(7)
+      .agg(kmv_sketch(col("h")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    val small = base.toDF("h").repartition(7)
+      .agg(kmv_sketch(col("h"), 64).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(small == full.take(64))
+    assert(small == base.distinct.sorted.take(64))
   }
 
   test("negative input fails loudly, null input is skipped") {

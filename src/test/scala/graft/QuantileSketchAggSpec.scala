@@ -75,6 +75,28 @@ class QuantileSketchAggSpec extends AnyFunSuite {
     }
   }
 
+  test("integral inputs widen: INT/SMALLINT/TINYINT sketch identically " +
+      "to the BIGINT cast (r10 ADVICE — no mandatory explicit cast)") {
+    import spark.implicits._
+    val vs = (0 until 500).map(i =>
+      (graft.functions.Mix64.mix(i.toLong) & 0x7f).toInt)
+    val asLong = vs.map(_.toLong).toDF("v")
+      .agg(quantile_sketch(col("v")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    for (t <- Seq("int", "smallint", "tinyint")) {
+      val got = vs.toDF("v").select(col("v").cast(t).as("v"))
+        .agg(quantile_sketch(col("v")).as("sk"))
+        .collect().head.getSeq[Long](0)
+      assert(got == asLong, s"type=$t")
+    }
+    // non-integral still rejected at analysis time
+    val ex = intercept[Exception] {
+      Seq(1.5).toDF("v").agg(quantile_sketch(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("integral") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("negative input fails loudly, null input is skipped") {
     import spark.implicits._
     val ex = intercept[Exception] {
