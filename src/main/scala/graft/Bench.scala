@@ -271,7 +271,7 @@ object Bench {
     // at ~2.5 min of budget (dedup_semantic ~12s x 2 reps after the r9
     // assignUdf unboxing); SPARK_GRAFT_SF10=1 widens it to the full
     // 13-key tier (~4 min) for the ROADMAP curve.
-    val (sf10gen, sf10) = {
+    val (sf10gen, sf10, sf10Brackets) = {
       val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
         case Some(v) if v == "1" || v.equalsIgnoreCase("true") => true
         case Some(v) =>
@@ -307,7 +307,26 @@ object Bench {
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
       val genSec = (System.nanoTime() - g0) / 1e9
-      (genSec, probeTier("sf10", dir, keys, reps = 2, isolate = true))
+      // EVERY sf10 key is mem-canary bracketed (r10 VERDICT item 1: the
+      // tri_mem pattern, generalized): the intra-tier churn mode that
+      // degraded graph_triangle_sketch's rep 2 for three rounds was
+      // DISPLACED by its tier-order fix onto text_line_dedup ([9.0,
+      // 36.7]s vs 5.46 quiet, r10) with clean TIER-level canaries —
+      // per-key [before, after] machine-state readings make any residual
+      // degradation self-adjudicating instead of unattributable. The
+      // boundary canary between two keys serves as key i's post AND key
+      // i+1's pre (~3.5s per boundary, ~30s for the default 8-key tier).
+      val bounds = scala.collection.mutable.ArrayBuffer[Double]()
+      bounds += memCanarySec()
+      val probed = keys.map { k =>
+        val r = probeTier("sf10", dir, Seq(k), reps = 2, isolate = true).head
+        bounds += memCanarySec()
+        r
+      }
+      val brackets = keys.zipWithIndex.map { case (k, i) =>
+        k -> (bounds(i), bounds(i + 1))
+      }
+      (genSec, probed, brackets)
     }
 
     // physical plan node counts — the reference's secondary metric
@@ -785,6 +804,37 @@ object Bench {
     val (driftRows, driftOmitted) = driftRowsFor(sf1, quietMedians("sf1."))
     val (driftRowsSf10, driftOmittedSf10) =
       driftRowsFor(sf10, quietMedians("sf10."))
+    // Scoreboard quiet baselines (r10 VERDICT item 2): the skew/mv/
+    // lookup/join-reorder/recall blocks had NO baselines, so r10's
+    // salted-join inversion (salted 4.64 vs plain 2.74, flipping the
+    // r8/r9 ordering with untouched code) arrived unadjudicated. Same
+    // >1.5x rule as the per-key drift for the timing boards; the quality
+    // boards (recalls/ratios, in [0,1]) flag when they DROP more than
+    // 0.05 below quiet. Values live under board.<block>.<key> in
+    // bench-baselines.properties; a missing entry doesn't participate.
+    val boardDrift: Seq[(String, Double, Double)] = Seq(
+      ("mv_speedup", mvTriplet, true),
+      ("skew_join", skewTriplet, true),
+      ("lookup", lookupPair, true),
+      // reordered is a 0/1 plan fact, not a timing
+      ("join_reorder", joinReorder.filter(_._1.endsWith("_sec")), true),
+      ("ann_recall", annRecall, false),
+      ("triangle_sketch", triSketch, false)
+    ).flatMap { case (block, vals, timing) =>
+      val quiet = quietMedians(s"board.$block.")
+      vals.flatMap { case (k, v) =>
+        quiet.get(k).flatMap { q =>
+          val flagged =
+            if (v < 0) false // crash sentinel: already visible as -1
+            else if (timing) v > 1.5 * q
+            else v < q - 0.05
+          if (flagged) Some((s"$block.$k", v, q)) else None
+        }
+      }
+    }
+    val boardDriftJson = boardDrift.map { case (k, v, q) =>
+      "\"" + k + f"""\":[$v%.2f,$q%.2f]"""
+    }.mkString("{", ",", "}")
     // "omitted" rides INSIDE the drift object (query keys can't collide
     // with it) so the object's shape is self-describing when truncated
     def driftJsonOf(rows: Seq[(String, Double, Double, Double)],
@@ -810,19 +860,25 @@ object Bench {
       xs.map { case (k, s) =>
         "\"" + k + "\":[" + s.map(v => f"$v%.4f").mkString(",") + "]"
       }.mkString("{", ",", "}")
+    def bracketsJson(dp: Int): String =
+      sf10Brackets.map { case (k, (a, b)) =>
+        "\"" + k + s"""\":[${s"%.${dp}f".format(a)},${
+          s"%.${dp}f".format(b)}]"""
+      }.mkString("{", ",", "}")
     val s10full = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" +
         jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
       ""","queries_sf10_median":""" +
         jmap(sf10.map { case (k, s) => k -> medianOf(s) }) +
-      ""","queries_sf10_samples":""" + samplesMap(sf10)
+      ""","queries_sf10_samples":""" + samplesMap(sf10) +
+      ""","sf10_brackets":""" + bracketsJson(4)
     val fullJson =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_r7_basis":$totalR7%.4f,"queries":${
         jmap(results.map { case (k, s) => k -> bestOf(s) })},"queries_median":${
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
-        samplesMap(sf1)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"baselines":"${
+        samplesMap(sf1)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
         if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
@@ -885,10 +941,23 @@ object Bench {
     // OMITTED and a boolean *_deferred flag marks why. The sf0.1 per-key
     // map lives only in bench_full (no sentinel field pretending
     // otherwise); everything deferred is always in bench_full too.
+    // compact line carries only the bracket pairs that ADJUDICATE
+    // something (post-canary hot relative to pre, or absolutely hot
+    // against the quiet expectation) — the full per-key pairs are in
+    // bench_full. Quiet run => empty object, ~20 bytes.
+    val flaggedBrackets = sf10Brackets.filter { case (_, (a, b)) =>
+      b > 1.5 * a || (baselinesOn && b > 2 * memExpected)
+    }
+    val flaggedBracketsT = flaggedBrackets.map { case (k, (a, b)) =>
+      "\"" + k + s"""\":[${trim(a, 2)},${trim(b, 2)}]"""
+    }.mkString("{", ",", "}")
+    val boardDriftT = boardDrift.map { case (k, v, q) =>
+      "\"" + k + s"""\":[${trim(v, 2)},${trim(q, 2)}]"""
+    }.mkString("{", ",", "}")
     def compactLine(level: Int) = {
       val d = if (level < 1)
         s""","drift":${driftT(driftRows, driftOmitted)},"drift_sf10":${
-          driftT(driftRowsSf10, driftOmittedSf10)}"""
+          driftT(driftRowsSf10, driftOmittedSf10)},"sf10_brackets":$flaggedBracketsT,"board_drift":$boardDriftT"""
       else ""","drift_deferred":true"""
       val boards = if (level < 2)
         s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${
