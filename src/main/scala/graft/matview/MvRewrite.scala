@@ -203,6 +203,17 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case Max(x1) => canon(x1, baseIn) == canon(x, queryIn)
               case _ => false
             }).map(m => Max(m).toAggregateExpression())
+          // a stored add-merge sketch (long-counter vector) re-aggregates
+          // by element-wise sum — the merged counters are bit-identical
+          // to a one-shot sketch over the base rows, so this is the one
+          // rewrite where the MV stores a SKETCH, not row aggregates
+          case qs: graft.functions.QuantileSketchAgg =>
+            storedAgg(_.aggregateFunction match {
+              case q1: graft.functions.QuantileSketchAgg =>
+                canon(q1.child, baseIn) == canon(qs.child, queryIn)
+              case _ => false
+            }).map(m =>
+              graft.functions.VecSumAgg(m).toAggregateExpression())
           case _ => None
         }
         re.map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))

@@ -1043,6 +1043,59 @@ object Lifecycle {
       .orderBy("o_orderstatus")
   }
 
+  /** Sketch-storing MV rewrite — the first rewrite where the MV holds a
+    * SKETCH, not row aggregates: per (returnflag, ship-month) the MV
+    * stores a [[graft.functions.QuantileSketchAgg]] counter vector (plus
+    * the row count); the whole-history per-flag quantile question is then
+    * answered by element-wise SUMMING the stored monthly vectors
+    * ([[graft.functions.VecSumAgg]] via the MvRewrite containment path)
+    * — counter addition is commutative/associative, so the merged sketch
+    * is bit-identical to a one-shot sketch over the base rows and the
+    * oracle replays the integer bucket map directly from lineitem. At
+    * 100 TB this is the pre-aggregation pattern for percentile
+    * dashboards: month partitions fold into 15 KiB sketches once; any
+    * coarser rollup reads |months| vectors instead of re-scanning rows. */
+  def matviewSketchRewrite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QuantileSketchAgg
+    val m = Materializer(s).enableAutoRewrite()
+    def cents = round(col("l_extendedprice") * 100).cast("long")
+    def grain(cs: org.apache.spark.sql.Column*) =
+      load(s, d, "lineitem").groupBy(cs: _*)
+        .agg(QuantileSketchAgg.quantile_sketch(cents).as("sk"),
+          count(lit(1)).as("n"))
+    m.create("mv_sketch_month",
+      grain(col("l_returnflag"), date_trunc("month", col("l_shipdate"))))
+    val q = grain(col("l_returnflag"))
+    // the substantive claim: the per-flag sketch is served by merging the
+    // stored monthly sketches, never re-scanning the fact table
+    val plan = q.queryExecution.executedPlan.toString
+    val served = plan.contains("mv_sketch_month") &&
+      !plan.contains("lineitem.parquet")
+    m.deregisterAll() // scope the rewrite to this query
+    // quantile estimates from the merged counters — the downstream
+    // geometry of agg_quantile_sketch (bucket width/mid, cum over the
+    // <= 1888-row sketch relation, 3-row target broadcast)
+    import s.implicits._
+    val targets = broadcast(Seq(0.5, 0.9, 0.99).toDF("q"))
+    val buckets = q
+      .select(col("l_returnflag"), col("n"),
+        posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(QuantileSketchAgg.midSql))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("l_returnflag").orderBy("idx")))
+    buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("l_returnflag", "q")
+      .agg(min(col("mid")).as("est_cents"), max(col("n")).as("n_rows"))
+      .select(col("l_returnflag"), col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"),
+        col("n_rows"),
+        lit(served).as("served_from_mv"))
+      .orderBy("l_returnflag", "q")
+  }
+
   /** Average containment: the MV stores (decimal sum, count) per priority;
     * the exact-average query (cast(sum)/count composite) re-aggregates both
     * from the MV — the rewrite walks arbitrary expression trees over
@@ -1308,6 +1361,7 @@ object Lifecycle {
     "constraint_detect" -> (constraintDetect _),
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
     "matview_rollup_rewrite" -> (matviewRollupRewrite _),
+    "matview_sketch_rewrite" -> (matviewSketchRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "ddl_char_storage"  -> (ddlCharStorage _),
@@ -1583,6 +1637,42 @@ object Lifecycle {
         |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |true AS served_from_mv
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the merged monthly counters are bit-identical to a one-shot sketch
+    // over the rows (element-wise addition), so the oracle replays the
+    // agg_quantile_sketch integer bucket map directly from lineitem; the
+    // served_from_mv plan fact pins that the engine read sketch vectors
+    "matview_sketch_rewrite" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |g AS (SELECT l_returnflag, COUNT(*)::BIGINT AS n FROM li GROUP BY 1),
+        |b AS (SELECT l_returnflag,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE 32 + (length(bin(v)) - 1 - 5) * 32
+        |           + ((v >> (length(bin(v)) - 1 - 5)) - 32) END AS idx,
+        |    COUNT(*)::BIGINT AS cnt
+        |  FROM li GROUP BY 1, 2),
+        |geo AS (SELECT l_returnflag, idx, cnt,
+        |    CASE WHEN idx < 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << CAST((idx - 32) // 32 AS INT))
+        |    END AS width,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum
+        |  FROM b),
+        |geo2 AS (SELECT l_returnflag, cum,
+        |    CASE WHEN idx < 32 THEN CAST(idx AS BIGINT)
+        |         ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width
+        |           + (width - 1) // 2 END AS mid
+        |  FROM geo),
+        |t AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+        |est AS (SELECT geo2.l_returnflag, t.q, MIN(geo2.mid) AS est_cents
+        |  FROM geo2 JOIN g ON geo2.l_returnflag = g.l_returnflag
+        |  JOIN t ON geo2.cum >= CEIL(t.q * g.n)
+        |  GROUP BY 1, 2)
+        |SELECT est.l_returnflag, est.q,
+        |  CAST(est_cents AS DOUBLE) / 100.0 AS est_value,
+        |  g.n AS n_rows, true AS served_from_mv
+        |FROM est JOIN g ON est.l_returnflag = g.l_returnflag
+        |ORDER BY 1, 2""".stripMargin,
     "matview_auto_rewrite" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

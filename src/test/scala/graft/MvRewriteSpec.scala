@@ -68,6 +68,43 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("matview_sketch_rewrite: per-flag sketch served by merging stored " +
+      "monthly sketch vectors, values = direct recompute") {
+    val rows = graft.queries.Lifecycle.matviewSketchRewrite(spark, SF)
+      .collect()
+    assert(rows.length == 9) // 3 returnflags x 3 quantiles
+    assert(rows.forall(_.getAs[Boolean]("served_from_mv")),
+      "per-flag sketch query was not served from the sketch MV")
+    // direct (no MV, no rewrite): the same estimate from a one-shot
+    // sketch over the base rows — the add-merge identity end to end
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QuantileSketchAgg
+    import spark.implicits._
+    val li = graft.Tables.load(spark, SF, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(QuantileSketchAgg.quantile_sketch(
+        round(col("l_extendedprice") * 100).cast("long")).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(QuantileSketchAgg.midSql))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("l_returnflag").orderBy("idx")))
+      .join(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("l_returnflag", "q")
+      .agg(min(col("mid")).as("est_cents"))
+      .select(col("l_returnflag"), col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"))
+      .orderBy("l_returnflag", "q")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq == direct.map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq)
+  }
+
   test("after drop, the rewrite no longer fires") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw3")
       .enableAutoRewrite()
