@@ -623,24 +623,60 @@ object Dedup {
       .select(col("l_suppkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + P).as("dst"))
       .distinct()
+    // SERIALIZED checkpoint (the dedup_semantic / triangle-sketch
+    // lesson, hit live here at sf10: the default deserialized level
+    // pins ~2x|lineitem| edge ROW OBJECTS on the heap across all 10
+    // iterations and OOMs a 16g one-box run at 120M directed edges;
+    // MEMORY_AND_DISK_SER keeps them in flat GC-invisible buffers)
+    val SER = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // Iteration-loop layout (measured at sf10, 120M directed edges: the
+    // naive loop ran 325s because every lazily-referenced relation was
+    // re-derived from the edge corpus INSIDE each iteration's plan —
+    // nodes' 112M-row distinct, deg's 112M-row rollup, and an SMJ
+    // re-sort of the full edge side, three edge-scale passes per round
+    // beyond the two the algorithm needs):
+    //   - edges are hash-partitioned on src BEFORE the checkpoint
+    //     (LogicalRDD preserves outputPartitioning, so every
+    //     iteration's src-keyed join reuses it — only the |nodes|-sized
+    //     rank relation moves per round);
+    //   - nodes and deg are checkpointed |nodes|-sized relations, built
+    //     once partition-locally (HashPartitioning(src) already
+    //     satisfies their clustering);
+    //   - ranks and deg pre-merge into ONE src-keyed relation per
+    //     round, so the edge corpus is probed once, with a shuffle-hash
+    //     hint (the build side is |nodes|/parts per task; an SMJ would
+    //     re-sort 112M edge rows per round instead).
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .localCheckpoint(true, SER)
     val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true, SER)
     val nNodes = nodes.count()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true, SER)
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     for (_ <- 1 to 10) {
-      val contrib = edges.join(ranks, col("src") === col("id"))
-        .join(deg, "src")
-        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      val rd = ranks.join(deg, col("id") === col("src"))
+        .select(col("id"), (col("rank") / col("deg")).as("c"))
+      val contrib = edges.join(rd.hint("shuffle_hash"),
+          col("src") === col("id"))
+        .select(col("dst"), col("src"), col("c"))
+      // deterministic double fold in ascending src order — native
+      // OrderedSumAgg (primitive pair buffers, sort-at-eval) instead of
+      // aggregate(array_sort(collect_list(struct))): same fold order the
+      // oracle replays, ~half the per-iteration agg cost and a GC-flat
+      // buffer instead of a struct object per edge (ProfPR, round 11)
       val summed = contrib.groupBy("dst")
-        .agg(expr("aggregate(array_sort(collect_list(struct(src, c))), " +
-          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("in_sum"))
+        .agg(graft.functions.OrderedSumAgg
+          .ordered_sum(col("src"), col("c")).as("in_sum"))
+      // SER here too: 10 iteration checkpoints coexist (nothing
+      // unpersists the previous one until the loop ends), so the
+      // deserialized level would stack |nodes| x 10 row objects
       ranks = nodes.join(summed, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(0.15 / nNodes) +
             lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(true, SER)
     }
     ranks
       .select(col("id"),

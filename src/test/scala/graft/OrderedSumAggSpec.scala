@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.OrderedSumAgg
+
+class OrderedSumAggSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // adversarial doubles: many magnitudes, so addition order genuinely
+  // changes the result (the property the aggregate exists to pin down)
+  private def rows(n: Int): Seq[(Int, Long, Double)] =
+    (0 until n).map { i =>
+      val m = graft.functions.Mix64.mix(i.toLong)
+      val mag = (m & 63).toInt - 32
+      (i % 17, m >>> 40, math.copySign(math.pow(2.0, mag), (m & 1) - 0.5))
+    }
+
+  test("bit-identical to the collect_list ordered fold, under any " +
+      "partitioning (the graph_pagerank replay identity)") {
+    import spark.implicits._
+    val base = rows(20000)
+    val viaLambda = base.toDF("g", "k", "v").repartition(5)
+      .groupBy("g")
+      .agg(expr("aggregate(array_sort(collect_list(struct(k, v))), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val got = base.toDF("g", "k", "v").repartition(parts)
+        .groupBy("g")
+        .agg(OrderedSumAgg.ordered_sum(col("k"), col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(got == viaLambda, s"parts=$parts")
+    }
+  }
+
+  test("duplicate keys fold in one canonical order (value-bits tiebreak)") {
+    import spark.implicits._
+    // all pairs share one key; permuted input and any partitioning must
+    // still produce one bit-exact result
+    val vs = rows(5000).map(_._3)
+    val results = Seq(vs, vs.reverse, scala.util.Random.shuffle(vs)).flatMap {
+      in => Seq(1, 7, 32).map { parts =>
+        in.map(v => (1L, v)).toDF("k", "v").repartition(parts)
+          .agg(OrderedSumAgg.ordered_sum(col("k"), col("v")).as("s"))
+          .collect().head.getDouble(0)
+      }
+    }
+    assert(results.distinct.size == 1, s"got ${results.distinct}")
+  }
+
+  test("nulls are skipped; empty group folds to 0.0") {
+    import spark.implicits._
+    val got = Seq((Some(1L), Some(2.0)), (None, Some(9.0)),
+        (Some(3L), None), (Some(2L), Some(1.0)))
+      .toDF("k", "v")
+      .agg(OrderedSumAgg.ordered_sum(col("k"), col("v")).as("s"))
+      .collect().head.getDouble(0)
+    assert(got == 3.0)
+    val empty = Seq((Option.empty[Long], Option.empty[Double])).toDF("k", "v")
+      .agg(OrderedSumAgg.ordered_sum(col("k"), col("v")).as("s"))
+      .collect().head.getDouble(0)
+    assert(empty == 0.0)
+  }
+}

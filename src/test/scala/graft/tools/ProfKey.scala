@@ -37,7 +37,10 @@ object ProfKey {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run() // warmup
+    // PROFKEY_WARMUP=0 skips the warmup run: for multi-minute decade
+    // probes (pagerank at sf100 ~25 min/run) JIT warmup is noise and a
+    // throwaway full run doubles the probe's wall-clock budget
+    if (sys.env.getOrElse("PROFKEY_WARMUP", "1") != "0") run()
     val ts = (1 to reps).map(_ => run())
     println(f"[profkey] $key @ $dir: best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     if (sys.env.contains("PROFKEY_EXPLAIN")) {
