@@ -29,6 +29,20 @@ object ProfKey {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // iterative decade probes (pagerank at sf100) leave each
+      // iteration's now-unreferenced shuffle files on disk until a
+      // driver GC lets the ContextCleaner delete them — at 1.2B-edge
+      // iterations that fills the box (observed: 42 GB of blockmgr in
+      // 4 min, 57 GB free) long before Spark's default 30 min periodic
+      // GC. 60s keeps steady-state disk at ~2 live iterations.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "60s"))
+      // SER storage-level blocks are NOT compressed by default: at sf100
+      // pagerank's 1.2B-edge checkpoint that is ~25 GB of raw blocks on
+      // a 55 GB-free box (died "No space left on device", stage 16) vs
+      // ~8 GB under lz4 — the knob a deployment sets whenever it uses
+      // *_SER levels
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(): Double = {
