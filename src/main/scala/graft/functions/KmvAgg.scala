@@ -72,21 +72,9 @@ case class KmvAgg(
     buf
   }
 
-  /** K-bounded merge of two sorted distinct arrays — one walk. */
-  override def merge(a: Buf, b: Buf): Buf = {
-    if (b.size == 0) return a
-    if (a.size == 0) { System.arraycopy(b.arr, 0, a.arr, 0, b.size); a.size = b.size; return a }
-    val out = new Array[Long](k)
-    var i = 0; var j = 0; var n = 0
-    while (n < k && (i < a.size || j < b.size)) {
-      val takeA = j >= b.size || (i < a.size && a.arr(i) <= b.arr(j))
-      val v = if (takeA) a.arr(i) else b.arr(j)
-      if (takeA) i += 1 else j += 1
-      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
-    }
-    a.arr = out; a.size = n
-    a
-  }
+  /** K-bounded merge of two sorted distinct arrays — one walk (shared
+    * with the re-aggregation form, [[KmvUnionAgg]]). */
+  override def merge(a: Buf, b: Buf): Buf = KmvUnionAgg.mergeBufs(a, b, k)
 
   override def eval(buf: Buf): Any =
     new GenericArrayData(buf.arr.slice(0, buf.size))

@@ -203,10 +203,12 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case Max(x1) => canon(x1, baseIn) == canon(x, queryIn)
               case _ => false
             }).map(m => Max(m).toAggregateExpression())
-          // a stored add-merge sketch (long-counter vector) re-aggregates
-          // by element-wise sum — the merged counters are bit-identical
-          // to a one-shot sketch over the base rows, so this is the one
-          // rewrite where the MV stores a SKETCH, not row aggregates
+          // stored SKETCHES re-aggregate by their merge operator — the
+          // merged sketch is bit-identical to a one-shot sketch over the
+          // base rows, so these are the rewrites where the MV stores a
+          // sketch, not row aggregates: the add-merge counter vectors
+          // (quantile histogram, CMS) by element-wise sum, the KMV
+          // minima set by k-bounded union
           case qs: graft.functions.QuantileSketchAgg =>
             storedAgg(_.aggregateFunction match {
               case q1: graft.functions.QuantileSketchAgg =>
@@ -214,6 +216,23 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             }).map(m =>
               graft.functions.VecSumAgg(m).toAggregateExpression())
+          case cs: graft.functions.CmsAgg =>
+            storedAgg(_.aggregateFunction match {
+              case c1: graft.functions.CmsAgg =>
+                // geometry must match: summing counters of different
+                // (seeds, width) grids would be silent garbage
+                c1.seeds == cs.seeds && c1.width == cs.width &&
+                  canon(c1.child, baseIn) == canon(cs.child, queryIn)
+              case _ => false
+            }).map(m =>
+              graft.functions.VecSumAgg(m).toAggregateExpression())
+          case ks: graft.functions.KmvAgg =>
+            storedAgg(_.aggregateFunction match {
+              case k1: graft.functions.KmvAgg => k1.k == ks.k &&
+                canon(k1.child, baseIn) == canon(ks.child, queryIn)
+              case _ => false
+            }).map(m =>
+              graft.functions.KmvUnionAgg(m, ks.k).toAggregateExpression())
           case _ => None
         }
         re.map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))

@@ -1096,6 +1096,45 @@ object Lifecycle {
       .orderBy("l_returnflag", "q")
   }
 
+  /** KMV-storing MV rewrite — the union-merge companion of
+    * [[matviewSketchRewrite]]'s add-merge counters: per (returnflag,
+    * ship-month) the MV stores the K smallest distinct order-key hashes
+    * ([[graft.functions.KmvAgg]]); the whole-history per-flag
+    * distinct-count question is answered by k-bounded set UNION of the
+    * stored monthly sketches ([[graft.functions.KmvUnionAgg]] via the
+    * rewrite) — KMV's classic mergeability: the K smallest of a union
+    * are computable from the per-part K smallest, so the merged sketch
+    * is bit-identical to a one-shot sketch over the base rows. The
+    * xor-fold checksum pins the merged sketch CONTENT through the
+    * oracle, not just the estimate. */
+  def matviewKmvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg
+    import graft.functions.KmvAgg.K
+    import graft.functions.Mix64.mix64
+    val m = Materializer(s).enableAutoRewrite()
+    def h = shiftrightunsigned(mix64(col("l_orderkey")), 1)
+    def grain(cs: org.apache.spark.sql.Column*) =
+      load(s, d, "lineitem").groupBy(cs: _*)
+        .agg(KmvAgg.kmv_sketch(h).as("sk"))
+    m.create("mv_kmv_month",
+      grain(col("l_returnflag"), date_trunc("month", col("l_shipdate"))))
+    val q = grain(col("l_returnflag"))
+    val plan = q.queryExecution.executedPlan.toString
+    val served = plan.contains("mv_kmv_month") &&
+      !plan.contains("lineitem.parquet")
+    m.deregisterAll() // scope the rewrite to this query
+    q.select(col("l_returnflag"), size(col("sk")).as("n_sketch"), col("sk"))
+      .select(col("l_returnflag"), col("n_sketch"),
+        when(col("n_sketch") >= K, round(
+          lit(KmvAgg.estNumerator(K)) /
+            element_at(col("sk"), K).cast("double"), 6))
+          .otherwise(col("n_sketch").cast("double")).as("est_distinct"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
+          .as("h_checksum"),
+        lit(served).as("served_from_mv"))
+      .orderBy("l_returnflag")
+  }
+
   /** Average containment: the MV stores (decimal sum, count) per priority;
     * the exact-average query (cast(sum)/count composite) re-aggregates both
     * from the MV — the rewrite walks arbitrary expression trees over
@@ -1362,6 +1401,7 @@ object Lifecycle {
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
     "matview_rollup_rewrite" -> (matviewRollupRewrite _),
     "matview_sketch_rewrite" -> (matviewSketchRewrite _),
+    "matview_kmv_rewrite" -> (matviewKmvRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "ddl_char_storage"  -> (ddlCharStorage _),
@@ -1637,6 +1677,42 @@ object Lifecycle {
         |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |true AS served_from_mv
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // KMV mergeability: the k-bounded union of the monthly sketches IS
+    // the one-shot sketch over all rows, so the oracle replays the
+    // SplitMix64 hash + per-flag rank directly from lineitem (the
+    // agg_kmv_distinct chain at K=256, constants interpolated from
+    // KmvAgg); the xor-fold checksum pins the merged sketch content
+    "matview_kmv_rewrite" ->
+      s"""WITH z0s AS (SELECT DISTINCT l_returnflag, l_orderkey::UBIGINT AS z0 FROM lineitem),
+        |t1 AS (SELECT l_returnflag, CAST((
+        |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+        |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM z0s),
+        |t2 AS (SELECT l_returnflag, CAST((
+        |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+        |hx AS (SELECT DISTINCT l_returnflag,
+        |    CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS h FROM t2),
+        |r AS (SELECT l_returnflag, h,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hx),
+        |g AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN MAX(rn) > ${graft.functions.KmvAgg.kSql}
+        |    THEN ${graft.functions.KmvAgg.kSql} ELSE MAX(rn) END
+        |    AS INTEGER) AS n_sketch,
+        |  MAX(rn) AS n_distinct,
+        |  MAX(CASE WHEN rn = ${graft.functions.KmvAgg.kSql} THEN h END) AS h_k,
+        |  bit_xor(CASE WHEN rn <= ${graft.functions.KmvAgg.kSql} THEN h END)
+        |    AS h_checksum
+        | FROM r GROUP BY 1)
+        |SELECT l_returnflag, n_sketch,
+        |  CASE WHEN n_distinct >= ${graft.functions.KmvAgg.kSql}
+        |       THEN round(${
+          graft.functions.KmvAgg.estNumeratorSql(graft.functions.KmvAgg.K)}
+        |         / CAST(h_k AS DOUBLE), 6)
+        |       ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct,
+        |  h_checksum, true AS served_from_mv
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     // the merged monthly counters are bit-identical to a one-shot sketch
     // over the rows (element-wise addition), so the oracle replays the
     // agg_quantile_sketch integer bucket map directly from lineitem; the

@@ -105,6 +105,52 @@ class MvRewriteSpec extends AnyFunSuite {
         (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq)
   }
 
+  test("matview_kmv_rewrite: per-flag KMV served by k-bounded union of " +
+      "stored monthly sketches, bit-identical to the one-shot sketch") {
+    import graft.functions.KmvAgg
+    import graft.functions.Mix64.mix64
+    val rows = graft.queries.Lifecycle.matviewKmvRewrite(spark, SF)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Boolean]("served_from_mv")),
+      "per-flag KMV query was not served from the sketch MV")
+    // direct one-shot sketch over the base rows: n_sketch + checksum
+    // must match the merged-monthly path exactly
+    val direct = graft.Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(KmvAgg.kmv_sketch(
+        shiftrightunsigned(mix64(col("l_orderkey")), 1)).as("sk"))
+      .select(col("l_returnflag"), size(col("sk")).as("n_sketch"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
+          .as("h_checksum"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+      .toSeq == direct.map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
+  test("CMS sketches re-aggregate through the rewrite: a coarser-grain " +
+      "CMS query is served by vector-summing the stored fine sketches") {
+    import graft.functions.CmsAgg
+    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcms")
+      .enableAutoRewrite()
+    val seeds = Seq(0x9e3779b97f4a7c15L, 0x5851f42d4c957f2dL)
+    def grain(cs: String*) = graft.Tables.load(spark, SF, "lineitem")
+      .groupBy(cs.map(col): _*)
+      .agg(CmsAgg.cms(col("l_suppkey").cast("long"), seeds, 1024).as("cms"))
+    val direct = grain("l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    m.create("mv_cms_fine", grain("l_returnflag", "l_linestatus"))
+    val q = grain("l_returnflag")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("mv_cms_fine") &&
+      plan.contains("graft_vec_sum"), s"no CMS rewrite in plan:\n$plan")
+    val got = q.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == direct)
+    m.dropCascade("mv_cms_fine")
+  }
+
   test("after drop, the rewrite no longer fires") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw3")
       .enableAutoRewrite()
