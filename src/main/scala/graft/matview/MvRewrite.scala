@@ -233,6 +233,14 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             }).map(m =>
               graft.functions.KmvUnionAgg(m, ks.k).toAggregateExpression())
+          // ... and the max-merge HLL registers by element-wise max
+          case hs: graft.functions.HllAgg =>
+            storedAgg(_.aggregateFunction match {
+              case h1: graft.functions.HllAgg => h1.p == hs.p &&
+                canon(h1.child, baseIn) == canon(hs.child, queryIn)
+              case _ => false
+            }).map(m =>
+              graft.functions.VecMaxAgg(m).toAggregateExpression())
           case _ => None
         }
         re.map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))

@@ -1135,6 +1135,42 @@ object Lifecycle {
       .orderBy("l_returnflag")
   }
 
+  /** HLL-storing MV rewrite — the MAX-merge completion of the sketch-MV
+    * family next to [[matviewSketchRewrite]]'s add-merge counters and
+    * [[matviewKmvRewrite]]'s union-merge minima: per (returnflag,
+    * ship-month) the MV stores the 512 HLL registers
+    * ([[graft.functions.HllAgg]]); the whole-history per-flag
+    * distinct-count question is answered by element-wise MAX of the
+    * stored monthly registers ([[graft.functions.VecMaxAgg]] via the
+    * rewrite) — each register is a pure MAX over the underlying hash
+    * set, so the folded vector is bit-identical to a one-shot sketch
+    * over the base rows and the oracle replays the registers directly
+    * from lineitem. The position-weighted checksum pins the merged
+    * register CONTENT through the oracle, not just the estimate. */
+  def matviewHllRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HllAgg
+    import graft.functions.Mix64.mix64
+    val m = Materializer(s).enableAutoRewrite()
+    def h = shiftrightunsigned(mix64(col("l_orderkey")), 1)
+    def grain(cs: org.apache.spark.sql.Column*) =
+      load(s, d, "lineitem").groupBy(cs: _*)
+        .agg(HllAgg.hll_sketch(h).as("regs"))
+    m.create("mv_hll_month",
+      grain(col("l_returnflag"), date_trunc("month", col("l_shipdate"))))
+    val q = grain(col("l_returnflag"))
+    val plan = q.queryExecution.executedPlan.toString
+    val served = plan.contains("mv_hll_month") &&
+      !plan.contains("lineitem.parquet")
+    m.deregisterAll() // scope the rewrite to this query
+    q.select(col("l_returnflag"),
+        HllAgg.nZero("regs").as("n_zero"),
+        HllAgg.regChecksum("regs").as("reg_checksum"),
+        HllAgg.estimate(HllAgg.sRegs("regs"), HllAgg.nZero("regs"))
+          .as("est_distinct"),
+        lit(served).as("served_from_mv"))
+      .orderBy("l_returnflag")
+  }
+
   /** Average containment: the MV stores (decimal sum, count) per priority;
     * the exact-average query (cast(sum)/count composite) re-aggregates both
     * from the MV — the rewrite walks arbitrary expression trees over
@@ -1402,6 +1438,7 @@ object Lifecycle {
     "matview_rollup_rewrite" -> (matviewRollupRewrite _),
     "matview_sketch_rewrite" -> (matviewSketchRewrite _),
     "matview_kmv_rewrite" -> (matviewKmvRewrite _),
+    "matview_hll_rewrite" -> (matviewHllRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
     "ddl_create_insert" -> (ddlCreateInsert _),
     "ddl_char_storage"  -> (ddlCharStorage _),
@@ -1713,6 +1750,44 @@ object Lifecycle {
         |       ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct,
         |  h_checksum, true AS served_from_mv
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    // HLL mergeability: element-wise MAX of the monthly register vectors
+    // IS the one-shot register vector over all rows (each register is a
+    // pure MAX over the hash set), so the oracle replays the registers
+    // directly from lineitem — the agg_hll_distinct grid replay with
+    // constants interpolated from HllAgg
+    "matview_hll_rewrite" ->
+      s"""WITH z0s AS (SELECT DISTINCT l_returnflag AS grp,
+        |    l_orderkey::UBIGINT AS z0 FROM lineitem),
+        |t1 AS (SELECT grp, CAST((
+        |   (xor(z0, z0 >> 30) % 4294967296)::HUGEINT * 13787848793156543929 +
+        |   ((((xor(z0, z0 >> 30) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z1 FROM z0s),
+        |t2 AS (SELECT grp, CAST((
+        |   (xor(z1, z1 >> 27) % 4294967296)::HUGEINT * 10723151780598845931 +
+        |   ((((xor(z1, z1 >> 27) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)
+        |  ) % 18446744073709551616 AS UBIGINT) AS z2 FROM t1),
+        |hx AS (SELECT DISTINCT grp,
+        |    CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS h FROM t2),
+        |br AS (SELECT grp, h >> ${graft.functions.HllAgg.WINDOW} AS b,
+        |    MAX(${graft.functions.HllAgg.rhoSql("h")}) AS reg
+        |  FROM hx GROUP BY 1, 2),
+        |grid AS (SELECT g.grp, r.range AS b
+        |  FROM (SELECT DISTINCT grp FROM hx) g
+        |  CROSS JOIN range(${graft.functions.HllAgg.M}) r),
+        |regs AS (SELECT grid.grp, grid.b, COALESCE(br.reg, 0) AS reg
+        |  FROM grid LEFT JOIN br ON grid.grp = br.grp AND grid.b = br.b),
+        |hagg AS (SELECT grp,
+        |  SUM(CAST((CAST(1 AS BIGINT) <<
+        |    (${graft.functions.HllAgg.RHO_MAX} - reg)) AS HUGEINT)) AS s,
+        |  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_zero,
+        |  CAST(SUM((b + 1) * reg) AS BIGINT) AS reg_checksum
+        | FROM regs GROUP BY 1)
+        |SELECT grp AS l_returnflag, n_zero, reg_checksum,
+        |  ${graft.functions.HllAgg.estimateSql("s", "n_zero")}
+        |    AS est_distinct,
+        |  true AS served_from_mv
+        |FROM hagg ORDER BY 1""".stripMargin,
     // the merged monthly counters are bit-identical to a one-shot sketch
     // over the rows (element-wise addition), so the oracle replays the
     // agg_quantile_sketch integer bucket map directly from lineitem; the

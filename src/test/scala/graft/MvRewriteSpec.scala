@@ -130,6 +130,32 @@ class MvRewriteSpec extends AnyFunSuite {
         (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
   }
 
+  test("matview_hll_rewrite: per-flag HLL served by element-wise max of " +
+      "stored monthly registers, bit-identical to the one-shot sketch") {
+    import graft.functions.HllAgg
+    import graft.functions.Mix64.mix64
+    val rows = graft.queries.Lifecycle.matviewHllRewrite(spark, SF)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Boolean]("served_from_mv")),
+      "per-flag HLL query was not served from the sketch MV")
+    // direct one-shot registers over the base rows: empty-register count
+    // + position-weighted checksum must match the merged-monthly path
+    // exactly (the max-merge identity end to end)
+    val direct = graft.Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(HllAgg.hll_sketch(
+        shiftrightunsigned(mix64(col("l_orderkey")), 1)).as("regs"))
+      .select(col("l_returnflag"),
+        HllAgg.nZero("regs").as("n_zero"),
+        HllAgg.regChecksum("regs").as("reg_checksum"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq == direct.map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("CMS sketches re-aggregate through the rewrite: a coarser-grain " +
       "CMS query is served by vector-summing the stored fine sketches") {
     import graft.functions.CmsAgg
