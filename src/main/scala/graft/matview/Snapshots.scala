@@ -60,16 +60,20 @@ class Snapshots(spark: SparkSession, root: String) {
       .split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  private def publishManifest(t: String, v: Int, dirs: Seq[String]): Unit = {
+    Files.createDirectories(logDir(t))
+    val tmp = logDir(t).resolve(s"v$v.manifest.tmp")
+    Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest(t, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def commit(t: String, df: DataFrame, append: Boolean): Int = {
     val v = latest(t) + 1
     val dataDir = s"${tdir(t)}/d$v"
     df.write.mode("overwrite").parquet(dataDir)
     val dirs =
       (if (append && v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
-    Files.createDirectories(logDir(t))
-    val tmp = logDir(t).resolve(s"v$v.manifest.tmp")
-    Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifest(t, v), StandardCopyOption.ATOMIC_MOVE)
+    publishManifest(t, v, dirs)
     v
   }
 
@@ -78,6 +82,262 @@ class Snapshots(spark: SparkSession, root: String) {
 
   def commitOverwrite(t: String, df: DataFrame): Int =
     commit(t, df, append = false)
+
+  // ---- zone stats (manifest-level min/max file skipping) ----------------
+  //
+  // The data-skipping half of the open log-structured formats (Delta's
+  // per-file stats in the commit log, Iceberg's manifest column bounds):
+  // a commit records per-column [min, max] of its IMMUTABLE data dir in a
+  // `_zstats` file written before the manifest move (so the stats are part
+  // of the atomically-published unit), and a range read prunes whole dirs
+  // from the MANIFEST alone — planning touches |dirs| stat lines, never a
+  // parquet footer. At 100 TB with time-ordered appends (the telemetry
+  // shape) a time-range query plans in O(|commits|) and scans only the
+  // shards whose span intersects the range; everything else is never
+  // opened. Dirs without stats for the probed column (older commits,
+  // un-stat'd columns) are conservatively kept.
+
+  private val statsFile = "_zstats"
+
+  /** Comparison family + normalized Spark column for a stats column:
+    * integral/timestamp/date normalize to long, float/double to double,
+    * string stays lexicographic. Decimal is rejected — its min/max would
+    * round through double and a half-ulp-high stored min could wrongly
+    * prune a dir holding the bound itself. */
+  private def statsFamily(
+      dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column):
+      (String, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ("long", c.cast(LongType))
+      case TimestampType | TimestampNTZType =>
+        ("long", org.apache.spark.sql.functions.unix_micros(
+          c.cast(TimestampType)))
+      case DateType =>
+        ("long", org.apache.spark.sql.functions.unix_date(c).cast(LongType))
+      case FloatType | DoubleType => ("double", c.cast(DoubleType))
+      case StringType => ("string", c)
+      case other => throw new IllegalArgumentException(
+        s"zone stats unsupported for ${other.sql} (add an exact mapping)")
+    }
+  }
+
+  private def cmp(family: String, a: String, b: String): Int = family match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => a.compareTo(b)
+  }
+
+  /** Append with per-column zone stats (and optionally per-column bloom
+    * filters — see the `_zbloom` section below). The stats pass reads the
+    * columns back from the just-written dir (a narrow columnar scan)
+    * rather than re-evaluating `df`, whose lineage may be arbitrarily
+    * expensive — the write itself stays single-pass, as in the real
+    * formats' writers (which fold the bounds into the write; the
+    * observable contract is identical). */
+  def commitAppendStats(t: String, df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Int = {
+    require(statsCols.nonEmpty, "commitAppendStats needs at least one column")
+    val v = latest(t) + 1
+    val dataDir = s"${tdir(t)}/d$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val fields = written.schema
+    val aggs = statsCols.flatMap { name =>
+      val (fam, norm) = statsFamily(fields(name).dataType,
+        written(name))
+      Seq(org.apache.spark.sql.functions.min(norm).cast("string")
+          .as(s"min_$name"),
+        org.apache.spark.sql.functions.max(norm).cast("string")
+          .as(s"max_$name"),
+        org.apache.spark.sql.functions.lit(fam).as(s"fam_$name"))
+    }
+    val row = written.agg(aggs.head, aggs.tail: _*).collect().head
+    val lines = statsCols.zipWithIndex.flatMap { case (name, i) =>
+      // an all-null column yields null bounds: no stats line, so readers
+      // keep the dir conservatively
+      val (mn, mx, fam) =
+        (row.getString(3 * i), row.getString(3 * i + 1), row.getString(3 * i + 2))
+      require(!name.exists(c => c == '\t' || c == '\n'),
+        s"zone stats column name with control chars: $name")
+      require(fam != "string" || Seq(mn, mx).forall(s =>
+          s == null || !s.exists(c => c == '\t' || c == '\n')),
+        s"zone stats string bound with control chars in $name")
+      if (mn == null || mx == null) Nil
+      else Seq(s"$name\t$fam\t$mn\t$mx")
+    }
+    Files.writeString(Paths.get(dataDir, statsFile), lines.mkString("\n"))
+    if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
+    val dirs = (if (v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
+    publishManifest(t, v, dirs)
+    v
+  }
+
+  // ---- bloom sidecars (manifest-level equality-probe skipping) ----------
+  //
+  // Zone [min, max] prunes RANGES; it is useless for point lookups on a
+  // column whose value ranges interleave across shards (a user-id probe
+  // over time-ordered appends: every shard's id span covers every user).
+  // The open formats answer that with per-file bloom filters (Delta's
+  // bloom index, Iceberg's puffin blobs): a commit records one fixed-size
+  // bloom per indexed column in a `_zbloom` sidecar inside the immutable
+  // data dir, and `readPrunedEq` drops every dir whose filter proves the
+  // probed value absent — no false negatives by construction, false
+  // positives only cost an extra dir scan. Planning stays O(|dirs|)
+  // metadata reads. The filter is built DISTRIBUTED: each value hashes to
+  // k bit positions column-side (xxhash64 base, Mix64-seeded double
+  // hashing), and only the DISTINCT set positions — bounded by m = 2^16,
+  // never by row count — are collected to the driver and packed.
+
+  private val bloomFile = "_zbloom"
+
+  /** Bits per column filter (8 KiB packed). With k = 4 hashes this holds
+    * ~4.6k distinct values per dir at 1% false-positive rate; a shard
+    * with more distinct keys degrades gracefully toward keep-everything,
+    * never toward wrong pruning. */
+  val bloomBits: Int = 1 << 16
+  val bloomK: Int = 4
+
+  /** Seeds for the k Mix64 probes; any fixed distinct longs work, the
+    * write and read sides just have to agree. */
+  private val bloomSeeds: IndexedSeq[Long] =
+    (1 to bloomK).map(i => 0x9E3779B97F4A7C15L * i)
+
+  private def writeBloom(dataDir: String, written: DataFrame,
+      bloomCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+    val lines = bloomCols.map { name =>
+      require(!name.exists(c => c == '\t' || c == '\n'),
+        s"bloom column name with control chars: $name")
+      val (fam, norm) = statsFamily(written.schema(name).dataType,
+        written(name))
+      val base = xxhash64(norm)
+      val positions = bloomSeeds.map(s =>
+        pmod(graft.functions.Mix64.mix64(base, s), lit(bloomBits.toLong))
+          .cast("int"))
+      val setBits = written.filter(col(name).isNotNull)
+        .select(explode(array(positions: _*)).as("p"))
+        .distinct().collect().map(_.getInt(0))
+      val bytes = new Array[Byte](bloomBits / 8)
+      setBits.foreach(p => bytes(p >>> 3) =
+        (bytes(p >>> 3) | (1 << (p & 7))).toByte)
+      s"$name\t$fam\t${java.util.Base64.getEncoder.encodeToString(bytes)}"
+    }
+    Files.writeString(Paths.get(dataDir, bloomFile), lines.mkString("\n"))
+  }
+
+  /** column -> (family, packed bits) for one data dir; empty map when the
+    * dir has no bloom sidecar. */
+  private def dirBlooms(dir: String): Map[String, (String, Array[Byte])] = {
+    val p = Paths.get(dir, bloomFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, fam, b64) = line.split("\t", 3)
+        name -> ((fam, java.util.Base64.getDecoder.decode(b64)))
+      }.toMap
+  }
+
+  /** The probe value's base hash, computed by evaluating the SAME
+    * catalyst XxHash64 expression the write side ran column-wise — zero
+    * reimplementation risk of the hash function. The value is given in
+    * the family's normalized string form (micros/epoch-days/number/
+    * string), like [[readPruned]] bounds. */
+  private def bloomBaseHash(fam: String, value: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit0 = fam match {
+      case "long"   => Literal(value.toLong)
+      case "double" => Literal(value.toDouble)
+      case _        => Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(value), org.apache.spark.sql.types.StringType)
+    }
+    XxHash64(Seq(lit0), graft.functions.WordGramHashes.SEED)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  private def bloomMightContain(bits: Array[Byte], base: Long): Boolean =
+    bloomSeeds.forall { s =>
+      val p = java.lang.Math.floorMod(
+        graft.functions.Mix64.mix(base ^ s), bloomBits.toLong).toInt
+      (bits(p >>> 3) & (1 << (p & 7))) != 0
+    }
+
+  /** A point-lookup scan plus its planning facts: dirs the manifest
+    * listed, dirs surviving the zone [min, max] check, dirs surviving
+    * zone + bloom. */
+  case class PointRead(df: DataFrame, dirsRead: Int, zoneKept: Int,
+      dirsTotal: Int)
+
+  /** Read AS OF `version` keeping only data dirs that might contain
+    * `column = value`: first the zone [min, max] check (point form of
+    * [[readPruned]]), then the bloom membership test on the survivors.
+    * Dirs lacking either sidecar for the column are conservatively kept
+    * by that check. Like [[readPruned]], row filtering of the surviving
+    * dirs stays the caller's job. */
+  def readPrunedEq(t: String, version: Int, column: String,
+      value: String): PointRead = {
+    val dirs = readManifest(t, version)
+    val zoneKept = dirs.filter { dir =>
+      dirStats(dir).get(column) match {
+        case Some((fam, mn, mx)) =>
+          cmp(fam, mx, value) >= 0 && cmp(fam, mn, value) <= 0
+        case None => true
+      }
+    }
+    val kept = zoneKept.filter { dir =>
+      dirBlooms(dir).get(column) match {
+        case Some((fam, bits)) =>
+          bloomMightContain(bits, bloomBaseHash(fam, value))
+        case None => true
+      }
+    }
+    PointRead(
+      if (kept.isEmpty) spark.read.parquet(dirs.head).limit(0)
+      else spark.read.parquet(kept: _*),
+      kept.size, zoneKept.size, dirs.size)
+  }
+
+  /** A pruned scan plus its planning facts (how many dirs the manifest
+    * listed, how many survived the zone filter). */
+  case class PrunedRead(df: DataFrame, dirsRead: Int, dirsTotal: Int)
+
+  /** Read AS OF `version` keeping only data dirs whose recorded zone
+    * [min, max] for `column` can intersect the CLOSED range [lo, hi]
+    * (pass lo = hi for a point lookup). Bounds are given in the stored
+    * family's normalized form: micros for timestamps, epoch days for
+    * dates, the number itself for integral/floating columns. The scan
+    * still returns every row of the surviving dirs — row-level
+    * filtering stays the caller's (the engine's) job, exactly like
+    * file skipping in the open formats. */
+  def readPruned(t: String, version: Int, column: String,
+      lo: String, hi: String): PrunedRead = {
+    val dirs = readManifest(t, version)
+    val kept = dirs.filter { dir =>
+      dirStats(dir).get(column) match {
+        case Some((fam, mn, mx)) =>
+          cmp(fam, mx, lo) >= 0 && cmp(fam, mn, hi) <= 0
+        case None => true // no stats for the column: cannot prune safely
+      }
+    }
+    PrunedRead(
+      if (kept.isEmpty) spark.read.parquet(dirs.head).limit(0)
+      else spark.read.parquet(kept: _*),
+      kept.size, dirs.size)
+  }
+
+  /** column -> (family, min, max) for one data dir; empty map when the
+    * dir predates zone stats. */
+  private def dirStats(dir: String): Map[String, (String, String, String)] = {
+    val p = Paths.get(dir, statsFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, fam, mn, mx) = line.split("\t", 4)
+        name -> ((fam, mn, mx))
+      }.toMap
+  }
 
   /** Read the table AS OF `version`: a union scan of exactly the data
     * directories that version's manifest lists. */

@@ -402,6 +402,103 @@ object Lifecycle {
       .orderBy("ev_day")
   }
 
+  /** Zone-map file skipping over the [[graft.matview.Snapshots]] commit
+    * log — the data-skipping half of the log-structured formats (Delta's
+    * per-file stats, Iceberg's manifest column bounds): four time-ordered
+    * appends each record their ts [min, max] in the committed unit, and a
+    * 10-day range read prunes to exactly the two shards whose span
+    * intersects — decided from the manifest stats alone, no parquet
+    * footer opened. The planning facts (2 of 4 dirs read) are
+    * structurally determined by the fixed cut points, so the oracle pins
+    * them as literals; `pruned_equals_full` is computed by actually
+    * running the unpruned scan and comparing — a pruning bug that drops a
+    * boundary row flips it false and fails the hash. At 100 TB with
+    * telemetry-shaped appends this is what turns a time-range query from
+    * a table scan into an O(|commits|) plan + two-shard read. */
+  def tableStatsPruning(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/zsnaps")
+    val t = f"events_zone_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val ev = load(s, d, "events")
+    def ts(lit0: String) = lit(lit0).cast("timestamp")
+    // the generated events span Jan 2024; fixed cuts keep the pruning
+    // facts structural (an empty shard would still commit, with no stats
+    // line, and be conservatively kept — the fixture has none)
+    val cuts = Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
+      "2024-02-01")
+    cuts.sliding(2).foreach { w =>
+      snap.commitAppendStats(t,
+        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
+        Seq("ts"))
+    }
+    val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    def micros(x: String) =
+      java.time.Instant.parse(x.replace(' ', 'T') + "Z").getEpochSecond *
+        1000000L
+    val pr = snap.readPruned(t, snap.latest(t), "ts",
+      micros(lo).toString, micros(hi).toString)
+    def inRange(df: DataFrame) =
+      df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+    val result = inRange(pr.df)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    // the correctness fact: the pruned scan loses nothing vs the full scan
+    val fullAgg = inRange(snap.readLatest(t))
+      .agg(count(lit(1)), exactSum(col("value"))).collect().head
+    val prunedAgg = result
+      .agg(sum(col("n")), exactSum(col("sum_value"))).collect().head
+    val equal = fullAgg == prunedAgg
+    result
+      .withColumn("dirs_read", lit(pr.dirsRead.toLong))
+      .withColumn("dirs_total", lit(pr.dirsTotal.toLong))
+      .withColumn("pruned_equals_full", lit(equal))
+      .orderBy("event_type")
+  }
+
+  /** Bloom-sidecar point-lookup skipping over the commit log — the
+    * equality-probe half of data skipping (Delta's bloom index, Iceberg's
+    * puffin blobs), and the case zone maps structurally CANNOT serve:
+    * four appends sharded by `user_id % 4` have fully interleaved id
+    * ranges, so the zone [min, max] check keeps all four dirs for any
+    * mid-range user (`zone_kept = 4` is the pinned proof of that), while
+    * the per-dir bloom — user sets are disjoint across shards — keeps
+    * exactly the probed user's shard. The probe user is derived from the
+    * data (largest id ≤ max/2, so it sits mid-range in every shard's
+    * span) and the oracle re-derives it in SQL; `pruned_equals_full`
+    * compares the pruned against the unpruned scan engine-side. At 100 TB
+    * this is the plan shape that turns "find one user's history" from a
+    * full-table scan into O(|commits|) metadata + one-shard read. */
+  def tablePointLookup(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/bsnaps")
+    val t = f"events_bloom_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val ev = load(s, d, "events")
+    (0 until 4).foreach { j =>
+      snap.commitAppendStats(t, ev.filter(pmod(col("user_id"), lit(4)) === j),
+        Seq("user_id"), bloomCols = Seq("user_id"))
+    }
+    val mx = ev.agg(max(col("user_id"))).collect().head.getLong(0)
+    val probe = ev.filter(col("user_id") <= lit(mx / 2))
+      .agg(max(col("user_id"))).collect().head.getLong(0)
+    val pr = snap.readPrunedEq(t, snap.latest(t), "user_id", probe.toString)
+    def ofUser(df: DataFrame) = df.filter(col("user_id") === lit(probe))
+    val result = ofUser(pr.df)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    val fullAgg = ofUser(snap.readLatest(t))
+      .agg(count(lit(1)), exactSum(col("value"))).collect().head
+    val prunedAgg = result
+      .agg(sum(col("n")), exactSum(col("sum_value"))).collect().head
+    result
+      .withColumn("dirs_read", lit(pr.dirsRead.toLong))
+      .withColumn("zone_kept", lit(pr.zoneKept.toLong))
+      .withColumn("dirs_total", lit(pr.dirsTotal.toLong))
+      .withColumn("pruned_equals_full", lit(fullAgg == prunedAgg))
+      .orderBy("event_type")
+  }
+
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
@@ -1452,6 +1549,8 @@ object Lifecycle {
     "table_incremental_read" -> (tableIncrementalRead _),
     "table_vacuum" -> (tableVacuum _),
     "table_partition_overwrite" -> (tablePartitionOverwrite _),
+    "table_stats_pruning" -> (tableStatsPruning _),
+    "table_point_lookup" -> (tablePointLookup _),
     "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1601,6 +1700,38 @@ object Lifecycle {
         |  TRUE AS untouched_files_stable,
         |  TRUE AS restated_files_replaced
         |FROM final GROUP BY ev_day ORDER BY ev_day""".stripMargin,
+    // the in-range aggregate replayed over the base table; the planning
+    // facts are structurally determined (4 fixed ts cuts, the 10-day
+    // range intersects shards 2 and 3 only) and pruned_equals_full is
+    // the engine-side full-vs-pruned comparison — a pruning bug flips
+    // it false and fails the hash
+    "table_stats_pruning" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(2 AS BIGINT) AS dirs_read,
+        |  CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS pruned_equals_full
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the probed user's aggregate replayed over the base table with the
+    // SAME probe derivation (largest user_id <= max/2); the planning
+    // facts are structural — interleaved % 4 shards make zone keep all 4,
+    // disjoint per-shard user sets make the bloom keep exactly 1 — and
+    // pruned_equals_full is the engine-side full-vs-pruned comparison
+    "table_point_lookup" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(1 AS BIGINT) AS dirs_read,
+        |  CAST(4 AS BIGINT) AS zone_kept,
+        |  CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS pruned_equals_full
+        |FROM events
+        |WHERE user_id = (SELECT MAX(user_id) FROM events
+        |                 WHERE user_id <= (SELECT MAX(user_id) // 2
+        |                                   FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,
     // retain latest => d0/d1 dead, d2 live)

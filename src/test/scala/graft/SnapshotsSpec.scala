@@ -126,4 +126,120 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[Exception] { snap.read(t, 0).count() }
     intercept[Exception] { snap.read(t, 1).count() }
   }
+
+  test("zone stats: range reads prune exactly the non-intersecting dirs " +
+      "and lose no rows vs the full scan") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_zone"
+    snap.drop(t)
+    // three shards of known disjoint id ranges
+    def shard(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "payload")
+    snap.commitAppendStats(t, shard(0, 100), Seq("id"))
+    snap.commitAppendStats(t, shard(100, 200), Seq("id"))
+    snap.commitAppendStats(t, shard(200, 300), Seq("id"))
+    val v = snap.latest(t)
+    // a range inside shard 1 only
+    val one = snap.readPruned(t, v, "id", "120", "150")
+    assert(one.dirsRead == 1 && one.dirsTotal == 3)
+    assert(one.df.filter(col("id").between(120, 150)).count() == 31)
+    // boundary values stay readable (closed-interval contract): a point
+    // lookup of a shard's max must keep that shard
+    val pt = snap.readPruned(t, v, "id", "99", "99")
+    assert(pt.dirsRead == 1)
+    assert(pt.df.filter(col("id") === 99).count() == 1)
+    // spanning range: prune keeps shards 0 and 1; rows equal full scan
+    val span = snap.readPruned(t, v, "id", "50", "150")
+    assert(span.dirsRead == 2)
+    assert(span.df.filter(col("id").between(50, 150)).count() ==
+      snap.read(t, v).filter(col("id").between(50, 150)).count())
+    // out-of-range probe reads nothing but keeps the schema
+    val none = snap.readPruned(t, v, "id", "900", "950")
+    assert(none.dirsRead == 0 && none.df.count() == 0)
+    assert(none.df.columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("zone stats: a dir committed without stats is conservatively kept, " +
+      "and a probed column with no stats line never prunes") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_zone_legacy"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      (0L until 50L).map(i => (i, i * 2)).toDF("id", "other"), Seq("id"))
+    // legacy commit: no _zstats at all
+    snap.commitAppend(t, (100L until 150L).map(i => (i, i * 2))
+      .toDF("id", "other"))
+    val v = snap.latest(t)
+    // probe far outside shard 0's range: shard 0 prunes, the stats-less
+    // shard must survive
+    val pr = snap.readPruned(t, v, "id", "500", "600")
+    assert(pr.dirsRead == 1 && pr.dirsTotal == 2)
+    assert(pr.df.count() == 50)
+    // probing a column that exists but was never stat'd prunes nothing
+    val other = snap.readPruned(t, v, "other", "5000", "6000")
+    assert(other.dirsRead == 2)
+  }
+
+  test("bloom sidecar: point lookups prune interleaved shards zone maps " +
+      "cannot, with no false negatives") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_bloom"
+    snap.drop(t)
+    // three shards with fully interleaved id RANGES (even ids, split by
+    // id % 3) but disjoint id SETS — the exact shape where [min, max] is
+    // useless; odd mid-range values are genuinely absent everywhere
+    val ids = (0L until 600L by 2)
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t,
+        ids.filter(_ % 3 == j).map(i => (i, s"v$i")).toDF("id", "payload"),
+        Seq("id"), bloomCols = Seq("id"))
+    }
+    val v = snap.latest(t)
+    // mid-range probe: zone keeps all 3, bloom keeps exactly id's shard
+    val pr = snap.readPrunedEq(t, v, "id", "152")
+    assert(pr.zoneKept == 3 && pr.dirsTotal == 3)
+    assert(pr.dirsRead == 1)
+    assert(pr.df.filter(col("id") === 152).count() == 1)
+    // every present id must be found in its surviving dirs (no false
+    // negatives — the bloom contract)
+    Seq(0L, 2L, 4L, 598L).foreach { id =>
+      val p = snap.readPrunedEq(t, v, "id", id.toString)
+      assert(p.df.filter(col("id") === id).count() == 1, s"lost id $id")
+    }
+    // an ABSENT mid-range value: zone keeps all 3 (151 is inside every
+    // shard's span), bloom rejects all — deterministic for this fixed
+    // data + hash family
+    val absent = snap.readPrunedEq(t, v, "id", "151")
+    assert(absent.zoneKept == 3 && absent.dirsRead == 0)
+    // and a value outside every span is zone-pruned before blooms run
+    val far = snap.readPrunedEq(t, v, "id", "150000")
+    assert(far.zoneKept == 0 && far.dirsRead == 0)
+  }
+
+  test("bloom sidecar: string columns probe exactly, and dirs without a " +
+      "bloom are conservatively kept") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_bloom_str"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "x"),
+      Seq("x"), bloomCols = Seq("name"))
+    snap.commitAppendStats(t,
+      Seq(("gamma", 3L), ("delta", 4L)).toDF("name", "x"),
+      Seq("x"), bloomCols = Seq("name"))
+    // legacy commit with stats but no bloom
+    snap.commitAppendStats(t, Seq(("omega", 5L)).toDF("name", "x"), Seq("x"))
+    val v = snap.latest(t)
+    val pr = snap.readPrunedEq(t, v, "name", "gamma")
+    // shard 1 (bloom hit) + the bloom-less shard survive; shard 0 prunes
+    assert(pr.dirsRead == 2 && pr.dirsTotal == 3)
+    assert(pr.df.filter(col("name") === "gamma").count() == 1)
+    // a value only in the bloom-less dir is still found
+    val om = snap.readPrunedEq(t, v, "name", "omega")
+    assert(om.df.filter(col("name") === "omega").count() == 1)
+  }
 }
