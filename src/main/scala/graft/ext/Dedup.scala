@@ -255,6 +255,108 @@ object Dedup {
     * collisions; exact Jaccard verified on the hashed shingle sets. Output
     * matches [[dedupNgramJaccard]] (recall at j>=0.9 is 1 - 6e-9 per pair),
     * so the exact-Jaccard SQL is its oracle. */
+  /** Edit-distance near-dup pairs: levenshtein(a, b) <= [[ED_D]] over the
+    * first [[ED_L]] characters — the typo/suffix-edit detector the
+    * set-similarity family (Jaccard, MinHash, SimHash) cannot express,
+    * because token-set measures are blind to character-level order and
+    * small in-word edits.
+    *
+    * Candidates come from PassJoin segment partitioning (Li, Deng, Feng,
+    * "PASS-JOIN: a partition-based method for similarity joins", PVLDB
+    * 2011 — public literature): every key is cut at fixed positions into
+    * D+1 segments, and the pigeonhole gives exact recall — D edits can
+    * touch at most D segments, so some segment of b survives verbatim in
+    * a, shifted by at most the number of edits before it (<= D). The
+    * probe side therefore enumerates, per doc, the (2D+1) candidate
+    * partner lengths x (D+1) segment ids x (2D+1) position shifts — a
+    * CONSTANT ~405 rows/doc, so candidate generation is linear in the
+    * corpus where the naive form is |docs|². (The paper's multi-match-
+    * aware windows are tighter; the +-D superset trades a bounded
+    * constant for a two-line soundness argument.)
+    *
+    * Why not Gravano-style q-gram count filtering (VLDB 2001): its
+    * inverted index keys on q-grams, and on a small-vocabulary corpus the
+    * hot grams appear in every doc — the index degenerates to the cross
+    * join. PassJoin's keys are ~L/(D+1)-char segments, essentially unique
+    * outside true near-dups regardless of vocabulary. The join key is
+    * xxhash64(segment), 8 bytes instead of ~40 on the shuffle wire, as in
+    * the shingle family; hash collisions only add candidates, and
+    * verification (codegen levenshtein, both engines' classic unit-cost
+    * DP) removes them. Keys shorter than D+1 chars are excluded on both
+    * sides — a zero-length segment would be a pigeonhole hole — and the
+    * oracle pins that contract with the same predicate. */
+  private val ED_D = 4
+  private val ED_L = 200
+
+  def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = load(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, ED_L).as("t"))
+      .withColumn("len", length(col("t")))
+      .filter(col("len") >= ED_D + 1)
+    // partition arithmetic for a length-l key: segment i has length
+    // base + (i < rem) and 1-based start i*base + min(i, rem) + 1, with
+    // base = l div (D+1), rem = l mod (D+1)
+    def base(l: Column) = floor(l / (ED_D + 1)).cast("int")
+    def rem(l: Column) = (l % (ED_D + 1)).cast("int")
+    // index side: each doc's own D+1 segments, keyed by (hash, i, len)
+    val segs = docs
+      .crossJoin(broadcast((0 to ED_D).toDF("i")))
+      .withColumn("slen", base(col("len")) +
+        when(col("i") < rem(col("len")), 1).otherwise(0))
+      .withColumn("start", col("i") * base(col("len")) +
+        least(col("i"), rem(col("len"))) + 1)
+      .select(col("doc_id").as("id_b"), col("len").as("lb"), col("i"),
+        xxhash64(col("t").substr(col("start"), col("slen"))).as("hseg"))
+    // probe side: for every candidate partner length lb in [len-D, len+D]
+    // compute lb's OWN partition scheme and extract the segment-shaped
+    // substring at each start shift in [-D, D]
+    val params = broadcast((for {
+      dl <- -ED_D to ED_D; i <- 0 to ED_D; sh <- -ED_D to ED_D
+    } yield (dl, i, sh)).toDF("dl", "i", "sh"))
+    val probes = docs.crossJoin(params)
+      .withColumn("lb", col("len") + col("dl"))
+      .filter(col("lb") >= ED_D + 1)
+      .withColumn("slen", base(col("lb")) +
+        when(col("i") < rem(col("lb")), 1).otherwise(0))
+      .withColumn("start", col("i") * base(col("lb")) +
+        least(col("i"), rem(col("lb"))) + 1 + col("sh"))
+      .filter(col("start") >= 1 &&
+        col("start") + col("slen") - 1 <= col("len"))
+      .select(col("doc_id").as("id_a"), col("lb"), col("i"),
+        xxhash64(col("t").substr(col("start"), col("slen"))).as("hseg"))
+    val cand = probes.join(segs, Seq("hseg", "i", "lb"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+    cand
+      .join(docs.as("da"), col("a") === col("da.doc_id"))
+      .join(docs.as("db"), col("b") === col("db.doc_id"))
+      .select(col("a"), col("b"),
+        levenshtein(col("da.t"), col("db.t")).cast("long").as("dist"))
+      .filter(col("dist") <= ED_D)
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force baseline (spec cross-check only): every pair within the
+    * length filter, verified directly. Quadratic — exists to pin the
+    * PassJoin plan's exact recall on real corpora. */
+  private[graft] def dedupEditDistanceBrute(
+      s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, ED_L).as("t"))
+      .withColumn("len", length(col("t")))
+      .filter(col("len") >= ED_D + 1)
+    docs.as("da").join(docs.as("db"),
+        col("da.doc_id") < col("db.doc_id") &&
+        abs(col("da.len") - col("db.len")) <= ED_D)
+      .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        levenshtein(col("da.t"), col("db.t")).cast("long").as("dist"))
+      .filter(col("dist") <= ED_D)
+      .orderBy("a", "b")
+  }
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     // ONE shuffle builds both the signature and the verification set:
     // MinHashAgg (one-pass, ~30% faster than 64 composed min() columns,
@@ -1154,6 +1256,7 @@ object Dedup {
     "graph_triangle_sketch"  -> (graphTriangleSketch _),
     "recursive_cte_reach"    -> (recursiveCteReach _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
+    "dedup_edit_distance"    -> (dedupEditDistance _),
     "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_stream_minhash"   -> (dedupStreamMinhash _),
@@ -1441,6 +1544,21 @@ object Dedup {
         |JOIN n na ON na.doc_id = a
         |WHERE na.cnt >= 5 AND ix * 1.0 / na.cnt >= 0.8
         |ORDER BY contained_id, container_id""".stripMargin,
+    // brute-force levenshtein over every length-compatible pair; the
+    // PassJoin plan's recall is exactly 1.0 by the segment pigeonhole,
+    // so the exact result is its oracle (both engines run the classic
+    // unit-cost DP). The length >= D+1 predicate is the operator's
+    // pinned contract, not a fixture assumption.
+    "dedup_edit_distance" ->
+      """WITH k AS (SELECT doc_id, substring(text, 1, 200) AS t
+        |           FROM documents WHERE length(substring(text, 1, 200)) >= 5)
+        |SELECT ka.doc_id AS a, kb.doc_id AS b,
+        |  CAST(levenshtein(ka.t, kb.t) AS BIGINT) AS dist
+        |FROM k ka, k kb
+        |WHERE ka.doc_id < kb.doc_id
+        |  AND abs(length(ka.t) - length(kb.t)) <= 4
+        |  AND levenshtein(ka.t, kb.t) <= 4
+        |ORDER BY a, b""".stripMargin,
     // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
     // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
     "dedup_minhash_lsh" -> exactJaccardSql,

@@ -14,6 +14,30 @@ class DedupSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("PassJoin edit-distance equals the brute-force plan exactly, and " +
+      "a hand corpus exercises nonzero distances and the shift window") {
+    val a = Dedup.dedupEditDistance(tsSpark, tsSF).collect()
+    val b = Dedup.dedupEditDistanceBrute(tsSpark, tsSF).collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    // hand corpus: an early insertion shifts every later segment (the
+    // +-D window case), a substitution, an over-threshold pair, and a
+    // short-key pair excluded by the >= D+1 contract
+    import tsSpark.implicits._
+    val docs = Seq(
+      (1L, "XX" + ("abcdefghij" * 6)),         // insertion of XX at front
+      (2L, "abcdefghij" * 6),
+      (3L, ("abcdefghij" * 6).replace('e', 'Z')), // 6 substitutions: too far
+      (4L, "abc"), (5L, "abd")                 // len 3 < D+1: excluded
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("edtest").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupEditDistance(tsSpark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L))) // the XX insertion, dist 2
+    graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
+  }
+
   import TestSpark.{spark, SF}
 
   private lazy val exact = Dedup.dedupNgramJaccard(spark, SF)
