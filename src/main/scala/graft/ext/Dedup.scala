@@ -311,8 +311,17 @@ object Dedup {
     // probe side: for every candidate partner length lb in [len-D, len+D]
     // compute lb's OWN partition scheme and extract the segment-shaped
     // substring at each start shift in [-D, D]
+    // length-compatibility cut on the window: for the surviving segment,
+    // the k1 edits before it bound the start shift (|sh| <= k1) and the
+    // k2 edits after it must absorb the remaining length difference
+    // (|delta - sh| <= k2 with delta = len - lb = -dl), so k1 + k2 <= D
+    // forces |sh| + |dl + sh| <= D — a driver-side pruning of the
+    // parameter table that halves probe fan-out (405 -> 205 rows/doc at
+    // D = 4) with a two-line soundness argument, measured at sf100 as
+    // the difference between fitting local shuffle disk and not
     val params = broadcast((for {
       dl <- -ED_D to ED_D; i <- 0 to ED_D; sh <- -ED_D to ED_D
+      if math.abs(sh) + math.abs(dl + sh) <= ED_D
     } yield (dl, i, sh)).toDF("dl", "i", "sh"))
     val probes = docs.crossJoin(params)
       .withColumn("lb", col("len") + col("dl"))
