@@ -97,7 +97,8 @@ class Snapshots(spark: SparkSession, root: String) {
   // opened. Dirs without stats for the probed column (older commits,
   // un-stat'd columns) are conservatively kept.
 
-  private val statsFile = "_zstats"
+  import Snapshots.{statsFile, bloomFile, cmp, dirStats, dirBlooms,
+    bloomBaseHash, bloomMightContain, bloomSeeds, bloomBits}
 
   /** Comparison family + normalized Spark column for a stats column:
     * integral/timestamp/date normalize to long, float/double to double,
@@ -122,12 +123,6 @@ class Snapshots(spark: SparkSession, root: String) {
       case other => throw new IllegalArgumentException(
         s"zone stats unsupported for ${other.sql} (add an exact mapping)")
     }
-  }
-
-  private def cmp(family: String, a: String, b: String): Int = family match {
-    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _        => a.compareTo(b)
   }
 
   /** Append with per-column zone stats (and optionally per-column bloom
@@ -191,20 +186,6 @@ class Snapshots(spark: SparkSession, root: String) {
   // hashing), and only the DISTINCT set positions — bounded by m = 2^16,
   // never by row count — are collected to the driver and packed.
 
-  private val bloomFile = "_zbloom"
-
-  /** Bits per column filter (8 KiB packed). With k = 4 hashes this holds
-    * ~4.6k distinct values per dir at 1% false-positive rate; a shard
-    * with more distinct keys degrades gracefully toward keep-everything,
-    * never toward wrong pruning. */
-  val bloomBits: Int = 1 << 16
-  val bloomK: Int = 4
-
-  /** Seeds for the k Mix64 probes; any fixed distinct longs work, the
-    * write and read sides just have to agree. */
-  private val bloomSeeds: IndexedSeq[Long] =
-    (1 to bloomK).map(i => 0x9E3779B97F4A7C15L * i)
-
   private def writeBloom(dataDir: String, written: DataFrame,
       bloomCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
@@ -227,42 +208,6 @@ class Snapshots(spark: SparkSession, root: String) {
     }
     Files.writeString(Paths.get(dataDir, bloomFile), lines.mkString("\n"))
   }
-
-  /** column -> (family, packed bits) for one data dir; empty map when the
-    * dir has no bloom sidecar. */
-  private def dirBlooms(dir: String): Map[String, (String, Array[Byte])] = {
-    val p = Paths.get(dir, bloomFile)
-    if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(name, fam, b64) = line.split("\t", 3)
-        name -> ((fam, java.util.Base64.getDecoder.decode(b64)))
-      }.toMap
-  }
-
-  /** The probe value's base hash, computed by evaluating the SAME
-    * catalyst XxHash64 expression the write side ran column-wise — zero
-    * reimplementation risk of the hash function. The value is given in
-    * the family's normalized string form (micros/epoch-days/number/
-    * string), like [[readPruned]] bounds. */
-  private def bloomBaseHash(fam: String, value: String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val lit0 = fam match {
-      case "long"   => Literal(value.toLong)
-      case "double" => Literal(value.toDouble)
-      case _        => Literal(org.apache.spark.unsafe.types.UTF8String
-        .fromString(value), org.apache.spark.sql.types.StringType)
-    }
-    XxHash64(Seq(lit0), graft.functions.WordGramHashes.SEED)
-      .eval(null).asInstanceOf[Long]
-  }
-
-  private def bloomMightContain(bits: Array[Byte], base: Long): Boolean =
-    bloomSeeds.forall { s =>
-      val p = java.lang.Math.floorMod(
-        graft.functions.Mix64.mix(base ^ s), bloomBits.toLong).toInt
-      (bits(p >>> 3) & (1 << (p & 7))) != 0
-    }
 
   /** A point-lookup scan plus its planning facts: dirs the manifest
     * listed, dirs surviving the zone [min, max] check, dirs surviving
@@ -325,18 +270,6 @@ class Snapshots(spark: SparkSession, root: String) {
       if (kept.isEmpty) spark.read.parquet(dirs.head).limit(0)
       else spark.read.parquet(kept: _*),
       kept.size, dirs.size)
-  }
-
-  /** column -> (family, min, max) for one data dir; empty map when the
-    * dir predates zone stats. */
-  private def dirStats(dir: String): Map[String, (String, String, String)] = {
-    val p = Paths.get(dir, statsFile)
-    if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(name, fam, mn, mx) = line.split("\t", 4)
-        name -> ((fam, mn, mx))
-      }.toMap
   }
 
   /** Read the table AS OF `version`: a union scan of exactly the data
@@ -412,4 +345,84 @@ class Snapshots(spark: SparkSession, root: String) {
       finally s.close()
     }
   }
+}
+
+/** The sidecar formats and membership tests, shared between the explicit
+  * read path (class methods above) and the optimizer rule
+  * ([[graft.plans.SnapshotSkippingRule]]) that applies the same pruning
+  * to a plain `.filter(...)` over a snapshot scan. */
+object Snapshots {
+
+  private[graft] val statsFile = "_zstats"
+  private[graft] val bloomFile = "_zbloom"
+
+  /** Bits per column bloom filter (8 KiB packed). With k = 4 hashes this
+    * holds ~4.6k distinct values per dir at 1% false-positive rate; a
+    * shard with more distinct keys degrades gracefully toward
+    * keep-everything, never toward wrong pruning. */
+  val bloomBits: Int = 1 << 16
+  val bloomK: Int = 4
+
+  /** Seeds for the k Mix64 probes; any fixed distinct longs work, the
+    * write and read sides just have to agree. */
+  private[graft] val bloomSeeds: IndexedSeq[Long] =
+    (1 to bloomK).map(i => 0x9E3779B97F4A7C15L * i)
+
+  private[graft] def cmp(family: String, a: String, b: String): Int =
+    family match {
+      case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _        => a.compareTo(b)
+    }
+
+  /** column -> (family, min, max) for one data dir; empty map when the
+    * dir predates zone stats. */
+  private[graft] def dirStats(
+      dir: String): Map[String, (String, String, String)] = {
+    val p = Paths.get(dir, statsFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, fam, mn, mx) = line.split("\t", 4)
+        name -> ((fam, mn, mx))
+      }.toMap
+  }
+
+  /** column -> (family, packed bits) for one data dir; empty map when the
+    * dir has no bloom sidecar. */
+  private[graft] def dirBlooms(
+      dir: String): Map[String, (String, Array[Byte])] = {
+    val p = Paths.get(dir, bloomFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, fam, b64) = line.split("\t", 3)
+        name -> ((fam, java.util.Base64.getDecoder.decode(b64)))
+      }.toMap
+  }
+
+  /** The probe value's base hash, computed by evaluating the SAME
+    * catalyst XxHash64 expression the write side ran column-wise — zero
+    * reimplementation risk of the hash function. The value is given in
+    * the family's normalized string form (micros/epoch-days/number/
+    * string). */
+  private[graft] def bloomBaseHash(fam: String, value: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit0 = fam match {
+      case "long"   => Literal(value.toLong)
+      case "double" => Literal(value.toDouble)
+      case _        => Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(value), org.apache.spark.sql.types.StringType)
+    }
+    XxHash64(Seq(lit0), graft.functions.WordGramHashes.SEED)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  private[graft] def bloomMightContain(
+      bits: Array[Byte], base: Long): Boolean =
+    bloomSeeds.forall { s =>
+      val p = java.lang.Math.floorMod(
+        graft.functions.Mix64.mix(base ^ s), bloomBits.toLong).toInt
+      (bits(p >>> 3) & (1 << (p & 7))) != 0
+    }
 }

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.matview.Snapshots
+
+/** Optimizer-integrated data skipping for [[graft.matview.Snapshots]]
+  * scans — the rule form of `readPruned`/`readPrunedEq`: a user writes a
+  * plain `.filter(...)` over `snap.readLatest(t)` and the optimizer drops
+  * every data directory whose `_zstats` zone bounds or `_zbloom` filter
+  * prove the predicate unsatisfiable there. This is where the open table
+  * formats do the same work (Delta's OptimizeMetadataOnly/file-stats
+  * pruning, Iceberg's manifest evaluators run at scan planning): data
+  * skipping belongs in the PLANNER, not in a special read API the caller
+  * must remember to use.
+  *
+  * Matched shape: `Filter(cond, LogicalRelation(HadoopFsRelation))` where
+  * every root path of the relation's file index is a directory carrying a
+  * `_zstats` sidecar — exactly the dirs the Snapshots commit path writes;
+  * any other parquet scan is left untouched. The filter itself always
+  * stays in place (row-level filtering still runs); only the scanned
+  * directory list shrinks, so a pruning bug can lose rows but never
+  * corrupt surviving ones — and the conjunct semantics make pruning
+  * sound: a dir is dropped only when SOME conjunct is provably false on
+  * every row of it.
+  *
+  * Conjuncts consulted (attribute op literal, either orientation):
+  * equality (zone point check + bloom membership when a `_zbloom` entry
+  * exists), and the four range comparisons with strict/non-strict
+  * handled exactly (`a > lo` prunes a dir whose max == lo; `a >= lo`
+  * keeps it). Literals normalize to the sidecar's comparison family the
+  * same way the writer did — catalyst already stores timestamps as
+  * micros and dates as epoch days, so the normalization is the identity
+  * on the internal value. Unrecognized conjuncts, wrong-family literals,
+  * and columns without a stats line simply don't prune. When every dir
+  * is pruned the whole Filter collapses to an empty [[LocalRelation]].
+  *
+  * The rewrite is a fixed point: the pruned relation's dirs all survive
+  * their own re-check, so re-firing leaves the plan unchanged. Planning
+  * cost is O(|dirs|) sidecar reads per optimize — the commit-log scaling
+  * story (at 100 TB, |dirs| = |commits|, not |files|).
+  */
+case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
+  with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, lr: LogicalRelation)
+        if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+      val roots = fsRel.location.rootPaths
+      val dirs = roots.map(localDir)
+      // a snapshot scan iff every root is local and at least one carries
+      // a stats sidecar; anything else (ordinary parquet tables) is left
+      // untouched at the cost of one exists() per root per optimize.
+      // Stats-less dirs inside a snapshot scan (legacy commits) are kept
+      // conservatively by the per-dir check itself.
+      if (dirs.contains(null) || !dirs.exists(d =>
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(d, Snapshots.statsFile)))) f
+      else {
+        val preds = splitConjunctivePredicates(cond)
+        val kept = roots.zip(dirs).collect {
+          case (p, d) if dirMayMatch(d, preds) => p
+        }
+        if (kept.size == roots.size) f
+        else if (kept.isEmpty) LocalRelation(f.output)
+        else {
+          val pruned = new InMemoryFileIndex(spark, kept, fsRel.options,
+            Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark))
+          Filter(cond, lr.copy(relation =
+            fsRel.copy(location = pruned)(spark)))
+        }
+      }
+  }
+
+  /** Local-filesystem view of a root path, or null when the scheme says
+    * it is not local (then the rule stands down — this sandbox engine's
+    * sidecar reader is java.nio; a cluster deployment would read the
+    * sidecars through the Hadoop FS API instead). */
+  private def localDir(p: Path): String = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+    else null
+  }
+
+  private def dirMayMatch(dir: String, preds: Seq[Expression]): Boolean = {
+    lazy val stats = Snapshots.dirStats(dir)
+    lazy val blooms = Snapshots.dirBlooms(dir)
+    preds.forall {
+      case EqualTo(a: AttributeReference, l: Literal) => eqOk(a, l, stats, blooms)
+      case EqualTo(l: Literal, a: AttributeReference) => eqOk(a, l, stats, blooms)
+      case GreaterThan(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = true)
+      case LessThan(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = true, strict = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = false)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = true, strict = false)
+      case LessThan(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = false, strict = true)
+      case GreaterThan(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = false, strict = true)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = false, strict = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = false, strict = false)
+      case _ => true // unrecognized conjunct: cannot prune on it
+    }
+  }
+
+  /** Literal -> (comparison family, normalized string), mirroring the
+    * writer's `statsFamily`: catalyst internal values are already micros
+    * (timestamp), epoch days (date), and primitives, so normalization is
+    * value.toString in the right family. None (no pruning) for null
+    * literals and unsupported types. */
+  private def normLit(l: Literal): Option[(String, String)] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           TimestampType | TimestampNTZType | DateType =>
+        Some(("long", l.value.toString))
+      case FloatType =>
+        Some(("double", l.value.asInstanceOf[Float].toDouble.toString))
+      case DoubleType => Some(("double", l.value.toString))
+      case StringType => Some(("string", l.value.toString))
+      case _ => None
+    }
+
+  private def eqOk(a: AttributeReference, l: Literal,
+      stats: Map[String, (String, String, String)],
+      blooms: Map[String, (String, Array[Byte])]): Boolean =
+    normLit(l) match {
+      case Some((fam, v)) =>
+        val zoneOk = stats.get(a.name) match {
+          case Some((sf, mn, mx)) if sf == fam =>
+            Snapshots.cmp(fam, mx, v) >= 0 && Snapshots.cmp(fam, mn, v) <= 0
+          case _ => true
+        }
+        zoneOk && (blooms.get(a.name) match {
+          case Some((bf, bits)) if bf == fam =>
+            Snapshots.bloomMightContain(bits, Snapshots.bloomBaseHash(fam, v))
+          case _ => true
+        })
+      case None => true
+    }
+
+  /** `lower = true` means the conjunct lower-bounds the attribute
+    * (`a > v` / `a >= v`): the dir survives iff its max clears the
+    * bound. Symmetrically for upper bounds against the min. */
+  private def rangeOk(a: AttributeReference, l: Literal,
+      stats: Map[String, (String, String, String)],
+      lower: Boolean, strict: Boolean): Boolean =
+    normLit(l) match {
+      case Some((fam, v)) => stats.get(a.name) match {
+        case Some((sf, mn, mx)) if sf == fam =>
+          val c = if (lower) Snapshots.cmp(fam, mx, v)
+                  else -Snapshots.cmp(fam, mn, v)
+          if (strict) c > 0 else c >= 0
+        case _ => true
+      }
+      case None => true
+    }
+}
+
+object SnapshotSkippingRule {
+
+  /** Idempotent per-session install (the [[RangeJoinRule.ensureInstalled]]
+    * pattern): `spark.experimental.extraOptimizations`, no session
+    * rebuild. */
+  def ensureInstalled(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[SnapshotSkippingRule])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SnapshotSkippingRule(spark)
+    }
+  }
+
+  /** Planning fact for the keys/specs: how many root directories the
+    * dataframe's OPTIMIZED plan actually scans (sum over its file-based
+    * relations; an all-pruned plan has none). */
+  def scanRootDirs(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.size
+    }.sum
+}

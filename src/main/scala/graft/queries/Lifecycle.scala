@@ -499,6 +499,50 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** Optimizer-integrated data skipping — the same pruning as
+    * [[tableStatsPruning]] with NO special read API: the query is a plain
+    * `.filter(...)` over `readLatest`, and the installed
+    * [[graft.plans.SnapshotSkippingRule]] drops the non-intersecting
+    * shards at plan time (where Delta/Iceberg run their stats
+    * evaluators). The full-scan reference aggregate is computed BEFORE
+    * the rule installs, so `pruned_equals_full` compares a genuinely
+    * unpruned scan against the rule's output; `dirs_read` is read off
+    * the optimized plan's file index, not from any engine bookkeeping —
+    * if the rule failed to fire it reads 4 and the oracle's literal 2
+    * fails the hash. */
+  def tableAutoSkipping(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/asnaps")
+    val t = f"events_auto_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val ev = load(s, d, "events")
+    def ts(x: String) = lit(x).cast("timestamp")
+    val cuts = Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
+      "2024-02-01")
+    cuts.sliding(2).foreach { w =>
+      snap.commitAppendStats(t,
+        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
+        Seq("ts"))
+    }
+    val (lo, hi) = ("2024-01-03 00:00:00", "2024-01-09 00:00:00")
+    def inRange(df: DataFrame) =
+      df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+    val fullAgg = inRange(snap.readLatest(t))
+      .agg(count(lit(1)), exactSum(col("value"))).collect().head
+    graft.plans.SnapshotSkippingRule.ensureInstalled(s)
+    val q = inRange(snap.readLatest(t))
+    val dirsRead = graft.plans.SnapshotSkippingRule.scanRootDirs(q)
+    val result = q.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    val prunedAgg = result
+      .agg(sum(col("n")), exactSum(col("sum_value"))).collect().head
+    result
+      .withColumn("dirs_read", lit(dirsRead.toLong))
+      .withColumn("dirs_total", lit(4L))
+      .withColumn("pruned_equals_full", lit(fullAgg == prunedAgg))
+      .orderBy("event_type")
+  }
+
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
@@ -1551,6 +1595,7 @@ object Lifecycle {
     "table_partition_overwrite" -> (tablePartitionOverwrite _),
     "table_stats_pruning" -> (tableStatsPruning _),
     "table_point_lookup" -> (tablePointLookup _),
+    "table_auto_skipping" -> (tableAutoSkipping _),
     "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1731,6 +1776,20 @@ object Lifecycle {
         |WHERE user_id = (SELECT MAX(user_id) FROM events
         |                 WHERE user_id <= (SELECT MAX(user_id) // 2
         |                                   FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the in-range aggregate replayed over the base table; dirs_read = 2
+    // is structural (fixed ts cuts, the 6-day range intersects shards 1
+    // and 2 only) and is read off the OPTIMIZED PLAN's file index — the
+    // rule not firing reads 4 and fails this literal
+    "table_auto_skipping" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(2 AS BIGINT) AS dirs_read,
+        |  CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS pruned_equals_full
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,
