@@ -527,6 +527,53 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** Classical additive seasonal decomposition of the daily revenue
+    * series: y = trend + seasonal + residual, with trend the centered
+    * 7-day moving average (defined only on full windows — the first and
+    * last 3 days emit NULL trend/resid, the textbook contract), the
+    * seasonal component the per-day-of-week mean of the detrended
+    * series normalized over days WITH trend, and dow computed as
+    * epoch_days mod 7 so both engines derive it identically (SQL
+    * dayofweek() numbering differs between dialects).
+    *
+    * Exactness: everything stays DECIMAL until the last step — the
+    * detrended series is kept as d7 = 7*y - sum7 (exact, x7 to avoid a
+    * decimal division), and the only float ops are the mirrored final
+    * casts/divisions, rounded at 6dp like the rest of the stats family.
+    *
+    * Scale shape: the events-scale work is ONE day-bucket rollup; the
+    * window and the dow rollup run over |days| rows (thousands at any
+    * corpus age), so the global-ordered window is a deliberate non-cost
+    * — the same reasoning the repo's Ranks two-phase machinery exists to
+    * apply where |keys| ~ |rows|, recorded here as its inverse. */
+  def eventsSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = load(s, d, "events")
+      .groupBy(to_date(col("ts")).as("ev_day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("y_dec"))
+    val w = Window.orderBy("ev_day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("sum7", sum(col("y_dec")).over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("cnt7") === 7, round(col("sum7").cast("double") / 7.0, 6)))
+      .withColumn("d7", lit(7) * col("y_dec") - col("sum7"))
+      .withColumn("dow", pmod(unix_date(col("ev_day")).cast("long"), lit(7L)))
+    val seas = t.filter(col("cnt7") === 7)
+      .groupBy("dow")
+      .agg(sum(col("d7")).as("snum"), count(lit(1)).as("scnt"))
+      .withColumn("seasonal", round(col("snum").cast("double") /
+        (lit(7.0) * col("scnt").cast("double")), 6))
+      .select("dow", "seasonal")
+    t.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("ev_day"),
+        col("y_dec").cast("double").as("y"),
+        col("trend"),
+        col("seasonal"),
+        round(col("y_dec").cast("double") - col("trend") - col("seasonal"), 6)
+          .as("resid"))
+      .orderBy("ev_day")
+  }
+
   /** CDC change-log application — the "apply a day of changes to the
     * serving table" operator downstream of any log-structured ingest:
     * events are read as per-user change records (the LAST event per user
@@ -650,6 +697,7 @@ object EventOps {
     "events_markov_transitions" -> (eventsMarkovTransitions _),
     "events_gap_fill"        -> (eventsGapFill _),
     "events_islands"         -> (eventsIslands _),
+    "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
   )
 
   /** session_window semantics replayed: a gap of EXACTLY 30 minutes
@@ -676,6 +724,31 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the decomposition replayed with the same exact-decimal pipeline:
+    // d7 = 7y - sum7 stays DECIMAL, dow is epoch_days % 7 (dialect
+    // dayofweek numbering differs), and the only float ops are the
+    // mirrored final casts/divisions rounded at 6dp
+    "events_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS ev_day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y_dec
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT ev_day, y_dec,
+        |    SUM(y_dec) OVER w AS sum7, COUNT(*) OVER w AS cnt7,
+        |    (ev_day - DATE '1970-01-01') % 7 AS dow
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY ev_day ROWS BETWEEN 3 PRECEDING
+        |               AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, CASE WHEN cnt7 = 7
+        |    THEN round(CAST(sum7 AS DOUBLE) / 7.0, 6) END AS trend,
+        |    7 * y_dec - sum7 AS d7 FROM t),
+        |seas AS (SELECT dow, round(CAST(SUM(d7) AS DOUBLE) /
+        |    (7.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS seasonal
+        |  FROM t2 WHERE cnt7 = 7 GROUP BY dow)
+        |SELECT ev_day, CAST(y_dec AS DOUBLE) AS y, trend, seasonal,
+        |  round(CAST(y_dec AS DOUBLE) - trend - seasonal, 6) AS resid
+        |FROM t2 LEFT JOIN seas USING (dow)
+        |ORDER BY ev_day""".stripMargin,
+
     // the full Poisson bootstrap replayed bit-exactly: same md5
     // fraction, same CDF threshold literals, same exact-cent weighted
     // sums, same single IEEE division per resample mean, same picked

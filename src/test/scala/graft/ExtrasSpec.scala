@@ -136,6 +136,31 @@ class ExtrasSpec extends AnyFunSuite {
     assert(want("p3") == 0L)
   }
 
+  test("seasonal decomposition: identity holds where trend is defined, " +
+      "edges emit NULL, and the seasonal component is dow-constant") {
+    val rows = graft.ext.EventOps.eventsSeasonalDecompose(spark, SF)
+      .collect()
+    val n = rows.length
+    assert(n >= 14) // a month of generated days
+    // first/last 3 days: no full centered window -> NULL trend and resid
+    (rows.take(3) ++ rows.takeRight(3)).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(4), s"edge row not NULL: $r")
+    }
+    // interior: y = trend + seasonal + resid up to the two 6dp rounds
+    rows.drop(3).dropRight(3).foreach { r =>
+      val (y, tr, se, re) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(y - (tr + se + re)) < 2e-6, s"identity broke: $r")
+    }
+    // seasonal is a pure function of day-of-week
+    val byDow = rows.filter(!_.isNullAt(3))
+      .groupBy(r => r.getDate(0).toLocalDate.toEpochDay % 7)
+      .view.mapValues(_.map(_.getDouble(3)).distinct)
+    byDow.foreach { case (dow, vs) =>
+      assert(vs.size == 1, s"dow $dow has ${vs.size} seasonal values")
+    }
+  }
+
   test("events_rfm partitions users into balanced quintiles per dimension") {
     val rows = graft.ext.EventOps.eventsRfm(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
