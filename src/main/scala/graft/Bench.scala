@@ -255,7 +255,10 @@ object Bench {
         "stat_power_analysis",
         // r10 addition: the native quantile-sketch key (one corpus pass
         // + the Ranks exact-quantile scan — both decade-sensitive)
-        "agg_quantile_sketch")
+        "agg_quantile_sketch",
+        // r11 addition: the PassJoin edit-distance dedup (probe-explosion
+        // + segment-hash join — shuffle-volume sensitive by design)
+        "dedup_edit_distance")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
