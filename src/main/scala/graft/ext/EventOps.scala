@@ -574,6 +574,50 @@ object EventOps {
       .orderBy("ev_day")
   }
 
+  /** CUSUM changepoint detection per event type over the daily value
+    * series: the classic offline single-changepoint estimator — the day
+    * k maximizing |S_k| where S_k = prefix_k - (k/n)*total, the
+    * cumulative deviation from the grand mean. Everything is EXACT: the
+    * statistic is kept cross-multiplied as S'_k = n*prefix_k - k*total
+    * (DECIMAL — same argmax as S_k, no division until the end), ties
+    * break to the earliest day, the final day is excluded (S'_n = 0
+    * identically). Emits the changepoint plus the exact-decimal
+    * pre/post means and their shift, rounded 6dp at the cast like the
+    * stats family.
+    *
+    * Scale shape: the events-scale work is ONE (type, day) rollup; the
+    * prefix window and argmax run over |types| x |days| rows (hundreds
+    * at any corpus age — the deliberate inverse of the Ranks rule, same
+    * as the seasonal key). */
+  def eventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = load(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("ev_day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+    val byType = Window.partitionBy("event_type").orderBy("ev_day")
+    val pre = daily
+      .withColumn("k", row_number().over(byType).cast("long"))
+      .withColumn("prefix", sum(col("y")).over(byType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("total", sum(col("y")).over(Window.partitionBy("event_type")))
+      .filter(col("k") < col("n"))
+      .withColumn("s_scaled", col("n") * col("prefix") - col("k") * col("total"))
+    val best = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_scaled")).desc, col("ev_day").asc)
+    pre
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ev_day").as("cp_day"),
+        round(col("prefix").cast("double") / col("k").cast("double"), 6)
+          .as("pre_mean"),
+        round((col("total") - col("prefix")).cast("double") /
+          (col("n") - col("k")).cast("double"), 6).as("post_mean"),
+        round((col("total") - col("prefix")).cast("double") /
+            (col("n") - col("k")).cast("double") -
+          col("prefix").cast("double") / col("k").cast("double"), 6)
+          .as("mean_shift"))
+      .orderBy("event_type")
+  }
+
   /** CDC change-log application — the "apply a day of changes to the
     * serving table" operator downstream of any log-structured ingest:
     * events are read as per-user change records (the LAST event per user
@@ -698,6 +742,7 @@ object EventOps {
     "events_gap_fill"        -> (eventsGapFill _),
     "events_islands"         -> (eventsIslands _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
+    "events_changepoint"     -> (eventsChangepoint _),
   )
 
   /** session_window semantics replayed: a gap of EXACTLY 30 minutes
@@ -748,6 +793,35 @@ object EventOps {
         |  round(CAST(y_dec AS DOUBLE) - trend - seasonal, 6) AS resid
         |FROM t2 LEFT JOIN seas USING (dow)
         |ORDER BY ev_day""".stripMargin,
+
+    // the CUSUM statistic replayed cross-multiplied in exact DECIMAL
+    // (argmax on n*prefix - k*total, ties to earliest day, final day
+    // excluded); the only float ops are the mirrored final divisions
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS ev_day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, ev_day, y,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |    SUM(y) OVER w AS prefix,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(y) OVER (PARTITION BY event_type) AS total
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ev_day)),
+        |s AS (SELECT *, n * prefix - k * total AS s_scaled FROM pre
+        |  WHERE k < n),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s_scaled) DESC, ev_day ASC) AS rn FROM s)
+        |SELECT event_type, ev_day AS cp_day,
+        |  round(CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |    AS pre_mean,
+        |  round(CAST(total - prefix AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+        |    AS post_mean,
+        |  round(CAST(total - prefix AS DOUBLE) / CAST(n - k AS DOUBLE)
+        |    - CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |    AS mean_shift
+        |FROM best WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
 
     // the full Poisson bootstrap replayed bit-exactly: same md5
     // fraction, same CDF threshold literals, same exact-cent weighted

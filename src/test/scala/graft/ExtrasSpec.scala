@@ -161,6 +161,30 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint: one row per event type, argmax matches a driver-side " +
+      "recompute on a planted step series") {
+    val got = graft.ext.EventOps.eventsChangepoint(spark, SF).collect()
+    val types = Tables.load(spark, SF, "events")
+      .select("event_type").distinct().count()
+    assert(got.length == types)
+    got.foreach(r => assert(!r.isNullAt(1) && !r.isNullAt(4)))
+    // planted step: 10 days at 1.00/day then 10 days at 5.00/day, one
+    // event per day -> CUSUM argmax must land exactly on the step
+    import spark.implicits._
+    val step = (1 to 20).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-03-$i%02d 12:00:00"),
+        "probe", if (i <= 10) 1.00 else 5.00)
+    }.toDF("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("cptest").toString
+    step.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cp = graft.ext.EventOps.eventsChangepoint(spark, dir).collect()
+    assert(cp.length == 1)
+    assert(cp.head.getDate(1).toString == "2024-03-10")
+    assert(cp.head.getDouble(2) == 1.0 && cp.head.getDouble(3) == 5.0)
+    assert(cp.head.getDouble(4) == 4.0)
+    graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
+  }
+
   test("events_rfm partitions users into balanced quintiles per dimension") {
     val rows = graft.ext.EventOps.eventsRfm(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
