@@ -104,9 +104,36 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
       case GreaterThan(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = false, strict = true)
       case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = false, strict = false)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = false, strict = false)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // an IN list is a disjunction of points: the dir survives if ANY
+        // value might be present
+        vs.exists(v => eqOk(a, v.asInstanceOf[Literal], stats, blooms))
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        prefixOk(a, l, stats)
       case _ => true // unrecognized conjunct: cannot prune on it
     }
   }
+
+  /** `a LIKE 'p%'` ⟺ p <= a < p⁺ where p⁺ is p with its last code unit
+    * incremented — so the zone check is a half-open range probe. When the
+    * last code unit is already U+FFFF the upper bound doesn't exist
+    * (only the lower check applies). */
+  private def prefixOk(a: AttributeReference, l: Literal,
+      stats: Map[String, (String, String, String)]): Boolean =
+    normLit(l) match {
+      case Some(("string", p)) if p.nonEmpty => stats.get(a.name) match {
+        case Some(("string", mn, mx)) =>
+          val lowerOk = mx.compareTo(p) >= 0
+          val upperOk = if (p.last == '\uffff') true
+          else {
+            val pUp = p.init + (p.last + 1).toChar
+            mn.compareTo(pUp) < 0
+          }
+          lowerOk && upperOk
+        case _ => true
+      }
+      case _ => true
+    }
 
   /** Literal -> (comparison family, normalized string), mirroring the
     * writer's `statsFamily`: catalyst internal values are already micros

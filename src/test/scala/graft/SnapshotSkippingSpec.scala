@@ -84,4 +84,33 @@ class SnapshotSkippingSpec extends AnyFunSuite {
     assert(dirsScanned(plain) == 1)
     assert(plain.count() == 0)
   }
+
+  test("IN lists prune as point disjunctions and string prefixes prune " +
+      "as half-open ranges") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_in_prefix"
+    snap.drop(t)
+    // three shards of disjoint names: a*, b*, c*
+    Seq("a", "b", "c").foreach { p =>
+      snap.commitAppendStats(t,
+        (0 until 50).map(i => (f"$p$i%03d", i.toLong)).toDF("name", "v"),
+        Seq("name"), bloomCols = Seq("name"))
+    }
+    val base = snap.readLatest(t)
+    // IN across two shards: exactly those two survive
+    val in2 = base.filter(col("name").isin("a007", "c042"))
+    assert(dirsScanned(in2) == 2)
+    assert(in2.count() == 2)
+    // IN of absent values: blooms reject everything
+    assert(dirsScanned(base.filter(col("name").isin("a999", "b999"))) == 0)
+    // prefix probe: LIKE 'b%' keeps only the b shard
+    val pb = base.filter(col("name").startsWith("b"))
+    assert(dirsScanned(pb) == 1)
+    assert(pb.count() == 50)
+    // boundary: LIKE 'a%' must keep the a shard even though its min is
+    // exactly the prefix's lower bound neighborhood
+    assert(dirsScanned(base.filter(col("name").startsWith("a"))) == 1)
+    // a prefix above every shard prunes all
+    assert(dirsScanned(base.filter(col("name").startsWith("zzz"))) == 0)
+  }
 }
