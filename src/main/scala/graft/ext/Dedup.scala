@@ -342,9 +342,14 @@ object Dedup {
     cand
       .join(docs.as("da"), col("a") === col("da.doc_id"))
       .join(docs.as("db"), col("b") === col("db.doc_id"))
+      // thresholded levenshtein: banded O(D*n) DP with early exit (-1
+      // when the distance exceeds D) instead of the O(n^2) full matrix —
+      // for kept pairs the value is identical to the unbounded form, so
+      // the brute-force spec cross-check and the DuckDB oracle are
+      // unchanged
       .select(col("a"), col("b"),
-        levenshtein(col("da.t"), col("db.t")).cast("long").as("dist"))
-      .filter(col("dist") <= ED_D)
+        levenshtein(col("da.t"), col("db.t"), ED_D).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= ED_D)
       .orderBy("a", "b")
   }
 
