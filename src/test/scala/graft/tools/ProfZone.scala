@@ -27,7 +27,9 @@ object ProfZone {
     spark.sparkContext.setLogLevel("WARN")
 
     val snap = new graft.matview.Snapshots(spark, "target/scratch/zprof")
-    val t = "events_zprof"
+    // per-tier table: the reuse check below must never hand one tier's
+    // shards to another tier's probe
+    val t = f"events_zprof_${sfDir.hashCode & 0x7fffffff}%08x"
     val ev = graft.Tables.load(spark, sfDir, "events")
       .select(col("ts"), col("event_type"), col("value"))
 
