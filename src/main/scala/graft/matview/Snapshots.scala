@@ -133,9 +133,20 @@ class Snapshots(spark: SparkSession, root: String) {
     * formats' writers (which fold the bounds into the write; the
     * observable contract is identical). */
   def commitAppendStats(t: String, df: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil, txn: Option[String] = None): Int = {
     require(statsCols.nonEmpty, "commitAppendStats needs at least one column")
-    val v = latest(t) + 1
+    // exactly-once ingestion (the streaming-sink txn pattern of the open
+    // formats): a commit carrying a txn id is SKIPPED when any dir of the
+    // latest manifest already recorded that id — a replayed micro-batch
+    // (foreachBatch re-delivery after a failure) becomes a no-op instead
+    // of a duplicate append. The id lands in a `_txn` file inside the
+    // immutable data dir, part of the atomically-published unit.
+    val last = latest(t)
+    if (txn.isDefined && last >= 0 &&
+        readManifest(t, last).exists(d => Snapshots.dirTxn(d) == txn)) {
+      return last
+    }
+    val v = last + 1
     val dataDir = s"${tdir(t)}/d$v"
     df.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
@@ -165,6 +176,8 @@ class Snapshots(spark: SparkSession, root: String) {
     }
     Files.writeString(Paths.get(dataDir, statsFile), lines.mkString("\n"))
     if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
+    txn.foreach(id => Files.writeString(
+      Paths.get(dataDir, Snapshots.txnFile), id))
     val dirs = (if (v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
     publishManifest(t, v, dirs)
     v
@@ -355,6 +368,13 @@ object Snapshots {
 
   private[graft] val statsFile = "_zstats"
   private[graft] val bloomFile = "_zbloom"
+  private[graft] val txnFile = "_txn"
+
+  /** The ingestion txn id a data dir was committed under, if any. */
+  private[graft] def dirTxn(dir: String): Option[String] = {
+    val p = Paths.get(dir, txnFile)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
 
   /** Bits per column bloom filter (8 KiB packed). With k = 4 hashes this
     * holds ~4.6k distinct values per dir at 1% false-positive rate; a

@@ -1596,6 +1596,9 @@ object Lifecycle {
     "table_stats_pruning" -> (tableStatsPruning _),
     "table_point_lookup" -> (tablePointLookup _),
     "table_auto_skipping" -> (tableAutoSkipping _),
+    "table_stream_ingest" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.StreamingOps.streamTableIngest(s, d)),
     "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1776,6 +1779,21 @@ object Lifecycle {
         |WHERE user_id = (SELECT MAX(user_id) FROM events
         |                 WHERE user_id <= (SELECT MAX(user_id) // 2
         |                                   FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the ingested table must equal the full fixture; the exactly-once
+    // facts (4 micro-batch versions, the replayed batch skipped, deltas
+    // partitioning the table, the in-chunk zone probe reading 1 of 4
+    // dirs) are structural — a duplicate append breaks BOTH n_versions
+    // and the per-type counts
+    "table_stream_ingest" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  TRUE AS replay_skipped,
+        |  TRUE AS deltas_partition,
+        |  CAST(1 AS BIGINT) AS probe_dirs_read,
+        |  CAST(4 AS BIGINT) AS probe_dirs_total
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the in-range aggregate replayed over the base table; dirs_read = 2
     // is structural (fixed ts cuts, the 6-day range intersects shards 1

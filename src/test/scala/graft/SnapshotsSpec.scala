@@ -219,6 +219,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(far.zoneKept == 0 && far.dirsRead == 0)
   }
 
+  test("txn commits are exactly-once: a replayed txn id is a no-op, a new " +
+      "id appends, and txn-less commits never collide") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_txn"
+    snap.drop(t)
+    def batch(lo: Long) = (lo until lo + 10L).map(i => (i, i)).toDF("id", "v")
+    assert(snap.commitAppendStats(t, batch(0), Seq("id"),
+      txn = Some("b0")) == 0)
+    assert(snap.commitAppendStats(t, batch(10), Seq("id"),
+      txn = Some("b1")) == 1)
+    // replay of b1: same version back, no new commit, data unchanged
+    assert(snap.commitAppendStats(t, batch(10), Seq("id"),
+      txn = Some("b1")) == 1)
+    assert(snap.latest(t) == 1)
+    assert(snap.readLatest(t).count() == 20)
+    // a NEW txn id still appends
+    assert(snap.commitAppendStats(t, batch(20), Seq("id"),
+      txn = Some("b2")) == 2)
+    // txn-less commits are unaffected by recorded ids
+    assert(snap.commitAppendStats(t, batch(30), Seq("id")) == 3)
+    assert(snap.commitAppendStats(t, batch(30), Seq("id")) == 4)
+    // 5 effective commits x 10 rows (the b1 replay contributed nothing;
+    // the duplicate txn-LESS commit legitimately appended again)
+    assert(snap.readLatest(t).count() == 50)
+  }
+
   test("bloom sidecar: string columns probe exactly, and dirs without a " +
       "bloom are conservatively kept") {
     import spark.implicits._
