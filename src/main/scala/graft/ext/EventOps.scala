@@ -618,6 +618,39 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast backtest per event type: forecast(day) =
+    * value(day - 7) — the standard baseline every fancier forecaster must
+    * beat — evaluated over each type's last 7 observed days. Errors stay
+    * exact DECIMAL through the fold (SUM |y - yhat|, SUM (y - yhat));
+    * the only float ops are the final mirrored divisions, rounded 6dp.
+    * Backtest days whose lag day is absent are excluded by the inner
+    * lag join (none at the gate SF — the generator is day-dense).
+    *
+    * Scale shape: one (type, day) rollup at events scale; the lag join
+    * and the backtest fold run over |types| x |days| rows. */
+  def eventsForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = load(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("ev_day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+    val mx = daily.groupBy("event_type").agg(max(col("ev_day")).as("mxd"))
+    daily.as("a")
+      .join(mx, Seq("event_type"))
+      .filter(col("ev_day") > date_sub(col("mxd"), 7))
+      .join(daily.as("f"),
+        col("a.event_type") === col("f.event_type") &&
+        col("f.ev_day") === date_sub(col("a.ev_day"), 7))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_backtest"),
+        sum(abs(col("a.y") - col("f.y"))).as("sum_abs"),
+        sum(col("a.y") - col("f.y")).as("sum_diff"))
+      .select(col("event_type"), col("n_backtest"),
+        round(col("sum_abs").cast("double") /
+          col("n_backtest").cast("double"), 6).as("mae"),
+        round(col("sum_diff").cast("double") /
+          col("n_backtest").cast("double"), 6).as("bias"))
+      .orderBy("event_type")
+  }
+
   /** CDC change-log application — the "apply a day of changes to the
     * serving table" operator downstream of any log-structured ingest:
     * events are read as per-user change records (the LAST event per user
@@ -743,6 +776,7 @@ object EventOps {
     "events_islands"         -> (eventsIslands _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
     "events_changepoint"     -> (eventsChangepoint _),
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
   )
 
   /** session_window semantics replayed: a gap of EXACTLY 30 minutes
@@ -793,6 +827,26 @@ object EventOps {
         |  round(CAST(y_dec AS DOUBLE) - trend - seasonal, 6) AS resid
         |FROM t2 LEFT JOIN seas USING (dow)
         |ORDER BY ev_day""".stripMargin,
+
+    // the lag join + exact-decimal error fold replayed; only the final
+    // mirrored divisions are floats
+    "events_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS ev_day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type, MAX(ev_day) AS mxd FROM daily GROUP BY 1)
+        |SELECT a.event_type, COUNT(*)::BIGINT AS n_backtest,
+        |  round(CAST(SUM(abs(a.y - f.y)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+        |  round(CAST(SUM(a.y - f.y) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS bias
+        |FROM daily a
+        |JOIN mx ON mx.event_type = a.event_type
+        |JOIN daily f ON f.event_type = a.event_type
+        |  AND f.ev_day = a.ev_day - 7
+        |WHERE a.ev_day > mx.mxd - 7
+        |GROUP BY a.event_type
+        |ORDER BY a.event_type""".stripMargin,
 
     // the CUSUM statistic replayed cross-multiplied in exact DECIMAL
     // (argmax on n*prefix - k*total, ties to earliest day, final day

@@ -185,6 +185,28 @@ class ExtrasSpec extends AnyFunSuite {
     graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
   }
 
+  test("forecast backtest: a perfectly weekly-periodic series scores " +
+      "MAE 0, a constant-drift series scores bias = drift") {
+    import spark.implicits._
+    // 28 days: value = dow + 1 (period 7, exact repetition) for type p1;
+    // value = day index (drift +1/day -> y - y(-7) = 7) for type p2
+    val rows = (1 to 28).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-03-$i%02d 12:00:00")
+      Seq((ts, "p1", (i % 7 + 1).toDouble), (ts, "p2", i.toDouble))
+    }.toDF("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("fctest").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ext.EventOps.eventsForecastBacktest(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("p1") == ((7L, 0.0, 0.0)))
+    assert(got("p2") == ((7L, 7.0, 7.0)))
+    graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
+    // and the real fixture yields a row per type with finite errors
+    val real = graft.ext.EventOps.eventsForecastBacktest(spark, SF).collect()
+    assert(real.nonEmpty && real.forall(r => r.getLong(1) > 0))
+  }
+
   test("events_rfm partitions users into balanced quintiles per dimension") {
     val rows = graft.ext.EventOps.eventsRfm(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
