@@ -133,7 +133,26 @@ class Snapshots(spark: SparkSession, root: String) {
     * formats' writers (which fold the bounds into the write; the
     * observable contract is identical). */
   def commitAppendStats(t: String, df: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, txn: Option[String] = None): Int = {
+      bloomCols: Seq[String] = Nil, txn: Option[String] = None): Int =
+    commitStats(t, df, statsCols, bloomCols, txn, append = true)
+
+  /** Log-native compaction (the lakehouse OPTIMIZE): rewrite the CURRENT
+    * state as one stats-carrying dir via an overwrite commit. Every
+    * older version stays readable from its own manifest (old manifests
+    * are never modified) until [[vacuum]] reclaims the fragments; the
+    * new dir's zone stats cover the merged span, so range reads keep
+    * planning from the manifest. */
+  def compact(t: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Int =
+    commitStats(t, readLatest(t), statsCols, bloomCols, None,
+      append = false)
+
+  /** Number of data dirs version `v`'s manifest lists — the
+    * fragmentation measure compaction exists to reset. */
+  def manifestDirs(t: String, v: Int): Int = readManifest(t, v).size
+
+  private def commitStats(t: String, df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String], txn: Option[String], append: Boolean): Int = {
     require(statsCols.nonEmpty, "commitAppendStats needs at least one column")
     // exactly-once ingestion (the streaming-sink txn pattern of the open
     // formats): a commit carrying a txn id is SKIPPED when any dir of the
@@ -178,7 +197,8 @@ class Snapshots(spark: SparkSession, root: String) {
     if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
     txn.foreach(id => Files.writeString(
       Paths.get(dataDir, Snapshots.txnFile), id))
-    val dirs = (if (v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
+    val dirs =
+      (if (append && v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
     publishManifest(t, v, dirs)
     v
   }

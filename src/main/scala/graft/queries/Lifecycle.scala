@@ -543,6 +543,75 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** Log-native compaction — the OPTIMIZE command of the lakehouse
+    * formats: a stream of small appends (the table_stream_ingest shape)
+    * leaves the table fragmented into one dir per micro-batch, and a
+    * compaction commit rewrites the CURRENT state as one
+    * stats-carrying dir via commitOverwrite-with-stats, while every
+    * pre-compaction version stays readable (old manifests are never
+    * touched) until a retention pass reclaims the small dirs. Pinned
+    * facts: 6 fragments before / 1 dir after (manifest lengths), a
+    * pre-compaction version still readable AFTER the compaction commit,
+    * content preserved (engine-side fingerprint equality, plus the
+    * oracle replaying the aggregate), vacuum reclaiming exactly the 6
+    * dead fragments, and the compacted dir answering a zone-pruned
+    * range read (stats survive compaction). At 100 TB this is what
+    * keeps a streamed-in table scannable: scan cost tracks data size,
+    * not commit count. */
+  def tableCompactVersions(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/csnaps")
+    val t = f"events_compact_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val ev = load(s, d, "events")
+    def ts(x: String) = lit(x).cast("timestamp")
+    val cuts = Seq("2024-01-01", "2024-01-06", "2024-01-11", "2024-01-16",
+      "2024-01-21", "2024-01-26", "2024-02-01")
+    cuts.sliding(2).foreach { w =>
+      snap.commitAppendStats(t,
+        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
+        Seq("ts"))
+    }
+    // order-free, overflow-free content fingerprint: xor-fold of row
+    // hashes
+    def fp(df: DataFrame): Long = df
+      .select(xxhash64(col("event_id"), col("ts"), col("event_type"),
+        col("value")).as("h"))
+      .agg(expr("bit_xor(h)")).collect().head.getLong(0)
+    val fragVersion = snap.latest(t)
+    val dirsBefore = snap.manifestDirs(t, fragVersion)
+    val fpBefore = fp(snap.readLatest(t))
+    // the compaction commit: current state rewritten as ONE dir,
+    // stats recomputed for the merged span
+    val compactV = snap.compact(t, Seq("ts"))
+    val dirsAfter = snap.manifestDirs(t, compactV)
+    val fpAfter = fp(snap.readLatest(t))
+    // history intact: a pre-compaction version still reads its fragments
+    val oldReadable = snap.read(t, 2).count() ==
+      ev.filter(col("ts") >= ts(cuts.head) && col("ts") < ts(cuts(3))).count()
+    // retention: exactly the 6 fragments die, the compacted dir lives
+    val (removed, live) = snap.vacuum(t, compactV)
+    // stats survive compaction: a 5-day range read still plans from the
+    // manifest (1 of 1 dirs — the point is the API keeps working and
+    // row results are intact, pinned through the oracle's aggregate)
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-13 00:00:00")
+    def micros(x: String) =
+      java.time.Instant.parse(x.replace(' ', 'T') + "Z").getEpochSecond *
+        1000000L
+    val pr = snap.readPruned(t, compactV, "ts",
+      micros(lo).toString, (micros(hi) - 1).toString)
+    pr.df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .withColumn("dirs_before", lit(dirsBefore.toLong))
+      .withColumn("dirs_after", lit(dirsAfter.toLong))
+      .withColumn("content_preserved", lit(fpBefore == fpAfter))
+      .withColumn("old_version_readable", lit(oldReadable))
+      .withColumn("dead_removed", lit(removed.toLong))
+      .withColumn("live_dirs", lit(live.toLong))
+      .orderBy("event_type")
+  }
+
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
@@ -1599,6 +1668,7 @@ object Lifecycle {
     "table_stream_ingest" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamingOps.streamTableIngest(s, d)),
+    "table_compact_versions" -> (tableCompactVersions _),
     "lookup_bucket_pruned" -> (lookupBucketPruned _),
     "layout_zorder" -> (layoutZorder _),
     "ingest_schema_evolution" -> (ingestSchemaEvolution _),
@@ -1779,6 +1849,24 @@ object Lifecycle {
         |WHERE user_id = (SELECT MAX(user_id) FROM events
         |                 WHERE user_id <= (SELECT MAX(user_id) // 2
         |                                   FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the 5-day range aggregate replayed over the base table; the
+    // compaction facts (6 fragments -> 1 dir, content preserved,
+    // pre-compaction version readable, vacuum reclaiming exactly the 6
+    // fragments) are structural, computed engine-side and pinned as
+    // literals
+    "table_compact_versions" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(6 AS BIGINT) AS dirs_before,
+        |  CAST(1 AS BIGINT) AS dirs_after,
+        |  TRUE AS content_preserved,
+        |  TRUE AS old_version_readable,
+        |  CAST(6 AS BIGINT) AS dead_removed,
+        |  CAST(1 AS BIGINT) AS live_dirs
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the ingested table must equal the full fixture; the exactly-once
     // facts (4 micro-batch versions, the replayed batch skipped, deltas

@@ -246,6 +246,34 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).count() == 50)
   }
 
+  test("compact: one dir after, history readable until vacuum, sidecars " +
+      "recomputed over the merged span") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_compact"
+    snap.drop(t)
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t,
+        (j * 100L until j * 100L + 10L).map(i => (i, s"v$i"))
+          .toDF("id", "payload"),
+        Seq("id"), bloomCols = Seq("id"))
+    }
+    assert(snap.manifestDirs(t, snap.latest(t)) == 3)
+    val cv = snap.compact(t, Seq("id"), bloomCols = Seq("id"))
+    assert(snap.manifestDirs(t, cv) == 1)
+    assert(snap.readLatest(t).count() == 30)
+    // a pre-compaction version still reads its fragments
+    assert(snap.read(t, 1).count() == 20)
+    // the compacted dir's sidecars answer point probes: a present value
+    // keeps the (single) dir, an absent mid-range value bloom-prunes it
+    assert(snap.readPrunedEq(t, cv, "id", "205").dirsRead == 1)
+    assert(snap.readPrunedEq(t, cv, "id", "55").dirsRead == 0)
+    // retention kills exactly the 3 fragments; compacted state intact
+    assert(snap.vacuum(t, cv) == ((3, 1)))
+    assert(snap.readLatest(t).count() == 30)
+    intercept[Exception] { snap.read(t, 1).count() }
+  }
+
   test("bloom sidecar: string columns probe exactly, and dirs without a " +
       "bloom are conservatively kept") {
     import spark.implicits._
