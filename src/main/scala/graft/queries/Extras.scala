@@ -303,6 +303,31 @@ object Extras {
         exactSum(col("o_totalprice")).as("bucket_revenue"))
       .orderBy("bucket")
 
+  /** Equi-DEPTH histogram — the quantile-bucket companion to the
+    * equi-width [[profileHistogram]], and what ANALYZE actually stores
+    * for skewed columns (equal ROW counts per bucket, data-driven
+    * edges): 8 buckets over the order-price domain, each holding
+    * floor(n/8) or ceil(n/8) rows exactly. The global rank that defines
+    * the buckets is [[graft.operators.Ranks.rowNumberByRange]] — the
+    * two-phase range scan, never a global NTILE window (a single-task
+    * sort of every order at 100 TB); the bucket id is pure integer
+    * arithmetic (rn-1)*8 div n replayed verbatim by the oracle, with
+    * o_orderkey as the deterministic tie-break inside equal prices. */
+  def profileHistogramEqdepth(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.count()
+    graft.operators.Ranks.rowNumberByRange(o, 32,
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      .withColumn("bucket", expr(s"((rn - 1) * 8) div $n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        exactSum(col("o_totalprice")).as("bucket_revenue"))
+      .orderBy("bucket")
+  }
+
   /** Outlier detection by z-score with EXACT variance components: sum and
     * sum-of-squares accumulate in decimal (order-independent), the
     * mean/stddev divide once in IEEE doubles — so the flagged set is
@@ -1628,6 +1653,7 @@ object Extras {
     "typed_dataset"         -> (typedDataset _),
     "profile_table"         -> (profileTable _),
     "profile_histogram"     -> (profileHistogram _),
+    "profile_histogram_eqdepth" -> (profileHistogramEqdepth _),
     "stat_outliers"         -> (statOutliers _),
     "stat_corr"             -> (statCorr _),
     "stat_ab_welch"         -> (statAbWelch _),
@@ -2108,6 +2134,19 @@ object Extras {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |  AS bucket_revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the global rank + integer bucket arithmetic replayed verbatim
+    // (ROW_NUMBER over the same (price, orderkey) total order)
+    "profile_histogram_eqdepth" ->
+      """WITH r AS (SELECT o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT ((rn - 1) * 8) // n AS bucket,
+        |  COUNT(*)::BIGINT AS n_rows,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bucket_revenue
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "stat_outliers" ->
       """WITH c AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -207,6 +207,25 @@ class ExtrasSpec extends AnyFunSuite {
     assert(real.nonEmpty && real.forall(r => r.getLong(1) > 0))
   }
 
+  test("equi-depth histogram: 8 buckets of floor/ceil(n/8) rows with " +
+      "non-overlapping, ordered value ranges") {
+    val rows = Extras.profileHistogramEqdepth(spark, SF).collect()
+    assert(rows.length == 8)
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(1) == n / 8 || r.getLong(1) == n / 8 + 1,
+        s"unbalanced bucket: $r")
+    }
+    // ranges ordered and non-overlapping (equal edge values can only
+    // touch at a shared boundary price)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) ||
+        a.getDouble(3) == b.getDouble(2),
+        s"overlapping buckets: $a / $b")
+      assert(a.getDouble(2) <= a.getDouble(3))
+    }
+  }
+
   test("events_rfm partitions users into balanced quintiles per dimension") {
     val rows = graft.ext.EventOps.eventsRfm(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
