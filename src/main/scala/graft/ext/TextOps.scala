@@ -847,6 +847,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * "Weighted random sampling with a reservoir" — public algorithm):
+    * the top-K documents by key ln(u)/w with u the doc's deterministic
+    * md5 52-bit fraction and w its length weight — the
+    * importance-weighted subset selector behind quality-weighted corpus
+    * subsampling, where plain Bernoulli sampling (corpus_mix_weights)
+    * cannot pin an exact output SIZE and a naive weighted-rank needs a
+    * global sort. One pass, keys computed map-side, the top-K cut is
+    * TakeOrderedAndProject (per-partition bounded heap + driver merge of
+    * K-row partials — no global sort, no window). Determinism: u is the
+    * portable md5 fraction (+1 so ln never sees 0), the key is
+    * e9-quantized to a long (the NB/IDF trick) so cross-engine ln ulp
+    * noise cannot flip ranks, ties break on doc_id. */
+  def corpusSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u",
+        (md5Bucket(concat(lit("ws:"), col("doc_id").cast("string")), 13)
+          .cast("double") + lit(1.0)) / lit(4503599627370496.0))
+      .withColumn("k9",
+        round(log(col("u")) / col("w").cast("double") * lit(1e9), 0)
+          .cast("long"))
+      .select(col("doc_id"), col("w"), col("k9"))
+      .orderBy(col("k9").desc, col("doc_id").asc)
+      .limit(K)
+  }
+
   /** Dataset-mixture balancing: compute per-language sampling weights that
     * hit an equal-share token budget, then apply them with the portable
     * md5-fraction sampler — the "mix the training set to target
@@ -1324,6 +1353,7 @@ object TextOps {
     "text_bpe_train"        -> (textBpeTrain _),
     "corpus_bpe_encode"     -> (corpusBpeEncode _),
     "corpus_mix_weights" -> (corpusMixWeights _),
+    "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_bigram_nll"  -> (textBigramNll _),
     "corpus_importance_weights" -> (corpusImportanceWeights _),
@@ -1619,6 +1649,17 @@ object TextOps {
         |SELECT doc_id, n_tokens, excl // 2048 AS pack_id,
         |       excl % 2048 AS pack_pos
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the exponential-sort key replayed: same md5 52-bit fraction (+1),
+    // same ln/divide/scale expression tree, same e9 quantization and
+    // (k9, doc_id) top-K order
+    "corpus_sample_weighted" ->
+      """WITH k AS (SELECT doc_id, n_chars::BIGINT AS w,
+        |    (CAST(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 13))
+        |       AS BIGINT) + 1.0) / 4503599627370496.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w,
+        |  CAST(round(ln(u) / CAST(w AS DOUBLE) * 1e9, 0) AS BIGINT) AS k9
+        |FROM k ORDER BY k9 DESC, doc_id LIMIT 64""".stripMargin,
     // same weight formula (left-assoc divisions, same literals), same
     // md5-fraction sampler as sample_hash_portable
     "corpus_mix_weights" ->

@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class RetrievalOpsSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
 
+  test("weighted sampling: exactly K rows, ordered keys, heavy docs " +
+      "over-represented, bounded-heap plan") {
+    val df = graft.ext.TextOps.corpusSampleWeighted(spark, SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 64)
+    rows.sliding(2).foreach { case Array((i1, _, k1), (i2, _, k2)) =>
+      assert(k1 > k2 || (k1 == k2 && i1 < i2))
+    }
+    // E-S sampling selects proportionally to weight: the selected docs'
+    // mean length must exceed the corpus mean (deterministic for this
+    // fixed corpus + hash)
+    val corpusAvg = Tables.load(spark, SF, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val selAvg = rows.map(_._2).sum.toDouble / rows.length
+    assert(selAvg > corpusAvg,
+      s"selected mean $selAvg not above corpus mean $corpusAvg")
+  }
+
   test("text_bm25 returns a 20-row ranking in (score desc, doc_id) order") {
     val rows = graft.ext.TextOps.textBm25(spark, SF)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
