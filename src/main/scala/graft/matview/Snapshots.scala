@@ -104,7 +104,11 @@ class Snapshots(spark: SparkSession, root: String) {
     * integral/timestamp/date normalize to long, float/double to double,
     * string stays lexicographic. Decimal is rejected — its min/max would
     * round through double and a half-ulp-high stored min could wrongly
-    * prune a dir holding the bound itself. */
+    * prune a dir holding the bound itself. TIMESTAMP_NTZ is rejected
+    * too: casting it to TIMESTAMP shifts through the session timezone,
+    * so the stored micros would disagree with a probe's raw NTZ micros
+    * on any non-UTC session — a silent wrong-prune; convert the column
+    * to TIMESTAMP explicitly at a chosen zone instead. */
   private def statsFamily(
       dt: org.apache.spark.sql.types.DataType,
       c: org.apache.spark.sql.Column):
@@ -113,9 +117,8 @@ class Snapshots(spark: SparkSession, root: String) {
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         ("long", c.cast(LongType))
-      case TimestampType | TimestampNTZType =>
-        ("long", org.apache.spark.sql.functions.unix_micros(
-          c.cast(TimestampType)))
+      case TimestampType =>
+        ("long", org.apache.spark.sql.functions.unix_micros(c))
       case DateType =>
         ("long", org.apache.spark.sql.functions.unix_date(c).cast(LongType))
       case FloatType | DoubleType => ("double", c.cast(DoubleType))
@@ -134,35 +137,54 @@ class Snapshots(spark: SparkSession, root: String) {
     * observable contract is identical). */
   def commitAppendStats(t: String, df: DataFrame, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, txn: Option[String] = None): Int =
-    commitStats(t, df, statsCols, bloomCols, txn, append = true)
+    commitStats(t, df, statsCols, bloomCols, guardTxn = txn,
+      recordTxns = txn.toSeq, append = true)
 
   /** Log-native compaction (the lakehouse OPTIMIZE): rewrite the CURRENT
     * state as one stats-carrying dir via an overwrite commit. Every
     * older version stays readable from its own manifest (old manifests
     * are never modified) until [[vacuum]] reclaims the fragments; the
     * new dir's zone stats cover the merged span, so range reads keep
-    * planning from the manifest. */
+    * planning from the manifest. The absorbed dirs' ingestion txn ids
+    * travel INTO the compacted dir — otherwise a compaction would erase
+    * the exactly-once record and a replayed micro-batch delivered after
+    * it would append a duplicate (exactly the combination streaming
+    * ingest + maintenance produces in production). */
   def compact(t: String, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Int =
-    commitStats(t, readLatest(t), statsCols, bloomCols, None,
-      append = false)
+      bloomCols: Seq[String] = Nil): Int = {
+    val absorbed = readManifest(t, latest(t))
+      .flatMap(Snapshots.dirTxns).distinct
+    commitStats(t, readLatest(t), statsCols, bloomCols, guardTxn = None,
+      recordTxns = absorbed, append = false)
+  }
 
   /** Number of data dirs version `v`'s manifest lists — the
     * fragmentation measure compaction exists to reset. */
   def manifestDirs(t: String, v: Int): Int = readManifest(t, v).size
 
+  /** The data dirs version `v`'s manifest lists, in commit order — the
+    * public face of the layout, so callers never hard-code the d<N>
+    * naming. */
+  def versionDirs(t: String, v: Int): Seq[String] = readManifest(t, v)
+
   private def commitStats(t: String, df: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String], txn: Option[String], append: Boolean): Int = {
+      bloomCols: Seq[String], guardTxn: Option[String],
+      recordTxns: Seq[String], append: Boolean): Int = {
     require(statsCols.nonEmpty, "commitAppendStats needs at least one column")
+    require(recordTxns.forall(id => !id.contains("\n")),
+      "txn ids must be newline-free")
     // exactly-once ingestion (the streaming-sink txn pattern of the open
-    // formats): a commit carrying a txn id is SKIPPED when any dir of the
-    // latest manifest already recorded that id — a replayed micro-batch
-    // (foreachBatch re-delivery after a failure) becomes a no-op instead
-    // of a duplicate append. The id lands in a `_txn` file inside the
-    // immutable data dir, part of the atomically-published unit.
+    // formats): a commit carrying a guard txn id is SKIPPED when any dir
+    // of the latest manifest already recorded that id — a replayed
+    // micro-batch (foreachBatch re-delivery after a failure) becomes a
+    // no-op instead of a duplicate append. Ids land in a `_txn` file
+    // (one per line) inside the immutable data dir, part of the
+    // atomically-published unit; compaction carries absorbed ids forward
+    // via recordTxns so the guard survives an overwrite.
     val last = latest(t)
-    if (txn.isDefined && last >= 0 &&
-        readManifest(t, last).exists(d => Snapshots.dirTxn(d) == txn)) {
+    if (guardTxn.isDefined && last >= 0 &&
+        readManifest(t, last).exists(d =>
+          Snapshots.dirTxns(d).contains(guardTxn.get))) {
       return last
     }
     val v = last + 1
@@ -195,8 +217,8 @@ class Snapshots(spark: SparkSession, root: String) {
     }
     Files.writeString(Paths.get(dataDir, statsFile), lines.mkString("\n"))
     if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
-    txn.foreach(id => Files.writeString(
-      Paths.get(dataDir, Snapshots.txnFile), id))
+    if (recordTxns.nonEmpty) Files.writeString(
+      Paths.get(dataDir, Snapshots.txnFile), recordTxns.mkString("\n"))
     val dirs =
       (if (append && v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
     publishManifest(t, v, dirs)
@@ -390,10 +412,12 @@ object Snapshots {
   private[graft] val bloomFile = "_zbloom"
   private[graft] val txnFile = "_txn"
 
-  /** The ingestion txn id a data dir was committed under, if any. */
-  private[graft] def dirTxn(dir: String): Option[String] = {
+  /** The ingestion txn ids a data dir records: the id it was committed
+    * under, or — for a compacted dir — every id it absorbed. */
+  private[graft] def dirTxns(dir: String): Seq[String] = {
     val p = Paths.get(dir, txnFile)
-    if (Files.exists(p)) Some(Files.readString(p)) else None
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
   }
 
   /** Bits per column bloom filter (8 KiB packed). With k = 4 hashes this

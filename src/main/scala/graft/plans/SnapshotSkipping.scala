@@ -90,6 +90,14 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
     else null
   }
 
+  // Deliberately NO cross-query cache of the sidecar reads: production
+  // dirs are immutable, but this engine's re-runnable fixture keys drop
+  // and recreate tables at the SAME paths with different data — a
+  // path-keyed memo would serve stale bounds and prune wrongly, the one
+  // failure mode data skipping must never have. The cost is O(|dirs|)
+  // driver-side ~KB reads per optimize (the lazy vals below bound it to
+  // one read per dir per rule firing); a deployment with genuinely
+  // immutable storage would key a memo on a content fingerprint.
   private def dirMayMatch(dir: String, preds: Seq[Expression]): Boolean = {
     lazy val stats = Snapshots.dirStats(dir)
     lazy val blooms = Snapshots.dirBlooms(dir)
@@ -139,12 +147,15 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
     * writer's `statsFamily`: catalyst internal values are already micros
     * (timestamp), epoch days (date), and primitives, so normalization is
     * value.toString in the right family. None (no pruning) for null
-    * literals and unsupported types. */
+    * literals and unsupported types — including TIMESTAMP_NTZ, which the
+    * writer rejects (its micros are zone-free while a TIMESTAMP cast
+    * shifts through the session zone; comparing the two is unsound
+    * off-UTC). */
   private def normLit(l: Literal): Option[(String, String)] =
     if (l.value == null) None
     else l.dataType match {
       case ByteType | ShortType | IntegerType | LongType |
-           TimestampType | TimestampNTZType | DateType =>
+           TimestampType | DateType =>
         Some(("long", l.value.toString))
       case FloatType =>
         Some(("double", l.value.asInstanceOf[Float].toDouble.toString))
@@ -200,6 +211,18 @@ object SnapshotSkippingRule {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SnapshotSkippingRule(spark)
     }
+  }
+
+  /** Run `f` with the rule temporarily REMOVED from the session — for
+    * computing a genuinely unpruned reference even when a prior run (or
+    * GraftExtensions) already installed the rule. `f` must materialize
+    * eagerly (collect/write) inside the scope; a lazy DataFrame returned
+    * out of it re-plans under the restored rule. */
+  def withoutRule[A](spark: SparkSession)(f: => A): A = synchronized {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[SnapshotSkippingRule])
+    try f finally spark.experimental.extraOptimizations = prev
   }
 
   /** Planning fact for the keys/specs: how many root directories the

@@ -319,7 +319,9 @@ object Extras {
     val n = o.count()
     graft.operators.Ranks.rowNumberByRange(o, 32,
         Seq(col("o_totalprice"), col("o_orderkey")), "rn")
-      .withColumn("bucket", expr(s"((rn - 1) * 8) div $n"))
+      // rn is INT (rowNumberByRange's output); widen BEFORE the multiply
+      // or (rn-1)*8 overflows past ~268M rows (ANSI: a hard error)
+      .withColumn("bucket", expr(s"((CAST(rn AS BIGINT) - 1) * 8) div $n"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_totalprice")).as("lo"),

@@ -415,29 +415,39 @@ object Lifecycle {
     * boundary row flips it false and fails the hash. At 100 TB with
     * telemetry-shaped appends this is what turns a time-range query from
     * a table scan into an O(|commits|) plan + two-shard read. */
+  /** The one staging helper behind the three data-skipping keys: commit
+    * `ev` as time shards cut at fixed day boundaries, each with ts zone
+    * stats. The generated events span Jan 2024; fixed cuts keep the
+    * pruning facts structural (an empty shard would still commit, with
+    * no stats line, and be conservatively kept — the fixture has none). */
+  private def tsLit(x: String) = lit(x).cast("timestamp")
+  private def stageTimeShards(snap: graft.matview.Snapshots, t: String,
+      ev: DataFrame, cuts: Seq[String]): Unit =
+    cuts.sliding(2).foreach { w =>
+      snap.commitAppendStats(t,
+        ev.filter(col("ts") >= tsLit(w.head) && col("ts") < tsLit(w.last)),
+        Seq("ts"))
+    }
+
+  /** 'yyyy-MM-dd HH:mm:ss' -> epoch micros, UTC — the normalized form
+    * the ts zone stats store. */
+  private def tsMicros(x: String): Long =
+    java.time.Instant.parse(x.replace(' ', 'T') + "Z").getEpochSecond *
+      1000000L
+
   def tableStatsPruning(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/zsnaps")
     val t = f"events_zone_${d.hashCode & 0x7fffffff}%08x"
     snap.drop(t)
     val ev = load(s, d, "events")
-    def ts(lit0: String) = lit(lit0).cast("timestamp")
-    // the generated events span Jan 2024; fixed cuts keep the pruning
-    // facts structural (an empty shard would still commit, with no stats
-    // line, and be conservatively kept — the fixture has none)
-    val cuts = Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
-      "2024-02-01")
-    cuts.sliding(2).foreach { w =>
-      snap.commitAppendStats(t,
-        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
-        Seq("ts"))
-    }
+    def ts(lit0: String) = tsLit(lit0)
+    stageTimeShards(snap, t, ev,
+      Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
+        "2024-02-01"))
     val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
-    def micros(x: String) =
-      java.time.Instant.parse(x.replace(' ', 'T') + "Z").getEpochSecond *
-        1000000L
     val pr = snap.readPruned(t, snap.latest(t), "ts",
-      micros(lo).toString, micros(hi).toString)
+      tsMicros(lo).toString, tsMicros(hi).toString)
     def inRange(df: DataFrame) =
       df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
     val result = inRange(pr.df)
@@ -504,9 +514,11 @@ object Lifecycle {
     * `.filter(...)` over `readLatest`, and the installed
     * [[graft.plans.SnapshotSkippingRule]] drops the non-intersecting
     * shards at plan time (where Delta/Iceberg run their stats
-    * evaluators). The full-scan reference aggregate is computed BEFORE
-    * the rule installs, so `pruned_equals_full` compares a genuinely
-    * unpruned scan against the rule's output; `dirs_read` is read off
+    * evaluators). The full-scan reference aggregate is computed with the
+    * rule SCOPED OUT (`withoutRule` — install is session-sticky, so
+    * "before install" would be vacuous on reruns), so
+    * `pruned_equals_full` always compares a genuinely unpruned scan
+    * against the rule's output; `dirs_read` is read off
     * the optimized plan's file index, not from any engine bookkeeping —
     * if the rule failed to fire it reads 4 and the oracle's literal 2
     * fails the hash. */
@@ -516,19 +528,20 @@ object Lifecycle {
     val t = f"events_auto_${d.hashCode & 0x7fffffff}%08x"
     snap.drop(t)
     val ev = load(s, d, "events")
-    def ts(x: String) = lit(x).cast("timestamp")
-    val cuts = Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
-      "2024-02-01")
-    cuts.sliding(2).foreach { w =>
-      snap.commitAppendStats(t,
-        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
-        Seq("ts"))
-    }
+    def ts(x: String) = tsLit(x)
+    stageTimeShards(snap, t, ev,
+      Seq("2024-01-01", "2024-01-08", "2024-01-16", "2024-01-24",
+        "2024-02-01"))
     val (lo, hi) = ("2024-01-03 00:00:00", "2024-01-09 00:00:00")
     def inRange(df: DataFrame) =
       df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
-    val fullAgg = inRange(snap.readLatest(t))
-      .agg(count(lit(1)), exactSum(col("value"))).collect().head
+    // genuinely unpruned reference even on reruns (the rule stays
+    // installed session-wide after the first run): scope it OUT for
+    // this one eager aggregate
+    val fullAgg = graft.plans.SnapshotSkippingRule.withoutRule(s) {
+      inRange(snap.readLatest(t))
+        .agg(count(lit(1)), exactSum(col("value"))).collect().head
+    }
     graft.plans.SnapshotSkippingRule.ensureInstalled(s)
     val q = inRange(snap.readLatest(t))
     val dirsRead = graft.plans.SnapshotSkippingRule.scanRootDirs(q)
@@ -564,14 +577,10 @@ object Lifecycle {
     val t = f"events_compact_${d.hashCode & 0x7fffffff}%08x"
     snap.drop(t)
     val ev = load(s, d, "events")
-    def ts(x: String) = lit(x).cast("timestamp")
+    def ts(x: String) = tsLit(x)
     val cuts = Seq("2024-01-01", "2024-01-06", "2024-01-11", "2024-01-16",
       "2024-01-21", "2024-01-26", "2024-02-01")
-    cuts.sliding(2).foreach { w =>
-      snap.commitAppendStats(t,
-        ev.filter(col("ts") >= ts(w.head) && col("ts") < ts(w.last)),
-        Seq("ts"))
-    }
+    stageTimeShards(snap, t, ev, cuts)
     // order-free, overflow-free content fingerprint: xor-fold of row
     // hashes
     def fp(df: DataFrame): Long = df
@@ -595,11 +604,8 @@ object Lifecycle {
     // manifest (1 of 1 dirs — the point is the API keeps working and
     // row results are intact, pinned through the oracle's aggregate)
     val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-13 00:00:00")
-    def micros(x: String) =
-      java.time.Instant.parse(x.replace(' ', 'T') + "Z").getEpochSecond *
-        1000000L
     val pr = snap.readPruned(t, compactV, "ts",
-      micros(lo).toString, (micros(hi) - 1).toString)
+      tsMicros(lo).toString, (tsMicros(hi) - 1).toString)
     pr.df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))

@@ -627,8 +627,9 @@ object StreamingOps {
     // range readability falls out of time-ordered ingestion: probe
     // strictly inside chunk 3's recorded span
     val d3 = {
-      val (_, mn, mx) = graft.matview.Snapshots.dirStats(
-        s"$scratch/isnaps/$t/d2")("ts")
+      // version 2's manifest ends with the dir batch 2 added
+      val chunk3Dir = snap.versionDirs(t, 2).last
+      val (_, mn, mx) = graft.matview.Snapshots.dirStats(chunk3Dir)("ts")
       snap.readPruned(t, snap.latest(t), "ts",
         (mn.toLong + 1).toString, (mx.toLong - 1).toString)
     }

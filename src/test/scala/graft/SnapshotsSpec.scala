@@ -246,6 +246,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).count() == 50)
   }
 
+  test("txn guard survives compaction: a micro-batch replayed AFTER the " +
+      "table was compacted is still a no-op") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_txn_compact"
+    snap.drop(t)
+    def batch(lo: Long) = (lo until lo + 10L).map(i => (i, i)).toDF("id", "v")
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t, batch(j * 10L), Seq("id"),
+        txn = Some(s"b$j"))
+    }
+    val cv = snap.compact(t, Seq("id"))
+    assert(snap.manifestDirs(t, cv) == 1)
+    // the at-least-once replay the guard exists for — delivered after
+    // maintenance ran
+    assert(snap.commitAppendStats(t, batch(10L), Seq("id"),
+      txn = Some("b1")) == cv)
+    assert(snap.latest(t) == cv)
+    assert(snap.readLatest(t).count() == 30)
+    // a genuinely new batch still lands
+    assert(snap.commitAppendStats(t, batch(30L), Seq("id"),
+      txn = Some("b3")) == cv + 1)
+    assert(snap.readLatest(t).count() == 40)
+  }
+
   test("compact: one dir after, history readable until vacuum, sidecars " +
       "recomputed over the merged span") {
     import spark.implicits._

@@ -34,14 +34,15 @@ object ProfZone {
       .select(col("ts"), col("event_type"), col("value"))
 
     val SHARDS = 16
+    // one full-corpus min/max pass, shared by the build and probe phases
+    val (mn, mx) = {
+      val r = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect().head
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val step = (mx - mn + SHARDS - 1) / SHARDS
     if (snap.latest(t) < SHARDS - 1) {
       snap.drop(t)
-      val (mn, mx) = {
-        val r = ev.agg(min(unix_micros(col("ts"))),
-          max(unix_micros(col("ts")))).collect().head
-        (r.getLong(0), r.getLong(1) + 1)
-      }
-      val step = (mx - mn + SHARDS - 1) / SHARDS
       (0 until SHARDS).foreach { j =>
         val (lo, hi) = (mn + j * step, mn + (j + 1) * step)
         snap.commitAppendStats(t,
@@ -52,13 +53,7 @@ object ProfZone {
     }
     val v = snap.latest(t)
     // probe range: shards 6..7 (an eighth of the span)
-    val (mn2, mx2) = {
-      val r = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).collect().head
-      (r.getLong(0), r.getLong(1) + 1)
-    }
-    val step = (mx2 - mn2 + SHARDS - 1) / SHARDS
-    val (qlo, qhi) = (mn2 + 6 * step, mn2 + 8 * step)
+    val (qlo, qhi) = (mn + 6 * step, mn + 8 * step)
     // bare-attribute conjuncts (ts >= <timestamp literal>) so the
     // optimizer rule's matcher sees them after constant folding; decimal
     // sum so the cross-path equality check is exact, not float-order
