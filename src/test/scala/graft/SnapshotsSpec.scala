@@ -246,6 +246,21 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).count() == 50)
   }
 
+  test("zone stats reject TIMESTAMP_NTZ loudly: the session-zone shift " +
+      "would make pruning unsound off-UTC") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_ntz"
+    snap.drop(t)
+    val df = Seq(1L, 2L).toDF("id")
+      .withColumn("tn", org.apache.spark.sql.functions.expr(
+        "timestamp_ntz '2024-01-01 00:00:00'"))
+    val e = intercept[IllegalArgumentException] {
+      snap.commitAppendStats(t, df, Seq("tn"))
+    }
+    assert(e.getMessage.contains("zone stats unsupported"))
+  }
+
   test("txn guard survives compaction: a micro-batch replayed AFTER the " +
       "table was compacted is still a no-op") {
     import spark.implicits._
