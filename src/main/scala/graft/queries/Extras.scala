@@ -1121,14 +1121,22 @@ object Extras {
   def aggHllDistinct(s: SparkSession, d: String): DataFrame = {
     import graft.functions.HllAgg
     import graft.functions.Mix64.mix64
-    load(s, d, "lineitem")
+    def hashed = load(s, d, "lineitem")
       .select(col("l_returnflag"),
         shiftrightunsigned(mix64(col("l_orderkey")), 1).as("h"))
-      .groupBy("l_returnflag")
-      // mix64 is bijective, so COUNT(DISTINCT h) = COUNT(DISTINCT key):
-      // the oracle counts the raw key directly
-      .agg(HllAgg.hll_sketch(col("h")).as("regs"),
-        countDistinct(col("h")).as("exact_distinct"))
+    // the sketch pass and the exact verification pass are SEPARATE
+    // aggregations joined on the group key — a combined
+    // agg(sketch, countDistinct) plans as an Expand that doubles every
+    // input row through the first exchange, which OOM'd the sf100 probe;
+    // split, the sketch pass is pure map-side combine and the exact pass
+    // is the proven distinct-then-count shape (agg_count_distinct's).
+    // mix64 is bijective, so COUNT(DISTINCT h) = COUNT(DISTINCT key):
+    // the oracle counts the raw key directly.
+    val sk = hashed.groupBy("l_returnflag")
+      .agg(HllAgg.hll_sketch(col("h")).as("regs"))
+    val ex = hashed.distinct().groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_distinct"))
+    sk.join(ex, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         HllAgg.nZero("regs").as("n_zero"),
         HllAgg.regChecksum("regs").as("reg_checksum"),
