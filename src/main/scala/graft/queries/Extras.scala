@@ -1063,13 +1063,21 @@ object Extras {
           col("exact_orders") * 0.15).as("within_bound"))
       .orderBy("l_returnflag")
 
-  private[graft] def aggApproxDistinctRaw(s: SparkSession, d: String): DataFrame =
-    load(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+  private[graft] def aggApproxDistinctRaw(s: SparkSession, d: String): DataFrame = {
+    // split, not agg(countDistinct, approx_count_distinct): the combined
+    // form plans as an Expand that doubles every input row through the
+    // first exchange to serve the distinct lane (the agg_hll_distinct
+    // sf100 OOM lesson); split, the HLL++ pass is pure map-side combine
+    // and the exact pass is the proven distinct-then-count shape
+    def li = load(s, d, "lineitem").select("l_returnflag", "l_orderkey")
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    li.distinct().groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_orders"))
+      .join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_orders"), col("approx_orders"))
       .orderBy("l_returnflag")
+  }
 
   /** The batch-side K for `agg_kmv_distinct` — shared between the Spark
     * expression and the interpolated oracle SQL so the two cannot
