@@ -707,11 +707,17 @@ object Bench {
     // stays CWD-relative as given.
     val baselinesSetting = baselinesEnv.getOrElse {
       val name = "bench-baselines.properties"
+      // stop at the first .git directory: the walk must not escape the
+      // repo and adopt a stray properties file from a parent directory
       Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
         .takeWhile(_ != null)
-        .map(_.resolve(name))
-        .find(java.nio.file.Files.isReadable)
-        .map(_.toString)
+        .flatMap { dir =>
+          val f = dir.resolve(name)
+          if (java.nio.file.Files.isReadable(f)) Some(Some(f.toString))
+          else if (java.nio.file.Files.exists(dir.resolve(".git"))) Some(None)
+          else None // keep walking
+        }
+        .nextOption().flatten
         .getOrElse(name)
     }
     val baselineProps: java.util.Properties = {

@@ -198,11 +198,15 @@ object HllAgg {
        |  ELSE length(bin($h & $mask)) END)""".stripMargin
   }
 
-  def hll_sketch(c: Column): Column = hll_sketch(c, P)
-
-  def hll_sketch(c: Column, p: Int): Column = {
+  /** Default-p sketch. Deliberately the ONLY public constructor: every
+    * companion helper above (sRegs/nZero/regChecksum/estimate/estimateSql/
+    * rhoSql) hard-codes the P = 9 geometry, so a non-default-p sketch fed
+    * through them would estimate silently wrong — until the estimation
+    * path is parameterized by p (taking m from the register array
+    * length), non-default p stays out of the public surface. */
+  def hll_sketch(c: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(
-      HllAgg(ColumnBridge.expression(c), p).toAggregateExpression())
+      HllAgg(ColumnBridge.expression(c), P).toAggregateExpression())
   }
 }

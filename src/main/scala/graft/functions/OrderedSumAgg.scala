@@ -29,8 +29,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * 16 bytes/edge instead of a struct object per edge.
   *
   * Ties: pairs sharing a key sort by the raw IEEE bits of the value,
-  * so duplicate keys still fold in one canonical order (for pagerank
-  * the keys — in-neighbor ids — are unique per group anyway).
+  * so duplicate keys still fold in one canonical order — the result
+  * stays deterministic. But ORACLE REPLAY requires UNIQUE keys per
+  * group: a SQL fold ordered by key alone cannot replay the raw-bits
+  * tie order (which places -0.0 after every negative value and NaN by
+  * payload), so an oracle-gated caller must feed keys unique per group
+  * (pagerank's in-neighbor ids are). With duplicate keys the aggregate
+  * is still bit-deterministic, just not ORDER-BY-key replayable.
   */
 case class OrderedSumAgg(
     key: Expression,

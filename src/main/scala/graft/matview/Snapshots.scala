@@ -108,7 +108,13 @@ class Snapshots(spark: SparkSession, root: String) {
     * too: casting it to TIMESTAMP shifts through the session timezone,
     * so the stored micros would disagree with a probe's raw NTZ micros
     * on any non-UTC session — a silent wrong-prune; convert the column
-    * to TIMESTAMP explicitly at a chosen zone instead. */
+    * to TIMESTAMP explicitly at a chosen zone instead.
+    *
+    * Doubles normalize -0.0 to 0.0 (IEEE `x + 0.0` is the identity on
+    * every other value incl. NaN/infinities): SQL equality treats the
+    * two zeros equal, so a stored bound of "-0.0" compared against a
+    * 0.0 probe (or vice versa) with Double.compare would wrongly prune
+    * — the same normalization Spark applies to grouping/join keys. */
   private def statsFamily(
       dt: org.apache.spark.sql.types.DataType,
       c: org.apache.spark.sql.Column):
@@ -121,7 +127,8 @@ class Snapshots(spark: SparkSession, root: String) {
         ("long", org.apache.spark.sql.functions.unix_micros(c))
       case DateType =>
         ("long", org.apache.spark.sql.functions.unix_date(c).cast(LongType))
-      case FloatType | DoubleType => ("double", c.cast(DoubleType))
+      case FloatType | DoubleType =>
+        ("double", c.cast(DoubleType) + org.apache.spark.sql.functions.lit(0.0d))
       case StringType => ("string", c)
       case other => throw new IllegalArgumentException(
         s"zone stats unsupported for ${other.sql} (add an exact mapping)")
@@ -199,23 +206,33 @@ class Snapshots(spark: SparkSession, root: String) {
           .as(s"min_$name"),
         org.apache.spark.sql.functions.max(norm).cast("string")
           .as(s"max_$name"),
-        org.apache.spark.sql.functions.lit(fam).as(s"fam_$name"))
-    }
+        org.apache.spark.sql.functions.lit(fam).as(s"fam_$name"),
+        org.apache.spark.sql.functions.count(written(name)).cast("string")
+          .as(s"cnt_$name"))
+    } :+ org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).cast("string").as("cnt_all")
     val row = written.agg(aggs.head, aggs.tail: _*).collect().head
-    val lines = statsCols.zipWithIndex.flatMap { case (name, i) =>
-      // an all-null column yields null bounds: no stats line, so readers
-      // keep the dir conservatively
-      val (mn, mx, fam) =
-        (row.getString(3 * i), row.getString(3 * i + 1), row.getString(3 * i + 2))
+    val rows = row.getString(4 * statsCols.size).toLong
+    val lines = statsCols.zipWithIndex.map { case (name, i) =>
+      // v2 line: name, family, null count, row count, then [min, max]
+      // when the column has any non-null value; an all-null (or empty)
+      // dir writes the boundless 4-field form — readers then prune ANY
+      // eq/range/prefix conjunct on the column (no row can satisfy a
+      // comparison against NULL) and answer IS [NOT] NULL exactly.
+      val (mn, mx, fam, cnt) =
+        (row.getString(4 * i), row.getString(4 * i + 1),
+          row.getString(4 * i + 2), row.getString(4 * i + 3).toLong)
       require(!name.exists(c => c == '\t' || c == '\n'),
         s"zone stats column name with control chars: $name")
       require(fam != "string" || Seq(mn, mx).forall(s =>
           s == null || !s.exists(c => c == '\t' || c == '\n')),
         s"zone stats string bound with control chars in $name")
-      if (mn == null || mx == null) Nil
-      else Seq(s"$name\t$fam\t$mn\t$mx")
+      val nulls = rows - cnt
+      if (mn == null || mx == null) s"$name\t$fam\t$nulls\t$rows"
+      else s"$name\t$fam\t$nulls\t$rows\t$mn\t$mx"
     }
-    Files.writeString(Paths.get(dataDir, statsFile), lines.mkString("\n"))
+    Files.writeString(Paths.get(dataDir, statsFile),
+      (Snapshots.statsHeaderV2 +: lines).mkString("\n"))
     if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
     if (recordTxns.nonEmpty) Files.writeString(
       Paths.get(dataDir, Snapshots.txnFile), recordTxns.mkString("\n"))
@@ -281,8 +298,9 @@ class Snapshots(spark: SparkSession, root: String) {
     val dirs = readManifest(t, version)
     val zoneKept = dirs.filter { dir =>
       dirStats(dir).get(column) match {
-        case Some((fam, mn, mx)) =>
-          cmp(fam, mx, value) >= 0 && cmp(fam, mn, value) <= 0
+        case Some(z) if z.allNull => false // `col = v` is never true on NULL
+        case Some(z) =>
+          cmp(z.fam, z.mx, value) >= 0 && cmp(z.fam, z.mn, value) <= 0
         case None => true
       }
     }
@@ -316,8 +334,9 @@ class Snapshots(spark: SparkSession, root: String) {
     val dirs = readManifest(t, version)
     val kept = dirs.filter { dir =>
       dirStats(dir).get(column) match {
-        case Some((fam, mn, mx)) =>
-          cmp(fam, mx, lo) >= 0 && cmp(fam, mn, hi) <= 0
+        case Some(z) if z.allNull => false // range over NULL is never true
+        case Some(z) =>
+          cmp(z.fam, z.mx, lo) >= 0 && cmp(z.fam, z.mn, hi) <= 0
         case None => true // no stats for the column: cannot prune safely
       }
     }
@@ -432,24 +451,64 @@ object Snapshots {
   private[graft] val bloomSeeds: IndexedSeq[Long] =
     (1 to bloomK).map(i => 0x9E3779B97F4A7C15L * i)
 
+  /** Zone stats of one column in one dir. `mn`/`mx` are null when the
+    * column holds no non-null value there (all-null or empty dir);
+    * `nulls`/`rows` are -1 when unknown (legacy v1 sidecars, which
+    * carried bounds only). */
+  final case class ZStat(fam: String, mn: String, mx: String,
+      nulls: Long, rows: Long) {
+    def allNull: Boolean = mn == null
+    /** Provably no null in the dir (false when counts are unknown). */
+    def noNulls: Boolean = nulls == 0L
+    /** Provably EVERY row is null (false when counts are unknown). */
+    def allRowsNull: Boolean = rows >= 0L && nulls == rows
+  }
+
+  private[graft] val statsHeaderV2 = "#zstats-v2"
+
+  /** Comparison in the family the WRITER's min/max were computed in.
+    * Strings compare by UTF-8 bytes (code-point order) — the order of
+    * Spark's UTF8String min/max — NOT Java String.compareTo, whose
+    * UTF-16 code-unit order disagrees above the BMP (U+FFFD sorts
+    * after U+10000 in code units but before it in code points), which
+    * would let a probe wrongly prune a dir holding matching rows.
+    * Doubles normalize -0.0 to 0.0 on both sides, matching the writer. */
   private[graft] def cmp(family: String, a: String, b: String): Int =
     family match {
       case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
-      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _        => a.compareTo(b)
+      case "double" => java.lang.Double.compare(normZero(a.toDouble),
+        normZero(b.toDouble))
+      case _        => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     }
 
-  /** column -> (family, min, max) for one data dir; empty map when the
-    * dir predates zone stats. */
-  private[graft] def dirStats(
-      dir: String): Map[String, (String, String, String)] = {
+  private[graft] def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+
+  /** column -> zone stats for one data dir; empty map when the dir
+    * predates zone stats. v2 sidecars carry null/row counts and omit
+    * bounds for all-null columns; v1 lines parse with unknown counts. */
+  private[graft] def dirStats(dir: String): Map[String, ZStat] = {
     val p = Paths.get(dir, statsFile)
     if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    else {
+      val all = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      if (all.headOption.contains(statsHeaderV2))
+        all.tail.map { line =>
+          line.split("\t", 6) match {
+            case Array(name, fam, nulls, rows, mn, mx) =>
+              name -> ZStat(fam, mn, mx, nulls.toLong, rows.toLong)
+            case Array(name, fam, nulls, rows) =>
+              name -> ZStat(fam, null, null, nulls.toLong, rows.toLong)
+            case other => throw new IllegalStateException(
+              s"malformed zstats v2 line: ${other.mkString("\\t")}")
+          }
+        }.toMap
+      else all.map { line =>
         val Array(name, fam, mn, mx) = line.split("\t", 4)
-        name -> ((fam, mn, mx))
+        name -> ZStat(fam, mn, mx, -1L, -1L)
       }.toMap
+    }
   }
 
   /** column -> (family, packed bits) for one data dir; empty map when the
@@ -474,7 +533,9 @@ object Snapshots {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val lit0 = fam match {
       case "long"   => Literal(value.toLong)
-      case "double" => Literal(value.toDouble)
+      // -0.0 -> 0.0, matching the writer's normalized column (Spark's
+      // hash expressions normalize too, but don't depend on it)
+      case "double" => Literal(normZero(value.toDouble))
       case _        => Literal(org.apache.spark.unsafe.types.UTF8String
         .fromString(value), org.apache.spark.sql.types.StringType)
     }

@@ -118,30 +118,75 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
         vs.exists(v => eqOk(a, v.asInstanceOf[Literal], stats, blooms))
       case StartsWith(a: AttributeReference, l: Literal) =>
         prefixOk(a, l, stats)
+      // null-count pruning (Delta/Iceberg both record null counts for
+      // exactly this): a dir with zero nulls can't serve IS NULL, a dir
+      // whose every row is null can't serve IS NOT NULL. Legacy v1
+      // sidecars carry no counts (-1) and never prune here. IsNotNull
+      // fires constantly — the optimizer adds it beside every
+      // comparison conjunct — so all-null dirs prune even for plans
+      // whose comparison literal the rule can't normalize.
+      case IsNull(a: AttributeReference) =>
+        stats.get(a.name).forall(z => !z.noNulls)
+      case IsNotNull(a: AttributeReference) =>
+        stats.get(a.name).forall(z => !z.allRowsNull)
       case _ => true // unrecognized conjunct: cannot prune on it
     }
   }
 
-  /** `a LIKE 'p%'` ⟺ p <= a < p⁺ where p⁺ is p with its last code unit
-    * incremented — so the zone check is a half-open range probe. When the
-    * last code unit is already U+FFFF the upper bound doesn't exist
-    * (only the lower check applies). */
+  /** `a LIKE 'p%'` ⟺ p <= a < p⁺ in UTF-8 BYTE order — the order the
+    * writer's UTF8String min/max were computed in (code-unit arithmetic
+    * on the Java string disagrees above the BMP: U+FFFD sorts after a
+    * surrogate pair in code units but before it in code points). p⁺ is
+    * p's bytes with trailing 0xFF dropped and the last survivor
+    * incremented; an all-0xFF prefix has no finite upper bound (lower
+    * check only). */
   private def prefixOk(a: AttributeReference, l: Literal,
-      stats: Map[String, (String, String, String)]): Boolean =
+      stats: Map[String, Snapshots.ZStat]): Boolean =
     normLit(l) match {
       case Some(("string", p)) if p.nonEmpty => stats.get(a.name) match {
-        case Some(("string", mn, mx)) =>
-          val lowerOk = mx.compareTo(p) >= 0
-          val upperOk = if (p.last == '\uffff') true
+        case Some(z) if z.fam == "string" =>
+          if (z.allNull) false // LIKE over NULL is never true
           else {
-            val pUp = p.init + (p.last + 1).toChar
-            mn.compareTo(pUp) < 0
+            val pB = utf8(p)
+            val lowerOk = byteCmp(utf8(z.mx), pB) >= 0
+            val upperOk = prefixUpper(pB) match {
+              case None => true
+              case Some(up) => byteCmp(utf8(z.mn), up) < 0
+            }
+            lowerOk && upperOk
           }
-          lowerOk && upperOk
         case _ => true
       }
       case _ => true
     }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** Smallest byte string greater than every string with prefix `p`:
+    * drop trailing 0xFF bytes, increment the last survivor; None when
+    * p is all 0xFF (no finite upper bound exists). */
+  private def prefixUpper(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val up = java.util.Arrays.copyOf(p, i + 1)
+      up(i) = (up(i) + 1).toByte
+      Some(up)
+    }
+  }
 
   /** Literal -> (comparison family, normalized string), mirroring the
     * writer's `statsFamily`: catalyst internal values are already micros
@@ -157,42 +202,54 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
       case ByteType | ShortType | IntegerType | LongType |
            TimestampType | DateType =>
         Some(("long", l.value.toString))
+      // -0.0 normalizes to 0.0, matching the writer's normalized bounds
+      // (SQL equality treats the zeros equal; Double.compare does not)
       case FloatType =>
-        Some(("double", l.value.asInstanceOf[Float].toDouble.toString))
-      case DoubleType => Some(("double", l.value.toString))
+        Some(("double", Snapshots.normZero(
+          l.value.asInstanceOf[Float].toDouble).toString))
+      case DoubleType => Some(("double", Snapshots.normZero(
+        l.value.asInstanceOf[Double]).toString))
       case StringType => Some(("string", l.value.toString))
       case _ => None
     }
 
   private def eqOk(a: AttributeReference, l: Literal,
-      stats: Map[String, (String, String, String)],
+      stats: Map[String, Snapshots.ZStat],
       blooms: Map[String, (String, Array[Byte])]): Boolean =
-    normLit(l) match {
-      case Some((fam, v)) =>
-        val zoneOk = stats.get(a.name) match {
-          case Some((sf, mn, mx)) if sf == fam =>
-            Snapshots.cmp(fam, mx, v) >= 0 && Snapshots.cmp(fam, mn, v) <= 0
-          case _ => true
-        }
-        zoneOk && (blooms.get(a.name) match {
-          case Some((bf, bits)) if bf == fam =>
-            Snapshots.bloomMightContain(bits, Snapshots.bloomBaseHash(fam, v))
-          case _ => true
-        })
-      case None => true
+    stats.get(a.name).exists(_.allNull) match {
+      // all-null dir: `a = v` is never true whatever the literal's family
+      case true => false
+      case false => normLit(l) match {
+        case Some((fam, v)) =>
+          val zoneOk = stats.get(a.name) match {
+            case Some(z) if z.fam == fam =>
+              Snapshots.cmp(fam, z.mx, v) >= 0 &&
+                Snapshots.cmp(fam, z.mn, v) <= 0
+            case _ => true
+          }
+          zoneOk && (blooms.get(a.name) match {
+            case Some((bf, bits)) if bf == fam =>
+              Snapshots.bloomMightContain(bits,
+                Snapshots.bloomBaseHash(fam, v))
+            case _ => true
+          })
+        case None => true
+      }
     }
 
   /** `lower = true` means the conjunct lower-bounds the attribute
     * (`a > v` / `a >= v`): the dir survives iff its max clears the
     * bound. Symmetrically for upper bounds against the min. */
   private def rangeOk(a: AttributeReference, l: Literal,
-      stats: Map[String, (String, String, String)],
+      stats: Map[String, Snapshots.ZStat],
       lower: Boolean, strict: Boolean): Boolean =
-    normLit(l) match {
+    // all-null dir: a range comparison is never true whatever the family
+    if (stats.get(a.name).exists(_.allNull)) false
+    else normLit(l) match {
       case Some((fam, v)) => stats.get(a.name) match {
-        case Some((sf, mn, mx)) if sf == fam =>
-          val c = if (lower) Snapshots.cmp(fam, mx, v)
-                  else -Snapshots.cmp(fam, mn, v)
+        case Some(z) if z.fam == fam =>
+          val c = if (lower) Snapshots.cmp(fam, z.mx, v)
+                  else -Snapshots.cmp(fam, z.mn, v)
           if (strict) c > 0 else c >= 0
         case _ => true
       }

@@ -556,6 +556,63 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** Null-count data skipping — the third manifest-stats dimension after
+    * zone [min, max] and blooms, and the one Delta/Iceberg both record
+    * for event-shaped data (a column added by schema evolution is
+    * all-null in every pre-evolution shard): each commit's `_zstats`
+    * line carries (nulls, rows) next to the bounds, and the optimizer
+    * rule prunes `IS NULL` against zero-null shards, `IS NOT NULL`
+    * against all-null shards — and, because an all-null shard can
+    * satisfy NO comparison at all, every eq/range/prefix conjunct
+    * prunes it too. Fixture: three structural shards of `events` with a
+    * derived nullable `attr` (no-null / all-null / mixed), so both
+    * probe directions read exactly 2 of 3 dirs — pinned as literals,
+    * read off the OPTIMIZED plan's file index. `pruned_equals_full`
+    * compares both probes against rule-scoped-out scans engine-side. */
+  def tableNullSkipping(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/nsnaps")
+    val t = f"events_nulls_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val ev = load(s, d, "events").withColumn("attr",
+      when(pmod(col("user_id"), lit(3)) =!= 0, col("value")))
+    // disjoint structural shards: even event_ids split by attr nullness
+    // (one shard provably null-free, one provably all-null), odd ids
+    // land mixed — together they partition the table
+    snap.commitAppendStats(t, ev.filter(
+      pmod(col("event_id"), lit(2)) === 0 && col("attr").isNotNull),
+      Seq("ts", "attr"))
+    snap.commitAppendStats(t, ev.filter(
+      pmod(col("event_id"), lit(2)) === 0 && col("attr").isNull),
+      Seq("ts", "attr"))
+    snap.commitAppendStats(t, ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("ts", "attr"))
+    val (fullAgg, fullNullRows) =
+      graft.plans.SnapshotSkippingRule.withoutRule(s) {
+        (snap.readLatest(t).filter(col("attr").isNotNull)
+          .agg(count(lit(1)), exactSum(col("attr"))).collect().head,
+          snap.readLatest(t).filter(col("attr").isNull).count())
+      }
+    graft.plans.SnapshotSkippingRule.ensureInstalled(s)
+    val qNotNull = snap.readLatest(t).filter(col("attr").isNotNull)
+    val qIsNull = snap.readLatest(t).filter(col("attr").isNull)
+    val dirsNotNull = graft.plans.SnapshotSkippingRule.scanRootDirs(qNotNull)
+    val dirsIsNull = graft.plans.SnapshotSkippingRule.scanRootDirs(qIsNull)
+    val nullRows = qIsNull.count()
+    val result = qNotNull.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("attr")).as("sum_attr"))
+    val prunedAgg = result
+      .agg(sum(col("n")), exactSum(col("sum_attr"))).collect().head
+    result
+      .withColumn("dirs_notnull", lit(dirsNotNull.toLong))
+      .withColumn("dirs_isnull", lit(dirsIsNull.toLong))
+      .withColumn("dirs_total", lit(3L))
+      .withColumn("null_rows", lit(nullRows))
+      .withColumn("pruned_equals_full",
+        lit(fullAgg == prunedAgg && nullRows == fullNullRows))
+      .orderBy("event_type")
+  }
+
   /** Log-native compaction — the OPTIMIZE command of the lakehouse
     * formats: a stream of small appends (the table_stream_ingest shape)
     * leaves the table fragmented into one dir per micro-batch, and a
@@ -1671,6 +1728,7 @@ object Lifecycle {
     "table_stats_pruning" -> (tableStatsPruning _),
     "table_point_lookup" -> (tablePointLookup _),
     "table_auto_skipping" -> (tableAutoSkipping _),
+    "table_null_skipping" -> (tableNullSkipping _),
     "table_stream_ingest" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamingOps.streamTableIngest(s, d)),
@@ -1902,6 +1960,25 @@ object Lifecycle {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the non-null aggregate and the null-row count replayed over the
+    // derived nullable column; both dirs_* literals are structural (3
+    // shards, each probe direction prunes exactly its provably-empty
+    // one) and read off the OPTIMIZED plan's file index — the rule not
+    // consulting null counts reads 3 and fails the literal
+    "table_null_skipping" ->
+      """WITH ev AS (SELECT event_type,
+        |    CASE WHEN user_id % 3 <> 0 THEN value END AS attr
+        |  FROM events)
+        |SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(attr AS DECIMAL(18,2))) AS DOUBLE) AS sum_attr,
+        |  CAST(2 AS BIGINT) AS dirs_notnull,
+        |  CAST(2 AS BIGINT) AS dirs_isnull,
+        |  CAST(3 AS BIGINT) AS dirs_total,
+        |  (SELECT COUNT(*)::BIGINT FROM ev WHERE attr IS NULL)
+        |    AS null_rows,
+        |  TRUE AS pruned_equals_full
+        |FROM ev WHERE attr IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,

@@ -629,9 +629,9 @@ object StreamingOps {
     val d3 = {
       // version 2's manifest ends with the dir batch 2 added
       val chunk3Dir = snap.versionDirs(t, 2).last
-      val (_, mn, mx) = graft.matview.Snapshots.dirStats(chunk3Dir)("ts")
+      val z = graft.matview.Snapshots.dirStats(chunk3Dir)("ts")
       snap.readPruned(t, snap.latest(t), "ts",
-        (mn.toLong + 1).toString, (mx.toLong - 1).toString)
+        (z.mn.toLong + 1).toString, (z.mx.toLong - 1).toString)
     }
     full.groupBy("event_type")
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))

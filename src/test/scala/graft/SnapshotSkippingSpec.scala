@@ -113,4 +113,110 @@ class SnapshotSkippingSpec extends AnyFunSuite {
     // a prefix above every shard prunes all
     assert(dirsScanned(base.filter(col("name").startsWith("zzz"))) == 0)
   }
+
+  test("null counts prune IS NULL / IS NOT NULL, and an all-null shard " +
+      "prunes every comparison conjunct") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_nulls"
+    snap.drop(t)
+    // shard 0: v never null; shard 1: v mixed; shard 2: v all-null
+    snap.commitAppendStats(t,
+      (0L until 50L).map(i => (i, Some(i))).toDF("id", "v"), Seq("id", "v"))
+    snap.commitAppendStats(t,
+      (100L until 150L).map(i =>
+        (i, if (i % 2 == 0) Some(i) else None)).toDF("id", "v"),
+      Seq("id", "v"))
+    snap.commitAppendStats(t,
+      (200L until 250L).map(i => (i, None: Option[Long])).toDF("id", "v"),
+      Seq("id", "v"))
+    val base = snap.readLatest(t)
+    // IS NULL: the no-null shard is pruned
+    val isNull = base.filter(col("v").isNull)
+    assert(dirsScanned(isNull) == 2)
+    assert(isNull.count() == 25 + 50)
+    // IS NOT NULL: the all-null shard is pruned
+    val notNull = base.filter(col("v").isNotNull)
+    assert(dirsScanned(notNull) == 2)
+    assert(notNull.count() == 50 + 25)
+    // equality/range on v: the all-null shard can never satisfy them
+    // (the optimizer's implicit IsNotNull prunes it too — both paths
+    // must agree)
+    val eq = base.filter(col("v") === 102L)
+    assert(dirsScanned(eq) == 1)
+    assert(eq.count() == 1)
+    val rng = base.filter(col("v") >= 0L)
+    assert(dirsScanned(rng) == 2)
+    assert(rng.count() == 75)
+  }
+
+  test("string zone bounds compare in code-point (UTF-8 byte) order, " +
+      "matching the writer's UTF8String min/max above the BMP") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_astral"
+    snap.drop(t)
+    val astral = new String(Character.toChars(0x10000)) // 𐀀
+    snap.commitAppendStats(t,
+      Seq(("�", 1L), (astral, 2L)).toDF("name", "v"), Seq("name"))
+    val base = snap.readLatest(t)
+    // UTF-16 code-unit order would read max = U+FFFD < U+10000's
+    // surrogate start and wrongly prune both probes; code-point order
+    // (the writer's) keeps the dir.
+    val eq = base.filter(col("name") === "�")
+    assert(dirsScanned(eq) == 1)
+    assert(eq.count() == 1)
+    val pre = base.filter(col("name").startsWith("�"))
+    assert(dirsScanned(pre) == 1)
+    assert(pre.count() == 1)
+    // and the astral value itself stays probe-able
+    assert(base.filter(col("name") === astral).count() == 1)
+  }
+
+  test("double zone stats normalize -0.0 to 0.0 on both sides and keep " +
+      "NaN bounds conservative") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_negzero"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      Seq((1L, 0.0d), (2L, 1.5d)).toDF("id", "v"),
+      Seq("v"), bloomCols = Seq("v"))
+    val base = snap.readLatest(t)
+    // SQL equality treats -0.0 = 0.0: the probe must keep the dir
+    // through BOTH the zone check and the bloom
+    val negZero = base.filter(col("v") === -0.0d)
+    assert(dirsScanned(negZero) == 1)
+    assert(negZero.count() == 1)
+    // and the stored bound never serializes as "-0.0"
+    val z = Snapshots.dirStats(snap.versionDirs(t, snap.latest(t)).head)("v")
+    assert(z.mn == "0.0" && !z.mn.startsWith("-"))
+    // NaN sorts largest in Spark's ordering — for the stored max AND for
+    // the comparison operator itself (SQL NaN > any value), so the kept
+    // dir really does hold a matching row: bound and operator agree
+    val t2 = "rule_nan"
+    snap.drop(t2)
+    snap.commitAppendStats(t2,
+      Seq((1L, 1.0d), (2L, Double.NaN)).toDF("id", "v"), Seq("v"))
+    val b2 = snap.readLatest(t2)
+    assert(dirsScanned(b2.filter(col("v") > 5.0d)) == 1)
+    assert(b2.filter(col("v") > 5.0d).count() == 1) // the NaN row itself
+    assert(b2.filter(col("v") === 1.0d).count() == 1)
+  }
+
+  test("legacy v1 sidecars (bounds only, no counts) still prune ranges " +
+      "but never IS [NOT] NULL") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_v1"
+    snap.drop(t)
+    snap.commitAppend(t,
+      (0L until 50L).map(i => (i, Some(i))).toDF("id", "v"))
+    // hand-write the pre-v2 sidecar format into the committed dir
+    val dir = snap.versionDirs(t, snap.latest(t)).head
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_zstats"), "id\tlong\t0\t49")
+    val z = Snapshots.dirStats(dir)("id")
+    assert(z.nulls == -1L && z.rows == -1L && z.mn == "0" && z.mx == "49")
+    val base = snap.readLatest(t)
+    assert(dirsScanned(base.filter(col("id") > 100L)) == 0) // bounds prune
+    assert(dirsScanned(base.filter(col("id").isNull)) == 1) // counts unknown
+    assert(dirsScanned(base.filter(col("id").isNotNull)) == 1)
+  }
 }
