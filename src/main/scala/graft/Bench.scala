@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The `bracket_contended` predicate (r11 VERDICT item 3), extracted so
+    * a spec can flip it synthetically: any per-key mem-canary bracket
+    * reading — either side of any sf1/sf10 key — above 2x the quiet mem
+    * floor marks the record box-churned, even when the TIER-level
+    * canaries (which sample only a few instants) happened to read quiet. */
+  def bracketContendedFlag(brackets: Seq[(String, (Double, Double))],
+      memExpected: Double, baselinesOn: Boolean): Boolean =
+    baselinesOn && brackets.exists { case (_, (a, b)) =>
+      math.max(a, b) > 2 * memExpected
+    }
+
   /** Headline subset: one per operator family, weighted toward the
     * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
   val headline: Seq[String] = Seq(
@@ -213,7 +224,7 @@ object Bench {
     // row widths is visible round-over-round.
     val shuffleCanarySf1 = shuffleCanarySec()
     val memCanarySf1 = memCanarySec()
-    val (sf1gen, sf1, triMemPair) = {
+    val (sf1gen, sf1, triMemPair, sf1Brackets) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 1.0)
@@ -262,8 +273,27 @@ object Bench {
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
-      (genSec, tri ++ probeTier("sf1", dir, probe, reps = 2, isolate = true),
-        (triPre, triPost))
+      //
+      // EVERY sf1 key is mem-canary bracketed too (r11 VERDICT item 1:
+      // the sf10 machinery, applied to the tier it didn't cover — r11's
+      // only >2x-of-quiet reading, dedup_ngram_jaccard sf1, arrived
+      // unadjudicated precisely because this tier had no per-key
+      // brackets). The boundary canary between keys i and i+1 is key
+      // i's post AND key i+1's pre; tri's existing pre/post pair seeds
+      // the chain. ~3.5s per boundary on a quiet box.
+      val bounds = scala.collection.mutable.ArrayBuffer[Double]()
+      bounds += triPost
+      val probed = probe.map { k =>
+        val r = probeTier("sf1", dir, Seq(k), reps = 2, isolate = true).head
+        bounds += memCanarySec()
+        r
+      }
+      val brackets =
+        (("graph_triangle_sketch", (triPre, triPost)) +:
+          probe.zipWithIndex.map { case (k, i) =>
+            (k, (bounds(i), bounds(i + 1)))
+          }).map { case (k, p) => k -> p }
+      (genSec, tri ++ probed, (triPre, triPost), brackets)
     }
 
     var shuffleCanarySf10 = -1.0
@@ -770,6 +800,15 @@ object Bench {
     // heavy keys (see memCanarySec) without polluting the shuffle flag
     val memContended = baselinesOn && (memCanarySf1 > 2 * memExpected ||
       memCanarySf10 > 2 * memExpected)
+    // per-key bracket readings feed a flag of their own (r11 VERDICT
+    // item 3: that round's box was visibly churned — tri_mem_post 3.4x
+    // pre, one sf10 bracket at 7x floor — yet contended/mem_contended
+    // stayed false because only the TIER-level canaries feed them; a
+    // round-over-round parser keying on the flags read a churned record
+    // as clean). Any bracket reading on either side of any key >2x the
+    // quiet mem floor flips it.
+    val bracketContended = Bench.bracketContendedFlag(
+      sf1Brackets ++ sf10Brackets, memExpected, baselinesOn)
     def canary(dp: Int) =
       jmap(Seq("sf1_gen_sec" -> sf1gen, "sf10_gen_sec" -> sf10gen,
         "expected_sec" -> genExpected,
@@ -786,7 +825,7 @@ object Bench {
         "tri_mem_pre_sec" -> triMemPair._1,
         "tri_mem_post_sec" -> triMemPair._2), dp)
         .dropRight(1) +
-        s""","contended":$contended,"mem_contended":$memContended}"""
+        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended}"""
     // Per-key drift surface (r8 VERDICT item 4, r9 item 1): any scale-
     // tier key whose THIS-RUN median exceeds 1.5x the recorded quiet-box
     // median is carried in the compact line as [best, median,
@@ -869,8 +908,8 @@ object Bench {
       xs.map { case (k, s) =>
         "\"" + k + "\":[" + s.map(v => f"$v%.4f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-    def bracketsJson(dp: Int): String =
-      sf10Brackets.map { case (k, (a, b)) =>
+    def bracketsJson(bs: Seq[(String, (Double, Double))], dp: Int): String =
+      bs.map { case (k, (a, b)) =>
         "\"" + k + s"""\":[${s"%.${dp}f".format(a)},${
           s"%.${dp}f".format(b)}]"""
       }.mkString("{", ",", "}")
@@ -880,14 +919,14 @@ object Bench {
       ""","queries_sf10_median":""" +
         jmap(sf10.map { case (k, s) => k -> medianOf(s) }) +
       ""","queries_sf10_samples":""" + samplesMap(sf10) +
-      ""","sf10_brackets":""" + bracketsJson(4)
+      ""","sf10_brackets":""" + bracketsJson(sf10Brackets, 4)
     val fullJson =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_r7_basis":$totalR7%.4f,"queries":${
         jmap(results.map { case (k, s) => k -> bestOf(s) })},"queries_median":${
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
-        samplesMap(sf1)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
+        samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
         if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
@@ -938,7 +977,7 @@ object Bench {
       "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
       "mem_sf10_sec" -> memCanarySf10, "tri_mem_pre" -> triMemPair._1,
       "tri_mem_post" -> triMemPair._2), 2).dropRight(1) +
-      s""","contended":$contended,"mem_contended":$memContended}"""
+      s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended}"""
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
     // degrade levels: 0 = everything; 1 = drift detail deferred to the
@@ -954,19 +993,21 @@ object Bench {
     // something (post-canary hot relative to pre, or absolutely hot
     // against the quiet expectation) — the full per-key pairs are in
     // bench_full. Quiet run => empty object, ~20 bytes.
-    val flaggedBrackets = sf10Brackets.filter { case (_, (a, b)) =>
-      b > 1.5 * a || (baselinesOn && b > 2 * memExpected)
-    }
-    val flaggedBracketsT = flaggedBrackets.map { case (k, (a, b)) =>
-      "\"" + k + s"""\":[${trim(a, 2)},${trim(b, 2)}]"""
-    }.mkString("{", ",", "}")
+    def flaggedOf(bs: Seq[(String, (Double, Double))]): String =
+      bs.filter { case (_, (a, b)) =>
+        b > 1.5 * a || (baselinesOn && b > 2 * memExpected)
+      }.map { case (k, (a, b)) =>
+        "\"" + k + s"""\":[${trim(a, 2)},${trim(b, 2)}]"""
+      }.mkString("{", ",", "}")
+    val flaggedBracketsT = flaggedOf(sf10Brackets)
+    val flaggedBracketsSf1T = flaggedOf(sf1Brackets)
     val boardDriftT = boardDrift.map { case (k, v, q) =>
       "\"" + k + s"""\":[${trim(v, 2)},${trim(q, 2)}]"""
     }.mkString("{", ",", "}")
     def compactLine(level: Int) = {
       val d = if (level < 1)
         s""","drift":${driftT(driftRows, driftOmitted)},"drift_sf10":${
-          driftT(driftRowsSf10, driftOmittedSf10)},"sf10_brackets":$flaggedBracketsT,"board_drift":$boardDriftT"""
+          driftT(driftRowsSf10, driftOmittedSf10)},"sf1_brackets":$flaggedBracketsSf1T,"sf10_brackets":$flaggedBracketsT,"board_drift":$boardDriftT"""
       else ""","drift_deferred":true"""
       val boards = if (level < 2)
         s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${

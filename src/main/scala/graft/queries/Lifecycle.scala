@@ -1369,6 +1369,61 @@ object Lifecycle {
       .orderBy("l_returnflag", "q")
   }
 
+  /** Sketch-MV rollup composition — the grouping-compatibility half of
+    * the sketch-rewrite claim (the check the reference's View methodology
+    * is about, assignment-5.sql:300–469): the SAME monthly sketch MV as
+    * [[matviewSketchRewrite]]'s serves a COARSER (quarterly) grain, not
+    * just the all-history collapse — the rewrite maps the query's
+    * `quarter(month(x))` grouping onto the stored month column and
+    * re-aggregates the stored counter vectors with
+    * [[graft.functions.VecSumAgg]] per quarter. Counter addition is
+    * exact under any regrouping, so each quarter's merged sketch is
+    * bit-identical to a one-shot sketch over that quarter's base rows
+    * and the oracle replays every bucket from lineitem. At 100 TB this
+    * is the roll-up ladder: one monthly materialization serves month,
+    * quarter, year, and all-time percentile dashboards from |months|
+    * 15 KiB vectors. */
+  def matviewSketchRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QuantileSketchAgg
+    val m = Materializer(s).enableAutoRewrite()
+    def cents = round(col("l_extendedprice") * 100).cast("long")
+    def month = date_trunc("month", col("l_shipdate"))
+    def grain(cs: org.apache.spark.sql.Column*) =
+      load(s, d, "lineitem").groupBy(cs: _*)
+        .agg(QuantileSketchAgg.quantile_sketch(cents).as("sk"),
+          count(lit(1)).as("n"))
+    m.create("mv_sketch_month_q", grain(col("l_returnflag"), month))
+    // the quarterly grain phrased THROUGH the monthly one —
+    // quarter(month(x)) ≡ quarter(x), and the inner month(x) is what the
+    // containment rewrite maps onto the stored grouping column
+    val q = grain(col("l_returnflag"),
+      date_trunc("quarter", month).as("qtr"))
+    val plan = q.queryExecution.executedPlan.toString
+    val served = plan.contains("mv_sketch_month_q") &&
+      !plan.contains("lineitem.parquet")
+    m.deregisterAll() // scope the rewrite to this query
+    import s.implicits._
+    val targets = broadcast(Seq(0.5, 0.9).toDF("q"))
+    val buckets = q
+      .select(col("l_returnflag"), col("qtr"), col("n"),
+        posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(QuantileSketchAgg.midSql))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("l_returnflag", "qtr").orderBy("idx")))
+    buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("l_returnflag", "qtr", "q")
+      .agg(min(col("mid")).as("est_cents"), max(col("n")).as("n_rows"))
+      .select(col("l_returnflag"), col("qtr").cast("date").as("quarter"),
+        col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"),
+        col("n_rows"),
+        lit(served).as("served_from_mv"))
+      .orderBy("l_returnflag", "quarter", "q")
+  }
+
   /** KMV-storing MV rewrite — the union-merge companion of
     * [[matviewSketchRewrite]]'s add-merge counters: per (returnflag,
     * ship-month) the MV stores the K smallest distinct order-key hashes
@@ -1710,6 +1765,7 @@ object Lifecycle {
     "matview_auto_rewrite" -> (matviewAutoRewrite _),
     "matview_rollup_rewrite" -> (matviewRollupRewrite _),
     "matview_sketch_rewrite" -> (matviewSketchRewrite _),
+    "matview_sketch_rollup" -> (matviewSketchRollup _),
     "matview_kmv_rewrite" -> (matviewKmvRewrite _),
     "matview_hll_rewrite" -> (matviewHllRewrite _),
     "ingest_tsv"        -> (ingestTsv _),
@@ -2203,6 +2259,47 @@ object Lifecycle {
         |  g.n AS n_rows, true AS served_from_mv
         |FROM est JOIN g ON est.l_returnflag = g.l_returnflag
         |ORDER BY 1, 2""".stripMargin,
+    // the quarterly re-aggregation of the stored monthly sketches must be
+    // bit-identical to one-shot per-quarter sketches over the base rows —
+    // so the oracle replays the exact bucket geometry per (flag, quarter)
+    "matview_sketch_rollup" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    date_trunc('quarter', l_shipdate) AS quarter,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |g AS (SELECT l_returnflag, quarter, COUNT(*)::BIGINT AS n
+        |  FROM li GROUP BY 1, 2),
+        |b AS (SELECT l_returnflag, quarter,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE 32 + (length(bin(v)) - 1 - 5) * 32
+        |           + ((v >> (length(bin(v)) - 1 - 5)) - 32) END AS idx,
+        |    COUNT(*)::BIGINT AS cnt
+        |  FROM li GROUP BY 1, 2, 3),
+        |geo AS (SELECT l_returnflag, quarter, idx, cnt,
+        |    CASE WHEN idx < 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << CAST((idx - 32) // 32 AS INT))
+        |    END AS width,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag, quarter
+        |      ORDER BY idx) AS cum
+        |  FROM b),
+        |geo2 AS (SELECT l_returnflag, quarter, cum,
+        |    CASE WHEN idx < 32 THEN CAST(idx AS BIGINT)
+        |         ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width
+        |           + (width - 1) // 2 END AS mid
+        |  FROM geo),
+        |t AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9)) v(q)),
+        |est AS (SELECT geo2.l_returnflag, geo2.quarter, t.q,
+        |    MIN(geo2.mid) AS est_cents
+        |  FROM geo2 JOIN g ON geo2.l_returnflag = g.l_returnflag
+        |    AND geo2.quarter = g.quarter
+        |  JOIN t ON geo2.cum >= CEIL(t.q * g.n)
+        |  GROUP BY 1, 2, 3)
+        |SELECT est.l_returnflag, est.quarter, est.q,
+        |  CAST(est_cents AS DOUBLE) / 100.0 AS est_value,
+        |  g.n AS n_rows, true AS served_from_mv
+        |FROM est JOIN g ON est.l_returnflag = g.l_returnflag
+        |  AND est.quarter = g.quarter
+        |ORDER BY 1, 2, 3""".stripMargin,
     "matview_auto_rewrite" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

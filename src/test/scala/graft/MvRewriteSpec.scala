@@ -105,6 +105,47 @@ class MvRewriteSpec extends AnyFunSuite {
         (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq)
   }
 
+  test("matview_sketch_rollup: the SAME monthly sketch MV serves a " +
+      "QUARTERLY grain (grouping compatibility), values = direct recompute") {
+    val rows = graft.queries.Lifecycle.matviewSketchRollup(spark, SF)
+      .collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0) // groups x 2 quantiles
+    assert(rows.forall(_.getAs[Boolean]("served_from_mv")),
+      "quarterly rollup was not served from the monthly sketch MV")
+    // direct per-quarter one-shot sketches over the base rows: the
+    // VecSum of stored monthly vectors must be bit-identical, so the
+    // estimates (and counts) must match exactly
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QuantileSketchAgg
+    import spark.implicits._
+    val direct = graft.Tables.load(spark, SF, "lineitem")
+      .groupBy(col("l_returnflag"),
+        date_trunc("quarter", col("l_shipdate")).cast("date").as("quarter"))
+      .agg(QuantileSketchAgg.quantile_sketch(
+        round(col("l_extendedprice") * 100).cast("long")).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("quarter"), col("n"),
+        posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(QuantileSketchAgg.widthSql))
+      .withColumn("mid", expr(QuantileSketchAgg.midSql))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("l_returnflag", "quarter").orderBy("idx")))
+      .join(broadcast(Seq(0.5, 0.9).toDF("q")),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("l_returnflag", "quarter", "q")
+      .agg(min(col("mid")).as("est_cents"), max(col("n")).as("n_rows"))
+      .select(col("l_returnflag"), col("quarter"), col("q"),
+        (col("est_cents").cast("double") / 100.0).as("est_value"),
+        col("n_rows"))
+      .orderBy("l_returnflag", "quarter", "q")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq ==
+      direct.map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq)
+  }
+
   test("matview_kmv_rewrite: per-flag KMV served by k-bounded union of " +
       "stored monthly sketches, bit-identical to the one-shot sketch") {
     import graft.functions.KmvAgg
