@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — the driver's per-round BENCH harness.
@@ -113,10 +115,35 @@ object Bench {
     // (contention-robust) are emitted per probe: r6's driver box was
     // under heavy external load and best-of hid how much of each number
     // was machine noise.
+    // device-level I/O-busy time (ms) summed over physical block devices
+    // (/proc/diskstats field 13), read before/after each scale-tier key:
+    // busy_ms / wall_ms is the DISK UTILIZATION DURING the key — all
+    // system I/O, ours and anyone else's, which is exactly the point.
+    // r11's events_attribution read [79.2, 20.6] with CLEAN mem-canary
+    // brackets: the r12 cold-rep experiment (ProfColdRep) exonerated the
+    // page cache (a full drop costs ~0s against the 32-way scan, warm
+    // JVM), so the residual suspect is external disk-write contention
+    // during the key's own window — CPU-shaped brackets can't see it,
+    // and the tier-level shuffle canary samples the wrong instant. This
+    // reading makes the mode self-describing per key at ~zero cost.
+    def ioBusyMs(): Long =
+      try java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/diskstats")).asScala
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 12 && !f(2).startsWith("loop") &&
+          !f(2).startsWith("ram") &&
+          // whole devices only — partitions (vda1, sdb2, nvme0n1p1)
+          // would double-count their parent's busy time
+          !f(2).matches(".*\\d+p\\d+$") && !f(2).matches("^[sv]d[a-z]+\\d+$"))
+        .map(_(12).toLong).sum
+      catch { case _: Throwable => -1L }
+    val diskBusy = scala.collection.mutable.LinkedHashMap[String, Double]()
     def probeTier(tier: String, dir: String, names: Seq[String],
         reps: Int, isolate: Boolean = false): Seq[(String, Seq[Double])] =
       names.map { name =>
         if (isolate) quiesce()
+        val io0 = ioBusyMs()
+        val t00 = System.nanoTime()
         val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, dir)
@@ -125,6 +152,12 @@ object Bench {
             System.err.println(s"[bench] $tier $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
+        }
+        val io1 = ioBusyMs()
+        if (isolate && io0 >= 0 && io1 >= 0) {
+          val wallMs = (System.nanoTime() - t00) / 1e6
+          diskBusy(s"$tier.$name") =
+            if (wallMs > 0) (io1 - io0) / wallMs else 0.0
         }
         // rep order preserved (NOT sorted): bench_full's per-rep sample
         // arrays are the rep-over-rep degradation evidence the r8 VERDICT
@@ -926,7 +959,8 @@ object Bench {
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
-        samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
+        samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"disk_busy":${
+        jmap(diskBusy.toSeq)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
         if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
