@@ -31,16 +31,21 @@ import graft.matview.Snapshots
   * sound: a dir is dropped only when SOME conjunct is provably false on
   * every row of it.
   *
-  * Conjuncts consulted (attribute op literal, either orientation):
-  * equality (zone point check + bloom membership when a `_zbloom` entry
-  * exists), and the four range comparisons with strict/non-strict
-  * handled exactly (`a > lo` prunes a dir whose max == lo; `a >= lo`
-  * keeps it). Literals normalize to the sidecar's comparison family the
-  * same way the writer did — catalyst already stores timestamps as
-  * micros and dates as epoch days, so the normalization is the identity
-  * on the internal value. Unrecognized conjuncts, wrong-family literals,
-  * and columns without a stats line simply don't prune. When every dir
-  * is pruned the whole Filter collapses to an empty [[LocalRelation]].
+  * Predicates consulted (attribute op literal, either orientation):
+  * equality and null-safe equality (zone point check + bloom membership
+  * when a `_zbloom` entry exists), the four range comparisons with
+  * strict/non-strict handled exactly (`a > lo` prunes a dir whose
+  * max == lo; `a >= lo` keeps it), IN lists, LIKE-prefix, IS [NOT] NULL
+  * against the v2 null counts — composed through arbitrary AND/OR
+  * structure (a dir may satisfy Or(l, r) iff it may satisfy either
+  * branch, so `ts < lo OR ts > hi` prunes the middle shards). Literals
+  * normalize to the sidecar's comparison family the same way the writer
+  * did — catalyst already stores timestamps as micros and dates as
+  * epoch days, so the normalization is the identity on the internal
+  * value. Unrecognized nodes (incl. NOT — negation under ternary NULL
+  * semantics), wrong-family literals, and columns without a stats line
+  * simply don't prune. When every dir is pruned the whole Filter
+  * collapses to an empty [[LocalRelation]].
   *
   * The rewrite is a fixed point: the pruned relation's dirs all survive
   * their own re-check, so re-firing leaves the plan unchanged. Planning
@@ -101,9 +106,26 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def dirMayMatch(dir: String, preds: Seq[Expression]): Boolean = {
     lazy val stats = Snapshots.dirStats(dir)
     lazy val blooms = Snapshots.dirBlooms(dir)
-    preds.forall {
+    def mayMatch(e: Expression): Boolean = e match {
+      // boolean structure (the Delta/Iceberg evaluators walk the same
+      // tree): a dir may satisfy a conjunction only if it may satisfy
+      // every branch, a disjunction if it may satisfy ANY branch — so
+      // `ts < lo OR ts > hi` prunes the middle shards, which the
+      // conjunct-only walk left unpruned (Or fell to the default-true
+      // arm). Not is deliberately unsupported (negation under ternary
+      // NULL semantics inverts may-match unsoundly): default-true.
+      case And(l, r) => mayMatch(l) && mayMatch(r)
+      case Or(l, r) => mayMatch(l) || mayMatch(r)
       case EqualTo(a: AttributeReference, l: Literal) => eqOk(a, l, stats, blooms)
       case EqualTo(l: Literal, a: AttributeReference) => eqOk(a, l, stats, blooms)
+      // null-safe equality: against a non-null literal it matches the
+      // same rows as `=`; against NULL it IS the IsNull probe
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) stats.get(a.name).forall(z => !z.noNulls)
+        else eqOk(a, l, stats, blooms)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) stats.get(a.name).forall(z => !z.noNulls)
+        else eqOk(a, l, stats, blooms)
       case GreaterThan(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = true)
       case LessThan(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = true, strict = true)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = false)
@@ -129,8 +151,9 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
         stats.get(a.name).forall(z => !z.noNulls)
       case IsNotNull(a: AttributeReference) =>
         stats.get(a.name).forall(z => !z.allRowsNull)
-      case _ => true // unrecognized conjunct: cannot prune on it
+      case _ => true // unrecognized node: cannot prune on it
     }
+    preds.forall(mayMatch)
   }
 
   /** `a LIKE 'p%'` ⟺ p <= a < p⁺ in UTF-8 BYTE order — the order the

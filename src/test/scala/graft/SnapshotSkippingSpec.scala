@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.matview.Snapshots
@@ -112,6 +112,42 @@ class SnapshotSkippingSpec extends AnyFunSuite {
     assert(dirsScanned(base.filter(col("name").startsWith("a"))) == 1)
     // a prefix above every shard prunes all
     assert(dirsScanned(base.filter(col("name").startsWith("zzz"))) == 0)
+  }
+
+  test("OR disjunctions prune per branch, and null-safe equality prunes " +
+      "like = (or like IS NULL against a null literal)") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_or"
+    snap.drop(t)
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t,
+        (j * 100L until (j + 1) * 100L).map(i => (i, i * 2)).toDF("id", "v"),
+        Seq("id"))
+    }
+    val base = snap.readLatest(t)
+    // anti-range: both outer shards survive, the middle one is pruned —
+    // the shape a conjunct-only walk cannot prune at all
+    val outer = base.filter(col("id") < 50L || col("id") > 250L)
+    assert(dirsScanned(outer) == 2)
+    assert(outer.count() == 50 + 49)
+    // a disjunct the rule can't evaluate keeps everything (conservative)
+    assert(dirsScanned(base.filter(
+      col("id") < 50L || col("v") % 7 === 0)) == 3)
+    // OR of two point probes: exactly the two containing shards
+    val two = base.filter(col("id") === 10L || col("id") === 210L)
+    assert(dirsScanned(two) == 2)
+    assert(two.count() == 2)
+    // nested: (in shard 0 AND even) OR (in shard 2) — shard 1 pruned
+    assert(dirsScanned(base.filter(
+      (col("id") < 50L && col("v") % 2 === 0) || col("id") >= 250L)) == 2)
+    // null-safe equality prunes like = against a non-null literal
+    val nse = base.filter(col("id") <=> 150L)
+    assert(dirsScanned(nse) == 1)
+    assert(nse.count() == 1)
+    // ... and like IS NULL against a null literal: id is never null, so
+    // every shard is provably unable to match (v2 null counts)
+    assert(dirsScanned(base.filter(
+      col("id") <=> lit(null.asInstanceOf[java.lang.Long]))) == 0)
   }
 
   test("null counts prune IS NULL / IS NOT NULL, and an all-null shard " +
