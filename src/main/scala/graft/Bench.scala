@@ -127,16 +127,26 @@ object Bench {
     // and the tier-level shuffle canary samples the wrong instant. This
     // reading makes the mode self-describing per key at ~zero cost.
     def ioBusyMs(): Long =
-      try java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/diskstats")).asScala
-        .map(_.trim.split("\\s+"))
-        .filter(f => f.length > 12 && !f(2).startsWith("loop") &&
-          !f(2).startsWith("ram") &&
-          // whole devices only — partitions (vda1, sdb2, nvme0n1p1)
-          // would double-count their parent's busy time
-          !f(2).matches(".*\\d+p\\d+$") && !f(2).matches("^[sv]d[a-z]+\\d+$"))
-        .map(_(12).toLong).sum
-      catch { case _: Throwable => -1L }
+      try {
+        // whole PHYSICAL devices only: /sys/block lists whole devices
+        // (never partitions — covers sda1/xvda1/nvme0n1p1/mmcblk0p2
+        // uniformly), and layered devices (dm-*/md*/loop/ram/zram) are
+        // excluded by name — their I/O re-appears on the underlying
+        // disks and would double-count the busy time
+        val wholeDevs = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get("/sys/block"))
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(n => n.startsWith("loop") || n.startsWith("ram") ||
+              n.startsWith("zram") || n.startsWith("dm-") ||
+              n.startsWith("md")).toSet
+          finally s.close()
+        }
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/diskstats")).asScala
+          .map(_.trim.split("\\s+"))
+          .filter(f => f.length > 12 && wholeDevs.contains(f(2)))
+          .map(_(12).toLong).sum
+      } catch { case _: Throwable => -1L }
     val diskBusy = scala.collection.mutable.LinkedHashMap[String, Double]()
     def probeTier(tier: String, dir: String, names: Seq[String],
         reps: Int, isolate: Boolean = false): Seq[(String, Seq[Double])] =
@@ -322,10 +332,10 @@ object Bench {
         r
       }
       val brackets =
-        (("graph_triangle_sketch", (triPre, triPost)) +:
+        ("graph_triangle_sketch", (triPre, triPost)) +:
           probe.zipWithIndex.map { case (k, i) =>
             (k, (bounds(i), bounds(i + 1)))
-          }).map { case (k, p) => k -> p }
+          }
       (genSec, tri ++ probed, (triPre, triPost), brackets)
     }
 

@@ -170,11 +170,17 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
         case Some(z) if z.fam == "string" =>
           if (z.allNull) false // LIKE over NULL is never true
           else {
-            val pB = utf8(p)
-            val lowerOk = byteCmp(utf8(z.mx), pB) >= 0
-            val upperOk = prefixUpper(pB) match {
+            // both bound checks go through UTF8String's unsigned byte
+            // compare — the SAME ordering Snapshots.cmp uses for the
+            // string family (one implementation, not two to keep agreed)
+            val lowerOk = Snapshots.cmp("string", z.mx, p) >= 0
+            val upperOk = prefixUpper(
+              p.getBytes(java.nio.charset.StandardCharsets.UTF_8)) match {
               case None => true
-              case Some(up) => byteCmp(utf8(z.mn), up) < 0
+              case Some(up) =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(z.mn)
+                  .compareTo(org.apache.spark.unsafe.types.UTF8String
+                    .fromBytes(up)) < 0
             }
             lowerOk && upperOk
           }
@@ -182,20 +188,6 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
       case _ => true
     }
-
-  private def utf8(s: String): Array[Byte] =
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-
-  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    java.lang.Integer.compare(a.length, b.length)
-  }
 
   /** Smallest byte string greater than every string with prefix `p`:
     * drop trailing 0xFF bytes, increment the last survivor; None when

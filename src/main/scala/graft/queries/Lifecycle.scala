@@ -1220,9 +1220,14 @@ object Lifecycle {
     m.create("mv_auto_rw", agg)
     val q = agg // fresh logically-identical plan
     val servedFromMv = q.queryExecution.executedPlan.toString.contains("mv_auto_rw")
-    m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("served_from_mv", lit(servedFromMv))
+    val result = q.withColumn("served_from_mv", lit(servedFromMv))
       .orderBy("o_orderpriority")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the rewrite produced, not a post-deregister base
+      // recompute (see matviewSketchRollup)
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** Constraint detection on deliberately-corrupted data: duplicate PKs,
@@ -1311,9 +1316,14 @@ object Lifecycle {
         max(col("o_totalprice")).as("max_price"))
     val servedFromMv = coarse.queryExecution.executedPlan.toString
       .contains("mv_rollup_fine")
-    m.deregisterAll() // scope the rewrite to this query
-    coarse.withColumn("served_from_mv", lit(servedFromMv))
+    val result = coarse.withColumn("served_from_mv", lit(servedFromMv))
       .orderBy("o_orderstatus")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the containment re-aggregation produced, not a
+      // post-deregister base recompute (see matviewSketchRollup)
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** Sketch-storing MV rewrite — the first rewrite where the MV holds a
@@ -1345,7 +1355,6 @@ object Lifecycle {
     val plan = q.queryExecution.executedPlan.toString
     val served = plan.contains("mv_sketch_month") &&
       !plan.contains("lineitem.parquet")
-    m.deregisterAll() // scope the rewrite to this query
     // quantile estimates from the merged counters — the downstream
     // geometry of agg_quantile_sketch (bucket width/mid, cum over the
     // <= 1888-row sketch relation, 3-row target broadcast)
@@ -1359,7 +1368,7 @@ object Lifecycle {
       .withColumn("mid", expr(QuantileSketchAgg.midSql))
       .withColumn("cum", sum(col("cnt"))
         .over(Window.partitionBy("l_returnflag").orderBy("idx")))
-    buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+    val result = buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
       .groupBy("l_returnflag", "q")
       .agg(min(col("mid")).as("est_cents"), max(col("n")).as("n_rows"))
       .select(col("l_returnflag"), col("q"),
@@ -1367,6 +1376,13 @@ object Lifecycle {
         col("n_rows"),
         lit(served).as("served_from_mv"))
       .orderBy("l_returnflag", "q")
+      // materialize BEFORE deregisterAll (r12 self-review): the caller
+      // re-plans the returned frame after deregistration, which would
+      // recompute from the base table — the oracle must gate rows the
+      // REWRITE produced (see matviewSketchRollup)
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** Sketch-MV rollup composition — the grouping-compatibility half of
@@ -1402,7 +1418,6 @@ object Lifecycle {
     val plan = q.queryExecution.executedPlan.toString
     val served = plan.contains("mv_sketch_month_q") &&
       !plan.contains("lineitem.parquet")
-    m.deregisterAll() // scope the rewrite to this query
     import s.implicits._
     val targets = broadcast(Seq(0.5, 0.9).toDF("q"))
     val buckets = q
@@ -1413,7 +1428,7 @@ object Lifecycle {
       .withColumn("mid", expr(QuantileSketchAgg.midSql))
       .withColumn("cum", sum(col("cnt"))
         .over(Window.partitionBy("l_returnflag", "qtr").orderBy("idx")))
-    buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
+    val result = buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
       .groupBy("l_returnflag", "qtr", "q")
       .agg(min(col("mid")).as("est_cents"), max(col("n")).as("n_rows"))
       .select(col("l_returnflag"), col("qtr").cast("date").as("quarter"),
@@ -1422,6 +1437,15 @@ object Lifecycle {
         col("n_rows"),
         lit(served).as("served_from_mv"))
       .orderBy("l_returnflag", "quarter", "q")
+      // MATERIALIZE while the MV is still registered (r12 self-review):
+      // the returned frame is re-planned by the caller AFTER
+      // deregisterAll, which would silently recompute from the base
+      // table — the oracle/specs would then gate a base-vs-base compare
+      // instead of the merged-sketch path this key exists to pin. The
+      // eager localCheckpoint freezes rows produced BY the rewrite.
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** KMV-storing MV rewrite — the union-merge companion of
@@ -1450,8 +1474,8 @@ object Lifecycle {
     val plan = q.queryExecution.executedPlan.toString
     val served = plan.contains("mv_kmv_month") &&
       !plan.contains("lineitem.parquet")
-    m.deregisterAll() // scope the rewrite to this query
-    q.select(col("l_returnflag"), size(col("sk")).as("n_sketch"), col("sk"))
+    val result = q
+      .select(col("l_returnflag"), size(col("sk")).as("n_sketch"), col("sk"))
       .select(col("l_returnflag"), col("n_sketch"),
         when(col("n_sketch") >= K, round(
           lit(KmvAgg.estNumerator(K)) /
@@ -1461,6 +1485,12 @@ object Lifecycle {
           .as("h_checksum"),
         lit(served).as("served_from_mv"))
       .orderBy("l_returnflag")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the union-merge produced, not a post-deregister
+      // base recompute (see matviewSketchRollup)
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** HLL-storing MV rewrite — the MAX-merge completion of the sketch-MV
@@ -1489,14 +1519,19 @@ object Lifecycle {
     val plan = q.queryExecution.executedPlan.toString
     val served = plan.contains("mv_hll_month") &&
       !plan.contains("lineitem.parquet")
-    m.deregisterAll() // scope the rewrite to this query
-    q.select(col("l_returnflag"),
+    val result = q.select(col("l_returnflag"),
         HllAgg.nZero("regs").as("n_zero"),
         HllAgg.regChecksum("regs").as("reg_checksum"),
         HllAgg.estimate(HllAgg.sRegs("regs"), HllAgg.nZero("regs"))
           .as("est_distinct"),
         lit(served).as("served_from_mv"))
       .orderBy("l_returnflag")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the max-merge produced, not a post-deregister
+      // base recompute (see matviewSketchRollup)
+      .localCheckpoint()
+    m.deregisterAll() // scope the rewrite to this query
+    result
   }
 
   /** Average containment: the MV stores (decimal sum, count) per priority;
@@ -1515,8 +1550,14 @@ object Lifecycle {
     // the substantive claim: the fact table is not scanned (which MV wins
     // is the cost chooser's call when several are registered in-session)
     val served = !q.queryExecution.executedPlan.toString.contains("orders.parquet")
+    val result = q.withColumn("served_from_mv", lit(served))
+      .orderBy("o_orderpriority")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the rewrite produced, not a post-deregister base
+      // recompute (see matviewSketchRollup)
+      .localCheckpoint()
     m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
+    result
   }
 
   /** Filter containment: a predicate over a stored grouping column is
@@ -1533,8 +1574,14 @@ object Lifecycle {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("revenue"))
     val served = q.queryExecution.executedPlan.toString.contains("mv_filter_src")
+    val result = q.withColumn("served_from_mv", lit(served))
+      .orderBy("o_orderpriority")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the rewrite produced, not a post-deregister base
+      // recompute (see matviewSketchRollup)
+      .localCheckpoint()
     m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("served_from_mv", lit(served)).orderBy("o_orderpriority")
+    result
   }
 
   /** Cost-based MV choice: two registered MVs both answer the rollup; the
@@ -1554,8 +1601,14 @@ object Lifecycle {
       .agg(count(lit(1)).as("n_items"))
     val plan = q.queryExecution.executedPlan.toString
     val chose = plan.contains("mv_li_narrow") && !plan.contains("mv_li_wide")
+    val result = q.withColumn("chose_narrow_mv", lit(chose))
+      .orderBy("l_returnflag")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the rewrite produced, not a post-deregister base
+      // recompute (see matviewSketchRollup)
+      .localCheckpoint()
     m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("chose_narrow_mv", lit(chose)).orderBy("l_returnflag")
+    result
   }
 
   /** Derived-grouping rollup: a date-grained MV answers the year-grained
@@ -1572,8 +1625,13 @@ object Lifecycle {
       .agg(exactSum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
     val served = q.queryExecution.executedPlan.toString.contains("mv_daily_rev")
+    val result = q.withColumn("served_from_mv", lit(served)).orderBy("yr")
+      // materialize BEFORE deregisterAll (r12 self-review): the oracle
+      // must gate rows the rewrite produced, not a post-deregister base
+      // recompute (see matviewSketchRollup)
+      .localCheckpoint()
     m.deregisterAll() // scope the rewrite to this query
-    q.withColumn("served_from_mv", lit(served)).orderBy("yr")
+    result
   }
 
   /** Bucketed co-located join through the driver gate: both sides

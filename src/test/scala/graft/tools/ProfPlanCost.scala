@@ -47,11 +47,14 @@ object ProfPlanCost {
       val v0 = snap.commitAppendStats(t,
         (0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"))
       val d0 = snap.versionDirs(t, v0).head
-      val dataFiles = Files.list(Paths.get(d0)).iterator()
-      val toCopy = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-      while (dataFiles.hasNext) {
-        val p = dataFiles.next()
-        if (!Files.isDirectory(p)) toCopy += p
+      val toCopy = {
+        val s = Files.list(Paths.get(d0))
+        try {
+          val buf = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+          s.iterator().forEachRemaining(p =>
+            if (!Files.isDirectory(p)) buf += p)
+          buf
+        } finally s.close()
       }
       // fabricate dirs 1..n-1 with disjoint id ranges [100i, 100i+100)
       val dirs = (1 until n).map { i =>
