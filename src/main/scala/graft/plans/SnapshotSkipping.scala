@@ -126,6 +126,13 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
       case EqualNullSafe(l: Literal, a: AttributeReference) =>
         if (l.value == null) stats.get(a.name).forall(z => !z.noNulls)
         else eqOk(a, l, stats, blooms)
+      // a != v (the one sound NOT case, point stats only): no row can
+      // satisfy it when every value in the dir IS v (min = max = v) or
+      // when every row is null — the constant-shard layouts (enum dirs,
+      // value-partitioned appends) hit this on every exclusion probe.
+      // NULL rows never satisfy != either, so null counts don't matter.
+      case Not(EqualTo(a: AttributeReference, l: Literal)) => neqOk(a, l, stats)
+      case Not(EqualTo(l: Literal, a: AttributeReference)) => neqOk(a, l, stats)
       case GreaterThan(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = true)
       case LessThan(l: Literal, a: AttributeReference) => rangeOk(a, l, stats, lower = true, strict = true)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOk(a, l, stats, lower = true, strict = false)
@@ -250,6 +257,22 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
           })
         case None => true
       }
+    }
+
+  /** `a != v` survives unless the dir is provably CONSTANT v
+    * (min = max = v, same family) or all-null; Spark's NaN = NaN
+    * semantics make the NaN-constant dir prune correctly too. */
+  private def neqOk(a: AttributeReference, l: Literal,
+      stats: Map[String, Snapshots.ZStat]): Boolean =
+    stats.get(a.name) match {
+      case Some(z) if z.allNull => false
+      case Some(z) => normLit(l) match {
+        case Some((fam, v)) if z.fam == fam =>
+          !(Snapshots.cmp(fam, z.mn, v) == 0 &&
+            Snapshots.cmp(fam, z.mx, v) == 0)
+        case _ => true
+      }
+      case None => true
     }
 
   /** `lower = true` means the conjunct lower-bounds the attribute

@@ -150,6 +150,34 @@ class SnapshotSkippingSpec extends AnyFunSuite {
       col("id") <=> lit(null.asInstanceOf[java.lang.Long]))) == 0)
   }
 
+  test("a != v prunes provably-constant shards (and all-null ones), " +
+      "never range shards") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_neq"
+    snap.drop(t)
+    // shard 0: status constant "F"; shard 1: constant "O"; shard 2: mixed
+    snap.commitAppendStats(t,
+      (0 until 40).map(i => (i.toLong, "F")).toDF("id", "status"),
+      Seq("status"))
+    snap.commitAppendStats(t,
+      (100 until 140).map(i => (i.toLong, "O")).toDF("id", "status"),
+      Seq("status"))
+    snap.commitAppendStats(t,
+      (200 until 240).map(i =>
+        (i.toLong, if (i % 2 == 0) "F" else "P")).toDF("id", "status"),
+      Seq("status"))
+    val base = snap.readLatest(t)
+    val notF = base.filter(col("status") =!= "F")
+    assert(dirsScanned(notF) == 2) // the all-"F" shard is pruned
+    assert(notF.count() == 40 + 20)
+    // a mixed shard whose span merely CONTAINS v is kept
+    val notP = base.filter(col("status") =!= "P")
+    assert(dirsScanned(notP) == 3)
+    assert(notP.count() == 40 + 40 + 20)
+    // != against a value no shard is constant-on keeps everything
+    assert(dirsScanned(base.filter(col("status") =!= "Z")) == 3)
+  }
+
   test("null counts prune IS NULL / IS NOT NULL, and an all-null shard " +
       "prunes every comparison conjunct") {
     val snap = new Snapshots(spark, root)
