@@ -102,13 +102,17 @@ class Snapshots(spark: SparkSession, root: String) {
 
   /** Comparison family + normalized Spark column for a stats column:
     * integral/timestamp/date normalize to long, float/double to double,
-    * string stays lexicographic. Decimal is rejected — its min/max would
-    * round through double and a half-ulp-high stored min could wrongly
-    * prune a dir holding the bound itself. TIMESTAMP_NTZ is rejected
-    * too: casting it to TIMESTAMP shifts through the session timezone,
-    * so the stored micros would disagree with a probe's raw NTZ micros
-    * on any non-UTC session — a silent wrong-prune; convert the column
-    * to TIMESTAMP explicitly at a chosen zone instead.
+    * string stays lexicographic. Decimal keeps its own exact family:
+    * min/max aggregate in DECIMAL ordering and serialize as plain
+    * decimal strings, and readers compare via java.math.BigDecimal —
+    * no value ever rounds through double (the failure an earlier
+    * double-normalized design would have had: a half-ulp-high stored
+    * min wrongly pruning the dir holding the bound itself).
+    * TIMESTAMP_NTZ is rejected: casting it to TIMESTAMP shifts
+    * through the session timezone, so the stored micros would disagree
+    * with a probe's raw NTZ micros on any non-UTC session — a silent
+    * wrong-prune; convert the column to TIMESTAMP explicitly at a
+    * chosen zone instead.
     *
     * Doubles normalize -0.0 to 0.0 (IEEE `x + 0.0` is the identity on
     * every other value incl. NaN/infinities): SQL equality treats the
@@ -130,6 +134,9 @@ class Snapshots(spark: SparkSession, root: String) {
       case FloatType | DoubleType =>
         ("double", c.cast(DoubleType) + org.apache.spark.sql.functions.lit(0.0d))
       case StringType => ("string", c)
+      // the column itself: min/max fold in decimal ordering, the final
+      // .cast("string") emits the exact plain form BigDecimal re-parses
+      case _: DecimalType => ("decimal", c)
       case other => throw new IllegalArgumentException(
         s"zone stats unsupported for ${other.sql} (add an exact mapping)")
     }
@@ -266,6 +273,13 @@ class Snapshots(spark: SparkSession, root: String) {
         s"bloom column name with control chars: $name")
       val (fam, norm) = statsFamily(written.schema(name).dataType,
         written(name))
+      // the probe side rebuilds the hash from a catalyst Literal, whose
+      // decimal hashing depends on (precision, scale) the sidecar does
+      // not record — zone stats serve decimals; blooms reject them
+      // loudly rather than probe wrongly
+      require(fam != "decimal",
+        s"bloom sidecars unsupported for DECIMAL column $name " +
+          "(zone stats support it; use those for range/point pruning)")
       val base = xxhash64(norm)
       val positions = bloomSeeds.map(s =>
         pmod(graft.functions.Mix64.mix64(base, s), lit(bloomBits.toLong))
@@ -475,10 +489,14 @@ object Snapshots {
     * Doubles normalize -0.0 to 0.0 on both sides, matching the writer. */
   private[graft] def cmp(family: String, a: String, b: String): Int =
     family match {
-      case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
-      case "double" => java.lang.Double.compare(normZero(a.toDouble),
+      case "long"    => java.lang.Long.compare(a.toLong, b.toLong)
+      case "double"  => java.lang.Double.compare(normZero(a.toDouble),
         normZero(b.toDouble))
-      case _        => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      // exact decimal compare; BigDecimal.compareTo is scale-insensitive
+      // (2.0 == 2.00), matching SQL decimal equality
+      case "decimal" => new java.math.BigDecimal(a)
+        .compareTo(new java.math.BigDecimal(b))
+      case _         => org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     }
 

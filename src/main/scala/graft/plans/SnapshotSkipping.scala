@@ -232,6 +232,13 @@ case class SnapshotSkippingRule(spark: SparkSession) extends Rule[LogicalPlan]
       case DoubleType => Some(("double", Snapshots.normZero(
         l.value.asInstanceOf[Double]).toString))
       case StringType => Some(("string", l.value.toString))
+      // exact plain form, re-parsed by BigDecimal on the compare side —
+      // the literal reaches here uncast only when Spark's decimal
+      // promotion left the attribute bare (same-or-wider column type),
+      // which is exactly when the comparison is in decimal semantics
+      case _: DecimalType => Some(("decimal",
+        l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toPlainString))
       case _ => None
     }
 

@@ -150,6 +150,38 @@ class SnapshotSkippingSpec extends AnyFunSuite {
       col("id") <=> lit(null.asInstanceOf[java.lang.Long]))) == 0)
   }
 
+  test("decimal zone stats prune exactly — BigDecimal bounds, " +
+      "scale-insensitive, no double rounding anywhere") {
+    val snap = new Snapshots(spark, root)
+    val t = "rule_decimal"
+    snap.drop(t)
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // three disjoint price bands, decimal(12,2)
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t,
+        (0 until 50).map(i => (j * 50L + i, bd(s"${j * 1000 + i}.25")))
+          .toDF("id", "price")
+          .select(col("id"), col("price").cast("decimal(12,2)").as("price")),
+        Seq("price"))
+    }
+    val base = snap.readLatest(t)
+    val mid = base.filter(col("price") >= lit(bd("1000.25")) &&
+      col("price") <= lit(bd("1049.25")))
+    assert(dirsScanned(mid) == 1)
+    assert(mid.count() == 50)
+    // boundary exactness against shard 0's max (49.25): > prunes, >= keeps
+    assert(dirsScanned(base.filter(col("price") > lit(bd("49.25")))) == 2)
+    assert(dirsScanned(base.filter(col("price") >= lit(bd("49.25")))) == 3)
+    val eq = base.filter(col("price") === lit(bd("2000.25")))
+    assert(dirsScanned(eq) == 1)
+    assert(eq.count() == 1)
+    // explicit API, and scale-insensitive probe strings (2000.2500)
+    val pr = snap.readPruned(t, snap.latest(t), "price",
+      "2000.2500", "2049.25")
+    assert(pr.dirsRead == 1 && pr.dirsTotal == 3)
+    assert(pr.df.count() == 50)
+  }
+
   test("a != v prunes provably-constant shards (and all-null ones), " +
       "never range shards") {
     val snap = new Snapshots(spark, root)
