@@ -172,6 +172,53 @@ class Snapshots(spark: SparkSession, root: String) {
       recordTxns = absorbed, append = false)
   }
 
+  /** Clustered compaction — the lakehouse `OPTIMIZE ... CLUSTER BY` (a
+    * 1-D Z-ORDER): rewrite the CURRENT state as `shards` RANGE-CLUSTERED
+    * stats-carrying dirs in ONE overwrite commit, so zone stats on the
+    * cluster column become selective. Time-ordered ingest gives every
+    * shard the full value span of non-time columns (a price probe keeps
+    * every dir); after clustering, the dirs' cluster-column spans are
+    * disjoint by construction and a range probe prunes to the
+    * intersecting shards — the layout move that turns "filter on amount"
+    * from a table scan into O(intersecting shards) at 100 TB.
+    *
+    * Shard boundaries come from approxQuantile — they decide BALANCE,
+    * never correctness: each dir's zone stats are computed from what was
+    * actually written. All `shards` dirs land before the single manifest
+    * move, so the commit stays atomic (a crash mid-write leaves
+    * invisible dirs, never a torn version). Absorbed ingestion txn ids
+    * travel into the first shard, as in [[compact]]. This fixture-scale
+    * writer re-scans per shard; a deployment would repartitionByRange
+    * once and commit the written files directly. */
+  def compactClustered(t: String, clusterCol: String, shards: Int,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Int = {
+    require(shards >= 1, s"shards=$shards")
+    val absorbed = readManifest(t, latest(t))
+      .flatMap(Snapshots.dirTxns).distinct
+    val cur = readLatest(t)
+    val bounds = cur.stat.approxQuantile(clusterCol,
+      (1 until shards).map(_.toDouble / shards).toArray, 0.01)
+    val c = org.apache.spark.sql.functions.col(clusterCol).cast("double")
+    val v = latest(t) + 1
+    val dirs = (0 until shards).map { i =>
+      // each row lands in exactly one shard: [b(i-1), b(i)) with open
+      // ends, and NULL cluster values ride in shard 0 (every other
+      // shard's lower bound drops them — losing rows is the one thing
+      // a compaction must never do)
+      val part = (if (i == 0) cur else cur.filter(c >= bounds(i - 1)))
+        .filter(if (i == shards - 1)
+          org.apache.spark.sql.functions.lit(true)
+        else if (i == 0) c < bounds(i) || c.isNull
+        else c < bounds(i))
+      val dataDir = s"${tdir(t)}/d${v}c$i"
+      writeDirWithSidecars(dataDir, part, statsCols, bloomCols,
+        recordTxns = if (i == 0) absorbed else Nil)
+      dataDir
+    }
+    publishManifest(t, v, dirs)
+    v
+  }
+
   /** Number of data dirs version `v`'s manifest lists — the
     * fragmentation measure compaction exists to reset. */
   def manifestDirs(t: String, v: Int): Int = readManifest(t, v).size
@@ -203,6 +250,22 @@ class Snapshots(spark: SparkSession, root: String) {
     }
     val v = last + 1
     val dataDir = s"${tdir(t)}/d$v"
+    writeDirWithSidecars(dataDir, df, statsCols, bloomCols, recordTxns)
+    val dirs =
+      (if (append && v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
+    publishManifest(t, v, dirs)
+    v
+  }
+
+  /** Write one immutable data dir plus its sidecars (`_zstats` v2,
+    * optional `_zbloom`, optional `_txn`) — the per-dir half of a commit,
+    * shared by the single-dir paths and [[compactClustered]]'s
+    * multi-shard overwrite. The stats pass reads the columns back from
+    * the just-written dir (a narrow columnar scan), keeping the write
+    * itself single-pass. */
+  private def writeDirWithSidecars(dataDir: String, df: DataFrame,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      recordTxns: Seq[String]): Unit = {
     df.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
     val fields = written.schema
@@ -243,10 +306,6 @@ class Snapshots(spark: SparkSession, root: String) {
     if (bloomCols.nonEmpty) writeBloom(dataDir, written, bloomCols)
     if (recordTxns.nonEmpty) Files.writeString(
       Paths.get(dataDir, Snapshots.txnFile), recordTxns.mkString("\n"))
-    val dirs =
-      (if (append && v > 0) readManifest(t, v - 1) else Nil) :+ dataDir
-    publishManifest(t, v, dirs)
-    v
   }
 
   // ---- bloom sidecars (manifest-level equality-probe skipping) ----------

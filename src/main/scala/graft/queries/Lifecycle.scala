@@ -675,6 +675,56 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** Clustered compaction — the lakehouse `OPTIMIZE ... CLUSTER BY` (1-D
+    * Z-ORDER), the layout move data skipping needs for NON-time columns:
+    * after time-ordered ingest every shard spans nearly the full price
+    * range, so a price-band probe keeps ALL dirs (pinned as
+    * `unclustered_kept_all`); one clustered overwrite commit
+    * ([[graft.matview.Snapshots.compactClustered]]) rewrites the state
+    * as 4 range-disjoint shards on `o_totalprice` — with the new exact
+    * DECIMAL zone stats — and the same probe now prunes
+    * (`cluster_pruned`, with `pruned_equals_full` comparing band
+    * aggregates engine-side). Shard boundaries are quantile-derived
+    * (balance only), so the after-count isn't a structural literal; the
+    * pinned facts are the dir counts of both layouts and the three
+    * booleans. At 100 TB this is what turns "filter on amount" from a
+    * table scan into O(intersecting shards). */
+  def tableClusterPruning(s: SparkSession, d: String): DataFrame = {
+    val snap = new graft.matview.Snapshots(
+      s, s"${Materializer.defaultScratch}/clsnaps")
+    val t = f"orders_cluster_${d.hashCode & 0x7fffffff}%08x"
+    snap.drop(t)
+    val orders = load(s, d, "orders")
+    (0 until 3).foreach { j =>
+      snap.commitAppendStats(t,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === j),
+        Seq("o_totalprice"))
+    }
+    val (lo, hi) = ("1000.00", "50000.00")
+    def inBand(df: DataFrame) = df.filter(
+      col("o_totalprice") >= lit(new java.math.BigDecimal(lo)) &&
+      col("o_totalprice") <= lit(new java.math.BigDecimal(hi)))
+    val before = snap.readPruned(t, snap.latest(t), "o_totalprice", lo, hi)
+    val clusteredV = snap.compactClustered(t, "o_totalprice", 4,
+      Seq("o_totalprice"))
+    val after = snap.readPruned(t, clusteredV, "o_totalprice", lo, hi)
+    val result = inBand(after.df)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+    val fullAgg = inBand(snap.readLatest(t))
+      .agg(count(lit(1)), exactSum(col("o_totalprice"))).collect().head
+    val prunedAgg = result
+      .agg(sum(col("n")), exactSum(col("sum_price"))).collect().head
+    result
+      .withColumn("ingest_dirs", lit(before.dirsTotal.toLong))
+      .withColumn("clustered_dirs", lit(after.dirsTotal.toLong))
+      .withColumn("unclustered_kept_all",
+        lit(before.dirsRead == before.dirsTotal))
+      .withColumn("cluster_pruned", lit(after.dirsRead < after.dirsTotal))
+      .withColumn("pruned_equals_full", lit(fullAgg == prunedAgg))
+      .orderBy("o_orderstatus")
+  }
+
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
@@ -1843,6 +1893,7 @@ object Lifecycle {
     "table_point_lookup" -> (tablePointLookup _),
     "table_auto_skipping" -> (tableAutoSkipping _),
     "table_null_skipping" -> (tableNullSkipping _),
+    "table_cluster_pruning" -> (tableClusterPruning _),
     "table_stream_ingest" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.StreamingOps.streamTableIngest(s, d)),
@@ -2094,6 +2145,22 @@ object Lifecycle {
         |  TRUE AS pruned_equals_full
         |FROM ev WHERE attr IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the band aggregate replayed over the base table; dir counts are
+    // structural (3 ingest appends, 4 clustered shards) and the three
+    // booleans pin the layout claim — unclustered keeps all, clustered
+    // prunes, pruning loses nothing (engine-side full-vs-pruned compare)
+    "table_cluster_pruning" ->
+      """SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(3 AS BIGINT) AS ingest_dirs,
+        |  CAST(4 AS BIGINT) AS clustered_dirs,
+        |  TRUE AS unclustered_kept_all,
+        |  TRUE AS cluster_pruned,
+        |  TRUE AS pruned_equals_full
+        |FROM orders
+        |WHERE o_totalprice >= 1000.00 AND o_totalprice <= 50000.00
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the retained version's predicate over the base table; the vacuum
     // accounting is structurally determined (2 appends + 1 overwrite,
     // retain latest => d0/d1 dead, d2 live)

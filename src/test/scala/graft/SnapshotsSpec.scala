@@ -286,6 +286,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).count() == 40)
   }
 
+  test("compactClustered: one atomic overwrite into range-disjoint " +
+      "shards, nulls ride shard 0, no row lost, history readable") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_cluster"
+    snap.drop(t)
+    // two interleaved appends; v is nullable (every 7th row)
+    (0 until 2).foreach { j =>
+      snap.commitAppendStats(t,
+        (0 until 100).map { i =>
+          val k = j * 100L + i
+          (k, if (i % 7 == 0) None else Some((i * 37 % 100).toLong))
+        }.toDF("id", "v"), Seq("v"))
+    }
+    val nBefore = snap.readLatest(t).count()
+    val nullsBefore = snap.readLatest(t).filter(col("v").isNull).count()
+    val preV = snap.latest(t)
+    val v = snap.compactClustered(t, "v", 3, Seq("v"))
+    assert(snap.manifestDirs(t, v) == 3)
+    // nothing lost, nulls included
+    assert(snap.readLatest(t).count() == nBefore)
+    assert(snap.readLatest(t).filter(col("v").isNull).count() == nullsBefore)
+    // shard value spans are disjoint and ordered; nulls counted in shard 0
+    val zs = snap.versionDirs(t, v).map(dir => Snapshots.dirStats(dir)("v"))
+    assert(zs.forall(_.rows > 0))
+    assert(zs.head.nulls == nullsBefore && zs.tail.forall(_.nulls == 0))
+    zs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Snapshots.cmp("long", a.mx, b.mn) < 0)
+    }
+    // a clustered-column range probe prunes to the intersecting shards
+    val pr = snap.readPruned(t, v, "v", zs.head.mn, zs.head.mx)
+    assert(pr.dirsRead < pr.dirsTotal && pr.dirsTotal == 3)
+    // the pre-cluster version still reads its own fragments
+    assert(snap.read(t, preV).count() == nBefore)
+  }
+
   test("compact: one dir after, history readable until vacuum, sidecars " +
       "recomputed over the merged span") {
     import spark.implicits._
