@@ -320,6 +320,37 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(pr.dirsRead < pr.dirsTotal && pr.dirsTotal == 3)
     // the pre-cluster version still reads its own fragments
     assert(snap.read(t, preV).count() == nBefore)
+    // vacuum reclaims exactly the 2 pre-cluster fragments, keeps 3 shards
+    val (dead, live) = snap.vacuum(t, retainFrom = v)
+    assert(dead == 2 && live == 3)
+    assert(snap.readLatest(t).count() == nBefore)
+  }
+
+  test("compactClustered carries absorbed txn ids: a micro-batch replayed " +
+      "AFTER clustering is still a no-op") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_cluster_txn"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      (0L until 40L).map(i => (i, i % 10)).toDF("id", "v"),
+      Seq("v"), txn = Some("batch-0"))
+    snap.commitAppendStats(t,
+      (40L until 80L).map(i => (i, i % 10)).toDF("id", "v"),
+      Seq("v"), txn = Some("batch-1"))
+    val v = snap.compactClustered(t, "v", 2, Seq("v"))
+    // the clustered overwrite absorbed both ingestion ids: a re-delivered
+    // micro-batch must be skipped, not appended as a duplicate
+    val after = snap.commitAppendStats(t,
+      (40L until 80L).map(i => (i, i % 10)).toDF("id", "v"),
+      Seq("v"), txn = Some("batch-1"))
+    assert(after == v, "replayed batch after clustering was not a no-op")
+    assert(snap.readLatest(t).count() == 80)
+    // a genuinely new batch still lands
+    val v2 = snap.commitAppendStats(t,
+      (80L until 90L).map(i => (i, i % 10)).toDF("id", "v"),
+      Seq("v"), txn = Some("batch-2"))
+    assert(v2 == v + 1 && snap.readLatest(t).count() == 90)
   }
 
   test("compact: one dir after, history readable until vacuum, sidecars " +
