@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   * Persistence is parquet at a scratch location (`saveAsTable` semantics
   * without requiring a warehouse-backed catalog): downstream reads plan a
   * plain FileSourceScan — the MV is *not* re-expanded, matching PG
-  * (assignment-5.md:552). Refresh = recompute + overwrite. At scale the
-  * same object works over any shared filesystem; writes are
-  * mode("overwrite") so a refresh is atomic per directory.
+  * (assignment-5.md:552). Refresh = recompute + staged swap: every write
+  * lands in a `__stage` dir first, then moves old-aside and stage-in, so
+  * a crash can orphan a directory but never lose (or half-replace) the
+  * MV, and refreshes of the SAME name serialize on a per-name lock.
+  * The staging moves use java.nio — local-filesystem scope, the same
+  * sandbox caveat as the Snapshots commit log; a cluster deployment
+  * would stage through the Hadoop FileSystem API (rename on HDFS, a
+  * commit protocol on S3) with the identical old-aside-first shape.
   */
 final class Materializer(spark: SparkSession, scratchDir: String) {
 
@@ -39,11 +44,50 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * relation (a fresh scan, not the in-memory plan). */
   def create(name: String, df: DataFrame, dependsOn: Seq[String] = Nil): DataFrame = {
     require(dependsOn.forall(deps.contains), s"unknown dependency in $dependsOn")
-    df.write.mode("overwrite").parquet(path(name))
+    require(!dependsOn.contains(name), s"$name cannot depend on itself")
+    // a re-create is a FULL REFRESH: deregister first, or the rewrite rule
+    // (still holding the old defining plan) would substitute the recompute
+    // with a scan of the very storage the write is about to replace; and
+    // drop any stale incremental spec — a recreated MV's grain need not
+    // match the old declaration, and a later refreshIncremental merging
+    // with the stale (keys, measures) would be silently wrong
+    rewrite.foreach(_.deregister(name))
+    aggSpecs.remove(name)
+    joinSpecs.remove(name)
+    stagedOverwrite(name, df)
     deps(name) = dependsOn
     rewrite.foreach(_.register(name, df, () => table(name)))
     table(name)
   }
+
+  /** Per-name monitor: refreshes/creates of the same MV serialize (two
+    * concurrent swaps through the shared __stage/__old paths would race
+    * read-merge-swap and silently lose one delta). Different names never
+    * contend. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    locks.computeIfAbsent(name, _ => new Object)
+
+  /** Write-then-swap: the new content lands in `__stage`, the live dir
+    * moves old-aside, the stage moves in, the old dir is dropped — a
+    * crash can orphan a directory but never lose the MV (unlike a plain
+    * mode("overwrite"), which deletes the target before the job commits).
+    * Also safe when `df`'s plan READS the current storage (the
+    * incremental-merge and rewritten-refresh cases). */
+  private def stagedOverwrite(name: String, df: DataFrame): Unit =
+    lockFor(name).synchronized {
+      val tmp = java.nio.file.Paths.get(path(name) + "__stage")
+      val old = java.nio.file.Paths.get(path(name) + "__old")
+      val p = java.nio.file.Paths.get(path(name))
+      Materializer.deleteRecursively(old) // leftovers from a prior crash
+      try {
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.move(p, old)
+        java.nio.file.Files.move(tmp, p)
+        Materializer.deleteRecursively(old)
+      } finally Materializer.deleteRecursively(tmp)
+    }
 
   // ---- incremental refresh ----------------------------------------------
 
@@ -59,8 +103,11 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
   def createAggregated(name: String, base: DataFrame, keys: Seq[String],
       measures: Seq[Materializer.Measure]): DataFrame = {
     val aggCols = measures.map(m => m.initial.as(m.alias))
+    // spec recorded AFTER create (which clears stale specs on re-create)
+    val out = create(name,
+      base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
     aggSpecs(name) = (keys, measures)
-    create(name, base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
+    out
   }
 
   /** (dim, join columns) of MVs created via [[createJoinAggregated]]. */
@@ -76,8 +123,9 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
   def createJoinAggregated(name: String, fact: DataFrame, dim: DataFrame,
       on: Seq[String], keys: Seq[String],
       measures: Seq[Materializer.Measure]): DataFrame = {
+    val out = createAggregated(name, fact.join(dim, on), keys, measures)
     joinSpecs(name) = (dim, on)
-    createAggregated(name, fact.join(dim, on), keys, measures)
+    out
   }
 
   /** REFRESH from a fact-only delta: join the delta against the remembered
@@ -112,19 +160,10 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
       m.merge(col(m.alias)).cast(storedTypes(m.alias)).as(m.alias))
     val merged = stored.unionByName(delta)
       .groupBy(keys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
-    // the merged plan READS the current storage — stage to a tmp dir, then
-    // swap old-aside-first: a crash can orphan a directory but never lose
-    // the MV (old data survives until the stage has fully moved in)
-    val tmp = java.nio.file.Paths.get(path(name) + "__stage")
-    val old = java.nio.file.Paths.get(path(name) + "__old")
-    val p = java.nio.file.Paths.get(path(name))
-    Materializer.deleteRecursively(old) // leftovers from a prior crash
-    try {
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      java.nio.file.Files.move(p, old)
-      java.nio.file.Files.move(tmp, p)
-      Materializer.deleteRecursively(old)
-    } finally Materializer.deleteRecursively(tmp)
+    // the merged plan READS the current storage — the staged swap (and
+    // its per-name lock, which serializes concurrent refreshes that
+    // would otherwise race the shared stage paths) handles it
+    stagedOverwrite(name, merged)
     table(name)
   }
 
@@ -158,6 +197,12 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * 100 TB answer to repeated fact-fact joins: pay the shuffle once at
     * write time, never again at read time.
     */
+  /** Names persisted through the session catalog (bucketed MVs) — the
+    * ONLY names [[table]] reads via spark.table: a blind tableExists
+    * probe would let an unrelated same-named temp view or user table
+    * shadow the MV's storage (and dropCascade would then DROP it). */
+  private val catalogBacked = mutable.Set.empty[String]
+
   def createBucketed(
       name: String, df: DataFrame,
       bucketCols: Seq[String], numBuckets: Int): DataFrame = {
@@ -169,6 +214,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
     deps(name) = Nil
+    catalogBacked += name
     spark.table(name)
   }
 
@@ -176,7 +222,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * through the catalog so bucketing metadata survives). */
   def table(name: String): DataFrame = {
     require(deps.contains(name), s"no such materialized view: $name")
-    if (spark.catalog.tableExists(name)) spark.table(name)
+    if (catalogBacked(name)) spark.table(name)
     else spark.read.parquet(path(name))
   }
 
@@ -191,15 +237,18 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
   def dropCascade(name: String): Seq[String] = {
     require(deps.contains(name), s"no such materialized view: $name")
     val order = mutable.LinkedHashSet.empty[String]
-    def visit(n: String): Unit = {
-      dependentsOf(n).foreach(visit)
-      order += n
-    }
+    val seen = mutable.Set.empty[String] // guard: a dependency cycle built
+    def visit(n: String): Unit =         // via re-creates must not recurse
+      if (seen.add(n)) { dependentsOf(n).foreach(visit); order += n }
     visit(name)
     order.foreach { n =>
       deps.remove(n)
+      aggSpecs.remove(n)  // stale incremental specs must die with the MV:
+      joinSpecs.remove(n) // a recreated name must not merge on old grain
       rewrite.foreach(_.deregister(n))
-      if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
+      // only OUR catalog-backed MVs are dropped from the catalog — an
+      // unrelated same-named user table or temp view is not ours to drop
+      if (catalogBacked.remove(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
       // best-effort storage cleanup; the registry is the source of truth
       val p = java.nio.file.Paths.get(path(n))
       Materializer.deleteRecursively(p)

@@ -79,4 +79,62 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2, BigDecimal(t._3), t._4, t._5, t._6)).toSeq
       == want.map(t => (t._1, t._2, BigDecimal(t._3), t._4, t._5, t._6)).toSeq)
   }
+
+  test("re-create is a FULL refresh even under auto-rewrite (no self-scan " +
+      "substitution), and stale incremental specs die with the old MV") {
+    import spark.implicits._
+    val m = freshMat("recreate").enableAutoRewrite()
+    try {
+      val baseDir = "/root/repo/target/scratch-test/recreate_base"
+      def rows(n: Int) = (0 until n).map(i => (i.toLong, i.toLong))
+        .toDF("k", "v")
+      rows(3).write.mode("overwrite").parquet(baseDir)
+      def defn = spark.read.parquet(baseDir)
+        .groupBy("k").agg(sum(col("v")).as("s"))
+      m.create("mv_recreate", defn)
+      assert(m.table("mv_recreate").count() == 3)
+      // base grows; the re-create must RECOMPUTE — with the rewrite rule
+      // still holding the first create's defining plan, an unguarded
+      // write would be substituted with a scan of the MV's own storage
+      // (a self-copy frozen at 3 rows, or an overwrite-while-reading
+      // failure before the staged swap)
+      rows(5).write.mode("overwrite").parquet(baseDir)
+      m.create("mv_recreate", defn)
+      assert(m.table("mv_recreate").count() == 5)
+      // a dropped-then-recreated name must NOT accept refreshIncremental
+      // against the old declaration's grain
+      m.createAggregated("mv_respec", rows(10), Seq("k"),
+        Seq(Materializer.Measure.sumOf(col("v"), "s")))
+      m.dropCascade("mv_respec")
+      m.create("mv_respec", rows(4))
+      intercept[IllegalArgumentException] {
+        m.refreshIncremental("mv_respec", rows(2))
+      }
+      m.dropCascade("mv_recreate")
+      m.dropCascade("mv_respec")
+    } finally m.deregisterAll()
+  }
+
+  test("dropCascade survives a dependency cycle built via re-creates " +
+      "and never drops an unrelated same-named temp view") {
+    import spark.implicits._
+    val m = freshMat("cycles")
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    m.create("mv_cyc_a", df)
+    m.create("mv_cyc_b", df, dependsOn = Seq("mv_cyc_a"))
+    // re-create a depending on b: a <-> b cycle in the registry
+    m.create("mv_cyc_a", df, dependsOn = Seq("mv_cyc_b"))
+    val order = m.dropCascade("mv_cyc_b") // must terminate
+    assert(order.toSet == Set("mv_cyc_a", "mv_cyc_b"))
+    // an unrelated temp view sharing an MV's name is not ours to drop
+    df.createOrReplaceTempView("mv_shadow")
+    m.create("mv_shadow", df)
+    assert(m.table("mv_shadow").queryExecution.executedPlan.toString
+      .contains("FileScan parquet"), "table() must read OUR storage, " +
+        "not the shadowing view")
+    m.dropCascade("mv_shadow")
+    assert(spark.catalog.tableExists("mv_shadow"),
+      "dropCascade must not drop the user's shadowing view")
+    spark.catalog.dropTempView("mv_shadow")
+  }
 }

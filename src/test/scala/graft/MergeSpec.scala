@@ -50,6 +50,39 @@ class MergeSpec extends AnyFunSuite {
       full.orderBy("g").collect().toSeq)
   }
 
+  test("replace supersedes NULL-keyed group state (null-safe keys) " +
+      "instead of accumulating duplicates") {
+    // a NULL grouping key is ONE group in SQL aggregation; an update-mode
+    // sink re-emitting its state must supersede the prior row — the
+    // null-unsafe form appended a copy every batch
+    val target = Seq((Some(1L), 10L), (None, 5L)).toDF("k", "n")
+    val source = Seq((Some(1L), 11L), (None, 7L)).toDF("k", "n")
+    val out = Merge.replace(target, source, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((-1L, 7L), (1L, 11L)))
+  }
+
+  test("duplicate source keys raise a cardinality violation in both " +
+      "resolutions, never silent duplicates") {
+    val target = Seq((1L, 10.0)).toDF("k", "v")
+    val dupSource = Seq((1L, 100.0), (1L, 101.0)).toDF("k", "v")
+    val eR = intercept[Exception] {
+      Merge.replace(target, dupSource, Seq("k")).collect()
+    }
+    assert(eR.getMessage != null &&
+      eR.getMessage.contains("MERGE cardinality violation") ||
+      eR.getCause != null &&
+        eR.getCause.getMessage.contains("MERGE cardinality violation"))
+    val eO = intercept[Exception] {
+      Merge.outer(target, dupSource, "k")(
+        projection = Seq(coalesce(col("u.k"), col("t.k")).as("k"),
+          coalesce(col("u.v"), col("t.v")).as("v"))).collect()
+    }
+    assert(eO.toString.contains("MERGE cardinality violation") ||
+      String.valueOf(eO.getCause).contains("MERGE cardinality violation"))
+  }
+
   test("outer resolution supports WHEN MATCHED THEN DELETE") {
     val target = Seq((1L, 5.0), (2L, 20.0)).toDF("k", "v")
     val source = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")
