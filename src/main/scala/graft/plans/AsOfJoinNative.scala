@@ -80,21 +80,36 @@ case class AsOfJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // JoinedRow covers the FULL left++right schema; project to the
-      // deduplicated output (right key dropped)
-      val proj = UnsafeProjection.create(schema, left.output ++ right.output)
+      // deduplicated output (right key dropped). The input-side right
+      // attributes are marked nullable: UnsafeProjection binds null
+      // CHECKS from the INPUT schema's nullability, and the unmatched
+      // path feeds a null-filled right row — binding against the
+      // original (possibly non-nullable) right.output would read the
+      // null slots as 0/garbage instead of NULL.
+      val proj = UnsafeProjection.create(schema,
+        left.output ++ right.output.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightArity)
 
-      // buffered right cursor
+      // buffered right cursor; a right row with NULL key or time can
+      // never be an as-of match (SQL comparison semantics) — skipped
+      // here, which also keeps the merge loop NPE-free (the ascending
+      // sort delivers null-keyed rows first)
       var rRow: InternalRow = null
       var rK = 0L
       var rT = 0L
+      @scala.annotation.tailrec
       def advanceRight(): Boolean =
         if (rIter.hasNext) {
           rRow = rIter.next()
-          rK = rKey.eval(rRow).asInstanceOf[Number].longValue()
-          rT = rTime.eval(rRow).asInstanceOf[Number].longValue()
-          true
+          val k0 = rKey.eval(rRow)
+          val t0 = rTime.eval(rRow)
+          if (k0 == null || t0 == null) advanceRight()
+          else {
+            rK = k0.asInstanceOf[Number].longValue()
+            rT = t0.asInstanceOf[Number].longValue()
+            true
+          }
         } else { rRow = null; false }
       advanceRight()
 
@@ -104,23 +119,31 @@ case class AsOfJoinExec(
       var matchRow: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Number].longValue()
-        val t = lTime.eval(lRow).asInstanceOf[Number].longValue()
-        if (hasMatch && matchK != k) hasMatch = false
-        // consume right rows up to (k, t]
-        while (rRow != null &&
-          (rK < k || (rK == k && rT <= t))) {
-          if (rK == k) {
-            matchRow = rRow.copy()
-            matchK = k
-            hasMatch = true
+        val k0 = lKey.eval(lRow)
+        val t0 = lTime.eval(lRow)
+        if (k0 == null || t0 == null) {
+          // a NULL key or time matches nothing: left row passes through
+          // with a null right side, like any unmatched left row
+          proj(joined(lRow, nullRight))
+        } else {
+          val k = k0.asInstanceOf[Number].longValue()
+          val t = t0.asInstanceOf[Number].longValue()
+          if (hasMatch && matchK != k) hasMatch = false
+          // consume right rows up to (k, t]
+          while (rRow != null &&
+            (rK < k || (rK == k && rT <= t))) {
+            if (rK == k) {
+              matchRow = rRow.copy()
+              matchK = k
+              hasMatch = true
+            }
+            advanceRight()
           }
-          advanceRight()
+          val out =
+            if (hasMatch && matchK == k) joined(lRow, matchRow)
+            else joined(lRow, nullRight)
+          proj(out)
         }
-        val out =
-          if (hasMatch && matchK == k) joined(lRow, matchRow)
-          else joined(lRow, nullRight)
-        proj(out)
       }
     }
   }
@@ -172,6 +195,15 @@ object AsOfJoinNative {
       require(longBacked.contains(a.dataType.simpleString),
         s"as-of native v1 needs long-backed key/time, got ${a.dataType} for ${a.name}")
     }
+    // the merge loop compares the two sides' raw long encodings — a
+    // TIMESTAMP (micros) against a DATE (days) would pass the per-column
+    // guard above and silently mis-match every row; the UNITS must agree
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share one type (one unit): left " +
+        s"${lt.dataType.sql}, right ${rt.dataType.sql}")
+    require(lk.dataType == rk.dataType,
+      s"as-of key columns must share one type: left ${lk.dataType.sql}, " +
+        s"right ${rk.dataType.sql}")
     org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }

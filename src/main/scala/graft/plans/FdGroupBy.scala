@@ -65,41 +65,61 @@ object FdRegistry {
       }
     }
 
+  /** A relation-alias INSTANCE: (alias name, a stable id of that
+    * occurrence — the first output exprId). Two sides of a self-join
+    * both alias "customer" but are distinct instances; scoping FDs by
+    * the name alone would let a determinant from one side unlock a
+    * dependent from the other. */
+  type Scope = (String, Long)
+
   /** Name-only closure (wildcard scope) — the convenience surface for
     * relation-agnostic declarations. */
   def dependentsOf(names: Set[String]): Set[String] =
-    closure(names.map(n => (n, Set.empty[String]))).map(_._1)
+    closure(names.map(n => (n, Set.empty[Scope]))).map(_._1)
 
   /** Closure of attribute names derivable from `grouped`, where each
-    * attribute name carries the set of relation aliases it traces to.
-    * An FD fires when all its determinants are known within its table
-    * scope; its dependents become known in that same scope. */
-  def closure(grouped: Set[(String, Set[String])]): Set[(String, String)] = {
-    // known: (attrName, tableScope) — "*"-scoped FDs match any table
-    def scopesOf(name: String, known: Set[(String, Set[String])]): Set[String] =
-      known.collect { case (n, ts) if n == name => ts }.flatten
-
-    var known: Set[(String, Set[String])] =
-      grouped.map { case (n, ts) => (n.toLowerCase, ts.map(_.toLowerCase)) }
-    val derived = mutable.Set.empty[(String, String)]
+    * attribute name carries the relation-alias INSTANCES it traces to.
+    * A table-scoped FD fires per instance: all determinants must trace
+    * to the SAME instance of its table, and its dependents become known
+    * in exactly that instance (None scope = wildcard FD). */
+  def closure(grouped: Set[(String, Set[Scope])])
+      : Set[(String, Option[Scope])] = {
+    var known: Set[(String, Set[Scope])] =
+      grouped.map { case (n, ts) => (n.toLowerCase, ts) }
+    val derived = mutable.Set.empty[(String, Option[Scope])]
     var grown = true
     while (grown) {
       grown = false
       fds.foreach { fd =>
-        val applies = fd.determinants.forall { det =>
-          val nameKnown = known.exists(_._1 == det)
-          // "*" FDs need only the name (DataFrame-API plans carry no
-          // aliases); table-scoped FDs need the attr traced to the table
-          if (fd.table == "*") nameKnown
-          else scopesOf(det, known).contains(fd.table)
-        }
-        if (applies) {
-          fd.dependents.foreach { dep =>
-            val entry = (dep, fd.table)
-            if (!derived.contains(entry)) {
-              derived += entry
-              known += ((dep, Set(fd.table)))
-              grown = true
+        if (fd.table == "*") {
+          // "*" FDs need only the names (DataFrame-API plans carry no
+          // aliases)
+          if (fd.determinants.forall(det => known.exists(_._1 == det))) {
+            fd.dependents.foreach { dep =>
+              val entry = (dep, None)
+              if (!derived.contains(entry)) {
+                derived += entry
+                known += ((dep, Set.empty[Scope]))
+                grown = true
+              }
+            }
+          }
+        } else {
+          // instances of fd.table that EVERY determinant traces to
+          val perDet = fd.determinants.map(det =>
+            known.filter(_._1 == det).flatMap(_._2)
+              .collect { case (t, i) if t == fd.table => i })
+          val shared =
+            if (perDet.isEmpty || perDet.exists(_.isEmpty)) Set.empty[Long]
+            else perDet.reduce(_ intersect _)
+          shared.foreach { inst =>
+            fd.dependents.foreach { dep =>
+              val entry = (dep, Some((fd.table, inst)): Option[Scope])
+              if (!derived.contains(entry)) {
+                derived += entry
+                known += ((dep, Set((fd.table, inst))))
+                grown = true
+              }
             }
           }
         }
@@ -113,22 +133,27 @@ object FdRegistry {
 
 case class FdGroupByRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** Relation aliases (temp view names, FROM aliases) whose subtree
+  /** Relation-alias INSTANCES (temp view names, FROM aliases — each
+    * occurrence identified by its first output exprId) whose subtree
     * produces attribute `a` — resolution-time plans still carry
     * SubqueryAlias nodes (EliminateSubqueryAliases runs in the
-    * optimizer). */
-  private def aliasesOf(a: Attribute, plan: LogicalPlan): Set[String] =
+    * optimizer). Instance identity is what keeps a self-join's two
+    * same-named sides from unlocking each other's FDs. */
+  private def aliasesOf(a: Attribute,
+      plan: LogicalPlan): Set[FdRegistry.Scope] =
     plan.collect {
       case sa: SubqueryAlias if sa.outputSet.contains(a) =>
-        sa.identifier.name.toLowerCase
+        (sa.identifier.name.toLowerCase,
+          sa.output.headOption.map(_.exprId.id).getOrElse(0L))
     }.toSet
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if agg.childrenResolved && groupingExprs.forall(_.resolved) =>
-      val groupedAttrs: Set[(String, Set[String])] = groupingExprs.collect {
-        case a: Attribute => (a.name.toLowerCase, aliasesOf(a, child))
-      }.toSet
+      val groupedAttrs: Set[(String, Set[FdRegistry.Scope])] =
+        groupingExprs.collect {
+          case a: Attribute => (a.name.toLowerCase, aliasesOf(a, child))
+        }.toSet
       val groupedNames = groupedAttrs.map(_._1)
       val derivable = FdRegistry.closure(groupedAttrs)
       if (derivable.isEmpty) agg
@@ -136,14 +161,19 @@ case class FdGroupByRule(spark: SparkSession) extends Rule[LogicalPlan] {
         var changed = false
         def fdDerived(a: Attribute): Boolean =
           !groupedNames.contains(a.name.toLowerCase) &&
-            derivable.exists { case (dep, scope) =>
-              dep == a.name.toLowerCase &&
-                (scope == "*" || aliasesOf(a, child).contains(scope))
+            derivable.exists {
+              case (dep, None) => dep == a.name.toLowerCase
+              case (dep, Some(scope)) => dep == a.name.toLowerCase &&
+                aliasesOf(a, child).contains(scope)
             }
         val fixed: Seq[NamedExpression] = aggExprs.map {
           case a: AttributeReference if fdDerived(a) =>
             changed = true
-            Alias(new First(a).toAggregateExpression(), a.name)()
+            // keep the attribute's exprId: parent operators were already
+            // resolved against it in this same Resolution batch — a
+            // fresh id would orphan their references
+            Alias(new First(a).toAggregateExpression(), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
           // SQL `SELECT dep AS x` arrives as an Alias over the attribute
           case al @ Alias(a: AttributeReference, name) if fdDerived(a) =>
             changed = true

@@ -56,6 +56,15 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     * an equi conjunct, so at most one probe runs per naive join per
     * optimize. Any width is CORRECT (the residual re-applies the exact
     * predicate) — width only tunes replication vs bucket size. */
+  /** Memo for the `auto` probe, keyed on the canonicalized (intervals,
+    * s, e) triple: re-optimizing the same query (explain + execute, AQE
+    * re-plans) must not re-run the sampling job each time. Bounded —
+    * cleared wholesale past 64 entries (probe results are cheap to
+    * recompute; unbounded plan retention is not). */
+  private val autoWidthMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression, Expression), java.lang.Long]()
+
   private def binWidth(
       intervals: LogicalPlan, s: Expression, e: Expression): Long = {
     val conf = spark.conf.get("spark.graft.rangeJoin.binWidth", "16")
@@ -64,14 +73,24 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       require(w > 0 && w <= (1L << 20),
         s"spark.graft.rangeJoin.binWidth must be in [1, 2^20], got $w")
       w
+    } else if (intervals.isStreaming) {
+      // a streaming source cannot run the planning-time probe job
+      // (executing it would throw inside the optimizer) — fall back to
+      // the static default; set an explicit width to tune streaming
+      // range joins
+      16L
     } else {
-      import org.apache.spark.sql.graftshim.{ColumnBridge, PlanBridge}
-      val len = ColumnBridge.column(Subtract(toLong(e), toLong(s)))
-      val row = PlanBridge.ofRows(spark, intervals)
-        .agg(org.apache.spark.sql.functions.avg(len))
-        .head()
-      if (row.isNullAt(0)) 16L
-      else math.max(1L, math.min(1L << 20, math.round(row.getDouble(0))))
+      if (autoWidthMemo.size > 64) autoWidthMemo.clear()
+      autoWidthMemo.computeIfAbsent(
+        (intervals.canonicalized, s.canonicalized, e.canonicalized), _ => {
+          import org.apache.spark.sql.graftshim.{ColumnBridge, PlanBridge}
+          val len = ColumnBridge.column(Subtract(toLong(e), toLong(s)))
+          val row = PlanBridge.ofRows(spark, intervals)
+            .agg(org.apache.spark.sql.functions.avg(len))
+            .head()
+          if (row.isNullAt(0)) 16L
+          else math.max(1L, math.min(1L << 20, math.round(row.getDouble(0))))
+        }).longValue()
     }
   }
 
@@ -159,7 +178,22 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     // naive join just matches nothing — emit its start bin instead and
     // let the residual filter it
     val firstBin = floorDiv(s, w)
-    val lastBin = If(GreaterThanOrEqual(lastBin0, firstBin), lastBin0, firstBin)
+    val lastBin1 = If(GreaterThanOrEqual(lastBin0, firstBin), lastBin0, firstBin)
+    // replication guard: one interval covering an absurd bin count (a
+    // fine-grained long unit against a small width) would blow Spark's
+    // sequence-length limit with an inscrutable array error — fail with
+    // the actionable message instead. Any width is CORRECT, so the fix
+    // is always "raise binWidth"; the cap is configurable for the rare
+    // workload that really wants millions of replicas per interval.
+    val maxBins = spark.conf.get(
+      "spark.graft.rangeJoin.maxBinsPerInterval", (1L << 20).toString).toLong
+    val lastBin = If(
+      LessThan(Subtract(lastBin1, firstBin), Literal(maxBins)),
+      lastBin1,
+      Cast(new RaiseError(Literal(
+        s"range-join bin explosion: one interval covers >= $maxBins bins " +
+          s"at binWidth=$w — raise spark.graft.rangeJoin.binWidth (or " +
+          "spark.graft.rangeJoin.maxBinsPerInterval)")), LongType))
     val gen = Explode(Sequence(
       firstBin, lastBin,
       Some(Literal(1L)),

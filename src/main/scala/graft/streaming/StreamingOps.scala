@@ -98,6 +98,9 @@ object StreamingOps {
   }
 
   private val GAP_US: Long = 1800L * 1000000L
+  /** How long a closed user's session-id counter survives as a
+    * zero-count tombstone (event time) before state is reclaimed. */
+  private val TOMBSTONE_US: Long = 30L * 86400L * 1000000L
 
   /** Incremental sessionization over an unbounded stream: custom state via
     * `flatMapGroupsWithState` with event-time timeout — sessions close
@@ -129,8 +132,23 @@ object StreamingOps {
         (uid, batch, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
-            Iterator.single(close(uid, st.nextSessionId, st))
+            if (st.count == 0L) {
+              // a tombstone's retention expired: the counter is finally
+              // discarded (a user silent for TOMBSTONE_US)
+              state.remove()
+              Iterator.empty
+            } else {
+              // close the open session but KEEP the per-user counter as
+              // a zero-count tombstone: state.remove() here restarted
+              // session_id at 1 when the user returned, duplicating
+              // (user_id, session_id) pairs vs the batch operator's
+              // sequential numbering. The tombstone holds 16 bytes of
+              // real payload per recently-seen user and expires after
+              // TOMBSTONE_US — bounded state, unique ids.
+              state.update(SessionState(st.nextSessionId + 1, 0L, 0L, 0L, 0L))
+              state.setTimeoutTimestamp((st.lastUs + TOMBSTONE_US) / 1000)
+              Iterator.single(close(uid, st.nextSessionId, st))
+            }
           } else {
             val events = batch.toArray.sortBy(e => (e.tsUs, e.event_id))
             var st = state.getOption.orNull
@@ -140,14 +158,26 @@ object StreamingOps {
               val us = e.tsUs
               st = if (st == null)
                 SessionState(1L, us, us, 1L, cents)
+              else if (st.count == 0L)
+                // returning user: resume numbering from the tombstone
+                SessionState(st.nextSessionId, us, us, 1L, cents)
               else if (us - st.lastUs > GAP_US) {
                 closed += close(uid, st.nextSessionId, st)
                 SessionState(st.nextSessionId + 1, us, us, 1L, cents)
               } else
-                st.copy(lastUs = us, count = st.count + 1,
+                // cross-batch out-of-order events (allowed inside the 1s
+                // watermark delay) must not REGRESS the session bounds: a
+                // regressed lastUs would split the session against a
+                // later in-gap event, and startUs only ever tightens
+                // downward. (A late event bridging two already-split
+                // sessions still cannot re-merge them — that needs
+                // buffering no single-pass state machine has; the
+                // watermark bounds how late such an event can be.)
+                st.copy(startUs = math.min(st.startUs, us),
+                  lastUs = math.max(st.lastUs, us), count = st.count + 1,
                   sumCents = st.sumCents + cents)
             }
-            if (st != null) {
+            if (st != null && st.count > 0L) {
               state.update(st)
               state.setTimeoutTimestamp((st.lastUs + GAP_US) / 1000 + 1000)
             }
@@ -408,16 +438,27 @@ object StreamingOps {
         val upserts = batch.persist()
         try {
           if (upserts.count() > 0) {
+            // crash recovery: a swap interrupted between old-aside and
+            // stage-in leaves only __old — restore before planning
+            val oldP = Paths.get(mvPath.toString + "__old")
+            if (!Files.exists(mvPath) && Files.exists(oldP))
+              Files.move(oldP, mvPath)
             if (Files.exists(mvPath)) {
               // shared MERGE primitive, replace resolution: each upsert
-              // carries the group's full new state
+              // carries the group's full new state — naturally idempotent
+              // under micro-batch replay (re-replacing with the same
+              // state is a no-op), so no txn marker is needed here
               val merged = graft.matview.Merge.replace(
                 spark.read.parquet(mvPath.toString), upserts,
                 Seq("hour_start", "event_type"))
               val tmp = Paths.get(mvPath.toString + "__stage")
               merged.write.mode("overwrite").parquet(tmp.toString)
-              del(mvPath)
+              // old-aside-first: del-then-move had a window where a crash
+              // lost the whole MV
+              del(oldP)
+              Files.move(mvPath, oldP)
               Files.move(tmp, mvPath)
+              del(oldP)
             } else upserts.write.parquet(mvPath.toString)
           }
         } finally upserts.unpersist()
@@ -509,7 +550,21 @@ object StreamingOps {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // crash recovery first (a swap interrupted between old-aside and
+        // stage-in leaves only __old), then the exactly-once guard: the
+        // applied batch id travels INSIDE the state dir (underscore
+        // files are invisible to the parquet reader), so state + marker
+        // swap atomically and a re-delivered micro-batch — whose
+        // n_changes += bn fold is NOT idempotent — becomes a no-op.
+        val oldP = Paths.get(statePath.toString + "__old")
+        if (!Files.exists(statePath) && Files.exists(oldP))
+          Files.move(oldP, statePath)
+        val appliedF = statePath.resolve("_applied_batch")
+        val applied =
+          if (Files.exists(appliedF)) Files.readString(appliedF).trim.toLong
+          else -1L
+        if (batchId > applied) {
         val lww = batch.groupBy(col("user_id").as("k"))
           .agg(max(struct(col("ts"), col("event_id"),
             col("event_type").as("t"), col("value").as("v"))).as("last"),
@@ -539,8 +594,12 @@ object StreamingOps {
           }
         val tmp = Paths.get(statePath.toString + "__stage")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        del(statePath)
+        Files.writeString(tmp.resolve("_applied_batch"), batchId.toString)
+        del(oldP)
+        if (Files.exists(statePath)) Files.move(statePath, oldP)
         Files.move(tmp, statePath)
+        del(oldP)
+        }
         ()
       }
       .start()

@@ -63,4 +63,48 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
       AsOfJoinNative.asofBackward(docs, docs, "lang", "doc_id", "doc_id")
     }
   }
+
+  test("unmatched left rows carry NULL right columns even when the right " +
+      "schema is non-nullable; NULL keys/times never match or crash") {
+    import spark.implicits._
+    // spark.range-derived right side: all columns NON-NULLABLE — the
+    // projection must still emit NULLs for unmatched left rows instead
+    // of reading the null-fill slots as 0
+    val right = spark.range(0, 3)
+      .select(lit(1L).as("k"), (col("id") * 10 + 10).as("rt"),
+        (col("id") + 100).as("payload"))
+    val left = Seq(
+      (Some(1L), Some(5L)),   // before any right row -> no match
+      (Some(1L), Some(25L)),  // matches rt=20
+      (Some(2L), Some(25L)),  // key with no right rows -> no match
+      (None: Option[Long], Some(25L)), // NULL key -> no match, no NPE
+      (Some(1L), None: Option[Long])   // NULL time -> no match, no NPE
+    ).toDF("k", "lt")
+    val out = AsOfJoinNative.asofBackward(left, right, "k", "lt", "rt")
+      .select(col("k"), col("lt"), col("rt"), col("payload"))
+      .collect()
+    def row(k: Option[Long], t: Option[Long]) = out.find(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) == k &&
+      (if (r.isNullAt(1)) None else Some(r.getLong(1))) == t).get
+    assert(row(Some(1L), Some(5L)).isNullAt(2) &&
+      row(Some(1L), Some(5L)).isNullAt(3), "pre-window row must be NULL")
+    assert(row(Some(1L), Some(25L)).getLong(2) == 20 &&
+      row(Some(1L), Some(25L)).getLong(3) == 101)
+    assert(row(Some(2L), Some(25L)).isNullAt(3), "unmatched key row NULL")
+    assert(row(None, Some(25L)).isNullAt(3), "NULL key never matches")
+    assert(row(Some(1L), None).isNullAt(3), "NULL time never matches")
+    assert(out.length == 5)
+  }
+
+  test("mismatched time units (timestamp vs date) are rejected loudly") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("k", "lt")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("k", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.asofBackward(left, right, "k", "lt", "rt")
+    }
+    assert(e.getMessage.contains("one unit"))
+  }
 }

@@ -98,16 +98,23 @@ class FdGroupBySpec extends AnyFunSuite
     FdRegistry.clear()
     FdRegistry.declarePrimaryKeys(
       graft.bookorders.Model.all, graft.bookorders.Model.primaryKeys)
+    val cust: FdRegistry.Scope = ("customer", 1L)
     val fromCustomerPk =
-      FdRegistry.closure(Set(("customerid", Set("customer"))))
-    assert(fromCustomerPk.contains(("f_name", "customer")))
-    assert(fromCustomerPk.contains(("country", "customer")))
-    // composite PK: both parts needed
+      FdRegistry.closure(Set(("customerid", Set(cust))))
+    assert(fromCustomerPk.contains(("f_name", Some(cust))))
+    assert(fromCustomerPk.contains(("country", Some(cust))))
+    // composite PK: both parts needed — and needed in the SAME instance
+    // (a self-join's two sides must not unlock each other's FDs)
+    val od: FdRegistry.Scope = ("order_detail", 1L)
     val both = FdRegistry.closure(
-      Set(("orderid", Set("order_detail")), ("item_no", Set("order_detail"))))
-    assert(both.contains(("quantity", "order_detail")))
-    val half = FdRegistry.closure(Set(("orderid", Set("order_detail"))))
+      Set(("orderid", Set(od)), ("item_no", Set(od))))
+    assert(both.contains(("quantity", Some(od))))
+    val half = FdRegistry.closure(Set(("orderid", Set(od))))
     assert(!half.exists(_._1 == "quantity"))
+    val crossInstance = FdRegistry.closure(
+      Set(("orderid", Set(od)), ("item_no", Set(("order_detail", 2L)))))
+    assert(!crossInstance.exists(_._1 == "quantity"),
+      "determinants split across two instances must not fire the FD")
   }
 
   test("without the FD declaration the plan still fails analysis") {

@@ -89,10 +89,11 @@ class PropertySpec extends AnyFunSuite {
     FdRegistry.synchronized {
       FdRegistry.clear()
       FdRegistry.declareFor("t", Set("a", "b"), Set("x"))
-      assert(FdRegistry.closure(Set(("a", Set("t")))).isEmpty)
-      assert(FdRegistry.closure(Set(("b", Set("t")))).isEmpty)
-      assert(FdRegistry.closure(Set(("a", Set("t")), ("b", Set("t"))))
-        == Set(("x", "t")))
+      val t1: FdRegistry.Scope = ("t", 1L)
+      assert(FdRegistry.closure(Set(("a", Set(t1)))).isEmpty)
+      assert(FdRegistry.closure(Set(("b", Set(t1)))).isEmpty)
+      assert(FdRegistry.closure(Set(("a", Set(t1)), ("b", Set(t1))))
+        == Set(("x", Some(t1))))
       FdRegistry.clear()
     }
   }

@@ -106,4 +106,30 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(got(j) == expected(_ >= _, _ < _))
     } finally spark.conf.set("spark.graft.rangeJoin.binWidth", saved)
   }
+
+  test("bin-explosion guard raises an actionable error instead of the " +
+      "sequence-length failure, and the cap is configurable") {
+    spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "4")
+    try {
+      // one interval spanning ~35 bins at width 8 (> the cap of 4);
+      // column-derived bounds so constant propagation can't erase the
+      // range shape before the rule sees it
+      val wide = spark.range(1)
+        .select(col("id").as("iid"), col("id").as("s"),
+          (col("id") + 280).as("e"))
+      val q = pts.join(wide, col("p") >= col("s") && col("p") < col("e"))
+      val ex = intercept[Exception] { q.collect() }
+      assert(ex.toString.contains("bin explosion") ||
+        String.valueOf(ex.getCause).contains("bin explosion") ||
+        String.valueOf(ex.getMessage).contains("bin explosion"),
+        s"unexpected error: $ex")
+      // normal intervals keep working under the default cap
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval",
+        (1L << 20).toString)
+      val ok = pts.join(wide, col("p") >= col("s") && col("p") < col("e"))
+      assertRewrote(ok)
+      assert(ok.count() == ptsL.count(_._1 < 280L))
+    } finally
+      spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+  }
 }

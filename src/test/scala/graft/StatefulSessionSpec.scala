@@ -91,4 +91,40 @@ class StatefulSessionSpec extends AnyFunSuite {
       .filter(col("nc") > 1).count()
     assert(spanning > 0, "no user's change stream spans a chunk boundary")
   }
+
+  test("session numbering survives a timeout eviction: a returning user " +
+      "gets session_id 2, not a duplicate 1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(uid: Long, id: Long, sec: Long) = StreamingOps.Ev(
+      uid, id, java.time.Instant.ofEpochSecond(sec), 1.0)
+    val t0 = 1700000000L
+    val in = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.sessionizeStream(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tombstone_sessions").start()
+    try {
+      // b1: user 1 active; user 99 is the watermark driver
+      in.addData(ev(1, 10, t0), ev(99, 90, t0))
+      q.processAllAvailable()
+      // b2: watermark jumps 2h past user 1's last event -> their session
+      // times out and closes (id 1)
+      in.addData(ev(99, 91, t0 + 7200))
+      q.processAllAvailable()
+      // b3: user 1 returns 3h in -> a NEW session opens
+      in.addData(ev(1, 11, t0 + 10800))
+      q.processAllAvailable()
+      // b4: watermark jumps far again -> the new session closes too
+      in.addData(ev(99, 92, t0 + 100000))
+      q.processAllAvailable()
+      in.addData(ev(99, 93, t0 + 200000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("tombstone_sessions")
+      .filter(col("user_id") === 1).select("session_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L),
+      s"expected sequential session ids across a timeout, got $ids")
+  }
 }
