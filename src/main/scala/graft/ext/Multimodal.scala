@@ -278,7 +278,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, tb) => (id, wavBytes(id, tb)) })
       .mapPartitions(_.map { case (id, wav) => parseWav(id, wav) })
       .toDF()
-      .withColumn("rms", round(col("rms"), 6))
+      // an EMPTY document synthesizes a zero-sample WAV: its RMS is
+      // undefined — NULL, agreeing with the oracle's SUM-over-nothing,
+      // not the NaN the raw 0/0 division produces
+      .withColumn("rms",
+        when(col("n_samples") > 0, round(col("rms"), 6)))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -20,6 +21,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // BIGINT only: the generated `$c ^ seedL` would silently widen an INT
+  // child while the interpreted path ClassCastExceptions — the same
+  // query succeeding or crashing depending on codegen is worse than a
+  // loud analysis error
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_mix64 requires a BIGINT input, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     Mix64.mix(input.asInstanceOf[Long] ^ seed)

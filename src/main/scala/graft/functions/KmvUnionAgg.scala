@@ -51,6 +51,7 @@ case class KmvUnionAgg(
     // keeps each binary-search insert's shift minimal
     var i = 0
     while (i < n) {
+      require(!arr.isNullAt(i), s"graft_kmv_union: NULL element at $i")
       val h = arr.getLong(i)
       require(h >= 0L, s"graft_kmv_union: negative hash $h")
       buf.insert(h)

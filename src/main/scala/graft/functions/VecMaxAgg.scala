@@ -55,13 +55,17 @@ case class VecMaxAgg(
     if (buf.length == 0) {
       val out = new Array[Long](n)
       var i = 0
-      while (i < n) { out(i) = arr.getLong(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"graft_vec_max: NULL element at $i")
+        out(i) = arr.getLong(i); i += 1
+      }
       return out
     }
     require(buf.length == n,
       s"graft_vec_max: vector length $n != ${buf.length} (mixed sketches?)")
     var i = 0
     while (i < n) {
+      require(!arr.isNullAt(i), s"graft_vec_max: NULL element at $i")
       val x = arr.getLong(i)
       if (x > buf(i)) buf(i) = x
       i += 1

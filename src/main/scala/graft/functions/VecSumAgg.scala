@@ -54,7 +54,13 @@ case class VecSumAgg(
     require(out.length == n,
       s"graft_vec_sum: vector length $n != ${out.length} (mixed sketches?)")
     var i = 0
-    while (i < n) { out(i) += arr.getLong(i); i += 1 }
+    while (i < n) {
+      // a NULL element is a corrupt sketch, not a zero counter: reading
+      // it as 0 (UnsafeArrayData) vs NPE-ing (GenericArrayData) must not
+      // depend on the row representation — fail loudly either way
+      require(!arr.isNullAt(i), s"graft_vec_sum: NULL element at $i")
+      out(i) += arr.getLong(i); i += 1
+    }
     out
   }
 

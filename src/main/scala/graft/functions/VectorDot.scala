@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Dot product of two float-array embeddings, accumulated in double in
   * element order — a native Catalyst expression because the declarative
@@ -18,6 +19,18 @@ case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // array<float> only: getFloat over any other element width reads
+  // garbage bytes under UnsafeArrayData (silent wrong scores) and
+  // ClassCastExceptions under generic rows — reject at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vector_dot requires two ARRAY<FLOAT> inputs, got " +
+          s"${l.sql} and ${r.sql}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -38,9 +51,15 @@ case class VectorDot(left: Expression, right: Expression)
 
 object VectorDot {
 
-  /** Element-ordered double fold; inputs are equal-length float arrays. */
+  /** Element-ordered double fold; inputs must be equal-length float
+    * arrays — a length mismatch is a caller bug (mixed embedding
+    * dimensions) and fails loudly rather than silently truncating the
+    * fold to the shorter side. */
   def dot(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException("graft_vector_dot: embedding " +
+        s"dimensions differ ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

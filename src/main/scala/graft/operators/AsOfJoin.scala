@@ -38,7 +38,14 @@ object AsOfJoin {
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__is_left"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
-    val r = right.select(
+    // a right row with NULL key or time can never be an as-of match
+    // (equi/ASOF semantics); kept, it would land FIRST in the null-key
+    // partition / null-time order and silently match left rows. Left
+    // nulls need no guard: the null-key partition then holds no right
+    // rows, and a null left time orders before every real right time.
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__is_left"),
       struct((col(rightTime).as("__rt") +: rightPayload.map(col)): _*).as("__r"))
 

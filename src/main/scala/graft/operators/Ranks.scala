@@ -48,6 +48,10 @@ object Ranks {
   private val RUNX = "__rank_runx"
   private val RUNI = "__rank_runi"
 
+  /** Output rank is INT (the engine's key/oracle surface): past 2^31-1
+    * rows the cast raises CAST_OVERFLOW under the engine's default ANSI
+    * mode — a loud stop, never a silent wrap. A deployment numbering
+    * beyond that keeps the long (drop the cast per call site). */
   def rowNumberByRange(
       df: DataFrame,
       numPartitions: Int,

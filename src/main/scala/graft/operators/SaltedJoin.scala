@@ -50,6 +50,10 @@ object SaltedJoin {
       .persist()
     try {
       val stats = counts.agg(sum(col("__cnt")), max(col("__cnt"))).collect()(0)
+      // an EMPTY skewed side aggregates to one all-null row — there is
+      // nothing to salt; the plain join returns the empty result
+      if (stats.isNullAt(0))
+        return skewed.join(compact, skewed(skewedKey) === compact(compactKey))
       val total = stats.getLong(0)
       val maxCnt = stats.getLong(1)
       val avgShare = (total.toDouble / nPart).max(1.0)
@@ -61,7 +65,9 @@ object SaltedJoin {
         .select(col(skewedKey)).collect().map(_.get(0)).toSeq
 
       if (hot.isEmpty) {
-        skewed.join(compact, col(skewedKey) === col(compactKey))
+        // frame-qualified keys: bare col() is AMBIGUOUS whenever the two
+        // sides share the key name (the ordinary case)
+        skewed.join(compact, skewed(skewedKey) === compact(compactKey))
       } else {
         // ONE join, one scan per side: hot rows get a deterministic per-row
         // salt (hash of the whole row spreads a hot key uniformly; any
@@ -77,7 +83,8 @@ object SaltedJoin {
             sequence(lit(0), lit(chosenSalts - 1)))
             .otherwise(array(lit(0)))))
         ls.join(rs,
-            ls("__salt") === rs("__salt") && col(skewedKey) === col(compactKey))
+            ls("__salt") === rs("__salt") &&
+              ls(skewedKey) === rs(compactKey))
           .drop("__salt")
       }
     } finally counts.unpersist()
