@@ -32,7 +32,14 @@ object Dedup {
 
   private val JACCARD_THRESHOLD = 0.8
   private val NUM_HASHES = 64
-  private val BANDS = 16 // 16 bands x 4 rows: P(candidate | j=0.9) ~ 1-6e-9
+  // 16 bands x 4 rows. Candidate probability 1 - (1 - j^4)^16:
+  // ~ 1 - 3.9e-8 at j = 0.9, ~ 1 - 2.2e-4 at j = 0.8 — the LSH keys
+  // VERIFY candidates at 0.8, so pairs in [0.8, 0.9) ride a 2.2e-4/pair
+  // deterministic miss chance the exact-Jaccard oracle cannot see at
+  // fixture scale (zero observed misses in every gated corpus; a
+  // banding-replay oracle like dedup_embedding_cosine's would close the
+  // gap exactly and is the recorded follow-up).
+  private val BANDS = 16
   private val ROWS_PER_BAND = NUM_HASHES / BANDS
 
   import graft.functions.Mix64.mix64
@@ -253,7 +260,8 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: 64-hash signature (min over SplitMix64-
     * permuted shingle hashes), banded 16x4; candidates = band-bucket
     * collisions; exact Jaccard verified on the hashed shingle sets. Output
-    * matches [[dedupNgramJaccard]] (recall at j>=0.9 is 1 - 6e-9 per pair),
+    * matches [[dedupNgramJaccard]] (recall 1 - 3.9e-8 per pair at
+    * j >= 0.9; 1 - 2.2e-4 at the 0.8 verify threshold — see BANDS),
     * so the exact-Jaccard SQL is its oracle. */
   /** Edit-distance near-dup pairs: levenshtein(a, b) <= [[ED_D]] over the
     * first [[ED_L]] characters — the typo/suffix-edit detector the
@@ -463,7 +471,12 @@ object Dedup {
     // a fixed path would let a later call for a different dir clobber the
     // sink under an earlier, not-yet-executed returned DataFrame
     val scratch = graft.matview.Materializer.defaultScratch
-    val key = f"${d.hashCode & 0x7fffffff}%08x"
+    // 128-bit md5 of the dir, not String.hashCode: a 32-bit collision
+    // between two dataset dirs in one process would alias the sink and
+    // let the second call DELETE it under the first call's lazy result
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
     val staged = Paths.get(s"$scratch/stream_dedup_src_$key")
     val sink = Paths.get(s"$scratch/stream_dedup_hits_$key")
     val ckpt = Paths.get(s"$scratch/stream_dedup_ckpt_$key")

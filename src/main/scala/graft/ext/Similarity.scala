@@ -458,6 +458,12 @@ object Similarity {
     val seedCb: Array[Array[Array[Double]]] = {
       val rows = lists.orderBy("vec_id").limit(PQ_KSUB)
         .select("embedding").as[Array[Float]].collect()
+      // fewer vectors than codewords would AIOOBE below with an
+      // inscrutable index — fail with the contract instead (a corpus
+      // this small has no business training a 256-codeword PQ)
+      require(rows.length >= PQ_KSUB,
+        s"PQ training needs at least $PQ_KSUB vectors to seed the " +
+          s"codebook, got ${rows.length}")
       Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
         rows(k)(m * PQ_SUBDIM + i).toDouble)
     }
