@@ -54,7 +54,7 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     rewrite.foreach(_.deregister(name))
     aggSpecs.remove(name)
     joinSpecs.remove(name)
-    stagedOverwrite(name, df)
+    stagedOverwrite(name, () => df)
     deps(name) = dependsOn
     rewrite.foreach(_.register(name, df, () => table(name)))
     table(name)
@@ -73,10 +73,16 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * moves old-aside, the stage moves in, the old dir is dropped — a
     * crash can orphan a directory but never lose the MV (unlike a plain
     * mode("overwrite"), which deletes the target before the job commits).
-    * Also safe when `df`'s plan READS the current storage (the
-    * incremental-merge and rewritten-refresh cases). */
-  private def stagedOverwrite(name: String, df: DataFrame): Unit =
+    * Takes a THUNK, not a plan: a plan that READS the current storage
+    * (the incremental-merge case) must be CONSTRUCTED inside the lock
+    * too — spark.read.parquet eagerly lists the storage's files, so a
+    * plan built before the lock would execute against a pre-swap file
+    * index after a concurrent refresh wins the race and deletes those
+    * files. The lock therefore serializes read-merge-swap end to end,
+    * not just the swap. */
+  private def stagedOverwrite(name: String, mkDf: () => DataFrame): Unit =
     lockFor(name).synchronized {
+      val df = mkDf()
       val tmp = java.nio.file.Paths.get(path(name) + "__stage")
       val old = java.nio.file.Paths.get(path(name) + "__old")
       val p = java.nio.file.Paths.get(path(name))
@@ -151,19 +157,23 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     // matching the stale defining plan would be rewritten to merged data
     rewrite.foreach(_.deregister(name))
     val (keys, measures) = aggSpecs(name)
-    val stored = table(name)
-    val storedTypes = stored.schema.fields.map(f => f.name -> f.dataType).toMap
-    val aggCols = measures.map(m => m.initial.as(m.alias))
-    val delta = deltaBase.groupBy(keys.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-    val mergeCols = measures.map(m =>
-      m.merge(col(m.alias)).cast(storedTypes(m.alias)).as(m.alias))
-    val merged = stored.unionByName(delta)
-      .groupBy(keys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
-    // the merged plan READS the current storage — the staged swap (and
-    // its per-name lock, which serializes concurrent refreshes that
-    // would otherwise race the shared stage paths) handles it
-    stagedOverwrite(name, merged)
+    // the merged plan READS the current storage, so the whole
+    // read-merge-plan construction happens inside the staged swap's
+    // per-name lock (via the thunk): a concurrent refresh loser would
+    // otherwise build its plan against a pre-swap file index and fail
+    // with FileNotFoundException after the winner's swap
+    stagedOverwrite(name, () => {
+      val stored = table(name)
+      val storedTypes =
+        stored.schema.fields.map(f => f.name -> f.dataType).toMap
+      val aggCols = measures.map(m => m.initial.as(m.alias))
+      val delta = deltaBase.groupBy(keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val mergeCols = measures.map(m =>
+        m.merge(col(m.alias)).cast(storedTypes(m.alias)).as(m.alias))
+      stored.unionByName(delta)
+        .groupBy(keys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
+    })
     table(name)
   }
 

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   *    is what you mean. A target row matched by MORE THAN ONE source
   *    row raises at runtime (the ANSI "MERGE matched more than one row"
   *    cardinality violation) instead of silently double-counting the
-  *    target payload.
+  *    target payload — and ONLY then: duplicate source rows whose key
+  *    matches no target row legally both INSERT (ANSI MERGE and the
+  *    lakehouse implementations agree), and NULL-keyed source rows can
+  *    never match under the `===` join, so neither trips the guard.
   *
   * Both are pure keyed relational plans: one shuffle on the merge key at
   * any scale, broadcastable when one side is small (AQE decides from
@@ -81,11 +84,21 @@ object Merge {
     * MERGE delete arms (see the object doc). */
   def outer(target: DataFrame, source: DataFrame, keyCol: String)(
       projection: Seq[Column], deleteWhen: Column = lit(false)): DataFrame = {
-    val src = requireUniqueKeys(source, Seq(col(keyCol)),
-      s"target row matched more than one source row on $keyCol")
+    // Per-key source multiplicity rides the join on the u side, so the
+    // guard can fire ONLY on matched rows (both keys non-null after the
+    // === join): duplicate UNMATCHED source keys both insert, and
+    // NULL-keyed source rows never match — neither is a violation under
+    // ANSI MERGE. The window reuses the join's own key partitioning.
+    val srcN = source.withColumn("__merge_src_n",
+      count(lit(1)).over(Window.partitionBy(col(keyCol))))
     target.as("t")
-      .join(src.as("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
+      .join(srcN.as("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
         "full_outer")
+      .filter(when(
+        col(s"t.$keyCol").isNotNull && col(s"u.$keyCol").isNotNull &&
+          col("__merge_src_n") > 1,
+        raise_error(lit("MERGE cardinality violation: target row matched " +
+          s"more than one source row on $keyCol"))).otherwise(lit(true)))
       .select(projection: _*)
       // SQL MERGE deletes only when the condition is TRUE; a NULL predicate
       // (e.g. one referencing the absent side of an unmatched row) KEEPS

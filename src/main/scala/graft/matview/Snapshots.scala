@@ -198,15 +198,21 @@ class Snapshots(spark: SparkSession, root: String) {
     val cur = readLatest(t)
     val bounds = cur.stat.approxQuantile(clusterCol,
       (1 until shards).map(_.toDouble / shards).toArray, 0.01)
+    // approxQuantile returns an EMPTY array when the column has no
+    // non-null/non-NaN values (empty table, all-null cluster column) — a
+    // multi-shard layout is meaningless there, so degrade to a
+    // single-shard compact (which the NULLs-ride-in-shard-0 rule makes
+    // lossless) instead of indexing past the end of bounds
+    val effShards = if (bounds.length == shards - 1) shards else 1
     val c = org.apache.spark.sql.functions.col(clusterCol).cast("double")
     val v = latest(t) + 1
-    val dirs = (0 until shards).map { i =>
+    val dirs = (0 until effShards).map { i =>
       // each row lands in exactly one shard: [b(i-1), b(i)) with open
       // ends, and NULL cluster values ride in shard 0 (every other
       // shard's lower bound drops them — losing rows is the one thing
       // a compaction must never do)
       val part = (if (i == 0) cur else cur.filter(c >= bounds(i - 1)))
-        .filter(if (i == shards - 1)
+        .filter(if (i == effShards - 1)
           org.apache.spark.sql.functions.lit(true)
         else if (i == 0) c < bounds(i) || c.isNull
         else c < bounds(i))

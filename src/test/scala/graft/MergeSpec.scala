@@ -83,6 +83,24 @@ class MergeSpec extends AnyFunSuite {
       String.valueOf(eO.getCause).contains("MERGE cardinality violation"))
   }
 
+  test("outer guard fires ONLY on matched duplicates: unmatched duplicate " +
+      "source keys both insert, NULL-keyed source rows never raise") {
+    // ANSI MERGE (and the lakehouse implementations) only error when a
+    // TARGET row is matched by >1 source rows; duplicate source keys that
+    // match nothing legally both INSERT, and a NULL source key can never
+    // match under the === join — the pre-fix guard raised on all three
+    val target = Seq((1L, 10.0)).toDF("k", "v")
+    val source = Seq((Some(7L), 70.0), (Some(7L), 71.0),
+      (None, 1.0), (None, 2.0)).toDF("k", "v")
+    val out = Merge.outer(target, source, "k")(
+      projection = Seq(coalesce(col("u.k"), col("t.k")).as("k"),
+        coalesce(col("u.v"), col("t.v")).as("v")))
+      .collect()
+    assert(out.length == 5) // kept target row + all four inserts
+    assert(out.map(_.getDouble(1)).sorted.toSeq ==
+      Seq(1.0, 2.0, 10.0, 70.0, 71.0))
+  }
+
   test("outer resolution supports WHEN MATCHED THEN DELETE") {
     val target = Seq((1L, 5.0), (2L, 20.0)).toDF("k", "v")
     val source = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")

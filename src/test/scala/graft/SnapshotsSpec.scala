@@ -326,6 +326,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).count() == nBefore)
   }
 
+  test("compactClustered degrades to a single lossless shard when the " +
+      "cluster column has no non-null values, instead of throwing") {
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_cluster_allnull"
+    snap.drop(t)
+    // approxQuantile returns an EMPTY bounds array here — the pre-fix
+    // code then indexed past its end (ArrayIndexOutOfBoundsException)
+    snap.commitAppendStats(t,
+      (0L until 20L).map(i => (i, None: Option[Long])).toDF("id", "v"),
+      Seq("id"))
+    val v = snap.compactClustered(t, "v", 3, Seq("id"))
+    assert(snap.manifestDirs(t, v) == 1)
+    assert(snap.readLatest(t).count() == 20)
+    assert(snap.readLatest(t).filter(col("v").isNull).count() == 20)
+  }
+
   test("compactClustered carries absorbed txn ids: a micro-batch replayed " +
       "AFTER clustering is still a no-op") {
     import spark.implicits._
