@@ -32,6 +32,21 @@ object Bench {
       math.max(a, b) > 2 * memExpected
     }
 
+  /** Which key's bracket triggers a self-adjudicating re-run (r12 VERDICT
+    * item 1) — the same >2x-floor criterion as [[bracketContendedFlag]],
+    * per key. */
+  def bracketHot(bracket: (Double, Double), memExpected: Double): Boolean =
+    math.max(bracket._1, bracket._2) > 2 * memExpected
+
+  /** The re-run adjudication kernel, extracted for specs: a CLEAN re-run
+    * bracket supplies the reported reading even when slower (it is the
+    * in-record quiet-box number); a hot re-run bracket condemns the box
+    * twice, and the record keeps whichever run read better. */
+  def rerunChoice(origBest: Double, rerunBest: Double, pre: Double,
+      post: Double, memExpected: Double): String =
+    if (!bracketHot((pre, post), memExpected) || rerunBest < origBest) "rerun"
+    else "orig"
+
   /** Headline subset: one per operator family, weighted toward the
     * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
   val headline: Seq[String] = Seq(
@@ -148,11 +163,45 @@ object Bench {
           .map(_(12).toLong).sum
       } catch { case _: Throwable => -1L }
     val diskBusy = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-key CPU telemetry (r12 VERDICT item 5): /proc/stat aggregate
+    // deltas during each isolated key. busy = non-idle non-steal jiffies
+    // over total (whole-box utilization, ours and anyone else's), steal
+    // separately (hypervisor time withheld — the virtualized-contention
+    // mode nothing else here can see), plus the fraction of the box's
+    // CPU-time THIS JVM consumed (OperatingSystemMXBean.processCpuTime):
+    // a slow key with cpu_busy ~1.0 and cpu_ours well below it names
+    // external CPU load as its mode from the record alone — the witness
+    // r12's events_attribution [26.4, 91.9] readings (clean mem brackets,
+    // 4.8% disk busy) lacked.
+    def cpuStat(): (Long, Long, Long) =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/stat")).asScala
+          .find(_.startsWith("cpu "))
+        line.map { l =>
+          val v = l.trim.split("\\s+").drop(1).map(_.toLong)
+          val total = v.take(8).sum // through steal; guest is double-
+          val idle = v(3) + v(4)    // counted in user on modern kernels
+          val steal = if (v.length > 7) v(7) else 0L
+          (total - idle - steal, steal, total)
+        }.getOrElse((-1L, -1L, -1L))
+      } catch { case _: Throwable => (-1L, -1L, -1L) }
+    def processCpuNs(): Long =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      } catch { case _: Throwable => -1L }
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val cpuBusy = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuSteal = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuOurs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def probeTier(tier: String, dir: String, names: Seq[String],
         reps: Int, isolate: Boolean = false): Seq[(String, Seq[Double])] =
       names.map { name =>
         if (isolate) quiesce()
         val io0 = ioBusyMs()
+        val c0 = cpuStat()
+        val p0 = processCpuNs()
         val t00 = System.nanoTime()
         val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -164,10 +213,20 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val io1 = ioBusyMs()
+        val c1 = cpuStat()
+        val p1 = processCpuNs()
+        val wallMs = (System.nanoTime() - t00) / 1e6
         if (isolate && io0 >= 0 && io1 >= 0) {
-          val wallMs = (System.nanoTime() - t00) / 1e6
           diskBusy(s"$tier.$name") =
             if (wallMs > 0) (io1 - io0) / wallMs else 0.0
+        }
+        if (isolate && c0._3 >= 0 && c1._3 > c0._3) {
+          val dt = (c1._3 - c0._3).toDouble
+          cpuBusy(s"$tier.$name") = (c1._1 - c0._1) / dt
+          cpuSteal(s"$tier.$name") = (c1._2 - c0._2) / dt
+        }
+        if (isolate && p0 >= 0 && p1 >= p0 && wallMs > 0) {
+          cpuOurs(s"$tier.$name") = (p1 - p0) / 1e6 / (wallMs * nCores)
         }
         // rep order preserved (NOT sorted): bench_full's per-rep sample
         // arrays are the rep-over-rep degradation evidence the r8 VERDICT
@@ -251,6 +310,128 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // ---- quiet-box baselines (externalized, r9 ADVICE) -----------------
+    // The canary expectations and per-key quiet medians were source
+    // constants for one specific 32-core box: every re-baseline was a
+    // code edit, and a foreign box systematically misreported (false
+    // drift when slower, masked drift when faster). They now live in
+    // bench-baselines.properties (checked in, box fingerprint recorded);
+    // SPARK_GRAFT_BASELINES=<path> points elsewhere, =off disables the
+    // comparison entirely — drift blocks empty, contended flags forced
+    // false, and "baselines":"off" recorded so the driver knows the
+    // adjudication surface was intentionally dark, not clean.
+    // (Loaded BEFORE the scale tiers since r13: the bracket re-run
+    // adjudication needs the quiet mem floor DURING the tiers.)
+    val baselinesEnv = sys.env.get("SPARK_GRAFT_BASELINES")
+    val baselinesOff = baselinesEnv.exists(v =>
+      Seq("off", "none", "disabled").contains(v.toLowerCase))
+    // The DEFAULT checked-in file is resolved against the repo root, not
+    // the process CWD (r10 ADVICE: a bench launched from another
+    // directory silently degraded to baselines=off, forcing the
+    // contended flags false) — walk up from CWD until the file (or the
+    // .git marker) appears. An explicit SPARK_GRAFT_BASELINES=<path>
+    // stays CWD-relative as given.
+    val baselinesSetting = baselinesEnv.getOrElse {
+      val name = "bench-baselines.properties"
+      // stop at the first .git directory: the walk must not escape the
+      // repo and adopt a stray properties file from a parent directory
+      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .flatMap { dir =>
+          val f = dir.resolve(name)
+          if (java.nio.file.Files.isReadable(f)) Some(Some(f.toString))
+          else if (java.nio.file.Files.exists(dir.resolve(".git"))) Some(None)
+          else None // keep walking
+        }
+        .nextOption().flatten
+        .getOrElse(name)
+    }
+    val baselineProps: java.util.Properties = {
+      val p = new java.util.Properties()
+      if (!baselinesOff) {
+        try {
+          val in = java.nio.file.Files.newInputStream(
+            java.nio.file.Paths.get(baselinesSetting))
+          try p.load(in) finally in.close()
+        } catch { case e: Throwable =>
+          // a missing/unreadable file behaves like =off (loudly)
+          System.err.println(s"[bench] baselines '$baselinesSetting' " +
+            s"unreadable (${e.getMessage}): drift/contention comparison off")
+        }
+      }
+      p
+    }
+    val baselinesOn = !baselinesOff && !baselineProps.isEmpty
+    def baseline(key: String, default: Double): Double = {
+      val v = baselineProps.getProperty(key)
+      if (v == null) default
+      else try v.trim.toDouble catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] baseline '$key=$v' not a number; " +
+          "using default"); default
+      }
+    }
+    def quietMedians(prefix: String): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      baselineProps.stringPropertyNames().asScala.toSeq
+        .filter(_.startsWith(prefix))
+        .flatMap { k =>
+          try Some(k.stripPrefix(prefix) ->
+            baselineProps.getProperty(k).trim.toDouble)
+          catch { case _: NumberFormatException =>
+            System.err.println(s"[bench] baseline '$k' not a number; skipped")
+            None
+          }
+        }.toMap
+    }
+    val genExpected = baseline("canary.gen_sec", 8.3)
+    val shufExpected = baseline("canary.shuffle_sec", 1.8)
+    val memExpected = baseline("canary.mem_sec", 1.2)
+
+    // ---- bracket self-adjudication (r12 VERDICT item 1) -----------------
+    // A key whose mem-canary bracket read >2x the quiet floor gets ONE
+    // re-run after its tier completes, with its own bracket + disk/cpu
+    // telemetry (tier label "<tier>.rerun"). A clean re-run bracket
+    // supplies the REPORTED reading (the in-record clean number two
+    // rounds of >2x driver readings lacked — r12's join_natural_5way
+    // 3.51x and agg_sum_group3 3.33x were exonerated only by off-record
+    // quiet runs); a hot re-run bracket condemns the box twice and the
+    // better of the two readings is kept, explicitly marked. The
+    // ORIGINAL brackets stay on record (they describe box state and feed
+    // bracket_contended); the reruns block carries the adjudication.
+    case class Rerun(key: String, origBest: Double, rerunBest: Double,
+        pre: Double, post: Double, used: String)
+    def rerunFlagged(tier: String, dir: String,
+        probed: Seq[(String, Seq[Double])],
+        brackets: Seq[(String, (Double, Double))],
+        probe: (String, String) => Seq[Double],
+        canarySec: () => Double): (Seq[(String, Seq[Double])], Seq[Rerun]) = {
+      val bmap = brackets.toMap
+      val flagged = if (!baselinesOn) Nil else probed.map(_._1).filter(k =>
+        bmap.get(k).exists(Bench.bracketHot(_, memExpected)))
+      if (flagged.isEmpty) (probed, Nil)
+      else {
+        val redone = flagged.map { k =>
+          quiesce()
+          val pre = canarySec()
+          val s = probe(s"$tier.rerun", k)
+          val post = canarySec()
+          k -> (s, pre, post)
+        }.toMap
+        val reruns = scala.collection.mutable.ArrayBuffer[Rerun]()
+        val adjudicated = probed.map { case (k, s) =>
+          redone.get(k) match {
+            case Some((s2, pre, post)) =>
+              val used = Bench.rerunChoice(s.min, s2.min, pre, post,
+                memExpected)
+              reruns += Rerun(k, s.min, s2.min, pre, post, used)
+              k -> (if (used == "rerun") s2 else s)
+            case None => k -> s
+          }
+        }
+        (adjudicated, reruns.toSeq)
+      }
+    }
+
     // n=3 best-of: two reps can't tell a 10% regression from noise
     val REPS = 3
     val queries = headline.filter(SparkEntry.queries.contains)
@@ -267,7 +448,7 @@ object Bench {
     // row widths is visible round-over-round.
     val shuffleCanarySf1 = shuffleCanarySec()
     val memCanarySf1 = memCanarySec()
-    val (sf1gen, sf1, triMemPair, sf1Brackets) = {
+    val (sf1gen, sf1, triMemPair, sf1Brackets, sf1Reruns) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 1.0)
@@ -336,7 +517,12 @@ object Bench {
           probe.zipWithIndex.map { case (k, i) =>
             (k, (bounds(i), bounds(i + 1)))
           }
-      (genSec, tri ++ probed, (triPre, triPost), brackets)
+      // self-adjudication: hot-bracketed keys get one in-record re-run
+      val (adjudicated, reruns) = rerunFlagged("sf1", dir, tri ++ probed,
+        brackets,
+        (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
+        () => memCanarySec())
+      (genSec, adjudicated, (triPre, triPost), brackets, reruns)
     }
 
     var shuffleCanarySf10 = -1.0
@@ -347,7 +533,7 @@ object Bench {
     // at ~2.5 min of budget (dedup_semantic ~12s x 2 reps after the r9
     // assignUdf unboxing); SPARK_GRAFT_SF10=1 widens it to the full
     // 13-key tier (~4 min) for the ROADMAP curve.
-    val (sf10gen, sf10, sf10Brackets) = {
+    val (sf10gen, sf10, sf10Brackets, sf10Reruns) = {
       val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
         case Some(v) if v == "1" || v.equalsIgnoreCase("true") => true
         case Some(v) =>
@@ -402,7 +588,11 @@ object Bench {
       val brackets = keys.zipWithIndex.map { case (k, i) =>
         k -> (bounds(i), bounds(i + 1))
       }
-      (genSec, probed, brackets)
+      // self-adjudication: hot-bracketed keys get one in-record re-run
+      val (adjudicated, reruns) = rerunFlagged("sf10", dir, probed, brackets,
+        (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
+        () => memCanarySec())
+      (genSec, adjudicated, brackets, reruns)
     }
 
     // physical plan node counts — the reference's secondary metric
@@ -759,80 +949,6 @@ object Bench {
     // side SfGen can't see: r7's gen canary read clean while sf10
     // shuffle-heavy probes ran 3-5x over the quiet-box curve. A flagged
     // run means: read medians, not bests, and distrust ~2x outliers.
-    // ---- quiet-box baselines (externalized, r9 ADVICE) -----------------
-    // The canary expectations and per-key quiet medians were source
-    // constants for one specific 32-core box: every re-baseline was a
-    // code edit, and a foreign box systematically misreported (false
-    // drift when slower, masked drift when faster). They now live in
-    // bench-baselines.properties (checked in, box fingerprint recorded);
-    // SPARK_GRAFT_BASELINES=<path> points elsewhere, =off disables the
-    // comparison entirely — drift blocks empty, contended flags forced
-    // false, and "baselines":"off" recorded so the driver knows the
-    // adjudication surface was intentionally dark, not clean.
-    val baselinesEnv = sys.env.get("SPARK_GRAFT_BASELINES")
-    val baselinesOff = baselinesEnv.exists(v =>
-      Seq("off", "none", "disabled").contains(v.toLowerCase))
-    // The DEFAULT checked-in file is resolved against the repo root, not
-    // the process CWD (r10 ADVICE: a bench launched from another
-    // directory silently degraded to baselines=off, forcing the
-    // contended flags false) — walk up from CWD until the file (or the
-    // .git marker) appears. An explicit SPARK_GRAFT_BASELINES=<path>
-    // stays CWD-relative as given.
-    val baselinesSetting = baselinesEnv.getOrElse {
-      val name = "bench-baselines.properties"
-      // stop at the first .git directory: the walk must not escape the
-      // repo and adopt a stray properties file from a parent directory
-      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-        .takeWhile(_ != null)
-        .flatMap { dir =>
-          val f = dir.resolve(name)
-          if (java.nio.file.Files.isReadable(f)) Some(Some(f.toString))
-          else if (java.nio.file.Files.exists(dir.resolve(".git"))) Some(None)
-          else None // keep walking
-        }
-        .nextOption().flatten
-        .getOrElse(name)
-    }
-    val baselineProps: java.util.Properties = {
-      val p = new java.util.Properties()
-      if (!baselinesOff) {
-        try {
-          val in = java.nio.file.Files.newInputStream(
-            java.nio.file.Paths.get(baselinesSetting))
-          try p.load(in) finally in.close()
-        } catch { case e: Throwable =>
-          // a missing/unreadable file behaves like =off (loudly)
-          System.err.println(s"[bench] baselines '$baselinesSetting' " +
-            s"unreadable (${e.getMessage}): drift/contention comparison off")
-        }
-      }
-      p
-    }
-    val baselinesOn = !baselinesOff && !baselineProps.isEmpty
-    def baseline(key: String, default: Double): Double = {
-      val v = baselineProps.getProperty(key)
-      if (v == null) default
-      else try v.trim.toDouble catch { case _: NumberFormatException =>
-        System.err.println(s"[bench] baseline '$key=$v' not a number; " +
-          "using default"); default
-      }
-    }
-    def quietMedians(prefix: String): Map[String, Double] = {
-      import scala.jdk.CollectionConverters._
-      baselineProps.stringPropertyNames().asScala.toSeq
-        .filter(_.startsWith(prefix))
-        .flatMap { k =>
-          try Some(k.stripPrefix(prefix) ->
-            baselineProps.getProperty(k).trim.toDouble)
-          catch { case _: NumberFormatException =>
-            System.err.println(s"[bench] baseline '$k' not a number; skipped")
-            None
-          }
-        }.toMap
-    }
-    val genExpected = baseline("canary.gen_sec", 8.3)
-    val shufExpected = baseline("canary.shuffle_sec", 1.8)
-    val memExpected = baseline("canary.mem_sec", 1.2)
     // the sf10-adjacent shuffle canary counts too: contention arising
     // BETWEEN the tiers (the r7 incident shape) must flip the flag even
     // when the pre-sf1 probes were quiet (-1 = tier not reached)
@@ -956,6 +1072,16 @@ object Bench {
         "\"" + k + s"""\":[${s"%.${dp}f".format(a)},${
           s"%.${dp}f".format(b)}]"""
       }.mkString("{", ",", "}")
+    // the self-adjudication record: [orig_best, rerun_best, rerun_pre,
+    // rerun_post, used(1=rerun)] per re-run key, tier-prefixed. Empty on
+    // a box whose brackets stayed under 2x floor.
+    val allReruns = sf1Reruns.map(r => (s"sf1.${r.key}", r)) ++
+      sf10Reruns.map(r => (s"sf10.${r.key}", r))
+    def rerunsJson(dp: Int): String = allReruns.map { case (k, r) =>
+      def f(v: Double) = s"%.${dp}f".format(v)
+      "\"" + k + s"""\":[${f(r.origBest)},${f(r.rerunBest)},${f(r.pre)},${
+        f(r.post)},${if (r.used == "rerun") 1 else 0}]"""
+    }.mkString("{", ",", "}")
     val s10full = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" +
         jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
@@ -970,7 +1096,9 @@ object Bench {
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
         samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"disk_busy":${
-        jmap(diskBusy.toSeq)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
+        jmap(diskBusy.toSeq)},"cpu_busy":${jmap(cpuBusy.toSeq)},"cpu_steal":${
+        jmap(cpuSteal.toSeq)},"cpu_ours":${jmap(cpuOurs.toSeq)},"reruns":${
+        rerunsJson(4)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
         if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
         canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
@@ -1024,8 +1152,8 @@ object Bench {
       s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended}"""
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
-    // degrade levels: 0 = everything; 1 = drift detail deferred to the
-    // full file; 2 = scoreboard blocks deferred too (metric/tiers/canary
+    // degrade levels: 0 = everything; 1 = scoreboard blocks deferred to
+    // the full file; 2 = drift detail deferred too (metric/tiers/canary
     // always survive — a future tier growth can cost detail, never the
     // round's parse). Every field keeps ONE JSON type across levels
     // (r9 ADVICE: the old levels substituted a string where an object
@@ -1049,19 +1177,30 @@ object Bench {
       "\"" + k + s"""\":[${trim(v, 2)},${trim(q, 2)}]"""
     }.mkString("{", ",", "}")
     def compactLine(level: Int) = {
-      val d = if (level < 1)
+      // degrade order (r12 VERDICT item 1 follow-through): the SCOREBOARD
+      // blocks defer FIRST (level 1) and the drift/bracket adjudication
+      // detail last (level 2) — r12's driver record carried
+      // drift_deferred:true while the boards survived, exactly backwards:
+      // the boards are stable round-over-round and always in bench_full,
+      // while the drift blocks are the round's adjudication record (and
+      // cost ~85 bytes when the box is quiet — affirmative emptiness
+      // beats a deferral marker).
+      val d = if (level < 2)
         s""","drift":${driftT(driftRows, driftOmitted)},"drift_sf10":${
           driftT(driftRowsSf10, driftOmittedSf10)},"sf1_brackets":$flaggedBracketsSf1T,"sf10_brackets":$flaggedBracketsT,"board_drift":$boardDriftT"""
       else ""","drift_deferred":true"""
-      val boards = if (level < 2)
+      val boards = if (level < 1)
         s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${
           jmapT(skewTriplet, 2)},"ann_recall":${jmapT(annRecall, 2)},"triangle_sketch":${
           jmapT(triSketch, 3)},"lookup":${jmapT(lookupPair, 3)},"join_reorder":${
           jmapT(joinReorder, 2)}"""
       else ""","scoreboards_deferred":true"""
       val base = if (baselinesOn) "" else ""","baselines":"off""""
+      // reruns survive EVERY degrade level: the adjudicated reading is
+      // the one thing a churned-box record must carry in-line (r12
+      // VERDICT item 1 — drift detail may defer, the adjudication never)
       f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
-        bestT(sf1)}$s10compact$d$base,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
+        bestT(sf1)}$s10compact$d$base,"reruns":${rerunsJson(2)},"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
     }
     val out = (0 to 2).map(compactLine).find(_.length <= 1870)
       .getOrElse(compactLine(2))

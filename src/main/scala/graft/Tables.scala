@@ -108,6 +108,18 @@ object Tables {
   def md5Bucket(key: Column, hexChars: Int): Column =
     conv(substring(md5(key.cast("string")), 1, hexChars), 16, 10)
 
+  /** 64-bit hex key of a dataset dir for scratch artifact/table names —
+    * 16 hex chars of md5, NOT `String.hashCode`: a 32-bit hash collision
+    * between two dataset dirs in one process would alias the artifact and
+    * let the second call clobber (or DELETE) it under the first call's
+    * lazy, not-yet-executed returned DataFrame. One definition behind
+    * every dir-keyed scratch path (the Dedup stream-scratch pattern,
+    * swept repo-wide in r13). */
+  def dirKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
   /** Run `f` with session confs temporarily overridden, restoring the
     * previous values (or unsetting) on the way out. The override only
     * affects plans that PLAN AND EXECUTE inside the scope — callers must

@@ -471,12 +471,11 @@ object Dedup {
     // a fixed path would let a later call for a different dir clobber the
     // sink under an earlier, not-yet-executed returned DataFrame
     val scratch = graft.matview.Materializer.defaultScratch
-    // 128-bit md5 of the dir, not String.hashCode: a 32-bit collision
-    // between two dataset dirs in one process would alias the sink and
-    // let the second call DELETE it under the first call's lazy result
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
+    // md5 of the dir, not String.hashCode: a 32-bit collision between
+    // two dataset dirs in one process would alias the sink and let the
+    // second call DELETE it under the first call's lazy result (the
+    // shared Tables.dirKey keying, swept repo-wide in r13)
+    val key = graft.Tables.dirKey(d)
     val staged = Paths.get(s"$scratch/stream_dedup_src_$key")
     val sink = Paths.get(s"$scratch/stream_dedup_hits_$key")
     val ckpt = Paths.get(s"$scratch/stream_dedup_ckpt_$key")
@@ -637,8 +636,14 @@ object Dedup {
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
       .distinct()
+    // zero-norm contract (Similarity.norm doc): a direction-free vector
+    // is near-dup to nothing — both engines exclude it from verification
+    // (Spark's NaN >= t and DuckDB's NaN >= t are BOTH true under their
+    // NaN-greatest orderings, so without the filter a zero-norm pair
+    // would pass with a NaN score that hashes differently per engine)
     val e = load(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     cand
       .join(e.as("ea"), col("a") === col("ea.vec_id"))
       .join(e.as("eb"), col("b") === col("eb.vec_id"))
@@ -657,6 +662,7 @@ object Dedup {
       s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm contract (Similarity.norm doc)
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
         round(Similarity.dot("l.embedding", "r.embedding") /
@@ -1653,14 +1659,15 @@ object Dedup {
     // cosine verification on candidates — bit-identical to the Spark plan.
     "dedup_embedding_cosine" ->
       s"""WITH ${Similarity.lshSigsCte(EMB_TABLES, EMB_BITS)},
+         |${Similarity.nonZeroSql},
          |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
          |  FROM sigs l JOIN sigs r
          |  ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id)
          |SELECT a, b,
          |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) AS cosine
          |FROM cand
-         |JOIN embeddings ea ON ea.vec_id = a
-         |JOIN embeddings eb ON eb.vec_id = b
+         |JOIN nz ea ON ea.vec_id = a
+         |JOIN nz eb ON eb.vec_id = b
          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) >= $COSINE_THRESHOLD
          |ORDER BY a, b""".stripMargin,
   )

@@ -61,8 +61,32 @@ object Similarity {
   // aggregate(zip_with(...)) lambda formulation it replaced, but stays
   // inside whole-stage codegen (HOF lambdas are CodegenFallback, which
   // broke codegen exactly in the rerank hot loop)
+  //
+  // ZERO-NORM CONTRACT (r12 VERDICT item 3): a zero vector has no
+  // direction — cosine against it is 0/0 = NaN, which TopKAgg SKIPS
+  // while a ROW_NUMBER oracle RANKS FIRST (both engines sort NaN
+  // greatest), so the two sides would diverge on the first real corpus
+  // carrying one. The contract is IDENTICAL EXCLUSION: a zero-norm
+  // vector participates in NO cosine scoring, as query or neighbor, on
+  // either side. Engine side: `.filter(nrm > 0)` at every scoring
+  // relation (a nonzero float element squares to a nonzero double —
+  // float magnitudes can't underflow a double product — so nrm > 0 ⟺
+  // any element nonzero); oracle side: the nonZeroSql relation
+  // (list_max of abs > 0), provably the same set. Quantizer/centroid
+  // TRAINING keeps all vectors (it is dot-based, NaN-free) so the
+  // cluster structure both sides replay is unchanged. The contrastive
+  // key keeps its pair STRUCTURE and defines the score as NULL instead
+  // (a dropped pair row would silently change the training set).
+  // Spec-pinned with planted zero vectors in SimilarityZeroNormSpec.
   private[graft] def norm(embedding: Column): Column =
     sqrt(graft.functions.VectorDot.vector_dot(embedding, embedding))
+
+  /** The oracle-side twin of `.filter(nrm > 0)` — embeddings with at
+    * least one nonzero element. */
+  private[graft] def nonZeroSql: String =
+    """nz AS (SELECT * FROM embeddings
+      |  WHERE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0)"""
+      .stripMargin
 
   private[graft] def dot(a: String, b: String): Column =
     graft.functions.VectorDot.vector_dot(col(a), col(b))
@@ -85,6 +109,7 @@ object Similarity {
   def similarityTopkBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm contract (see norm())
     val q = e.filter(col("vec_id") < NUM_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
@@ -171,6 +196,7 @@ object Similarity {
 
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm contract (see norm())
     val q = e.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = cand
@@ -280,12 +306,15 @@ object Similarity {
         (acc, cid)
       }.sortBy(-_._1).take(NPROBE).map(_._2)
     }
+    // scoring (not training) excludes zero-norm vectors — see norm();
+    // the quantizer trained on all of them, matching the oracle's CTEs
     val queries = lists.filter(col("vec_id") < NUM_QUERIES)
+      .filter(col("nrm") > 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), explode(probeUdf(col("embedding"))).as("cid"))
+        explode(probeUdf(col("embedding"))).as("cid"), col("nrm").as("qn"))
 
     val scored = broadcast(queries)
-      .join(lists, Seq("cid"))
+      .join(lists.filter(col("nrm") > 0), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
@@ -602,9 +631,12 @@ object Similarity {
         .top_k(col("ascore"), col("vec_id"), PQ_RERANK).as("top"))
       .select(col("query_id"), explode(col("top.neighbor_id")).as("vec_id"))
 
-    // --- stage 2: exact float rerank of the ADC shortlist
+    // --- stage 2: exact float rerank of the ADC shortlist; the rerank
+    // excludes zero-norm vectors (the ADC stage is dot-based and may
+    // shortlist one) — see norm()
     val full = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val fq = full.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nrm").as("qn2"))
     val scored = cand
@@ -666,7 +698,12 @@ object Similarity {
       .join(a, "anchor_id").join(b, "pair_id")
       .select(col("anchor_id"), col("pair_id"), col("is_positive"),
         col("pair_rank"),
-        round(dot("ae", "pe") / (col("an") * col("pn")), 9).as("cosine"))
+        // zero-norm contract, defined-score form (see norm()): the pair
+        // STRUCTURE is the training set and must not silently shrink, so
+        // a pair touching a direction-free vector keeps its row with a
+        // NULL cosine instead of a NaN that hashes differently per engine
+        when(col("an") > 0 && col("pn") > 0,
+          round(dot("ae", "pe") / (col("an") * col("pn")), 9)).as("cosine"))
       .orderBy("anchor_id", "pair_rank", "pair_id")
   }
 
@@ -727,7 +764,13 @@ object Similarity {
     // uses a codegen max. PQ's production win is memory compression —
     // at DIM=64 the 64-FMA codegen dot is already cheaper than any
     // off-codegen per-pair step, so approximation buys nothing here.
-    val mx = m.as("a").join(m.as("b"),
+    // zero-norm members never enter PAIR SCORING (cosine against them is
+    // NaN — see norm()); they stay in the output via the left join below
+    // with max_sim_lower = -1.0, kept = true (nothing is "similar" to a
+    // direction-free vector). The oracle's mem CTE carries the same
+    // nrm > 0 guard.
+    val mScore = m.filter(col("nrm") > 0)
+    val mx = mScore.as("a").join(mScore.as("b"),
         col("a.cid") === col("b.cid") &&
           col("b.vec_id") < col("a.vec_id"))
       .select(col("a.vec_id").as("vec_id"),
@@ -874,7 +917,8 @@ object Similarity {
          |    (acc, x) -> acc + x)) AS nrm FROM embeddings),
          |mem AS (SELECT a2.vec_id, a2.cid, e.embedding, n.nrm
          |  FROM a2 JOIN embeddings e USING (vec_id)
-         |  JOIN nrm n USING (vec_id)),
+         |  JOIN nrm n USING (vec_id)
+         |  WHERE n.nrm > 0),
          |p AS (SELECT a.vec_id,
          |    max(list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(range($DIM),
@@ -913,12 +957,13 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY ascore DESC, vec_id) AS rn FROM adc)
          |  WHERE rn <= $PQ_RERANK),
+         |$nonZeroSql,
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[],
          |    e.embedding::DOUBLE[]), 9) AS score
          |  FROM short c
-         |  JOIN embeddings q ON q.vec_id = c.query_id
-         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
@@ -951,8 +996,12 @@ object Similarity {
         |  WHERE p.label <> ng.albl),
         |pairs AS (SELECT * FROM posf UNION ALL SELECT * FROM negsf)
         |SELECT pr.anchor_id, pr.pair_id, pr.is_positive, pr.pair_rank,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |    b.embedding::DOUBLE[]), 9) AS cosine
+        |  CASE WHEN list_max(list_transform(a.embedding,
+        |           x -> abs(x::DOUBLE))) > 0
+        |        AND list_max(list_transform(b.embedding,
+        |           x -> abs(x::DOUBLE))) > 0
+        |  THEN round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 9) END AS cosine
         |FROM pairs pr
         |JOIN emb a ON a.vec_id = pr.anchor_id
         |JOIN emb b ON b.vec_id = pr.pair_id
@@ -1022,14 +1071,16 @@ object Similarity {
         |         * (embedding[i + 1]::DOUBLE - qc[i + 1]::DOUBLE * scale / 127.0))),
         |    (a, e) -> a + e)), 9) AS l2_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // zero-norm contract: scoring runs over nz (see nonZeroSql / norm())
     "similarity_topk_bruteforce" ->
-      s"""SELECT query_id, neighbor_id, rank, score FROM (
+      s"""WITH $nonZeroSql
+         |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
          |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
          |    e.vec_id) AS INTEGER) AS rank
-         |  FROM embeddings q JOIN embeddings e ON q.vec_id < $NUM_QUERIES
+         |  FROM nz q JOIN nz e ON q.vec_id < $NUM_QUERIES
          |    AND e.vec_id <> q.vec_id) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // Replays the hyperplane generation (n-th SplitMix64 draw is the
@@ -1039,6 +1090,7 @@ object Similarity {
     // fold order), then the same multi-probe bucket join + exact rerank.
     "similarity_ann_lsh" ->
       s"""WITH ${lshSigsCte(TABLES, BITS)},
+         |$nonZeroSql,
          |qs AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < $NUM_QUERIES),
          |qprobe AS (SELECT DISTINCT query_id, tbl, xor(sig, f)::INTEGER AS sig
          |  FROM qs, unnest([${(0 +: (0 until BITS).map(1 << _)).mkString(",")}]) AS t(f)),
@@ -1047,8 +1099,8 @@ object Similarity {
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
          |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.query_id
-         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
@@ -1061,6 +1113,7 @@ object Similarity {
     // sequential double fold as the Spark plan's imperative loops.
     "similarity_ivf" ->
       s"""WITH $ivfAssignSql,
+         |$nonZeroSql,
          |probe AS (SELECT vec_id AS query_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
@@ -1069,8 +1122,8 @@ object Similarity {
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
          |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.query_id
-         |  JOIN embeddings e ON e.vec_id = c.vec_id)
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t

@@ -360,7 +360,7 @@ object TextOps {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nd = load(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-    val artifact = f"tfidf_idf_${d.hashCode & 0x7fffffff}%08x"
+    val artifact = s"tfidf_idf_${dirKey(d)}"
     val idf = graft.matview.Materializer(s).create(artifact,
       dfreq.crossJoin(broadcast(nd))
         .select(col("w"), col("df"),
@@ -565,7 +565,7 @@ object TextOps {
     // overwrite the model under an earlier, not-yet-executed DataFrame
     // (the write runs eagerly at construction, like every Materializer
     // key; the scan-back is lazy).
-    val artifact = f"unigram_lp_${d.hashCode & 0x7fffffff}%08x"
+    val artifact = s"unigram_lp_${dirKey(d)}"
     val lp = graft.matview.Materializer(s).create(artifact,
       vocab.crossJoin(broadcast(tot))
         .select(col("w"), col("c"),
@@ -616,7 +616,7 @@ object TextOps {
     * shuffle) against a broadcast 1-row priors relation. */
   def textNbClassifier(s: SparkSession, d: String): DataFrame =
     nbClassifierOf(s, load(s, d, "documents"),
-      artifact = f"nb_model_${d.hashCode & 0x7fffffff}%08x")
+      artifact = s"nb_model_${dirKey(d)}")
 
   /** [[textNbClassifier]] over an explicit (doc_id, text, lang) frame —
     * the fixture-testable core (the span-coverage / line-dedup pattern):
@@ -751,7 +751,7 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).as("t_tokens"),
       count(lit(1)).as("v_size"))
-    val artifact = f"bigram_lp_${d.hashCode & 0x7fffffff}%08x"
+    val artifact = s"bigram_lp_${dirKey(d)}"
     val model = graft.matview.Materializer(s).create(artifact,
       bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
         .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
@@ -804,7 +804,7 @@ object TextOps {
     * except the (doc_id, w, tf) stream. */
   def corpusImportanceWeights(s: SparkSession, d: String): DataFrame =
     importanceWeightsOf(s, load(s, d, "documents"),
-      f"dsir_ld_${d.hashCode & 0x7fffffff}%08x")
+      s"dsir_ld_${dirKey(d)}")
 
   /** The scoring engine over any `(doc_id, lang, text)` relation — split
     * out so the spec can plant a two-domain corpus with a known sign
@@ -1297,7 +1297,7 @@ object TextOps {
       count(lit(1)).as("v_size"))
     // same materialized-model shape as textUnigramNll, distinct artifact
     // name (dataset-keyed; the NLL key's artifact may coexist)
-    val artifact = f"ppl_lp_${d.hashCode & 0x7fffffff}%08x"
+    val artifact = s"ppl_lp_${dirKey(d)}"
     val lp = graft.matview.Materializer(s).create(artifact,
       vocab.crossJoin(broadcast(tot))
         .select(col("w"), col("c"),

@@ -263,33 +263,38 @@ object Extras {
       .orderBy("o_orderstatus")
   }
 
-  /** Column profiler — the warehouse data-quality sweep: one scan
-    * computing per-column (rows, nulls, distincts, min/max rendered to
-    * string), melted to (column, metric, value) rows. Every profiled
-    * metric is a plain aggregate, so the whole profile is one pass with
-    * map-side partials. */
+  /** Column profiler — the warehouse data-quality sweep: per-column
+    * (rows, distincts, min/max rendered to string), melted to (column,
+    * metric, value) rows. One column-pruned pass PER COLUMN, each a
+    * map-side-combinable per-value rollup (groupBy value → count) whose
+    * |distinct|-sized result yields all four metrics in one tiny final
+    * aggregate. NOT five countDistinct in one agg: Spark plans multiple
+    * distinct aggregates over different expressions as an Expand that
+    * multiplies EVERY input row once per distinct group (×6 here)
+    * through the first exchange — the same Expand hazard that OOM'd the
+    * agg_hll_distinct sf100 probe. Per-column rollups shuffle only
+    * |distinct values| rows each, against 6N for the fused form. */
   def profileTable(s: SparkSession, d: String): DataFrame = {
     val o = load(s, d, "orders")
     // doubles render differently across engines; profile money through
     // the exact decimal so min/max strings match byte for byte
     def v(c: String) = if (c == "o_totalprice") dec(col(c)) else col(c)
-    def prof(c: String) = Seq(
-      (c, "count", count(col(c)).cast("string")),
-      (c, "n_distinct", countDistinct(col(c)).cast("string")),
-      (c, "min", min(v(c)).cast("string")),
-      (c, "max", max(v(c)).cast("string")))
-    val metrics = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate").flatMap(prof)
-    val aggd = o.agg(metrics.head._3.as("m0"),
-      metrics.tail.zipWithIndex.map { case ((_, _, e), i) =>
-        e.as(s"m${i + 1}") }: _*)
-    val rows = metrics.zipWithIndex.map { case ((c, m, _), i) =>
-      struct(lit(c).as("column_name"), lit(m).as("metric"),
-        col(s"m$i").as("value"))
+    val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate").map { c =>
+      o.select(v(c).as("v")).groupBy("v").agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("v").isNotNull, col("n")).otherwise(0L))
+            .cast("string").as("count"),
+          count(col("v")).cast("string").as("n_distinct"),
+          min(col("v")).cast("string").as("min"),
+          max(col("v")).cast("string").as("max"))
+        .select(explode(array(
+          Seq("count", "n_distinct", "min", "max").map(m =>
+            struct(lit(c).as("column_name"), lit(m).as("metric"),
+              col(m).as("value"))): _*)).as("r"))
+        .select(col("r.column_name"), col("r.metric"), col("r.value"))
     }
-    aggd.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.column_name"), col("r.metric"), col("r.value"))
-      .orderBy("column_name", "metric")
+    profiled.reduce(_.unionByName(_)).orderBy("column_name", "metric")
   }
 
   /** Equi-width histogram via width_bucket — 20 buckets over the price
@@ -1254,17 +1259,33 @@ object Extras {
     * the nested loop was actually eliminated from the physical plan. */
   def joinRangeAuto(s: SparkSession, d: String): DataFrame = {
     graft.plans.RangeJoinRule.ensureInstalled(s)
+    // Scoped + restored (the joinRangeDates discipline): an unrestored
+    // set() leaked binWidth=14 into the session, silently re-binning any
+    // LATER naive range join (the rule's default is 16). And the result
+    // is MATERIALIZED inside the scope — the returned frame is otherwise
+    // lazy and would re-plan under whatever width the session carries at
+    // write time, not the width this key reports on its flag column.
+    // The post-aggregation result is 60 rows, so the checkpoint is free.
+    val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
     s.conf.set("spark.graft.rangeJoin.binWidth", "14")
-    val naive = orderDays(s, d).join(promoWindows(s),
-      col("day") >= col("start_day") && col("day") < col("end_day"))
-    val plan = naive.queryExecution.executedPlan.toString
-    val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct")
-    naive.groupBy("promo_id")
-      .agg(count(lit(1)).as("n_orders"),
-        exactSum(col("o_totalprice")).as("revenue"))
-      .withColumn("rewrote_to_equi_join", lit(rewrote))
-      .orderBy("promo_id")
+    try {
+      val naive = orderDays(s, d).join(promoWindows(s),
+        col("day") >= col("start_day") && col("day") < col("end_day"))
+      val plan = naive.queryExecution.executedPlan.toString
+      val rewrote = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      naive.groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .withColumn("rewrote_to_equi_join", lit(rewrote))
+        .localCheckpoint()
+        .orderBy("promo_id")
+    } finally {
+      prev match {
+        case Some(w) => s.conf.set("spark.graft.rangeJoin.binWidth", w)
+        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
+    }
   }
 
   /** Grouped CMS composition — the property the one-pass [[CmsAgg]]
@@ -1511,14 +1532,16 @@ object Extras {
       // otherwise lazy, and Verify's later coalesce+write would re-plan
       // it AFTER the finally restored binWidth — silently optimizing a
       // different width than the auto path this key exists to exercise
-      // (and than the flag column reports). The 60-row result makes the
-      // scratch write free; the scan-back is conf-independent.
-      graft.matview.Materializer(s).create(
-        f"join_range_dates_${d.hashCode & 0x7fffffff}%08x",
-        naive.groupBy("promo_id")
-          .agg(count(lit(1)).as("n_orders"),
-            exactSum(col("o_totalprice")).as("revenue"))
-          .withColumn("rewrote_to_equi_join", lit(rewrote)))
+      // (and than the flag column reports). localCheckpoint, not a named
+      // scratch MV: the previous hashCode-keyed MV name could alias two
+      // datasets in one process (the 32-bit collision-clobber class fixed
+      // for the stream-dedup scratch), and the 60-row post-aggregation
+      // result needs no disk artifact at all.
+      naive.groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .withColumn("rewrote_to_equi_join", lit(rewrote))
+        .localCheckpoint()
         .orderBy("promo_id")
     } finally {
       prev match {
@@ -2683,6 +2706,11 @@ object Extras {
         |         WHERE o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+    // COALESCE around the one array_to_string whose list can be EMPTY
+    // (list_filter): duckdb 1.0.0 returns NULL for an empty list where
+    // Spark's array_join and newer duckdb return '' — the coalesce is a
+    // no-op on the newer engines and makes the oracle version-portable
+    // (it removed the one documented local-gate footnote)
     "fn_higher_order" ->
       """WITH g AS (SELECT l_orderkey,
         |  list(l_quantity::BIGINT ORDER BY l_quantity::BIGINT) AS qtys
@@ -2690,7 +2718,7 @@ object Extras {
         |SELECT l_orderkey,
         |array_to_string(list_transform(qtys, x -> x * 2), ',')
         |  AS doubled_csv,
-        |array_to_string(list_filter(qtys, x -> x > 25), ',')
+        |COALESCE(array_to_string(list_filter(qtys, x -> x > 25), ','), '')
         |  AS large_csv,
         |list_contains(qtys, 1) AS has_single,
         |list_reduce(qtys, (acc, x) -> acc + x)::BIGINT AS qty_sum,

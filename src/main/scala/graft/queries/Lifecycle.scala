@@ -22,7 +22,12 @@ object Lifecycle {
     * schema-checked read; returns the re-ingested relation. No header, no
     * inference — the schema is declared, as in the reference DDL. */
   def ingestTsv(s: SparkSession, d: String): DataFrame = {
-    val scratch = s"${Materializer.defaultScratch}/ingest_tsv"
+    // dataset-keyed scratch (the ingest_csv_quoted discipline, applied to
+    // every ingest artifact in r13): the text is written eagerly but read
+    // back LAZILY, so a fixed path would let a later call for a different
+    // dataset dir clobber the artifact under an earlier, not-yet-executed
+    // returned DataFrame
+    val scratch = s"${Materializer.defaultScratch}/ingest_tsv_${dirKey(d)}"
     load(s, d, "nation")
       .write.mode("overwrite").option("sep", "\t").csv(scratch)
     val schema = StructType(Seq(
@@ -41,7 +46,9 @@ object Lifecycle {
     * one with a string doc_id); the key reports parsed/corrupt counts and
     * an id checksum, all derivable by the oracle from the clean table. */
   def ingestJsonl(s: SparkSession, d: String): DataFrame = {
-    val scratch = s"${Materializer.defaultScratch}/ingest_jsonl"
+    // dataset-keyed scratch — see ingestTsv
+    val scratch =
+      s"${Materializer.defaultScratch}/ingest_jsonl_${dirKey(d)}"
     load(s, d, "documents").select("doc_id", "lang", "text")
       .write.mode("overwrite").json(scratch)
     java.nio.file.Files.write(
@@ -72,7 +79,8 @@ object Lifecycle {
     * the ORC sink/source preserved every value without the oracle ever
     * reading ORC. */
   def ingestOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val scratch = s"${Materializer.defaultScratch}/ingest_orc"
+    // dataset-keyed scratch — see ingestTsv
+    val scratch = s"${Materializer.defaultScratch}/ingest_orc_${dirKey(d)}"
     load(s, d, "documents")
       .write.mode("overwrite").orc(scratch)
     s.read.orc(scratch)
@@ -98,7 +106,7 @@ object Lifecycle {
     // let a later call for a different dataset dir clobber the artifact
     // under an earlier, not-yet-executed DataFrame
     val scratch =
-      f"${Materializer.defaultScratch}/ingest_csv_${d.hashCode & 0x7fffffff}%08x"
+      s"${Materializer.defaultScratch}/ingest_csv_${dirKey(d)}"
     load(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         concat(col("text"), lit(", \"q\" \\ |\n tail")).as("text"))
@@ -233,8 +241,11 @@ object Lifecycle {
     * fingerprints the source table — equality proves compaction is
     * content-preserving. */
   def maintenanceCompact(s: SparkSession, d: String): DataFrame = {
-    val frag = s"${Materializer.defaultScratch}/compact_fragmented"
-    val compacted = s"${Materializer.defaultScratch}/compact_out"
+    // dataset-keyed scratch — see ingestTsv (the returned aggregate reads
+    // compact_out lazily)
+    val frag =
+      s"${Materializer.defaultScratch}/compact_fragmented_${dirKey(d)}"
+    val compacted = s"${Materializer.defaultScratch}/compact_out_${dirKey(d)}"
     load(s, d, "documents").repartition(64)
       .write.mode("overwrite").parquet(frag)
     val before = s.read.parquet(frag)
@@ -265,7 +276,7 @@ object Lifecycle {
   def tableTimeTravel(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
-    val t = f"orders_tt_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"orders_tt_${dirKey(d)}"
     snap.drop(t) // re-runnable: every run starts from version 0
     val orders = load(s, d, "orders")
     val v0 = snap.commitAppend(t,
@@ -323,7 +334,7 @@ object Lifecycle {
     * autoBucketedScan=false while planning/executing. */
   private[graft] def bucketLookupRaw(s: SparkSession, d: String): DataFrame = {
     val m = Materializer(s)
-    val t = f"bkt_lookup_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"bkt_lookup_${dirKey(d)}"
     m.createBucketed(t,
       load(s, d, "orders").select(
         col("o_orderkey"), col("o_custkey"),
@@ -359,7 +370,10 @@ object Lifecycle {
     * file set is byte-identical before/after, the restated day's was
     * replaced. */
   def tablePartitionOverwrite(s: SparkSession, d: String): DataFrame = {
-    val scratch = s"${Materializer.defaultScratch}/events_by_day"
+    // dataset-keyed scratch — see ingestTsv (the returned aggregate reads
+    // the partitioned table lazily)
+    val scratch =
+      s"${Materializer.defaultScratch}/events_by_day_${dirKey(d)}"
     val restatedDay = "2024-01-15"
     val witnessDay = "2024-01-01"
     def withDay = load(s, d, "events")
@@ -438,7 +452,7 @@ object Lifecycle {
   def tableStatsPruning(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/zsnaps")
-    val t = f"events_zone_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"events_zone_${dirKey(d)}"
     snap.drop(t)
     val ev = load(s, d, "events")
     def ts(lit0: String) = tsLit(lit0)
@@ -482,7 +496,7 @@ object Lifecycle {
   def tablePointLookup(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/bsnaps")
-    val t = f"events_bloom_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"events_bloom_${dirKey(d)}"
     snap.drop(t)
     val ev = load(s, d, "events")
     (0 until 4).foreach { j =>
@@ -525,7 +539,7 @@ object Lifecycle {
   def tableAutoSkipping(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/asnaps")
-    val t = f"events_auto_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"events_auto_${dirKey(d)}"
     snap.drop(t)
     val ev = load(s, d, "events")
     def ts(x: String) = tsLit(x)
@@ -572,7 +586,7 @@ object Lifecycle {
   def tableNullSkipping(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/nsnaps")
-    val t = f"events_nulls_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"events_nulls_${dirKey(d)}"
     snap.drop(t)
     val ev = load(s, d, "events").withColumn("attr",
       when(pmod(col("user_id"), lit(3)) =!= 0, col("value")))
@@ -631,7 +645,7 @@ object Lifecycle {
   def tableCompactVersions(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/csnaps")
-    val t = f"events_compact_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"events_compact_${dirKey(d)}"
     snap.drop(t)
     val ev = load(s, d, "events")
     def ts(x: String) = tsLit(x)
@@ -692,7 +706,7 @@ object Lifecycle {
   def tableClusterPruning(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/clsnaps")
-    val t = f"orders_cluster_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"orders_cluster_${dirKey(d)}"
     snap.drop(t)
     val orders = load(s, d, "orders")
     (0 until 3).foreach { j =>
@@ -728,7 +742,7 @@ object Lifecycle {
   def tableVacuum(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
-    val t = f"orders_vac_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"orders_vac_${dirKey(d)}"
     snap.drop(t)
     val orders = load(s, d, "orders")
     snap.commitAppend(t,
@@ -758,7 +772,7 @@ object Lifecycle {
   def tableIncrementalRead(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
-    val t = f"orders_cdc_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"orders_cdc_${dirKey(d)}"
     snap.drop(t)
     val orders = load(s, d, "orders")
     val vs = (0 to 2).map(m => snap.commitAppend(t,
@@ -786,7 +800,7 @@ object Lifecycle {
   def tableSchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val snap = new graft.matview.Snapshots(
       s, s"${Materializer.defaultScratch}/snaps")
-    val t = f"orders_evo_${d.hashCode & 0x7fffffff}%08x"
+    val t = s"orders_evo_${dirKey(d)}"
     snap.drop(t) // re-runnable: every run starts from version 0
     val orders = load(s, d, "orders")
     val v0 = snap.commitAppend(t,
@@ -817,7 +831,8 @@ object Lifecycle {
     * column. The oracle reconstructs both batches from the source
     * table. */
   def ingestSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val root = s"${Materializer.defaultScratch}/evolve"
+    // dataset-keyed scratch — see ingestTsv
+    val root = s"${Materializer.defaultScratch}/evolve_${dirKey(d)}"
     val docs = load(s, d, "documents")
     docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/batch=1")

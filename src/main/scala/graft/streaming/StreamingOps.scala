@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables.{dec, exactSum}
+import graft.Tables.{dec, dirKey, exactSum}
 
 /** Structured Streaming surface: the same event-time operators as
   * [[graft.ext.EventOps]], expressed over an unbounded source. The
@@ -650,7 +650,7 @@ object StreamingOps {
     Files.createDirectories(staged)
     stageChunkFiles(spark, dir, staged)
     val snap = new graft.matview.Snapshots(spark, s"$scratch/isnaps")
-    val t = f"events_ingest_${dir.hashCode & 0x7fffffff}%08x"
+    val t = s"events_ingest_${dirKey(dir)}"
     snap.drop(t)
     val q = spark.readStream
       .schema(eventsRawSchema)
