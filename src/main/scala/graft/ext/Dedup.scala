@@ -1592,29 +1592,59 @@ object Dedup {
         |  AND abs(length(ka.t) - length(kb.t)) <= 4
         |  AND levenshtein(ka.t, kb.t) <= 4
         |ORDER BY a, b""".stripMargin,
-    // MinHash+LSH verifies exact Jaccard on its candidates; at the planted
-    // j>=0.9 pairs its recall is 1 - 6e-9, so the exact result is its oracle.
-    "dedup_minhash_lsh" -> exactJaccardSql,
+    // Banding-replay oracle (r12 VERDICT item 4): the full
+    // XXH64 -> MinHash -> band-key pipeline replayed in DuckDB
+    // (XxhashReplaySql), candidates from the SAME band-bucket join the
+    // engine runs, then exact Jaccard over the SAME hashed shingle sets.
+    // The previous exact-Jaccard oracle rode a deterministic 2.2e-4/pair
+    // miss chance for pairs in [0.8, 0.9) that the 16x4 banding can
+    // legitimately drop; this oracle predicts the engine's candidate set
+    // exactly, so the probabilistic pass-chance is gone.
+    "dedup_minhash_lsh" ->
+      s"""WITH ${XxhashReplaySql.minhashPipelineCtes(
+             NUM_HASHES, BANDS, ROWS_PER_BAND)},
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.bh = r.bh AND l.doc_id < r.doc_id),
+         |ixr AS (SELECT c.a AS ia, c.b AS ib, COUNT(*) AS ix
+         |  FROM cand c JOIN gsets ga ON ga.doc_id = c.a
+         |  JOIN gsets gb ON gb.doc_id = c.b AND gb.gh = ga.gh
+         |  GROUP BY 1, 2)
+         |SELECT c.a, c.b,
+         |  COALESCE(ix, 0) * 1.0 / (na.cnt + nb.cnt - COALESCE(ix, 0))
+         |    AS jaccard
+         |FROM cand c
+         |LEFT JOIN ixr ON ixr.ia = c.a AND ixr.ib = c.b
+         |JOIN gn na ON na.doc_id = c.a
+         |JOIN gn nb ON nb.doc_id = c.b
+         |WHERE COALESCE(ix, 0) * 1.0 / (na.cnt + nb.cnt - COALESCE(ix, 0))
+         |  >= $JACCARD_THRESHOLD
+         |ORDER BY a, b""".stripMargin,
 
     // the streaming ingestion filter drains to the batch cross-half
     // near-dup relation: odd (arriving) docs vs even (historical) docs,
-    // grouped per arriving doc — same gram/jaccard machinery as the
-    // exact-Jaccard oracle, restricted to the parity split
+    // grouped per arriving doc — and since r13 the candidates come from
+    // the SAME banding replay as dedup_minhash_lsh's oracle (restricted
+    // to the parity split), so the probabilistic banding-miss chance is
+    // gone here too
     "dedup_stream_minhash" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-        |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
-        |n AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
-        |inter AS (SELECT ga.doc_id AS sid, gh.doc_id AS hid, COUNT(*) AS ix
-        |          FROM g ga JOIN g gh ON ga.gram = gh.gram
-        |          WHERE ga.doc_id % 2 = 1 AND gh.doc_id % 2 = 0
-        |          GROUP BY 1, 2),
-        |j AS (SELECT sid, hid, ix * 1.0 / (ns.cnt + nh.cnt - ix) AS jaccard
-        |      FROM inter
-        |      JOIN n ns ON ns.doc_id = sid
-        |      JOIN n nh ON nh.doc_id = hid
-        |      WHERE ix * 1.0 / (ns.cnt + nh.cnt - ix) >= 0.8)
+      s"""WITH ${XxhashReplaySql.minhashPipelineCtes(
+             NUM_HASHES, BANDS, ROWS_PER_BAND)},
+        |cand AS (SELECT DISTINCT l.doc_id AS sid, r.doc_id AS hid
+        |  FROM bands l JOIN bands r ON l.bh = r.bh
+        |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+        |ixr AS (SELECT c.sid AS isid, c.hid AS ihid, COUNT(*) AS ix
+        |  FROM cand c JOIN gsets ga ON ga.doc_id = c.sid
+        |  JOIN gsets gb ON gb.doc_id = c.hid AND gb.gh = ga.gh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT c.sid, c.hid,
+        |    COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
+        |      AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN ixr ON ixr.isid = c.sid AND ixr.ihid = c.hid
+        |  JOIN gn ns ON ns.doc_id = c.sid
+        |  JOIN gn nh ON nh.doc_id = c.hid
+        |  WHERE COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
+        |    >= 0.8)
         |SELECT sid AS doc_id, COUNT(*) AS n_hist_dups,
         |       MAX(jaccard) AS max_jaccard
         |FROM j GROUP BY sid ORDER BY doc_id""".stripMargin,

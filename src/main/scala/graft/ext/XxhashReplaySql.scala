@@ -1,0 +1,208 @@
+package graft.ext
+
+/** DuckDB SQL generators replaying Spark's XXH64 (the `xxhash64`
+  * expression family: seed-chained over arguments, seed 42) and the
+  * engine's MinHash+LSH banding bit-exactly — the banding-replay oracle
+  * the r12 VERDICT asked for (item 4): the MinHash LSH keys used an
+  * exact-Jaccard oracle, which rides a deterministic 2.2e-4/pair miss
+  * chance for pairs in [0.8, 0.9) that the 16x4 banding can drop. With
+  * the banding replayed, the oracle predicts the engine's exact candidate
+  * set and the probabilistic pass-chance is gone (the
+  * dedup_embedding_cosine pattern, applied to the hash family that
+  * needed a full XXH64 replay).
+  *
+  * Arithmetic style: all 64-bit state is UBIGINT; wrap-around multiplies
+  * use the established 32-bit-limb HUGEINT trick (the SplitMix64 chains'
+  * pattern); rotations split into a HUGEINT shift mod 2^64 plus the
+  * spilled high bits. Every hash step is its OWN CTE stage — DuckDB
+  * binds lateral aliases by substitution, so chaining stages inside one
+  * SELECT overflows the binder's recursion depth (measured), and textual
+  * helper nesting explodes exponentially (a 3-deep hashLong chain
+  * measured 2.5 GB of SQL); the staged-CTE form is ~50 KB total.
+  *
+  * Scope: word hashes implement XXH64 for inputs < 32 bytes over ASCII
+  * text (the fixture corpus is printable ASCII; `ascii()` reads code
+  * points, which equal bytes only there) — the 4-lane stripe path for
+  * >= 32-byte WORDS is deliberately absent and such a word would
+  * hash-fail the gate loudly, not silently.
+  *
+  * Validated end-to-end against pyspark's xxhash64 (word/long/int/chain
+  * test vectors), the engine's gram relation, band keys, and the full
+  * dedup_minhash_lsh output at sf0.01 (25 rows, bit-equal jaccards).
+  */
+private[ext] object XxhashReplaySql {
+
+  private val M64 = "18446744073709551616"
+  private val P1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val P2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val P3 = "1609587929392839161"  // 0x165667B19E3779F9
+  private val P4 = "9650029242287828579"  // 0x85EBCA77C2B2AE63
+  private val P5 = "2870177450012600261"  // 0x27D4EB2F165667C5
+  private val GOLDEN = "11400714819323198485" // 0x9E3779B97F4A7C15
+
+  /** (a * c) mod 2^64 — a: UBIGINT expr, c: unsigned-64 constant. */
+  private def xmul(a: String, c: String): String =
+    s"CAST((((($a) % 4294967296)::HUGEINT * $c) + " +
+      s"((((($a) >> 32)::HUGEINT * $c) % 4294967296) << 32)) " +
+      s"% $M64 AS UBIGINT)"
+
+  private def rotl(a: String, r: Int): String =
+    s"CAST(((($a)::HUGEINT << $r) % $M64 + (($a) >> ${64 - r})) AS UBIGINT)"
+
+  private def add64(a: String, b: String): String =
+    s"CAST(((($a)::HUGEINT + ($b)) % $M64) AS UBIGINT)"
+
+  private def xor(a: String, b: String): String = s"xor($a, $b)"
+
+  /** CTE-staged hash pipeline: each appended stage is one CTE selecting
+    * the carried columns plus one new column from the previous stage. */
+  private final class Chain(name: String, baseSql: String,
+      private var carried: String) {
+    private var n = 0
+    private val ctes = scala.collection.mutable.ArrayBuffer(
+      s"${name}_0 AS ($baseSql)")
+
+    def stage(expr: String, out: String): this.type = {
+      val prev = s"${name}_$n"
+      n += 1
+      ctes += s"${name}_$n AS (SELECT $carried, $expr AS $out FROM $prev)"
+      carried = s"$carried, $out"
+      this
+    }
+
+    /** XXH64 finalizer (fmix). */
+    def fmix(h: String, out: String): this.type =
+      stage(xmul(xor(h, s"$h >> 33"), P2), s"${out}_f1")
+        .stage(xmul(xor(s"${out}_f1", s"${out}_f1 >> 29"), P3), s"${out}_f2")
+        .stage(xor(s"${out}_f2", s"${out}_f2 >> 32"), out)
+
+    /** XXH64.hashLong(v, seed) — one 8-byte block + fmix. */
+    def hashLong(v: String, seed: String, out: String): this.type =
+      stage(xmul(rotl(xmul(v, P2), 31), P1), s"${out}_k")
+        .stage(xor(add64(seed, s"$P5::HUGEINT + 8"), s"${out}_k"),
+          s"${out}_h1")
+        .stage(add64(xmul(rotl(s"${out}_h1", 27), P1), P4), s"${out}_h2")
+        .fmix(s"${out}_h2", out)
+
+    /** XXH64.hashInt(v, seed) — one 4-byte block + fmix (Spark hashes an
+      * IntegerType argument through this path). */
+    def hashInt(v: String, seed: String, out: String): this.type =
+      stage(xor(add64(seed, s"$P5::HUGEINT + 4"),
+          xmul(s"($v)::UBIGINT", P1)), s"${out}_h1")
+        .stage(add64(xmul(rotl(s"${out}_h1", 23), P2), P3), s"${out}_h2")
+        .fmix(s"${out}_h2", out)
+
+    def sql: String = ctes.mkString(",\n")
+    def last: String = s"${name}_$n"
+  }
+
+  /** Little-endian UBIGINT from `n` bytes of the `bts` byte list starting
+    * at 1-based index expr `base`. */
+  private def le(n: Int, base: String): String =
+    (0 until n).map(j => s"(bts[$base + $j]::UBIGINT << ${8 * j})")
+      .mkString("(", " + ", ")")
+
+  /** CTEs `wst_* , wh(w, h)`: XXH64(word bytes, seed 42) per DISTINCT
+    * word of `documents.text` split on single spaces (empty tokens
+    * included — Spark split semantics). Words < 32 bytes: up to three
+    * 8-byte blocks, one conditional 4-byte block, up to three tail
+    * bytes, each a conditional stage. */
+  private def wordHashCtes: String = {
+    def chunk8(h: String, base: String): String = {
+      val k = xmul(rotl(xmul(le(8, base), P2), 31), P1)
+      add64(xmul(rotl(xor(h, k), 27), P1), P4)
+    }
+    val s4 = add64(xmul(rotl(xor("h3",
+      xmul(le(4, "(L // 8) * 8 + 1"), P1)), 23), P2), P3)
+    def s1(h: String, idx: Int): String =
+      xmul(rotl(xor(h, xmul(s"bts[L - L % 4 + $idx]::UBIGINT", P5)), 11), P1)
+    val c = new Chain("wst",
+      """SELECT w, length(w) AS L,
+        |      list_transform(range(1, length(w) + 1), i -> ascii(w[i])) AS bts
+        |      FROM (SELECT DISTINCT w FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS w FROM documents))"""
+        .stripMargin,
+      "w, L, bts")
+    c.stage(s"CAST((42::HUGEINT + $P5 + L) % $M64 AS UBIGINT)", "h0")
+    c.stage(s"CASE WHEN L >= 8 THEN ${chunk8("h0", "1")} ELSE h0 END", "h1")
+    c.stage(s"CASE WHEN L >= 16 THEN ${chunk8("h1", "9")} ELSE h1 END", "h2")
+    c.stage(s"CASE WHEN L >= 24 THEN ${chunk8("h2", "17")} ELSE h2 END", "h3")
+    c.stage(s"CASE WHEN L % 8 >= 4 THEN $s4 ELSE h3 END", "h4")
+    c.stage(s"CASE WHEN L % 4 >= 1 THEN ${s1("h4", 1)} ELSE h4 END", "h5")
+    c.stage(s"CASE WHEN L % 4 >= 2 THEN ${s1("h5", 2)} ELSE h5 END", "h6")
+    c.stage(s"CASE WHEN L % 4 >= 3 THEN ${s1("h6", 3)} ELSE h6 END", "h7")
+    c.fmix("h7", "h")
+    c.sql + s",\nwh AS (SELECT w, h FROM ${c.last})"
+  }
+
+  /** CTEs `grm_* , gram(doc_id, gh)`: the WordGramHashes 3-gram window —
+    * xxhash64(wh_i, wh_{i+1}, wh_{i+2}) seed-chained from 42 over
+    * per-position word hashes. */
+  private def gramCtes: String = {
+    val c = new Chain("grm",
+      """SELECT a.doc_id, a.i, a.h AS ah_, b.h AS bh_, c.h AS ch_
+        |      FROM dwh a JOIN dwh b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |      JOIN dwh c ON c.doc_id = a.doc_id AND c.i = a.i + 2"""
+        .stripMargin,
+      "doc_id, i, ah_, bh_, ch_")
+    c.hashLong("ah_", "42::UBIGINT", "gh1")
+    c.hashLong("bh_", "gh1", "gh2")
+    c.hashLong("ch_", "gh2", "gh")
+    c.sql + s",\ngram AS (SELECT doc_id, gh FROM ${c.last})"
+  }
+
+  /** CTEs `mh_* , lanes, sigl, bk_* , bands(doc_id, bh)`: the MinHashAgg
+    * lane family m_i = SplitMix64(gh XOR GOLDEN*i) minimized per
+    * (doc, lane), then the engine's band keys
+    * xxhash64(sig[4b+1..4b+4], b::INT) per 16 bands. */
+  private def minhashBandCtes(numHashes: Int, bands: Int,
+      rowsPerBand: Int): String = {
+    val mix = new Chain("mh",
+      s"""SELECT g.doc_id, t.i,
+         |        xor(g.gh, CAST(($GOLDEN::HUGEINT * t.i) % $M64 AS UBIGINT)) AS z0
+         |      FROM gram g CROSS JOIN range($numHashes) t(i)""".stripMargin,
+      "doc_id, i")
+    mix.stage(xmul(xor("z0", "z0 >> 30"), "13787848793156543929"), "z1")
+    mix.stage(xmul(xor("z1", "z1 >> 27"), "10723151780598845931"), "z2")
+    mix.stage(xor("z2", "z2 >> 31"), "m")
+    val bc = new Chain("bk",
+      s"""SELECT doc_id, t.b,
+         |        sig[$rowsPerBand*t.b + 1] AS e1, sig[$rowsPerBand*t.b + 2] AS e2,
+         |        sig[$rowsPerBand*t.b + 3] AS e3, sig[$rowsPerBand*t.b + 4] AS e4
+         |      FROM sigl CROSS JOIN range($bands) t(b)""".stripMargin,
+      "doc_id, b, e1, e2, e3, e4")
+    require(rowsPerBand == 4, "band-key CTE is written for 4 rows/band")
+    bc.hashLong("e1", "42::UBIGINT", "b1")
+    bc.hashLong("e2", "b1", "b2")
+    bc.hashLong("e3", "b2", "b3")
+    bc.hashLong("e4", "b3", "b4")
+    bc.hashInt("b::INT", "b4", "bh")
+    mix.sql +
+      s""",
+         |lanes AS (SELECT doc_id, i, MIN(m) AS s FROM ${mix.last}
+         |  GROUP BY 1, 2),
+         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM lanes
+         |  GROUP BY 1),
+         |""".stripMargin + bc.sql +
+      s",\nbands AS (SELECT doc_id, bh FROM ${bc.last})"
+  }
+
+  /** The shared prefix for both MinHash LSH oracles: word hashes, the
+    * per-position word relation, gram hashes, minhash signatures, band
+    * keys, and the hashed shingle sets the verification uses (the SAME
+    * sets the engine intersects, so the jaccard doubles are identical). */
+  def minhashPipelineCtes(numHashes: Int, bands: Int,
+      rowsPerBand: Int): String =
+    wordHashCtes +
+      """,
+        |docw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dwh AS (SELECT d.doc_id, t.i, wh.h
+        |  FROM docw d, unnest(range(1, len(d.ws) + 1)) AS t(i)
+        |  JOIN wh ON wh.w = d.ws[t.i]),
+        |""".stripMargin + gramCtes + ",\n" +
+      minhashBandCtes(numHashes, bands, rowsPerBand) +
+      """,
+        |gsets AS (SELECT DISTINCT doc_id, gh FROM gram),
+        |gn AS (SELECT doc_id, COUNT(*) AS cnt FROM gsets GROUP BY 1)"""
+        .stripMargin
+}
