@@ -196,15 +196,51 @@ class Snapshots(spark: SparkSession, root: String) {
     val absorbed = readManifest(t, latest(t))
       .flatMap(Snapshots.dirTxns).distinct
     val cur = readLatest(t)
-    val bounds = cur.stat.approxQuantile(clusterCol,
-      (1 until shards).map(_.toDouble / shards).toArray, 0.01)
-    // approxQuantile returns an EMPTY array when the column has no
-    // non-null/non-NaN values (empty table, all-null cluster column) — a
+    import org.apache.spark.sql.functions.{broadcast, col => fcol, count,
+      lit, min => sqlMin}
+    val isString = cur.schema(clusterCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    // Boundary values. Numeric columns: approxQuantile (balance only, as
+    // documented below). STRING columns (CLUSTER BY a categorical/id
+    // column — approxQuantile cannot serve them): EXACT quantile
+    // boundaries from a per-value rollup + the shared two-phase range
+    // scan (graft.operators.Ranks — |distinct values| rows, no global
+    // window), collecting only the shards-1 boundary strings. String
+    // shards then compare in Spark's UTF8 binary order — the same
+    // code-point order the zone stats' cmp("string") family uses, so a
+    // range probe over the clustered layout prunes correctly even
+    // across the astral plane (where UTF-16 code-unit order diverges).
+    val bounds: Array[Any] =
+      if (isString) {
+        val counts = cur.filter(fcol(clusterCol).isNotNull)
+          .groupBy(fcol(clusterCol).as("v")).agg(count(lit(1)).as("c"))
+        val cum = graft.operators.Ranks.runningSumByRange(
+          counts, 32, Seq(fcol("v")), fcol("c"), "cum")
+        val n = counts.agg(
+          org.apache.spark.sql.functions.sum(fcol("c"))).collect()
+          .head.getLong(0)
+        import cur.sparkSession.implicits._
+        val targetsDf = broadcast((1 until shards)
+          .map(k => math.ceil(k.toDouble * n / shards).toLong).toDF("r"))
+        cum.join(targetsDf, fcol("cum") >= fcol("r"))
+          .groupBy("r").agg(sqlMin(fcol("v")).as("bv"))
+          .orderBy("r").collect().map(_.getAs[Any]("bv"))
+      } else {
+        cur.stat.approxQuantile(clusterCol,
+          (1 until shards).map(_.toDouble / shards).toArray, 0.01)
+          .map(_.asInstanceOf[Any])
+      }
+    // EMPTY bounds when the column has no non-null (and, numeric, no
+    // non-NaN) values (empty table, all-null cluster column) — a
     // multi-shard layout is meaningless there, so degrade to a
     // single-shard compact (which the NULLs-ride-in-shard-0 rule makes
-    // lossless) instead of indexing past the end of bounds
+    // lossless) instead of indexing past the end of bounds. Duplicate
+    // boundary values (a dominant string) can also shrink the distinct
+    // boundary count; shard emptiness is harmless (balance only).
     val effShards = if (bounds.length == shards - 1) shards else 1
-    val c = org.apache.spark.sql.functions.col(clusterCol).cast("double")
+    val c =
+      if (isString) org.apache.spark.sql.functions.col(clusterCol)
+      else org.apache.spark.sql.functions.col(clusterCol).cast("double")
     val v = latest(t) + 1
     val dirs = (0 until effShards).map { i =>
       // each row lands in exactly one shard: [b(i-1), b(i)) with open

@@ -329,4 +329,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ArrayTransform") && !p.contains("lambdafunction"),
       s"interpreted higher-order function in the shingle stream:\n$p")
   }
+
+  test("profile_table never plans an Expand: per-column rollups, not " +
+      "fused multi-column countDistinct (r13 review fix)") {
+    // multiple distinct aggregates over different expressions plan as an
+    // Expand that multiplies EVERY input row once per distinct group —
+    // the hazard class that OOM'd the agg_hll_distinct sf100 probe
+    val p = plan(graft.queries.Extras.profileTable(spark, SF))
+    assert(!p.contains("Expand"), s"Expand in the profile plan:\n$p")
+  }
+
+  test("join_range_auto restores the session binWidth and materializes " +
+      "inside its conf scope (r13 review fix)") {
+    val key = "spark.graft.rangeJoin.binWidth"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "auto")
+      graft.queries.Extras.joinRangeAuto(spark, SF).collect()
+      assert(spark.conf.get(key) == "auto",
+        "join_range_auto leaked its binWidth override into the session")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

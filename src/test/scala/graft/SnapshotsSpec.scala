@@ -343,6 +343,49 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.readLatest(t).filter(col("v").isNull).count() == 20)
   }
 
+  test("compactClustered on a STRING column: exact-quantile shards in " +
+      "code-point order, astral-plane bounds prune correctly, no row lost") {
+    // the r12 collation fix under the LAYOUT path (r12 VERDICT item 9):
+    // zone stats order strings by UTF-8 bytes = code points, where
+    // UTF-16 code-unit order diverges after U+FFFF — U+1F600 (an astral
+    // emoji) sorts ABOVE U+FFFD in code points but BELOW it in code
+    // units. The clustered shards and the range probe must agree on the
+    // code-point order end to end.
+    import spark.implicits._
+    val snap = new Snapshots(spark, root)
+    val t = "spec_cluster_str"
+    snap.drop(t)
+    val astral = new String(Character.toChars(0x1F600)) // U+1F600
+    val fffd = "\uFFFD"
+    val vals = Seq("alpha", "bravo", "mike", "zulu", fffd, astral)
+    snap.commitAppendStats(t,
+      (0 until 120).map(i => (i.toLong, vals(i % vals.length) + (i % 10)))
+        .toDF("id", "name"), Seq("name"))
+    val n0 = snap.readLatest(t).count()
+    val v = snap.compactClustered(t, "name", 3, Seq("name"))
+    assert(snap.manifestDirs(t, v) == 3)
+    assert(snap.readLatest(t).count() == n0)
+    // shard spans are disjoint and ordered under the STRING cmp family
+    val zs = snap.versionDirs(t, v).map(dir => Snapshots.dirStats(dir)("name"))
+    assert(zs.forall(_.rows > 0))
+    zs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Snapshots.cmp("string", a.mx, b.mn) < 0)
+    }
+    // the astral strings must live in the LAST shard (code-point order:
+    // U+1F600 > U+FFFD > "zulu"); a code-unit layout would misplace them
+    assert(Snapshots.cmp("string", zs.last.mx, fffd) > 0,
+      "astral-plane strings not in the top shard")
+    // range probe across the astral boundary: prunes, loses nothing
+    val pr = snap.readPruned(t, v, "name", fffd, zs.last.mx)
+    assert(pr.dirsRead < pr.dirsTotal && pr.dirsTotal == 3)
+    val expected = snap.readLatest(t)
+      .filter(col("name") >= fffd && col("name") <= zs.last.mx).count()
+    assert(pr.df.filter(
+      col("name") >= fffd && col("name") <= zs.last.mx).count()
+      == expected)
+    assert(expected > 0)
+  }
+
   test("compactClustered carries absorbed txn ids: a micro-batch replayed " +
       "AFTER clustering is still a no-op") {
     import spark.implicits._
