@@ -517,7 +517,12 @@ object EventOps {
         (col("n_hours") * col("ssq") - col("s") * col("s")).cast("double") /
           (col("n_hours") * (col("n_hours") - lit(1L))).cast("double"))
       .withColumn("z",
-        when(col("variance") > 0.0,
+        // n_hours > 1 guards the n=1 sample variance, which is 0/0 =
+        // NaN — and NaN > 0.0 is TRUE under BOTH engines' NaN-greatest
+        // orderings, so without the guard both sides emit a NaN z that
+        // hash-compares unequal (r13 review finding). A single-hour
+        // type has no variance evidence: z = 0, not-anomalous, defined.
+        when(col("n_hours") > 1 && col("variance") > 0.0,
           round((col("n").cast("double") - col("mean")) /
             sqrt(col("variance")), 6))
           .otherwise(lit(0.0)))
@@ -954,14 +959,14 @@ object EventOps {
         |st AS (SELECT event_type, count(*)::BIGINT AS n_hours,
         |    sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS ssq
         |  FROM hourly GROUP BY 1),
-        |j AS (SELECT h.event_type, h.hour_start, h.n,
+        |j AS (SELECT h.event_type, h.hour_start, h.n, n_hours,
         |    s::DOUBLE / n_hours::DOUBLE AS mean,
         |    (n_hours * ssq - s * s)::DOUBLE /
         |      (n_hours * (n_hours - 1))::DOUBLE AS variance
         |  FROM hourly h JOIN st USING (event_type)),
         |z AS (SELECT event_type, hour_start, n,
         |    round(mean, 6) AS mean_hourly,
-        |    CASE WHEN variance > 0.0
+        |    CASE WHEN n_hours > 1 AND variance > 0.0
         |         THEN round((n::DOUBLE - mean) / sqrt(variance), 6)
         |         ELSE 0.0 END AS z
         |  FROM j)
