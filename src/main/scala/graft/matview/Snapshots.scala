@@ -214,17 +214,25 @@ class Snapshots(spark: SparkSession, root: String) {
       if (isString) {
         val counts = cur.filter(fcol(clusterCol).isNotNull)
           .groupBy(fcol(clusterCol).as("v")).agg(count(lit(1)).as("c"))
-        val cum = graft.operators.Ranks.runningSumByRange(
-          counts, 32, Seq(fcol("v")), fcol("c"), "cum")
-        val n = counts.agg(
-          org.apache.spark.sql.functions.sum(fcol("c"))).collect()
-          .head.getLong(0)
-        import cur.sparkSession.implicits._
-        val targetsDf = broadcast((1 until shards)
-          .map(k => math.ceil(k.toDouble * n / shards).toLong).toDF("r"))
-        cum.join(targetsDf, fcol("cum") >= fcol("r"))
-          .groupBy("r").agg(sqlMin(fcol("v")).as("bv"))
-          .orderBy("r").collect().map(_.getAs[Any]("bv"))
+        // sum over an EMPTY rollup is NULL — read defensively so an
+        // empty/all-null table degrades to the single-shard compact
+        // below (empty bounds) instead of NPE-ing here (the same
+        // failure class the numeric path's empty-approxQuantile guard
+        // exists for)
+        val nRow = counts.agg(
+          org.apache.spark.sql.functions.sum(fcol("c"))).collect().head
+        val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+        if (n == 0L) Array.empty[Any]
+        else {
+          val cum = graft.operators.Ranks.runningSumByRange(
+            counts, 32, Seq(fcol("v")), fcol("c"), "cum")
+          import cur.sparkSession.implicits._
+          val targetsDf = broadcast((1 until shards)
+            .map(k => math.ceil(k.toDouble * n / shards).toLong).toDF("r"))
+          cum.join(targetsDf, fcol("cum") >= fcol("r"))
+            .groupBy("r").agg(sqlMin(fcol("v")).as("bv"))
+            .orderBy("r").collect().map(_.getAs[Any]("bv"))
+        }
       } else {
         cur.stat.approxQuantile(clusterCol,
           (1 until shards).map(_.toDouble / shards).toArray, 0.01)

@@ -283,8 +283,10 @@ object Extras {
       "o_totalprice", "o_orderdate").map { c =>
       o.select(v(c).as("v")).groupBy("v").agg(count(lit(1)).as("n"))
         .agg(
-          sum(when(col("v").isNotNull, col("n")).otherwise(0L))
-            .cast("string").as("count"),
+          // coalesce: sum over an EMPTY rollup is NULL, but COUNT(c)
+          // over an empty table is 0 — the string must say so
+          coalesce(sum(when(col("v").isNotNull, col("n")).otherwise(0L)),
+            lit(0L)).cast("string").as("count"),
           count(col("v")).cast("string").as("n_distinct"),
           min(col("v")).cast("string").as("min"),
           max(col("v")).cast("string").as("max"))

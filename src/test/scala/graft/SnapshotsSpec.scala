@@ -341,6 +341,17 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(snap.manifestDirs(t, v) == 1)
     assert(snap.readLatest(t).count() == 20)
     assert(snap.readLatest(t).filter(col("v").isNull).count() == 20)
+    // same degrade for an all-null STRING cluster column (the string
+    // path derives its boundary count from a rollup whose empty sum is
+    // NULL — must fall back, never NPE)
+    val t2 = "spec_cluster_allnull_str"
+    snap.drop(t2)
+    snap.commitAppendStats(t2,
+      (0L until 20L).map(i => (i, None: Option[String])).toDF("id", "name"),
+      Seq("id"))
+    val v2 = snap.compactClustered(t2, "name", 3, Seq("id"))
+    assert(snap.manifestDirs(t2, v2) == 1)
+    assert(snap.readLatest(t2).count() == 20)
   }
 
   test("compactClustered on a STRING column: exact-quantile shards in " +
