@@ -47,6 +47,55 @@ object Bench {
     if (!bracketHot((pre, post), memExpected) || rerunBest < origBest) "rerun"
     else "orig"
 
+  /** One adjudicated re-run record (see [[rerunFlagged]]). */
+  final case class Rerun(key: String, origBest: Double, rerunBest: Double,
+      pre: Double, post: Double, used: String)
+
+  /** Bracket self-adjudication (r12 VERDICT item 1), the whole selection
+    * + probe + replacement pass — object-level so a spec can drive it
+    * with synthetic probe/canary functions (a quiet box never exercises
+    * the path in a real run). Any key whose mem-canary bracket read >2x
+    * the quiet floor is re-probed ONCE via `probe(tier.rerun, key)`
+    * bracketed by `canary()` readings; [[rerunChoice]] picks the
+    * reported samples. The ORIGINAL brackets stay on record (they
+    * describe box state and feed bracket_contended); the returned
+    * [[Rerun]] rows carry the adjudication. */
+  def rerunFlagged(tier: String,
+      probed: Seq[(String, Seq[Double])],
+      brackets: Seq[(String, (Double, Double))],
+      memExpected: Double, baselinesOn: Boolean,
+      probe: (String, String) => Seq[Double],
+      canary: () => Double,
+      quiesce: () => Unit = () => ()): (Seq[(String, Seq[Double])], Seq[Rerun]) = {
+    val bmap = brackets.toMap
+    val flagged = if (!baselinesOn) Nil else probed.map(_._1).filter(k =>
+      bmap.get(k).exists(bracketHot(_, memExpected)))
+    if (flagged.isEmpty) (probed, Nil)
+    else {
+      val redone = flagged.map { k =>
+        // quiesce ONLY before the pre-canary (the tier discipline: the
+        // probe's own isolate quiesces again; the post-canary reads the
+        // post-key machine state un-scrubbed, like tier boundaries)
+        quiesce()
+        val pre = canary()
+        val s = probe(s"$tier.rerun", k)
+        val post = canary()
+        k -> (s, pre, post)
+      }.toMap
+      val reruns = scala.collection.mutable.ArrayBuffer[Rerun]()
+      val adjudicated = probed.map { case (k, s) =>
+        redone.get(k) match {
+          case Some((s2, pre, post)) =>
+            val used = rerunChoice(s.min, s2.min, pre, post, memExpected)
+            reruns += Rerun(k, s.min, s2.min, pre, post, used)
+            k -> (if (used == "rerun") s2 else s)
+          case None => k -> s
+        }
+      }
+      (adjudicated, reruns.toSeq)
+    }
+  }
+
   /** Headline subset: one per operator family, weighted toward the
     * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
   val headline: Seq[String] = Seq(
@@ -395,42 +444,18 @@ object Bench {
     // rounds of >2x driver readings lacked — r12's join_natural_5way
     // 3.51x and agg_sum_group3 3.33x were exonerated only by off-record
     // quiet runs); a hot re-run bracket condemns the box twice and the
-    // better of the two readings is kept, explicitly marked. The
-    // ORIGINAL brackets stay on record (they describe box state and feed
-    // bracket_contended); the reruns block carries the adjudication.
-    case class Rerun(key: String, origBest: Double, rerunBest: Double,
-        pre: Double, post: Double, used: String)
-    def rerunFlagged(tier: String, dir: String,
+    // better of the two readings is kept, explicitly marked. The whole
+    // pass is Bench.rerunFlagged (object-level, spec-driven with
+    // synthetic probes — a quiet box never fires it in a real run); the
+    // quiesce() before each re-run's pre-canary mirrors the tiers'
+    // isolation discipline.
+    def rerunFlagged(tier: String,
         probed: Seq[(String, Seq[Double])],
         brackets: Seq[(String, (Double, Double))],
         probe: (String, String) => Seq[Double],
-        canarySec: () => Double): (Seq[(String, Seq[Double])], Seq[Rerun]) = {
-      val bmap = brackets.toMap
-      val flagged = if (!baselinesOn) Nil else probed.map(_._1).filter(k =>
-        bmap.get(k).exists(Bench.bracketHot(_, memExpected)))
-      if (flagged.isEmpty) (probed, Nil)
-      else {
-        val redone = flagged.map { k =>
-          quiesce()
-          val pre = canarySec()
-          val s = probe(s"$tier.rerun", k)
-          val post = canarySec()
-          k -> (s, pre, post)
-        }.toMap
-        val reruns = scala.collection.mutable.ArrayBuffer[Rerun]()
-        val adjudicated = probed.map { case (k, s) =>
-          redone.get(k) match {
-            case Some((s2, pre, post)) =>
-              val used = Bench.rerunChoice(s.min, s2.min, pre, post,
-                memExpected)
-              reruns += Rerun(k, s.min, s2.min, pre, post, used)
-              k -> (if (used == "rerun") s2 else s)
-            case None => k -> s
-          }
-        }
-        (adjudicated, reruns.toSeq)
-      }
-    }
+        canarySec: () => Double): (Seq[(String, Seq[Double])], Seq[Bench.Rerun]) =
+      Bench.rerunFlagged(tier, probed, brackets, memExpected, baselinesOn,
+        probe, canarySec, () => quiesce())
 
     // n=3 best-of: two reps can't tell a 10% regression from noise
     val REPS = 3
@@ -518,7 +543,7 @@ object Bench {
             (k, (bounds(i), bounds(i + 1)))
           }
       // self-adjudication: hot-bracketed keys get one in-record re-run
-      val (adjudicated, reruns) = rerunFlagged("sf1", dir, tri ++ probed,
+      val (adjudicated, reruns) = rerunFlagged("sf1", tri ++ probed,
         brackets,
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
         () => memCanarySec())
@@ -589,7 +614,7 @@ object Bench {
         k -> (bounds(i), bounds(i + 1))
       }
       // self-adjudication: hot-bracketed keys get one in-record re-run
-      val (adjudicated, reruns) = rerunFlagged("sf10", dir, probed, brackets,
+      val (adjudicated, reruns) = rerunFlagged("sf10", probed, brackets,
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
         () => memCanarySec())
       (genSec, adjudicated, brackets, reruns)

@@ -30,6 +30,47 @@ class BenchFlagsSpec extends AnyFunSuite {
       Seq("d" -> ((1.1, 99.0))), 1.2, baselinesOn = false))
   }
 
+  test("rerunFlagged end to end: selects exactly the hot-bracketed keys, " +
+      "probes each once, replaces readings per the adjudication kernel") {
+    val floor = 1.2
+    val probed = Seq(
+      "quiet_key" -> Seq(3.0, 3.1),   // clean bracket: untouched
+      "hot_fast"  -> Seq(18.0, 17.98), // hot bracket; clean re-run wins
+      "hot_slow"  -> Seq(9.0, 9.2))    // hot bracket; hot re-run, orig better
+    val brackets = Seq(
+      "quiet_key" -> ((1.1, 1.2)),
+      "hot_fast"  -> ((1.2, 4.9)),
+      "hot_slow"  -> ((12.7, 1.2)))
+    var probes = List.empty[(String, String)]
+    var quiesces = 0
+    // canary schedule: hot_fast re-runs under a CLEAN bracket (1.1, 1.2);
+    // hot_slow under a HOT one (1.1, 4.0) with a slower reading
+    val canaries = Iterator(1.1, 1.2, 1.1, 4.0)
+    val rerunSamples = Map(
+      "hot_fast" -> Seq(5.2, 5.12), "hot_slow" -> Seq(17.98, 18.5))
+    val (adj, reruns) = Bench.rerunFlagged("sf10", probed, brackets,
+      memExpected = floor, baselinesOn = true,
+      probe = (t, k) => { probes ::= (t, k); rerunSamples(k) },
+      canary = () => canaries.next(),
+      quiesce = () => quiesces += 1)
+    // exactly the two hot keys probed, once each, under the rerun label
+    assert(probes.reverse == List(("sf10.rerun", "hot_fast"),
+      ("sf10.rerun", "hot_slow")))
+    assert(quiesces == 2)
+    val byKey = adj.toMap
+    assert(byKey("quiet_key") == Seq(3.0, 3.1)) // untouched
+    assert(byKey("hot_fast") == Seq(5.2, 5.12)) // clean re-run reported
+    assert(byKey("hot_slow") == Seq(9.0, 9.2))  // box condemned twice; orig
+    assert(reruns.map(r => (r.key, r.used)) ==
+      Seq(("hot_fast", "rerun"), ("hot_slow", "orig")))
+    // baselines off: nothing re-runs even with hot brackets
+    val (adj2, rr2) = Bench.rerunFlagged("sf10", probed, brackets,
+      memExpected = floor, baselinesOn = false,
+      probe = (_, _) => fail("must not probe with baselines off"),
+      canary = () => fail("must not canary with baselines off"))
+    assert(adj2 == probed && rr2.isEmpty)
+  }
+
   test("re-run adjudication (r12 VERDICT item 1): a clean re-run bracket " +
       "supplies the reading even when slower; a hot one condemns the box " +
       "and keeps the better reading") {
