@@ -447,6 +447,27 @@ object Dedup {
     grouped.select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
   }
 
+  /** Validation accessors for graft.tools.BandCheck: the engine's exact
+    * per-lane signature elements and band keys at any dataset dir, plus
+    * the DuckDB replay SQL for the same two relations. BandCheck diffs
+    * them bit-for-bit — the only honest witness that the banding-replay
+    * oracle predicts the ENGINE's candidate set rather than running an
+    * independent (equally valid, differently-keyed) banding. */
+  private[graft] def bandCheckEngine(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val grouped = minhashGroupedFrom(load(s, d, "documents")).localCheckpoint()
+    val lanes = grouped.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("i", "s")))
+    (lanes, bandBuckets(grouped))
+  }
+
+  private[graft] def bandCheckReplaySql: (String, String) = {
+    val ctes = XxhashReplaySql.minhashPipelineCtes(
+      NUM_HASHES, BANDS, ROWS_PER_BAND)
+    (s"WITH $ctes SELECT doc_id, i, s FROM lanes ORDER BY doc_id, i",
+      s"WITH $ctes SELECT doc_id, bh FROM bands ORDER BY doc_id, bh")
+  }
+
   /** Streaming ingestion-time near-dup filter — the arrival-path dedup a
     * 100 TB pipeline runs continuously: documents arrive as a file stream
     * (odd doc_ids, staged as 2 chunk files, one per micro-batch) and are

@@ -27,8 +27,13 @@ package graft.ext
   * hash-fail the gate loudly, not silently.
   *
   * Validated end-to-end against pyspark's xxhash64 (word/long/int/chain
-  * test vectors), the engine's gram relation, band keys, and the full
+  * test vectors), the engine's gram relation, and the full
   * dedup_minhash_lsh output at sf0.01 (25 rows, bit-equal jaccards).
+  * Since r14 the lane minima and band keys are additionally validated
+  * bit-for-bit against the ENGINE's own output (graft.tools.BandCheck at
+  * sf0.01: 32,000/32,000 lane elements, 8,000/8,000 band keys) — the r13
+  * form minimized lanes in unsigned order and silently ran an
+  * independent banding (see the lanes CTE comment).
   */
 private[ext] object XxhashReplaySql {
 
@@ -177,9 +182,24 @@ private[ext] object XxhashReplaySql {
     bc.hashLong("e3", "b2", "b3")
     bc.hashLong("e4", "b3", "b4")
     bc.hashInt("b::INT", "b4", "bh")
+    // The engine's MinHashAgg.fold minimizes in SIGNED Long order (buffer
+    // seeded Long.MaxValue, `m < buf(i)` on Long); a plain MIN(m) over
+    // UBIGINT minimizes in unsigned order and picks a DIFFERENT signature
+    // element whenever a lane sees both top-bit-set and top-bit-clear
+    // mixed values — i.e. virtually every lane. xor with 2^63 is the
+    // order isomorphism between unsigned and signed 64-bit (a <s b iff
+    // (a^2^63) <u (b^2^63)): flip, MIN in unsigned, flip back — the
+    // selected element keeps its original bit pattern for the band-key
+    // hashes below. (r13 shipped the plain MIN; the green gate did not
+    // catch it because planted pairs sit at j >= 0.9 where any valid
+    // banding finds them — the divergence was an independent banding,
+    // not a wrong jaccard. BandCheck now validates lanes AND band keys
+    // bit-equal against the engine at sf0.01.)
+    val sgn = "9223372036854775808::UBIGINT"
     mix.sql +
       s""",
-         |lanes AS (SELECT doc_id, i, MIN(m) AS s FROM ${mix.last}
+         |lanes AS (SELECT doc_id, i,
+         |    xor(MIN(xor(m, $sgn)), $sgn) AS s FROM ${mix.last}
          |  GROUP BY 1, 2),
          |sigl AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM lanes
          |  GROUP BY 1),

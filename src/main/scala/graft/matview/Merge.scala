@@ -89,16 +89,25 @@ object Merge {
     // === join): duplicate UNMATCHED source keys both insert, and
     // NULL-keyed source rows never match — neither is a violation under
     // ANSI MERGE. The window reuses the join's own key partitioning.
-    val srcN = source.withColumn("__merge_src_n",
+    // The helper column is internal: a source that already carries one
+    // would be silently clobbered by withColumn, so refuse loudly; and it
+    // is dropped BEFORE the caller's projection runs, so the documented
+    // t.*/u.* namespace never contains it (qualified resolution survives
+    // the drop's Project — attribute qualifiers persist).
+    val guard = "__merge_src_n"
+    require(!source.columns.contains(guard) && !target.columns.contains(guard),
+      s"Merge.outer: '$guard' is reserved for the cardinality guard")
+    val srcN = source.withColumn(guard,
       count(lit(1)).over(Window.partitionBy(col(keyCol))))
     target.as("t")
       .join(srcN.as("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
         "full_outer")
       .filter(when(
         col(s"t.$keyCol").isNotNull && col(s"u.$keyCol").isNotNull &&
-          col("__merge_src_n") > 1,
+          col(guard) > 1,
         raise_error(lit("MERGE cardinality violation: target row matched " +
           s"more than one source row on $keyCol"))).otherwise(lit(true)))
+      .drop(guard)
       .select(projection: _*)
       // SQL MERGE deletes only when the condition is TRUE; a NULL predicate
       // (e.g. one referencing the absent side of an unmatched row) KEEPS

@@ -101,6 +101,24 @@ class MergeSpec extends AnyFunSuite {
       Seq(1.0, 2.0, 10.0, 70.0, 71.0))
   }
 
+  test("outer's guard column is internal: u.* projections never carry it, " +
+      "and a source already holding the name is refused loudly") {
+    // pre-fix, __merge_src_n survived the guard filter into the projection
+    // namespace, so the documented col("u.*") contract silently leaked an
+    // internal column — and withColumn would have clobbered a real source
+    // column of that name, corrupting the guard
+    val target = Seq((1L, 10.0)).toDF("k", "v")
+    val source = Seq((1L, 100.0), (4L, 400.0)).toDF("k", "v")
+    val out = Merge.outer(target, source, "k")(
+      projection = Seq(col("u.*")))
+    assert(out.columns.toSeq == Seq("k", "v"))
+    val poisoned = source.withColumn("__merge_src_n", lit(99L))
+    val e = intercept[IllegalArgumentException] {
+      Merge.outer(target, poisoned, "k")(projection = Seq(col("u.*")))
+    }
+    assert(e.getMessage.contains("__merge_src_n"))
+  }
+
   test("outer resolution supports WHEN MATCHED THEN DELETE") {
     val target = Seq((1L, 5.0), (2L, 20.0)).toDF("k", "v")
     val source = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")
