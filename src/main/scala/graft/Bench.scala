@@ -55,21 +55,27 @@ object Bench {
     * + probe + replacement pass — object-level so a spec can drive it
     * with synthetic probe/canary functions (a quiet box never exercises
     * the path in a real run). Any key whose mem-canary bracket read >2x
-    * the quiet floor is re-probed ONCE via `probe(tier.rerun, key)`
-    * bracketed by `canary()` readings; [[rerunChoice]] picks the
-    * reported samples. The ORIGINAL brackets stay on record (they
-    * describe box state and feed bracket_contended); the returned
-    * [[Rerun]] rows carry the adjudication. */
+    * the quiet floor — or (r13 VERDICT item 3) whose this-run median the
+    * caller found >1.5x its quiet baseline (`driftHot`) — is re-probed
+    * ONCE via `probe(tier.rerun, key)` bracketed by `canary()` readings;
+    * [[rerunChoice]] picks the reported samples. The drift criterion
+    * exists because r13's events_rfm drifted to 1.51x quiet under
+    * warm-NOT-hot brackets [1.60, 1.37] and escaped the bracket-only
+    * selection, leaving the round's one open reading adjudicated by a
+    * best-rep argument instead of the rig. The ORIGINAL brackets stay on
+    * record (they describe box state and feed bracket_contended); the
+    * returned [[Rerun]] rows carry the adjudication. */
   def rerunFlagged(tier: String,
       probed: Seq[(String, Seq[Double])],
       brackets: Seq[(String, (Double, Double))],
       memExpected: Double, baselinesOn: Boolean,
       probe: (String, String) => Seq[Double],
       canary: () => Double,
-      quiesce: () => Unit = () => ()): (Seq[(String, Seq[Double])], Seq[Rerun]) = {
+      quiesce: () => Unit = () => (),
+      driftHot: Set[String] = Set.empty): (Seq[(String, Seq[Double])], Seq[Rerun]) = {
     val bmap = brackets.toMap
     val flagged = if (!baselinesOn) Nil else probed.map(_._1).filter(k =>
-      bmap.get(k).exists(bracketHot(_, memExpected)))
+      bmap.get(k).exists(bracketHot(_, memExpected)) || driftHot(k))
     if (flagged.isEmpty) (probed, Nil)
     else {
       val redone = flagged.map { k =>
@@ -95,6 +101,63 @@ object Bench {
       (adjudicated, reruns.toSeq)
     }
   }
+
+  /** Compact-line rerun budget (r13 ADVICE): the in-line `reruns` block
+    * survives every degrade level by design, but unbounded it can sink
+    * the line — on a fully churned box every probed key re-runs (13+ at
+    * sf10-full, ~60 bytes each at dp=2), pushing all three degrade
+    * levels past the ~1870-char tail budget and losing the round's
+    * parse, the exact failure the ladder exists to prevent. Keep the
+    * `cap` largest-disagreement adjudications in-line (by orig/rerun
+    * best ratio — the readings where adjudication changed the story
+    * most), count the rest; the full set is always in bench_full.json.
+    * Emission preserves the caller's (tier) order. */
+  def capReruns(reruns: Seq[(String, Rerun)], cap: Int)
+      : (Seq[(String, Rerun)], Int) =
+    if (reruns.size <= cap) (reruns, 0)
+    else {
+      val keep = reruns.sortBy { case (_, r) =>
+        -(r.origBest / math.max(r.rerunBest, 1e-9))
+      }.take(cap).map(_._1).toSet
+      (reruns.filter { case (k, _) => keep(k) }, reruns.size - cap)
+    }
+
+  /** /proc/stat aggregate-cpu parse, extracted for specs (a rig bug here
+    * silently corrupts every future record — the one place "beyond the
+    * oracle" means beyond ANY oracle). Returns (busy, steal, total)
+    * jiffies or (-1,-1,-1) when the text is missing/malformed. busy =
+    * non-idle non-steal; idle includes iowait when the kernel reports it
+    * (field 5); guest/guest_nice are double-counted inside user on
+    * modern kernels, so `total` deliberately stops at steal (first 8
+    * fields). A pre-2.6.11 kernel reporting fewer fields still parses
+    * (missing fields read 0); non-numeric text returns the sentinel. */
+  def parseCpuStat(lines: Seq[String]): (Long, Long, Long) =
+    try {
+      lines.find(_.startsWith("cpu ")).map { l =>
+        val v = l.trim.split("\\s+").drop(1).map(_.toLong)
+        if (v.length < 4) (-1L, -1L, -1L)
+        else {
+          val total = v.take(8).sum
+          val idle = v(3) + (if (v.length > 4) v(4) else 0L)
+          val steal = if (v.length > 7) v(7) else 0L
+          (total - idle - steal, steal, total)
+        }
+      }.getOrElse((-1L, -1L, -1L))
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** /proc/diskstats io-ticks (ms doing I/O, field 13) summed over the
+    * named whole devices, extracted for specs. A single malformed line
+    * skips THAT line instead of zeroing the whole reading (the pre-r14
+    * form returned -1 for everything, and a one-device glitch would have
+    * silently dropped the disk witness for the rest of the run). Returns
+    * -1 only when the text itself is unreadable. */
+  def parseDiskBusyMs(lines: Seq[String], wholeDevs: Set[String]): Long =
+    try {
+      lines.map(_.trim.split("\\s+"))
+        .filter(f => f.length > 12 && wholeDevs.contains(f(2)))
+        .flatMap(f => scala.util.Try(f(12).toLong).toOption)
+        .sum
+    } catch { case _: Throwable => -1L }
 
   /** Headline subset: one per operator family, weighted toward the
     * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
@@ -205,11 +268,8 @@ object Bench {
               n.startsWith("md")).toSet
           finally s.close()
         }
-        java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get("/proc/diskstats")).asScala
-          .map(_.trim.split("\\s+"))
-          .filter(f => f.length > 12 && wholeDevs.contains(f(2)))
-          .map(_(12).toLong).sum
+        Bench.parseDiskBusyMs(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/diskstats")).asScala.toSeq, wholeDevs)
       } catch { case _: Throwable => -1L }
     val diskBusy = scala.collection.mutable.LinkedHashMap[String, Double]()
     // per-key CPU telemetry (r12 VERDICT item 5): /proc/stat aggregate
@@ -223,18 +283,9 @@ object Bench {
     // r12's events_attribution [26.4, 91.9] readings (clean mem brackets,
     // 4.8% disk busy) lacked.
     def cpuStat(): (Long, Long, Long) =
-      try {
-        val line = java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get("/proc/stat")).asScala
-          .find(_.startsWith("cpu "))
-        line.map { l =>
-          val v = l.trim.split("\\s+").drop(1).map(_.toLong)
-          val total = v.take(8).sum // through steal; guest is double-
-          val idle = v(3) + v(4)    // counted in user on modern kernels
-          val steal = if (v.length > 7) v(7) else 0L
-          (total - idle - steal, steal, total)
-        }.getOrElse((-1L, -1L, -1L))
-      } catch { case _: Throwable => (-1L, -1L, -1L) }
+      try Bench.parseCpuStat(java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).asScala.toSeq)
+      catch { case _: Throwable => (-1L, -1L, -1L) }
     def processCpuNs(): Long =
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
@@ -449,13 +500,23 @@ object Bench {
     // synthetic probes — a quiet box never fires it in a real run); the
     // quiesce() before each re-run's pre-canary mirrors the tiers'
     // isolation discipline.
+    // drift-criterion selection (r13 VERDICT item 3): a key whose
+    // this-run median exceeds 1.5x its quiet baseline re-runs too — the
+    // same bar the drift BLOCK reports at, so no drift row can arrive
+    // without its rig adjudication again (r13's events_rfm did, at 1.51x
+    // median under warm-not-hot brackets)
+    def driftHotOf(tier: Seq[(String, Seq[Double])],
+        quiet: Map[String, Double]): Set[String] =
+      tier.collect { case (k, s)
+        if quiet.get(k).exists(q => medianOf(s) > 1.5 * q) => k }.toSet
     def rerunFlagged(tier: String,
         probed: Seq[(String, Seq[Double])],
         brackets: Seq[(String, (Double, Double))],
         probe: (String, String) => Seq[Double],
-        canarySec: () => Double): (Seq[(String, Seq[Double])], Seq[Bench.Rerun]) =
+        canarySec: () => Double,
+        driftHot: Set[String]): (Seq[(String, Seq[Double])], Seq[Bench.Rerun]) =
       Bench.rerunFlagged(tier, probed, brackets, memExpected, baselinesOn,
-        probe, canarySec, () => quiesce())
+        probe, canarySec, () => quiesce(), driftHot)
 
     // n=3 best-of: two reps can't tell a 10% regression from noise
     val REPS = 3
@@ -542,11 +603,13 @@ object Bench {
           probe.zipWithIndex.map { case (k, i) =>
             (k, (bounds(i), bounds(i + 1)))
           }
-      // self-adjudication: hot-bracketed keys get one in-record re-run
+      // self-adjudication: hot-bracketed OR drift-flagged keys get one
+      // in-record re-run
       val (adjudicated, reruns) = rerunFlagged("sf1", tri ++ probed,
         brackets,
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
-        () => memCanarySec())
+        () => memCanarySec(),
+        driftHotOf(tri ++ probed, quietMedians("sf1.")))
       (genSec, adjudicated, (triPre, triPost), brackets, reruns)
     }
 
@@ -613,10 +676,12 @@ object Bench {
       val brackets = keys.zipWithIndex.map { case (k, i) =>
         k -> (bounds(i), bounds(i + 1))
       }
-      // self-adjudication: hot-bracketed keys get one in-record re-run
+      // self-adjudication: hot-bracketed OR drift-flagged keys get one
+      // in-record re-run
       val (adjudicated, reruns) = rerunFlagged("sf10", probed, brackets,
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
-        () => memCanarySec())
+        () => memCanarySec(),
+        driftHotOf(probed, quietMedians("sf10.")))
       (genSec, adjudicated, brackets, reruns)
     }
 
@@ -631,6 +696,17 @@ object Bench {
       } catch { case _: Throwable => -1 }
       name -> n
     }
+
+    // board-phase bracket (r13 VERDICT item 3): r13's three mv_speedup
+    // probes drifted a uniform ~3.5x over quiet while every key-tier
+    // reading sat at/below quiet — and the record had NO telemetry during
+    // the scoreboard phase (brackets and cpu/disk witnesses cover tier
+    // keys only), so "almost certainly board-phase JVM/page-cache state"
+    // was an argument, not a reading. One mem-canary sample on each side
+    // of the whole board phase (sub-second probes; per-board brackets
+    // would cost more canary than board) makes any board_drift row
+    // arrive with a machine-state bracket alongside it.
+    val boardMemPre = memCanarySec()
 
     // the reference's Q4 ordering invariant at bench scale: the same
     // question (top-10 spenders with names) against raw base tables, the
@@ -952,6 +1028,9 @@ object Bench {
       }
     }
 
+    // closing side of the board-phase bracket (opened before mvTriplet)
+    val boardMemPost = memCanarySec()
+
     // ---- output ---------------------------------------------------------
     // r7 lesson (BENCH_r07 "parsed": null): the driver keeps only a
     // ~2.4 KB stdout TAIL, and the single JSON line had grown past it —
@@ -965,6 +1044,10 @@ object Bench {
     def jmap(xs: Seq[(String, Double)], dp: Int = 4): String =
       xs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
         .mkString("{", ",", "}")
+    // free-text values (paths from env vars) must not be able to break
+    // the record's JSON: escape the two characters that can
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val pn = planNodes.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     // contention canary: SfGen is a byte-identical workload every round
@@ -1007,7 +1090,12 @@ object Bench {
         // reps — a residual rep-2 degradation now arrives with a
         // machine-state reading on each side
         "tri_mem_pre_sec" -> triMemPair._1,
-        "tri_mem_post_sec" -> triMemPair._2), dp)
+        "tri_mem_post_sec" -> triMemPair._2,
+        // the scoreboard-phase pair (r13 VERDICT item 3): a board_drift
+        // row now arrives with machine state read on each side of the
+        // whole board phase
+        "board_mem_pre_sec" -> boardMemPre,
+        "board_mem_post_sec" -> boardMemPost), dp)
         .dropRight(1) +
         s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended}"""
     // Per-key drift surface (r8 VERDICT item 4, r9 item 1): any scale-
@@ -1102,11 +1190,20 @@ object Bench {
     // a box whose brackets stayed under 2x floor.
     val allReruns = sf1Reruns.map(r => (s"sf1.${r.key}", r)) ++
       sf10Reruns.map(r => (s"sf10.${r.key}", r))
-    def rerunsJson(dp: Int): String = allReruns.map { case (k, r) =>
-      def f(v: Double) = s"%.${dp}f".format(v)
-      "\"" + k + s"""\":[${f(r.origBest)},${f(r.rerunBest)},${f(r.pre)},${
-        f(r.post)},${if (r.used == "rerun") 1 else 0}]"""
-    }.mkString("{", ",", "}")
+    def rerunsJsonOf(rs: Seq[(String, Bench.Rerun)], omitted: Int,
+        dp: Int): String =
+      (rs.map { case (k, r) =>
+        def f(v: Double) = s"%.${dp}f".format(v)
+        "\"" + k + s"""\":[${f(r.origBest)},${f(r.rerunBest)},${f(r.pre)},${
+          f(r.post)},${if (r.used == "rerun") 1 else 0}]"""
+      } ++ (if (omitted > 0) Seq(s""""omitted":$omitted""") else Nil))
+        .mkString("{", ",", "}")
+    // the compact line keeps the RERUN_CAP largest-disagreement rows
+    // (r13 ADVICE: unbounded, a fully churned box pushes every degrade
+    // level past the tail budget); "omitted" rides inside the object
+    // like the drift blocks', and bench_full always carries the full set
+    val RERUN_CAP = 6
+    val (rerunsInline, rerunsOmitted) = Bench.capReruns(allReruns, RERUN_CAP)
     val s10full = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" +
         jmap(sf10.map { case (k, s) => k -> bestOf(s) }) +
@@ -1123,9 +1220,9 @@ object Bench {
         samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"disk_busy":${
         jmap(diskBusy.toSeq)},"cpu_busy":${jmap(cpuBusy.toSeq)},"cpu_steal":${
         jmap(cpuSteal.toSeq)},"cpu_ours":${jmap(cpuOurs.toSeq)},"reruns":${
-        rerunsJson(4)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
-        if (baselinesOn) baselinesSetting else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
-        canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"$sfDir"}"""
+        rerunsJsonOf(allReruns, 0, 4)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
+        if (baselinesOn) jstr(baselinesSetting) else "off"}","sf1_gen_sec":$sf1gen%.4f,"sf10_gen_sec":$sf10gen%.4f,"contention_canary":${
+        canary(4)},"plan_nodes":$pn,"mv_speedup":$mv,"skew_join":$sk,"ann_recall":$ar,"triangle_sketch":$tsk,"lookup":$lk,"join_reorder":$jr,"sf":"${jstr(sfDir)}"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     try {
       java.nio.file.Files.createDirectories(fullPath.getParent)
@@ -1173,7 +1270,8 @@ object Bench {
       "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
       "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
       "mem_sf10_sec" -> memCanarySf10, "tri_mem_pre" -> triMemPair._1,
-      "tri_mem_post" -> triMemPair._2), 2).dropRight(1) +
+      "tri_mem_post" -> triMemPair._2, "board_mem_pre" -> boardMemPre,
+      "board_mem_post" -> boardMemPost), 2).dropRight(1) +
       s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended}"""
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
@@ -1225,7 +1323,8 @@ object Bench {
       // the one thing a churned-box record must carry in-line (r12
       // VERDICT item 1 — drift detail may defer, the adjudication never)
       f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
-        bestT(sf1)}$s10compact$d$base,"reruns":${rerunsJson(2)},"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"$sfDir"}"""
+        bestT(sf1)}$s10compact$d$base,"reruns":${rerunsJsonOf(rerunsInline,
+        rerunsOmitted, 2)},"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"${jstr(sfDir)}"}"""
     }
     val out = (0 to 2).map(compactLine).find(_.length <= 1870)
       .getOrElse(compactLine(2))

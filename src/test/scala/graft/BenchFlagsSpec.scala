@@ -71,6 +71,85 @@ class BenchFlagsSpec extends AnyFunSuite {
     assert(adj2 == probed && rr2.isEmpty)
   }
 
+  test("drift-flagged keys re-run even under warm-not-hot brackets " +
+      "(r13 VERDICT item 3: the events_rfm escape)") {
+    val floor = 1.2
+    // the r13 shape: median 1.51x quiet, brackets [1.60, 1.37] — warm
+    // (above floor) but under the 2x hot bar, so bracket-only selection
+    // skipped it and the round's one open reading went rig-unadjudicated
+    val probed = Seq("events_rfm" -> Seq(3.64, 4.72, 3.12))
+    val brackets = Seq("events_rfm" -> ((1.60, 1.37)))
+    assert(!Bench.bracketHot((1.60, 1.37), floor)) // the escape, pinned
+    var probes = 0
+    val canaries = Iterator(1.1, 1.2)
+    val (adj, reruns) = Bench.rerunFlagged("sf1", probed, brackets,
+      memExpected = floor, baselinesOn = true,
+      probe = (_, _) => { probes += 1; Seq(3.1, 3.2) },
+      canary = () => canaries.next(),
+      driftHot = Set("events_rfm"))
+    assert(probes == 1)
+    assert(adj.toMap.apply("events_rfm") == Seq(3.1, 3.2)) // clean rerun
+    assert(reruns.map(r => (r.key, r.used)) == Seq(("events_rfm", "rerun")))
+    // not in driftHot and not bracket-hot: untouched (no spurious re-runs)
+    val (adj2, rr2) = Bench.rerunFlagged("sf1", probed, brackets,
+      memExpected = floor, baselinesOn = true,
+      probe = (_, _) => fail("must not probe"),
+      canary = () => fail("must not canary"))
+    assert(adj2 == probed && rr2.isEmpty)
+  }
+
+  test("capReruns keeps the largest-disagreement rows in caller order and " +
+      "counts the rest (r13 ADVICE: the in-line block must stay bounded)") {
+    def rr(k: String, orig: Double, rerun: Double) =
+      k -> Bench.Rerun(k, orig, rerun, 1.1, 1.2, "rerun")
+    val rows = Seq(rr("sf1.a", 4.0, 3.9), rr("sf1.b", 18.0, 5.0),
+      rr("sf10.c", 9.0, 3.0), rr("sf10.d", 5.0, 4.8))
+    val (kept, omitted) = Bench.capReruns(rows, 2)
+    // b (3.6x) and c (3.0x) have the biggest orig/rerun ratios; emission
+    // preserves the original tier order
+    assert(kept.map(_._1) == Seq("sf1.b", "sf10.c"))
+    assert(omitted == 2)
+    // under the cap: untouched, zero omitted
+    assert(Bench.capReruns(rows.take(2), 6) == ((rows.take(2), 0)))
+  }
+
+  test("parseCpuStat: modern line, old short line, malformed text, " +
+      "missing aggregate line") {
+    // modern kernel: user nice system idle iowait irq softirq steal ...
+    val (busy, steal, total) = Bench.parseCpuStat(Seq(
+      "cpu  100 5 50 800 40 3 7 10 2 1",
+      "cpu0 50 2 25 400 20 1 3 5 1 0"))
+    assert(total == 1015L) // first 8 fields; guest double-counts in user
+    assert(steal == 10L)
+    assert(busy == 165L) // total - (idle 800 + iowait 40) - steal
+    // pre-2.6.11 kernel: only user nice system idle — still parses
+    assert(Bench.parseCpuStat(Seq("cpu  100 5 50 800")) ==
+      ((155L, 0L, 955L)))
+    // malformed numeric field: sentinel, not a crash mid-bench
+    assert(Bench.parseCpuStat(Seq("cpu  abc 5 50 800")) ==
+      ((-1L, -1L, -1L)))
+    // per-core lines only (no aggregate): sentinel
+    assert(Bench.parseCpuStat(Seq("cpu0 1 2 3 4 5")) == ((-1L, -1L, -1L)))
+    assert(Bench.parseCpuStat(Nil) == ((-1L, -1L, -1L)))
+    // truncated aggregate (fewer than 4 fields): sentinel, not an
+    // ArrayIndexOutOfBounds swallowed as one
+    assert(Bench.parseCpuStat(Seq("cpu  1 2")) == ((-1L, -1L, -1L)))
+  }
+
+  test("parseDiskBusyMs: sums io-ticks over named whole devices only; " +
+      "a malformed line skips itself, not the whole reading") {
+    val lines = Seq(
+      "   8       0 sda 1 2 3 4 5 6 7 8 9 5000 11",
+      "   8       1 sda1 1 2 3 4 5 6 7 8 9 9999 11", // partition: not named
+      " 253       0 dm-0 1 2 3 4 5 6 7 8 9 7777 11", // layered: not named
+      "   8      16 sdb 1 2 3 4 5 6 7 8 9 xx 11",    // malformed: skipped
+      " 259       0 nvme0n1 1 2 3 4 5 6 7 8 9 250 11")
+    val devs = Set("sda", "sdb", "nvme0n1")
+    assert(Bench.parseDiskBusyMs(lines, devs) == 5250L)
+    // short line (fewer than 13 fields) is ignored, not an exception
+    assert(Bench.parseDiskBusyMs(Seq("8 0 sda 1 2 3"), devs) == 0L)
+  }
+
   test("re-run adjudication (r12 VERDICT item 1): a clean re-run bracket " +
       "supplies the reading even when slower; a hot one condemns the box " +
       "and keeps the better reading") {
