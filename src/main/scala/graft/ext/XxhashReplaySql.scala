@@ -23,8 +23,12 @@ package graft.ext
   * Scope: word hashes implement XXH64 for inputs < 32 bytes over ASCII
   * text (the fixture corpus is printable ASCII; `ascii()` reads code
   * points, which equal bytes only there) — the 4-lane stripe path for
-  * >= 32-byte WORDS is deliberately absent and such a word would
-  * hash-fail the gate loudly, not silently.
+  * >= 32-byte WORDS is deliberately absent. Since r14 the boundary is
+  * asserted IN the generated SQL: an out-of-scope word raises DuckDB
+  * `error()` inside the word-hash CTE, so the oracle query fails for
+  * ANY such word in the corpus — not just one that happens to join a
+  * near-dup pair (the pre-r14 failure mode, which was loud only by
+  * fixture accident; validated both ways driver-side, see wordHashCtes).
   *
   * Validated end-to-end against pyspark's xxhash64 (word/long/int/chain
   * test vectors), the engine's gram relation, and the full
@@ -111,7 +115,17 @@ private[ext] object XxhashReplaySql {
     * word of `documents.text` split on single spaces (empty tokens
     * included — Spark split semantics). Words < 32 bytes: up to three
     * 8-byte blocks, one conditional 4-byte block, up to three tail
-    * bytes, each a conditional stage. */
+    * bytes, each a conditional stage.
+    *
+    * The scope boundary is ASSERTED IN-SQL (r13 VERDICT item 4): any
+    * word that is >= 32 bytes or non-ASCII raises DuckDB's `error()`
+    * while computing L, failing the oracle query itself. Before r14 the
+    * boundary was a comment plus fixture accident — an out-of-scope word
+    * hashed WRONG (bytes 25..32 of a 35-byte word were silently skipped;
+    * `ascii()` reads code points, not UTF-8 bytes) and the gate caught
+    * it only if that word happened to join a near-dup pair on one side.
+    * Non-ASCII detection: UTF-8 encodes every non-ASCII code point
+    * multi-byte, so length(w) <> octet_length(encode(w)) is exact. */
   private def wordHashCtes: String = {
     def chunk8(h: String, base: String): String = {
       val k = xmul(rotl(xmul(le(8, base), P2), 31), P1)
@@ -122,7 +136,12 @@ private[ext] object XxhashReplaySql {
     def s1(h: String, idx: Int): String =
       xmul(rotl(xor(h, xmul(s"bts[L - L % 4 + $idx]::UBIGINT", P5)), 11), P1)
     val c = new Chain("wst",
-      """SELECT w, length(w) AS L,
+      """SELECT w,
+        |      CASE WHEN octet_length(encode(w)) >= 32
+        |             OR length(w) <> octet_length(encode(w))
+        |        THEN CAST(error('graft xxh64 replay scope: word must be ' ||
+        |          'ASCII and < 32 bytes, got: ' || w) AS BIGINT)
+        |        ELSE length(w) END AS L,
         |      list_transform(range(1, length(w) + 1), i -> ascii(w[i])) AS bts
         |      FROM (SELECT DISTINCT w FROM (
         |        SELECT unnest(string_split(text, ' ')) AS w FROM documents))"""

@@ -70,6 +70,32 @@ class DedupSpec extends AnyFunSuite {
     assert(minhash == exact)
   }
 
+  test("the XXH64 banding-replay oracle asserts its scope boundary in-SQL " +
+      "(r13 VERDICT item 4): out-of-scope words error the oracle query") {
+    // The replay hashes words correctly only for ASCII/<32-byte inputs.
+    // Pre-r14 an out-of-scope word silently hashed WRONG (bytes 25..32 of
+    // a 35-byte word skipped; ascii() reads code points, not UTF-8 bytes)
+    // and the gate caught it only if that word joined a near-dup pair.
+    // Now the word-hash CTE raises DuckDB error() while computing L, so
+    // ANY such word fails the oracle query itself. DuckDB is driver-side
+    // only, so this spec pins the guard structurally; the behavior was
+    // validated driver-side both ways (sf0.01: 8,000/8,000 band keys
+    // bit-equal with the guard in place; planted 40-byte and non-ASCII
+    // words each raise 'graft xxh64 replay scope').
+    val (lanesSql, bandsSql) = Dedup.bandCheckReplaySql
+    for (sql <- Seq(lanesSql, bandsSql,
+        graft.SparkEntry.oracleSql("dedup_minhash_lsh"),
+        graft.SparkEntry.oracleSql("dedup_stream_minhash"))) {
+      assert(sql.contains("octet_length(encode(w)) >= 32"))
+      assert(sql.contains("length(w) <> octet_length(encode(w))"))
+      assert(sql.contains("error('graft xxh64 replay scope"))
+    }
+    // and the signed-order lane minimization (r13 ADVICE): the order
+    // isomorphism must be present so the replay minimizes like the
+    // engine's signed Long fold, not in unsigned UBIGINT order
+    assert(lanesSql.contains("xor(MIN(xor(m, 9223372036854775808::UBIGINT"))
+  }
+
   test("simhash banding recovers most jaccard near-dups (different measure)") {
     val sim = Dedup.dedupSimhash(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
