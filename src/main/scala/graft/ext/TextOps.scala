@@ -689,12 +689,21 @@ object TextOps {
           coalesce(col(s"d_$l"), lit(0L)))
     }
     // argmax with the textLangid tie-break: first class in alphabetical
-    // order wins ties (>= against every later class)
+    // order wins ties (>= against every later class). A class ABSENT from
+    // the corpus has NULL prior/floor, so its score is NULL — compared
+    // raw, every `when` involving it evaluates NULL and is skipped, and
+    // the chain falls through to otherwise(zh): a corpus with no zh docs
+    // predicted 'zh' for EVERY document (r14 review find, reproduced).
+    // Guard the chain only: an absent class scores Long.MinValue (log 0
+    // prior — it can never win), while the output s_* columns keep NULL
+    // (absent class genuinely has no score). The oracle applies the same
+    // COALESCE.
+    def g(l: String) = coalesce(col(s"s_$l"), lit(Long.MinValue))
     val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((l, i), rest) =>
         if (i == langs.size - 1) rest
         else when(langs.drop(i + 1)
-          .map(m => col(s"s_$l") >= col(s"s_$m")).reduce(_ && _), l)
+          .map(m => g(l) >= g(m)).reduce(_ && _), l)
           .otherwise(rest)
     }
     withScores
@@ -979,7 +988,9 @@ object TextOps {
       .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (k <- 1 to rounds) {
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
       val pairs = words
         .select(col("freq"), explode(expr(
           """transform(slice(syms, 1, size(syms) - 1),
@@ -989,23 +1000,34 @@ object TextOps {
         .agg(sum(col("freq")).as("cnt"))
       // 1-row bounded action — the same driver-argmax contract as the
       // PageRank node count; the pair table is Heaps-law small
-      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1),
-        best.getLong(2))
-      merges += ((k, a, b, a + b, cnt))
-      def q(x: String): String =
-        x.replace("\\", "\\\\").replace("'", "\\'")
-      words = words.select(col("w"), col("freq"), expr(
-        s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
-           |  CASE WHEN size(acc) > 0
-           |            AND element_at(acc, size(acc)) = '${q(a)}'
-           |            AND x = '${q(b)}'
-           |       THEN concat(slice(acc, 1, size(acc) - 1),
-           |                   array('${q(a)}${q(b)}'))
-           |       ELSE concat(acc, array(x)) END)""".stripMargin)
-        .as("syms"))
-        .localCheckpoint()
+      val bestRows = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      // a corpus can run out of adjacent pairs before `rounds` (every
+      // word fully merged, or all words single-symbol): training stops
+      // — collect()(0) on the empty argmax threw IndexOutOfBounds here
+      // (r14 review find). The oracle suppresses the same rounds via
+      // WHERE EXISTS over its argmax CTE, and the symbol state is stable
+      // under a no-op round, so engine and replay stay aligned.
+      if (bestRows.isEmpty) exhausted = true
+      else {
+        val best = bestRows(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        merges += ((k, a, b, a + b, cnt))
+        def q(x: String): String =
+          x.replace("\\", "\\\\").replace("'", "\\'")
+        words = words.select(col("w"), col("freq"), expr(
+          s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+             |  CASE WHEN size(acc) > 0
+             |            AND element_at(acc, size(acc)) = '${q(a)}'
+             |            AND x = '${q(b)}'
+             |       THEN concat(slice(acc, 1, size(acc) - 1),
+             |                   array('${q(a)}${q(b)}'))
+             |       ELSE concat(acc, array(x)) END)""".stripMargin)
+          .as("syms"))
+          .localCheckpoint()
+      }
+      k += 1
     }
     (words, merges.result())
   }
@@ -1401,10 +1423,13 @@ object TextOps {
   private def bpeOracleSql(rounds: Int): String = {
     val (base, steps) = bpeOracleParts(rounds)
     val out = (1 to rounds).map { k =>
+      // WHERE EXISTS: a round whose pair table is empty emits nothing,
+      // matching the engine's early training stop on a degenerate corpus
       s"""SELECT $k AS round, (SELECT l FROM b$k) AS merge_left,
          |  (SELECT r FROM b$k) AS merge_right,
          |  (SELECT l || r FROM b$k) AS merged,
-         |  (SELECT cnt FROM b$k) AS support""".stripMargin
+         |  (SELECT cnt FROM b$k) AS support
+         |WHERE EXISTS (SELECT 1 FROM b$k)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"WITH $base,\n$steps\n$out\nORDER BY round"
   }
@@ -1971,21 +1996,30 @@ object TextOps {
         |    max(CASE WHEN cls = 'es' THEN score_e9 END) AS s_es,
         |    max(CASE WHEN cls = 'fr' THEN score_e9 END) AS s_fr,
         |    max(CASE WHEN cls = 'zh' THEN score_e9 END) AS s_zh
-        |  FROM sc GROUP BY 1, 2)
+        |  FROM sc GROUP BY 1, 2),
+        |-- absent classes (NULL score) argmax as -2^63 so they can never
+        |-- win; the raw s_* stay NULL (the engine's coalesce-guarded chain)
+        |gw AS (SELECT *,
+        |    coalesce(s_de, -9223372036854775808) AS g_de,
+        |    coalesce(s_en, -9223372036854775808) AS g_en,
+        |    coalesce(s_es, -9223372036854775808) AS g_es,
+        |    coalesce(s_fr, -9223372036854775808) AS g_fr,
+        |    coalesce(s_zh, -9223372036854775808) AS g_zh
+        |  FROM wide)
         |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
-        |         AND s_de >= s_zh THEN 'de'
-        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr'
+        |  CASE WHEN g_de >= g_en AND g_de >= g_es AND g_de >= g_fr
+        |         AND g_de >= g_zh THEN 'de'
+        |       WHEN g_en >= g_es AND g_en >= g_fr AND g_en >= g_zh THEN 'en'
+        |       WHEN g_es >= g_fr AND g_es >= g_zh THEN 'es'
+        |       WHEN g_fr >= g_zh THEN 'fr'
         |       ELSE 'zh' END AS predicted,
-        |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
-        |         AND s_de >= s_zh THEN 'de'
-        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr'
+        |  (CASE WHEN g_de >= g_en AND g_de >= g_es AND g_de >= g_fr
+        |         AND g_de >= g_zh THEN 'de'
+        |       WHEN g_en >= g_es AND g_en >= g_fr AND g_en >= g_zh THEN 'en'
+        |       WHEN g_es >= g_fr AND g_es >= g_zh THEN 'es'
+        |       WHEN g_fr >= g_zh THEN 'fr'
         |       ELSE 'zh' END) = lang AS correct
-        |FROM wide ORDER BY doc_id""".stripMargin,
+        |FROM gw ORDER BY doc_id""".stripMargin,
     // line strings as join keys, not hashes — the Jaccard-family
     // precedent; slice/range bounds replay Spark's sequence/slice exactly
     "text_line_dedup" ->

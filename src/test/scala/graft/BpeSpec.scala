@@ -55,6 +55,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("training stops cleanly when the corpus runs out of pairs " +
+      "(r14 review find: the empty argmax threw IndexOutOfBounds)") {
+    // single-char words have zero adjacent pairs: round 1's argmax is
+    // empty and the trainer must emit an empty merge table, not crash.
+    // (A corpus that EXHAUSTS pairs mid-training hits the same path at a
+    // later round; the oracle suppresses those rounds via WHERE EXISTS.)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_degenerate")
+    Seq((0L, "a b c", "en", "src", 5L), (1L, "b c a", "en", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ext.TextOps.textBpeTrain(spark, dir.toString)
+    assert(out.collect().isEmpty)
+  }
+
   test("greedy fold merges overlapping runs like the sequential walk") {
     // planted run case: pair (a, a) over "aaaa"/"aaa" must merge
     // floor(k/2) leftmost pairs — the overlap case the fold's

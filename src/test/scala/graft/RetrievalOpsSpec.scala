@@ -325,6 +325,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.filter(!col("correct")).isEmpty)
   }
 
+  test("NB classifier never predicts a class ABSENT from the corpus " +
+      "(r14 review find: NULL scores fell through the argmax to 'zh')") {
+    val spark2 = spark
+    import spark2.implicits._
+    // only en and fr exist; pre-fix, s_de/s_es/s_zh were NULL, every
+    // `when` comparing them evaluated NULL and was skipped, and the chain
+    // fell through to otherwise('zh') — EVERY doc predicted the missing
+    // class. Absent classes must argmax as -2^63 (log 0 prior).
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en"), (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon zeta", "fr"), (3L, "delta epsilon zeta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextOps.nbClassifierOf(spark, docs, "nb_model_absent")
+      .collect()
+    assert(out.length == 4)
+    // absent classes keep NULL scores (no fabricated numbers)...
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("s_zh"))))
+    // ...but predictions land on PRESENT classes, correctly
+    assert(out.forall(r =>
+      r.getAs[String]("predicted") == r.getAs[String]("lang")))
+  }
+
   test("text_nb_classifier scores all classes and argmaxes deterministically") {
     val out = graft.ext.TextOps.textNbClassifier(spark, SF)
     val docs = Tables.load(spark, SF, "documents")

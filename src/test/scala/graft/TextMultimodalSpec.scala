@@ -107,6 +107,29 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"two-phase boundary scan missing from plan:\n$p")
   }
 
+  test("token budget exact-boundary cuts: a class filling the budget " +
+      "exactly is fully in, the next class fully out; a doc landing " +
+      "exactly on the budget inside the boundary class is kept") {
+    // the <= / < / > edges of the class-level decision, exercised at
+    // equality — the naive inclusive running sum is the semantics
+    import spark.implicits._
+    val t = Seq(
+      (0L, 500L, 3), (1L, 500L, 3),              // class 3: 1000 tokens
+      (2L, 400L, 2), (3L, 600L, 2),              // class 2: 1000 tokens
+      (4L, 100L, 1))                             // class 1
+      .toDF("doc_id", "n_tokens", "score").repartition(3)
+    def ids(budget: Long) = TextOps.tokenBudgetSelect(t, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // class 2 ends exactly AT the budget: in; class 1 starts at it: out
+    assert(ids(2000L) == Set(0L, 1L, 2L, 3L))
+    // class 3 exactly fills; class 2 must not leak a partial prefix
+    assert(ids(1000L) == Set(0L, 1L))
+    // boundary class split mid-class, cut landing exactly on doc 2's sum
+    assert(ids(1400L) == Set(0L, 1L, 2L))
+    // budget below the first doc: empty, not a crash
+    assert(ids(400L) == Set.empty[Long])
+  }
+
   test("filter waterfall rows chain: docs_out(k) == docs_in(k+1), totals conserve") {
     val rows = graft.ext.TextOps.corpusFilterWaterfall(spark, SF)
       .collect().sortBy(_.getString(0))
