@@ -247,9 +247,23 @@ object Similarity {
     import s.implicits._
     val e = load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val seed: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(nlists)
-      .select("embedding").as[Array[Float]].collect()
-      .map(_.map(_.toDouble)).zipWithIndex.map(_.swap)
+    // Seed-contract assert (r14 review find): the engine seeds with the
+    // first `nlists` rows ordered by vec_id and labels them by POSITION,
+    // while the oracles seed with `vec_id < nlists` and label by vec_id
+    // — the two coincide ONLY when the lowest vec_ids are exactly
+    // 0..nlists-1. On a gapped id space (a filtered or resharded corpus)
+    // the sides would silently train DIFFERENT quantizers and emit
+    // different cid labels; fail loudly instead (the XXH64 scope-guard
+    // pattern).
+    val seedRows = e.orderBy("vec_id").limit(nlists)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    require(seedRows.map(_._1).toSeq == (0L until nlists.toLong),
+      s"IVF seeding requires vec_ids 0..${nlists - 1} to exist (the oracle " +
+        s"replays seeds as vec_id < $nlists and labels clusters by vec_id); " +
+        s"got ids ${seedRows.map(_._1).take(5).mkString(",")}...")
+    val seed: Array[(Int, Array[Double])] = seedRows
+      .map(_._2.map(_.toDouble)).zipWithIndex.map(_.swap)
     // argmax over the centroid PAIRS, returning the winner's LABEL —
     // positions and labels coincide for the seed pass, and for the
     // refined pass the label mapping is what keeps an emptied list from
@@ -485,14 +499,23 @@ object Similarity {
     import s.implicits._
     // --- PQ training: seeds -> assign -> one Lloyd pass -> codebooks
     val seedCb: Array[Array[Array[Double]]] = {
-      val rows = lists.orderBy("vec_id").limit(PQ_KSUB)
-        .select("embedding").as[Array[Float]].collect()
+      val seedRows = lists.orderBy("vec_id").limit(PQ_KSUB)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
       // fewer vectors than codewords would AIOOBE below with an
       // inscrutable index — fail with the contract instead (a corpus
       // this small has no business training a 256-codeword PQ)
-      require(rows.length >= PQ_KSUB,
+      require(seedRows.length >= PQ_KSUB,
         s"PQ training needs at least $PQ_KSUB vectors to seed the " +
-          s"codebook, got ${rows.length}")
+          s"codebook, got ${seedRows.length}")
+      // seed-contract assert (r14 review find, the ivfListsK rationale):
+      // the oracle's seeds_m CTEs take vec_id < KSUB and key codewords by
+      // vec_id, the engine takes the first KSUB rows and keys by
+      // position — identical only when the lowest ids are 0..KSUB-1
+      require(seedRows.map(_._1).toSeq == (0L until PQ_KSUB.toLong),
+        s"PQ seeding requires vec_ids 0..${PQ_KSUB - 1} to exist (the " +
+          s"oracle replays seeds as vec_id < $PQ_KSUB keyed by vec_id)")
+      val rows = seedRows.map(_._2)
       Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
         rows(k)(m * PQ_SUBDIM + i).toDouble)
     }

@@ -89,6 +89,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
+  test("IVF seeding fails LOUDLY on a gapped vec_id space instead of " +
+      "silently diverging from the oracle (r14 review find)") {
+    // the engine seeds with the first K rows by vec_id labeled by
+    // POSITION; the oracles seed with vec_id < K labeled by vec_id —
+    // identical only when the lowest ids are exactly 0..K-1. A gapped
+    // corpus must hit the contract require, not train a different
+    // quantizer than its oracle replays.
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_gapped")
+    (0 until 30).map(i => (100L + i,
+        Array.fill(64)(0.1f * ((i % 7) + 1)), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfListsK(spark2, dir.toString, 4)
+    }
+    assert(e.getMessage.contains("vec_ids 0..3"))
+    // contiguous ids from 0: trains normally
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_contig")
+    (0 until 30).map(i => (i.toLong,
+        Array.fill(64)(0.1f * ((i % 7) + 1)), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val (_, assigned, cents) = Similarity.ivfListsK(spark2, dir2.toString, 4)
+    assert(cents.nonEmpty && assigned.count() == 30)
+  }
+
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
     val rows = Similarity.corpusDiversityCap(spark, SF).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
