@@ -642,14 +642,24 @@ object Bench {
       // Memory-heavy corpus keys keep the dedup-first discipline.
       val r9Sf10 = Seq("dedup_semantic", "text_line_dedup",
         "text_nb_classifier", "events_attribution")
+      // r14 (r13 VERDICT item 8): the tier had no streaming or graph key
+      // with a measured decade. events_stream_heavy_hitters (~14s at
+      // sf10) joins BOTH subsets — the driver record now carries a
+      // streaming decade; graph_pagerank (~200s/rep at sf10 — 120M
+      // directed edges x 10 rounds) joins the FULL tier only, where the
+      // ROADMAP curve lives, so the driver's default bench budget is
+      // untouched. Both appended LAST: existing keys keep their tier
+      // position, so their quiet baselines stay valid.
+      val r14Sf10 = Seq("events_stream_heavy_hitters")
       val keys =
         if (sf10full)
           Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash") ++
             r9Sf10 ++
             Seq("join_natural_5way", "window_cumulative", "agg_sum_group3",
-              "similarity_ann_lsh", "text_quality", "text_contamination")
+              "similarity_ann_lsh", "text_quality", "text_contamination") ++
+            r14Sf10 ++ Seq("graph_pagerank")
         else Seq("dedup_ngram_jaccard") ++ r9Sf10 ++
-          Seq("join_natural_5way", "agg_sum_group3")
+          Seq("join_natural_5way", "agg_sum_group3") ++ r14Sf10
       quiesce()
       shuffleCanarySf10 = shuffleCanarySec()
       memCanarySf10 = memCanarySec()

@@ -730,14 +730,28 @@ object EventOps {
           .when(col("u") < 0.9810118431238462, 3L)
           .when(col("u") < 0.9963401531726562, 4L)
           .otherwise(5L))
+    // An all-zero-weight resample (every row of a (type, b) cell draws
+    // Poisson weight 0 — P ~ 0.37^n per cell, astronomically improbable
+    // at any gated SF but previously UNDEFINED) has no mean: 0/0 folds a
+    // NaN whose hash differs per engine. Defined behavior (r13 VERDICT
+    // item 7): the degenerate resample DROPS from the CI order
+    // statistics on both sides (oracle: HAVING SUM(w) > 0); with fewer
+    // than 63 surviving resamples element_at/list[63] read NULL in both
+    // engines, so even the extreme tail stays aligned.
     val means = rs.groupBy(col("event_type"), col("b"))
-      .agg((sum(col("w") * col("cents")).cast("double")
-        / (sum(col("w")) * 100).cast("double")).as("m"))
+      .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
+      .filter(col("wn") > 0)
+      .select(col("event_type"),
+        (col("ws").cast("double") / (col("wn") * 100).cast("double")).as("m"))
+    // try_element_at, not element_at: with dropped degenerate resamples
+    // the list can hold < 63 entries, where DuckDB's ms[63] reads NULL
+    // but ANSI element_at THROWS — the spec's 1-event corpus (45
+    // survivors) caught exactly this divergence
     val ci = means.groupBy("event_type")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .select(col("event_type"),
-        element_at(col("ms"), 2).as("ci_lo"),
-        element_at(col("ms"), 63).as("ci_hi"))
+        try_element_at(col("ms"), lit(2)).as("ci_lo"),
+        try_element_at(col("ms"), lit(63)).as("ci_hi"))
     val point = ev.groupBy("event_type")
       .agg((sum(col("cents")).cast("double")
         / (count(lit(1)) * 100).cast("double")).as("mean_value"),
@@ -901,9 +915,11 @@ object EventOps {
         |    WHEN u < 0.9810118431238462 THEN 3
         |    WHEN u < 0.9963401531726562 THEN 4
         |    ELSE 5 END::BIGINT AS w FROM rs),
+        |-- HAVING SUM(w) > 0: an all-zero-weight resample has no mean
+        |-- and drops from the CI on both sides (see the Spark filter)
         |means AS (SELECT event_type, b,
         |    SUM(w * cents)::DOUBLE / (SUM(w) * 100)::DOUBLE AS m
-        |  FROM w GROUP BY 1, 2),
+        |  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0),
         |ci AS (SELECT event_type, list(m ORDER BY m) AS ms
         |  FROM means GROUP BY 1),
         |pt AS (SELECT event_type, COUNT(*)::BIGINT AS n_events,

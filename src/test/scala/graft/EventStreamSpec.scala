@@ -9,6 +9,34 @@ import graft.streaming.StreamingOps
 class EventStreamSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
 
+  test("bootstrap CI: all-zero-weight resamples drop with a DEFINED " +
+      "result, never a NaN mean (r13 VERDICT item 7)") {
+    // one event per type: each of the 64 Poisson resamples draws w=0
+    // with p ~ 0.368, so ~23 cells are the degenerate all-zero-weight
+    // case that was previously undefined (0/0 -> NaN, which hashes
+    // differently per engine). Defined behavior: those resamples drop
+    // from the CI order statistics; with < 63 survivors ci_hi reads the
+    // out-of-bounds NULL identically in both engines.
+    import TestSpark.spark
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bootstrap_deg")
+    Seq((1L, "click", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("event_id", "event_type", "value", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.ext.EventOps.statBootstrapCi(spark, dir.toString)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_events")) == 1L)
+    // every surviving resample mean is the single event's value — and
+    // nothing is NaN
+    val lo = r.get(r.fieldIndex("ci_lo"))
+    val hi = r.get(r.fieldIndex("ci_hi"))
+    for (v <- Seq(lo, hi) if v != null)
+      assert(!v.asInstanceOf[Double].isNaN && v.asInstanceOf[Double] == 10.0)
+  }
+
   test("streaming tumbling agg == batch tumbling agg once drained") {
     val stream = StreamingOps.eventsStream(spark, SF)
     val result = StreamingOps.runToCompletion(
