@@ -20,15 +20,17 @@ package graft.ext
   * helper nesting explodes exponentially (a 3-deep hashLong chain
   * measured 2.5 GB of SQL); the staged-CTE form is ~50 KB total.
   *
-  * Scope: word hashes implement XXH64 for inputs < 32 bytes over ASCII
-  * text (the fixture corpus is printable ASCII; `ascii()` reads code
-  * points, which equal bytes only there) — the 4-lane stripe path for
-  * >= 32-byte WORDS is deliberately absent. Since r14 the boundary is
-  * asserted IN the generated SQL: an out-of-scope word raises DuckDB
-  * `error()` inside the word-hash CTE, so the oracle query fails for
-  * ANY such word in the corpus — not just one that happens to join a
-  * near-dup pair (the pre-r14 failure mode, which was loud only by
-  * fixture accident; validated both ways driver-side, see wordHashCtes).
+  * Scope: word hashes implement XXH64 for inputs < 32 BYTES over any
+  * UTF-8 text — since r14 the byte list is derived arithmetically from
+  * code points (1-4 UTF-8 bytes per char, validated against encode()
+  * through the astral plane), so non-ASCII words replay the engine's
+  * hashUnsafeBytes exactly and the former ASCII-only restriction is
+  * retired. The 4-lane stripe path for >= 32-byte WORDS remains
+  * deliberately absent, and that boundary is asserted IN the generated
+  * SQL: such a word raises DuckDB `error()` inside the word-hash CTE,
+  * so the oracle query fails for ANY out-of-scope word in the corpus —
+  * not just one that happens to join a near-dup pair (the pre-r14
+  * failure mode, which was loud only by fixture accident).
   *
   * Validated end-to-end against pyspark's xxhash64 (word/long/int/chain
   * test vectors), the engine's gram relation, and the full
@@ -106,10 +108,16 @@ private[ext] object XxhashReplaySql {
   }
 
   /** Little-endian UBIGINT from `n` bytes of the `bts` byte list starting
-    * at 1-based index expr `base`. */
+    * at 1-based index expr `base`. Multiply by 2^(8j), never `<<`:
+    * DuckDB's shift coerces to signed BIGINT, so a byte > 127 shifted by
+    * 56 overflows (surfaced by the first non-ASCII corpus — ASCII bytes
+    * are <= 127 and masked it); the UBIGINT product maxes at
+    * 255 * 2^56 < 2^64, no wraparound. */
   private def le(n: Int, base: String): String =
-    (0 until n).map(j => s"(bts[$base + $j]::UBIGINT << ${8 * j})")
-      .mkString("(", " + ", ")")
+    (0 until n).map { j =>
+      if (j == 0) s"(bts[$base]::UBIGINT)"
+      else s"(bts[$base + $j]::UBIGINT * ${1L << (8 * j)}::UBIGINT)"
+    }.mkString("(", " + ", ")")
 
   /** CTEs `wst_* , wh(w, h)`: XXH64(word bytes, seed 42) per DISTINCT
     * word of `documents.text` split on single spaces (empty tokens
@@ -117,15 +125,15 @@ private[ext] object XxhashReplaySql {
     * 8-byte blocks, one conditional 4-byte block, up to three tail
     * bytes, each a conditional stage.
     *
-    * The scope boundary is ASSERTED IN-SQL (r13 VERDICT item 4): any
-    * word that is >= 32 bytes or non-ASCII raises DuckDB's `error()`
-    * while computing L, failing the oracle query itself. Before r14 the
-    * boundary was a comment plus fixture accident — an out-of-scope word
-    * hashed WRONG (bytes 25..32 of a 35-byte word were silently skipped;
-    * `ascii()` reads code points, not UTF-8 bytes) and the gate caught
-    * it only if that word happened to join a near-dup pair on one side.
-    * Non-ASCII detection: UTF-8 encodes every non-ASCII code point
-    * multi-byte, so length(w) <> octet_length(encode(w)) is exact. */
+    * The scope boundary is ASSERTED IN-SQL (r13 VERDICT item 4): a
+    * >= 32-byte word raises DuckDB's `error()` while computing L,
+    * failing the oracle query itself. Before r14 the boundary was a
+    * comment plus fixture accident — an out-of-scope word hashed WRONG
+    * (bytes 25..32 of a 35-byte word were silently skipped) and the
+    * gate caught it only if that word happened to join a near-dup pair
+    * on one side. Non-ASCII words are IN scope since the byte-level
+    * extraction (see the wst chain below): BandCheck validated a
+    * planted accented/CJK/astral corpus bit-equal against the engine. */
   private def wordHashCtes: String = {
     def chunk8(h: String, base: String): String = {
       val k = xmul(rotl(xmul(le(8, base), P2), 31), P1)
@@ -135,14 +143,34 @@ private[ext] object XxhashReplaySql {
       xmul(le(4, "(L // 8) * 8 + 1"), P1)), 23), P2), P3)
     def s1(h: String, idx: Int): String =
       xmul(rotl(xor(h, xmul(s"bts[L - L % 4 + $idx]::UBIGINT", P5)), 11), P1)
+    // BYTE-level extraction (r14, second half): UTF-8 bytes derived
+    // arithmetically from code points — ascii(w[i]) reads the code
+    // point, the CASE encodes it as its 1-4 UTF-8 bytes (validated
+    // against encode() for ASCII/Latin/CJK/astral) — so non-ASCII words
+    // replay the engine's hashUnsafeBytes exactly and the former
+    // "ASCII only" half of the scope boundary is RETIRED. The remaining
+    // boundary is >= 32 BYTES (the absent 4-lane stripe path), still
+    // asserted in-SQL via error().
     val c = new Chain("wst",
       """SELECT w,
         |      CASE WHEN octet_length(encode(w)) >= 32
-        |             OR length(w) <> octet_length(encode(w))
         |        THEN CAST(error('graft xxh64 replay scope: word must be ' ||
-        |          'ASCII and < 32 bytes, got: ' || w) AS BIGINT)
-        |        ELSE length(w) END AS L,
-        |      list_transform(range(1, length(w) + 1), i -> ascii(w[i])) AS bts
+        |          '< 32 bytes, got: ' || w) AS BIGINT)
+        |        ELSE octet_length(encode(w)) END AS L,
+        |      flatten(list_transform(range(1, length(w) + 1), i ->
+        |        CASE WHEN ascii(w[i]) < 128 THEN [ascii(w[i])]
+        |             WHEN ascii(w[i]) < 2048 THEN
+        |               [192 + ascii(w[i]) // 64, 128 + ascii(w[i]) % 64]
+        |             WHEN ascii(w[i]) < 65536 THEN
+        |               [224 + ascii(w[i]) // 4096,
+        |                128 + (ascii(w[i]) // 64) % 64,
+        |                128 + ascii(w[i]) % 64]
+        |             ELSE
+        |               [240 + ascii(w[i]) // 262144,
+        |                128 + (ascii(w[i]) // 4096) % 64,
+        |                128 + (ascii(w[i]) // 64) % 64,
+        |                128 + ascii(w[i]) % 64]
+        |        END)) AS bts
         |      FROM (SELECT DISTINCT w FROM (
         |        SELECT unnest(string_split(text, ' ')) AS w FROM documents))"""
         .stripMargin,

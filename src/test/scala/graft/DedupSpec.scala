@@ -72,22 +72,28 @@ class DedupSpec extends AnyFunSuite {
 
   test("the XXH64 banding-replay oracle asserts its scope boundary in-SQL " +
       "(r13 VERDICT item 4): out-of-scope words error the oracle query") {
-    // The replay hashes words correctly only for ASCII/<32-byte inputs.
-    // Pre-r14 an out-of-scope word silently hashed WRONG (bytes 25..32 of
-    // a 35-byte word skipped; ascii() reads code points, not UTF-8 bytes)
+    // The replay hashes words correctly only for < 32-byte inputs (any
+    // UTF-8 — the r14 byte-level extraction derives the 1-4 UTF-8 bytes
+    // per code point arithmetically, retiring the former ASCII-only
+    // half; BandCheck validated a planted accented/CJK/astral corpus
+    // bit-equal against the engine). Pre-r14 an out-of-scope word
+    // silently hashed WRONG (bytes 25..32 of a 35-byte word skipped)
     // and the gate caught it only if that word joined a near-dup pair.
     // Now the word-hash CTE raises DuckDB error() while computing L, so
-    // ANY such word fails the oracle query itself. DuckDB is driver-side
-    // only, so this spec pins the guard structurally; the behavior was
-    // validated driver-side both ways (sf0.01: 8,000/8,000 band keys
-    // bit-equal with the guard in place; planted 40-byte and non-ASCII
-    // words each raise 'graft xxh64 replay scope').
+    // ANY >= 32-byte word fails the oracle query itself. DuckDB is
+    // driver-side only, so this spec pins the guard + byte derivation
+    // structurally; behavior validated driver-side both ways (sf0.01:
+    // 8,000/8,000 band keys bit-equal; a planted 40-byte word raises
+    // 'graft xxh64 replay scope').
     val (lanesSql, bandsSql) = Dedup.bandCheckReplaySql
     for (sql <- Seq(lanesSql, bandsSql,
         graft.SparkEntry.oracleSql("dedup_minhash_lsh"),
         graft.SparkEntry.oracleSql("dedup_stream_minhash"))) {
       assert(sql.contains("octet_length(encode(w)) >= 32"))
-      assert(sql.contains("length(w) <> octet_length(encode(w))"))
+      // the UTF-8 byte derivation (2-byte, 3-byte, 4-byte lead bytes)
+      assert(sql.contains("192 + ascii(w[i]) // 64"))
+      assert(sql.contains("224 + ascii(w[i]) // 4096"))
+      assert(sql.contains("240 + ascii(w[i]) // 262144"))
       assert(sql.contains("error('graft xxh64 replay scope"))
     }
     // and the signed-order lane minimization (r13 ADVICE): the order
