@@ -20,17 +20,15 @@ package graft.ext
   * helper nesting explodes exponentially (a 3-deep hashLong chain
   * measured 2.5 GB of SQL); the staged-CTE form is ~50 KB total.
   *
-  * Scope: word hashes implement XXH64 for inputs < 32 BYTES over any
-  * UTF-8 text — since r14 the byte list is derived arithmetically from
-  * code points (1-4 UTF-8 bytes per char, validated against encode()
-  * through the astral plane), so non-ASCII words replay the engine's
-  * hashUnsafeBytes exactly and the former ASCII-only restriction is
-  * retired. The 4-lane stripe path for >= 32-byte WORDS remains
-  * deliberately absent, and that boundary is asserted IN the generated
-  * SQL: such a word raises DuckDB `error()` inside the word-hash CTE,
-  * so the oracle query fails for ANY out-of-scope word in the corpus —
-  * not just one that happens to join a near-dup pair (the pre-r14
-  * failure mode, which was loud only by fixture accident).
+  * Scope: NONE — r14 retired both halves of the former boundary. Word
+  * hashes implement the FULL XXH64: the byte list is derived
+  * arithmetically from code points (1-4 UTF-8 bytes per char, validated
+  * against encode() through the astral plane), so non-ASCII words
+  * replay the engine's hashUnsafeBytes exactly; and words >= 32 bytes
+  * run the real 4-lane stripe path (a list_reduce fold with a
+  * struct(v1..v4) accumulator — see wordHashCtes). Validated by
+  * BandCheck ENGINE-vs-replay bit-equality on the ASCII sf0.01 corpus,
+  * a planted non-ASCII corpus, and a planted long-word corpus.
   *
   * Validated end-to-end against pyspark's xxhash64 (word/long/int/chain
   * test vectors), the engine's gram relation, and the full
@@ -121,19 +119,25 @@ private[ext] object XxhashReplaySql {
 
   /** CTEs `wst_* , wh(w, h)`: XXH64(word bytes, seed 42) per DISTINCT
     * word of `documents.text` split on single spaces (empty tokens
-    * included — Spark split semantics). Words < 32 bytes: up to three
-    * 8-byte blocks, one conditional 4-byte block, up to three tail
-    * bytes, each a conditional stage.
+    * included — Spark split semantics). FULL algorithm, no length
+    * boundary (r14: both halves of the former scope boundary retired):
     *
-    * The scope boundary is ASSERTED IN-SQL (r13 VERDICT item 4): a
-    * >= 32-byte word raises DuckDB's `error()` while computing L,
-    * failing the oracle query itself. Before r14 the boundary was a
-    * comment plus fixture accident — an out-of-scope word hashed WRONG
-    * (bytes 25..32 of a 35-byte word were silently skipped) and the
-    * gate caught it only if that word happened to join a near-dup pair
-    * on one side. Non-ASCII words are IN scope since the byte-level
-    * extraction (see the wst chain below): BandCheck validated a
-    * planted accented/CJK/astral corpus bit-equal against the engine. */
+    *  - >= 32 bytes: the 4-lane stripe path — one list_reduce fold over
+    *    the word's 32-byte stripes with a struct(v1..v4) accumulator
+    *    (the init element prepended, the round() arithmetic inside the
+    *    lambda over SHORT field names, so the textual-explosion hazard
+    *    of nested helper chains does not apply), then the rotl-sum +
+    *    four merge rounds as ordinary CTE stages;
+    *  - tail bytes after the stripes (or the whole word when < 32
+    *    bytes — the stripe base (L // 32) * 32 is 0 there, so the same
+    *    stages serve both): up to three 8-byte blocks, one conditional
+    *    4-byte block, up to three tail bytes, each a conditional stage.
+    *
+    * Byte list derived arithmetically from code points (1-4 UTF-8
+    * bytes per char), so any UTF-8 text replays the engine's
+    * hashUnsafeBytes. Validated: BandCheck bit-equality against the
+    * ENGINE on the ASCII sf0.01 corpus, a planted non-ASCII corpus,
+    * and a planted long-word (>= 32-byte, mixed ASCII/CJK) corpus. */
   private def wordHashCtes: String = {
     def chunk8(h: String, base: String): String = {
       val k = xmul(rotl(xmul(le(8, base), P2), 31), P1)
@@ -143,20 +147,13 @@ private[ext] object XxhashReplaySql {
       xmul(le(4, "(L // 8) * 8 + 1"), P1)), 23), P2), P3)
     def s1(h: String, idx: Int): String =
       xmul(rotl(xor(h, xmul(s"bts[L - L % 4 + $idx]::UBIGINT", P5)), 11), P1)
-    // BYTE-level extraction (r14, second half): UTF-8 bytes derived
-    // arithmetically from code points — ascii(w[i]) reads the code
-    // point, the CASE encodes it as its 1-4 UTF-8 bytes (validated
-    // against encode() for ASCII/Latin/CJK/astral) — so non-ASCII words
-    // replay the engine's hashUnsafeBytes exactly and the former
-    // "ASCII only" half of the scope boundary is RETIRED. The remaining
-    // boundary is >= 32 BYTES (the absent 4-lane stripe path), still
-    // asserted in-SQL via error().
+    // BYTE-level extraction (r14): UTF-8 bytes derived arithmetically
+    // from code points — ascii(w[i]) reads the code point, the CASE
+    // encodes it as its 1-4 UTF-8 bytes (validated against encode() for
+    // ASCII/Latin/CJK/astral) — so any UTF-8 word replays the engine's
+    // hashUnsafeBytes.
     val c = new Chain("wst",
-      """SELECT w,
-        |      CASE WHEN octet_length(encode(w)) >= 32
-        |        THEN CAST(error('graft xxh64 replay scope: word must be ' ||
-        |          '< 32 bytes, got: ' || w) AS BIGINT)
-        |        ELSE octet_length(encode(w)) END AS L,
+      """SELECT w, octet_length(encode(w)) AS L,
         |      flatten(list_transform(range(1, length(w) + 1), i ->
         |        CASE WHEN ascii(w[i]) < 128 THEN [ascii(w[i])]
         |             WHEN ascii(w[i]) < 2048 THEN
@@ -175,10 +172,56 @@ private[ext] object XxhashReplaySql {
         |        SELECT unnest(string_split(text, ' ')) AS w FROM documents))"""
         .stripMargin,
       "w, L, bts")
-    c.stage(s"CAST((42::HUGEINT + $P5 + L) % $M64 AS UBIGINT)", "h0")
-    c.stage(s"CASE WHEN L >= 8 THEN ${chunk8("h0", "1")} ELSE h0 END", "h1")
-    c.stage(s"CASE WHEN L >= 16 THEN ${chunk8("h1", "9")} ELSE h1 END", "h2")
-    c.stage(s"CASE WHEN L >= 24 THEN ${chunk8("h2", "17")} ELSE h2 END", "h3")
+    // ---- 4-lane stripe path for words >= 32 bytes (r14: the last scope
+    // boundary retired). The fold's list elements and its prepended init
+    // share the struct(v1..v4 UBIGINT) shape (list_reduce uses the first
+    // element as the accumulator seed); each lambda step is one XXH64
+    // round per lane: v = rotl31(v + lane*P2) * P1. Accumulator inits
+    // are the seed-42 constants (seed+P1+P2, seed+P2, seed, seed-P1 mod
+    // 2^64), precomputed.
+    def le8k(off: Int): String =
+      (0 until 8).map { j =>
+        if (j == 0) s"bts[32*k + $off]::UBIGINT"
+        else s"(bts[32*k + ${off + j}]::UBIGINT * ${1L << (8 * j)}::UBIGINT)"
+      }.mkString("(", " + ", ")")
+    def rnd(acc: String, lane: String): String =
+      xmul(rotl(add64(acc, xmul(lane, P2)), 31), P1)
+    c.stage(
+      s"""CASE WHEN L >= 32 THEN list_reduce(list_prepend(
+         |  struct_pack(v1 := 6983438078262162944::UBIGINT,
+         |    v2 := 14029467366897019769::UBIGINT, v3 := 42::UBIGINT,
+         |    v4 := 7046029288634856867::UBIGINT),
+         |  list_transform(range(L // 32), k -> struct_pack(
+         |    v1 := ${le8k(1)}, v2 := ${le8k(9)},
+         |    v3 := ${le8k(17)}, v4 := ${le8k(25)}))),
+         |  (a, x) -> struct_pack(
+         |    v1 := ${rnd("a.v1", "x.v1")}, v2 := ${rnd("a.v2", "x.v2")},
+         |    v3 := ${rnd("a.v3", "x.v3")}, v4 := ${rnd("a.v4", "x.v4")}))
+         |END""".stripMargin, "sacc")
+    // merged accumulators: h = rotl1(v1)+rotl7(v2)+rotl12(v3)+rotl18(v4),
+    // then four merge rounds h = (h ^ round(0, vN)) * P1 + P4
+    c.stage(s"CASE WHEN L >= 32 THEN ${
+      add64(add64(add64(rotl("sacc.v1", 1), rotl("sacc.v2", 7)),
+        rotl("sacc.v3", 12)), rotl("sacc.v4", 18))} END", "hm0")
+    def mergeAcc(h: String, v: String): String =
+      add64(xmul(xor(h, xmul(rotl(xmul(v, P2), 31), P1)), P1), P4)
+    c.stage(s"CASE WHEN L >= 32 THEN ${mergeAcc("hm0", "sacc.v1")} END", "hm1")
+    c.stage(s"CASE WHEN L >= 32 THEN ${mergeAcc("hm1", "sacc.v2")} END", "hm2")
+    c.stage(s"CASE WHEN L >= 32 THEN ${mergeAcc("hm2", "sacc.v3")} END", "hm3")
+    c.stage(s"CASE WHEN L >= 32 THEN ${mergeAcc("hm3", "sacc.v4")} END", "hm4")
+    // h0: merged-stripe state + L for long words, seed + P5 + L for
+    // short ones. The tail stages below then run over the bytes AFTER
+    // the stripes at base (L // 32) * 32 — which is 0 for short words,
+    // so one set of stages serves both paths (conditions on L % 32
+    // reduce to the old L >= 8/16/24 when L < 32).
+    c.stage(s"CASE WHEN L >= 32 THEN ${add64("hm4", "L")} " +
+      s"ELSE CAST((42::HUGEINT + $P5 + L) % $M64 AS UBIGINT) END", "h0")
+    c.stage(s"CASE WHEN L % 32 >= 8 THEN ${
+      chunk8("h0", "(L // 32) * 32 + 1")} ELSE h0 END", "h1")
+    c.stage(s"CASE WHEN L % 32 >= 16 THEN ${
+      chunk8("h1", "(L // 32) * 32 + 9")} ELSE h1 END", "h2")
+    c.stage(s"CASE WHEN L % 32 >= 24 THEN ${
+      chunk8("h2", "(L // 32) * 32 + 17")} ELSE h2 END", "h3")
     c.stage(s"CASE WHEN L % 8 >= 4 THEN $s4 ELSE h3 END", "h4")
     c.stage(s"CASE WHEN L % 4 >= 1 THEN ${s1("h4", 1)} ELSE h4 END", "h5")
     c.stage(s"CASE WHEN L % 4 >= 2 THEN ${s1("h5", 2)} ELSE h5 END", "h6")

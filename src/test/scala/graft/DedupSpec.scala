@@ -70,31 +70,33 @@ class DedupSpec extends AnyFunSuite {
     assert(minhash == exact)
   }
 
-  test("the XXH64 banding-replay oracle asserts its scope boundary in-SQL " +
-      "(r13 VERDICT item 4): out-of-scope words error the oracle query") {
-    // The replay hashes words correctly only for < 32-byte inputs (any
-    // UTF-8 — the r14 byte-level extraction derives the 1-4 UTF-8 bytes
-    // per code point arithmetically, retiring the former ASCII-only
-    // half; BandCheck validated a planted accented/CJK/astral corpus
-    // bit-equal against the engine). Pre-r14 an out-of-scope word
-    // silently hashed WRONG (bytes 25..32 of a 35-byte word skipped)
-    // and the gate caught it only if that word joined a near-dup pair.
-    // Now the word-hash CTE raises DuckDB error() while computing L, so
-    // ANY >= 32-byte word fails the oracle query itself. DuckDB is
-    // driver-side only, so this spec pins the guard + byte derivation
-    // structurally; behavior validated driver-side both ways (sf0.01:
-    // 8,000/8,000 band keys bit-equal; a planted 40-byte word raises
-    // 'graft xxh64 replay scope').
+  test("the XXH64 banding-replay oracle implements the FULL hash: UTF-8 " +
+      "byte extraction and the 4-lane stripe path (r13 VERDICT item 4, " +
+      "boundary retired r14)") {
+    // r13 shipped the replay ASCII/<32-byte only, with the boundary a
+    // comment plus fixture accident (an out-of-scope word hashed WRONG
+    // and the gate caught it only if that word joined a near-dup pair).
+    // r14 first asserted the boundary in-SQL via error(), then RETIRED
+    // it: the byte list derives the 1-4 UTF-8 bytes per code point
+    // arithmetically, and >= 32-byte words run the real 4-lane stripe
+    // fold. DuckDB is driver-side only, so this spec pins the generated
+    // SQL structurally; behavior is validated driver-side by BandCheck
+    // ENGINE-vs-replay bit-equality on the ASCII sf0.01 corpus, a
+    // planted non-ASCII corpus, and a planted long-word corpus.
     val (lanesSql, bandsSql) = Dedup.bandCheckReplaySql
     for (sql <- Seq(lanesSql, bandsSql,
         graft.SparkEntry.oracleSql("dedup_minhash_lsh"),
         graft.SparkEntry.oracleSql("dedup_stream_minhash"))) {
-      assert(sql.contains("octet_length(encode(w)) >= 32"))
       // the UTF-8 byte derivation (2-byte, 3-byte, 4-byte lead bytes)
       assert(sql.contains("192 + ascii(w[i]) // 64"))
       assert(sql.contains("224 + ascii(w[i]) // 4096"))
       assert(sql.contains("240 + ascii(w[i]) // 262144"))
-      assert(sql.contains("error('graft xxh64 replay scope"))
+      // the stripe path: seed-42 accumulator inits + the lane fold
+      assert(sql.contains("6983438078262162944::UBIGINT"))
+      assert(sql.contains("7046029288634856867::UBIGINT"))
+      assert(sql.contains("list_reduce(list_prepend("))
+      // the boundary is GONE: no error() scope guard remains
+      assert(!sql.contains("graft xxh64 replay scope"))
     }
     // and the signed-order lane minimization (r13 ADVICE): the order
     // isomorphism must be present so the replay minimizes like the
