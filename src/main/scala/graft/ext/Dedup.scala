@@ -1675,14 +1675,17 @@ object Dedup {
     // in the Spark plan has guaranteed recall at hamming <= 7, so the
     // brute-force filter is exact.
     "dedup_simhash" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, tok, COUNT(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY 1, 2),
+        |-- token rolling hash over UTF-8 BYTES (the engine's SimHashSig
+        |-- hashes the word's bytes in place) — r14: byte list derived
+        |-- from code points, retiring the ASCII-only assumption
         |t0 AS (SELECT doc_id, tf,
         |  CASE WHEN tok = '' THEN 0::UBIGINT ELSE
         |  list_reduce(list_prepend(0::HUGEINT,
-        |    list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT)),
+        |    ${XxhashReplaySql.utf8BytesHugeint("tok")}),
         |    (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951)::UBIGINT END AS z0
         |  FROM toks),
         |t1 AS (SELECT doc_id, tf, CAST((

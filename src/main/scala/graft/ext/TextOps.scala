@@ -2040,19 +2040,24 @@ object TextOps {
         |  coalesce(string_agg(CASE WHEN NOT bl THEN line END, ' '
         |    ORDER BY line_no), '') AS cleaned_text
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // 61-bit Rabin fingerprint, h = (h*257 + byte + 1) mod 2^61-1, replayed
-    // per character with HUGEINT intermediates (ASCII corpus: codepoint ==
-    // UTF-8 byte; RollingHashSpec pins the byte-level semantics).
+    // 61-bit Rabin fingerprint, h = (h*257 + byte + 1) mod 2^61-1,
+    // replayed per UTF-8 BYTE with HUGEINT intermediates — the engine
+    // kernel hashes UTF8String bytes, so since r14 the oracle derives
+    // the byte list arithmetically from code points (the XxhashReplaySql
+    // derivation) instead of assuming an ASCII corpus where codepoint ==
+    // byte. RollingHashSpec pins the engine's byte-level semantics;
+    // the DuckDB expression is validated against a python reference on
+    // accented/CJK/astral strings.
     "text_fingerprint_rolling" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
         |  list_prepend(0::HUGEINT,
-        |    list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+        |    ${XxhashReplaySql.utf8BytesHugeint("text")}),
         |  (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951) END::BIGINT
         |  AS fp_rolling,
         |CASE WHEN length(trim(text)) = 0 THEN 0 ELSE list_reduce(
         |  list_prepend(0::HUGEINT,
-        |    list_transform(string_split(lower(trim(text)), ''), c -> unicode(c)::HUGEINT)),
+        |    ${XxhashReplaySql.utf8BytesHugeint("lower(trim(text))")}),
         |  (acc, c) -> (acc * 257 + c + 1) % 2305843009213693951) END::BIGINT
         |  AS fp_rolling_norm
         |FROM documents ORDER BY doc_id""".stripMargin,

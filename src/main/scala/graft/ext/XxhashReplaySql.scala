@@ -49,6 +49,30 @@ private[ext] object XxhashReplaySql {
   private val P5 = "2870177450012600261"  // 0x27D4EB2F165667C5
   private val GOLDEN = "11400714819323198485" // 0x9E3779B97F4A7C15
 
+  /** DuckDB expression: the UTF-8 byte list (HUGEINT elements) of string
+    * expression `s` — code points expanded arithmetically to their 1-4
+    * bytes (validated against encode() through the astral plane). Shared
+    * by the word-hash CTEs here and the rolling-hash oracle replays
+    * (TextOps text_fingerprint_rolling, Dedup dedup_simhash), whose
+    * engine kernel hashes UTF8String BYTES — a unicode(c) code-point
+    * replay is correct only on ASCII. */
+  private[ext] def utf8BytesHugeint(s: String): String =
+    s"""flatten(list_transform(string_split($s, ''), ch ->
+       |  CASE WHEN unicode(ch) < 128 THEN [unicode(ch)::HUGEINT]
+       |       WHEN unicode(ch) < 2048 THEN
+       |         [(192 + unicode(ch) // 64)::HUGEINT,
+       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |       WHEN unicode(ch) < 65536 THEN
+       |         [(224 + unicode(ch) // 4096)::HUGEINT,
+       |          (128 + (unicode(ch) // 64) % 64)::HUGEINT,
+       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |       ELSE
+       |         [(240 + unicode(ch) // 262144)::HUGEINT,
+       |          (128 + (unicode(ch) // 4096) % 64)::HUGEINT,
+       |          (128 + (unicode(ch) // 64) % 64)::HUGEINT,
+       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |  END))""".stripMargin
+
   /** (a * c) mod 2^64 — a: UBIGINT expr, c: unsigned-64 constant. */
   private def xmul(a: String, c: String): String =
     s"CAST((((($a) % 4294967296)::HUGEINT * $c) + " +
