@@ -472,17 +472,20 @@ object Multimodal {
   // (DuckDB overflows on 1<<63), so the sum runs in HUGEINT with the
   // sign bit added as -(1<<63) and casts back to the same two's-
   // complement BIGINT the Spark kernel packs.
+  // text indexed as UTF-8 BYTES (r14): the engine's raster is
+  // text.cast("binary"), so the oracle derives the byte list from code
+  // points (XxhashReplaySql.utf8Bytes) instead of assuming an ASCII
+  // corpus where codepoint == byte — same for every oracle below
   private val phashSql =
-    """c AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+    s"""c AS (SELECT doc_id,
+      |        ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts,
+      |        octet_length(encode(text)) AS len,
       |        CAST(8 + doc_id % 8 AS INTEGER) AS w
       |      FROM documents WHERE octet_length(encode(text)) >= 1),
       |g AS (SELECT doc_id, w, y, x,
-      |        (unicode(substr(text,
-      |           CAST((3*(y*w + (x*w)//8)) % len AS INTEGER) + 1, 1))
-      |       + unicode(substr(text,
-      |           CAST((3*(y*w + (x*w)//8) + 1) % len AS INTEGER) + 1, 1))
-      |       + unicode(substr(text,
-      |           CAST((3*(y*w + (x*w)//8) + 2) % len AS INTEGER) + 1, 1)))
+      |        (bts[CAST((3*(y*w + (x*w)//8)) % len AS INTEGER) + 1]
+      |       + bts[CAST((3*(y*w + (x*w)//8) + 1) % len AS INTEGER) + 1]
+      |       + bts[CAST((3*(y*w + (x*w)//8) + 2) % len AS INTEGER) + 1])
       |        // 3 AS gray
       |      FROM c, range(8) ty(y), range(8) tx(x)),
       |t AS (SELECT doc_id, SUM(gray)::BIGINT AS tot FROM g GROUP BY 1),
@@ -510,45 +513,53 @@ object Multimodal {
          |  AND bit_count(xor(pa.phash, pb.phash)) <= 7
          |ORDER BY a, b""".stripMargin,
     // replays the Y4M synthesis contract: 8x8 mono frames, 1 + doc_id%10
-    // frames, every 3rd sampled, luma byte (f*64+k) % len cycled from the
-    // text (ASCII corpus: codepoint == byte); checksum exact in BIGINT
+    // frames, every 3rd sampled, luma byte (f*64+k) % len cycled from
+    // the text BYTES (r14: derived from code points); exact in BIGINT
     "multimodal_video_frames" ->
-      """WITH p AS (SELECT doc_id, text,
+      s"""WITH p AS (SELECT doc_id,
+        |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts,
         |  octet_length(encode(text)) AS len,
         |  CAST(1 + doc_id % 10 AS INTEGER) AS nf
         |  FROM documents WHERE octet_length(encode(text)) >= 1)
         |SELECT doc_id, 8 AS width, 8 AS height, 25 AS fps,
         |nf AS n_frames,
         |CAST(COUNT(DISTINCT fr) AS INTEGER) AS n_sampled,
-        |CAST(SUM(unicode(substr(text,
-        |  CAST((fr * 64 + k) % len AS INTEGER) + 1, 1))) AS BIGINT)
+        |CAST(SUM(bts[CAST((fr * 64 + k) % len AS INTEGER) + 1]) AS BIGINT)
         |  AS luma_checksum
         |FROM p, unnest(range(0, nf, 3)) t(fr), range(64) tk(k)
         |GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
     // replays the nearest-neighbor index math pixel by pixel: the picked
-    // source position for out(i,j) is (i*H//8)*16 + (j*16//8), byte ==
-    // codepoint on the ASCII corpus
+    // source position for out(i,j) is (i*H//8)*16 + (j*16//8) over the
+    // text BYTES (H = bytes // 16); the metadata filter stays on
+    // CHARACTERS (length(text) >= 128 — the engine filters before the
+    // binary cast, and bytes >= chars keeps H >= 8 safe)
     "multimodal_image_resize" ->
-      """SELECT doc_id, 16 AS src_w,
-        |CAST(length(text) // 16 AS INTEGER) AS src_h,
+      s"""WITH c AS (SELECT doc_id,
+        |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts
+        |  FROM documents WHERE length(text) >= 128),
+        |m AS (SELECT doc_id, bts, len(bts) AS blen FROM c)
+        |SELECT doc_id, 16 AS src_w,
+        |CAST(blen // 16 AS INTEGER) AS src_h,
         |8 AS out_w, 8 AS out_h,
-        |CAST(SUM(unicode(substr(text,
-        |  CAST(((i * (length(text) // 16)) // 8) * 16 + ((j * 16) // 8) + 1
-        |    AS INTEGER), 1))) AS BIGINT) AS checksum
-        |FROM documents, range(8) ti(i), range(8) tj(j)
-        |WHERE length(text) >= 128
-        |GROUP BY doc_id, length(text) ORDER BY doc_id""".stripMargin,
+        |CAST(SUM(bts[CAST(((i * (blen // 16)) // 8) * 16 + ((j * 16) // 8)
+        |  + 1 AS INTEGER)]) AS BIGINT) AS checksum
+        |FROM m, range(8) ti(i), range(8) tj(j)
+        |GROUP BY doc_id, blen ORDER BY doc_id""".stripMargin,
     // replays the WAV synthesis contract: rate from doc_id, one 16-bit
-    // sample per byte ((b-128)<<8), RMS = sqrt(65536 * sum((b-128)^2)/n)
-    // — sum of squares exact in BIGINT, one correctly-rounded sqrt,
-    // half-up round to 6 in both engines (ASCII corpus: codepoint==byte)
+    // sample per text BYTE ((b-128)<<8), RMS = sqrt(65536 * sum/n) —
+    // sum of squares exact in BIGINT, one correctly-rounded sqrt,
+    // half-up round to 6 in both engines; the SUM-over-unnest keeps the
+    // empty-document NULL contract (zero-sample WAV has no RMS)
     "multimodal_audio_features" ->
-      """WITH c AS (SELECT doc_id,
+      s"""WITH b AS (SELECT doc_id,
+        |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts
+        |  FROM documents),
+        |c AS (SELECT doc_id,
         |  8000 + (doc_id % 8) * 1000 AS rate,
-        |  octet_length(encode(text)) AS n,
-        |  (SELECT SUM((unicode(ch) - 128) * (unicode(ch) - 128))
-        |   FROM unnest(string_split(text, '')) AS t(ch)) AS ss
-        |  FROM documents)
+        |  len(bts) AS n,
+        |  (SELECT SUM((x - 128) * (x - 128))
+        |   FROM unnest(bts) AS t(x)) AS ss
+        |  FROM b)
         |SELECT doc_id,
         |CAST(rate AS INTEGER) AS sample_rate,
         |1 AS channels, 16 AS bits,
@@ -561,7 +572,8 @@ object Multimodal {
     // text, per-channel sums over pixel i at raster bytes 3i/3i+1/3i+2
     // (ASCII corpus: codepoint == byte); sums exact in BIGINT
     "multimodal_decode" ->
-      """WITH c AS (SELECT doc_id, text,
+      s"""WITH c AS (SELECT doc_id,
+        |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts,
         |  octet_length(encode(text)) AS len,
         |  CAST(8 + doc_id % 8 AS INTEGER) AS w
         |  FROM documents WHERE octet_length(encode(text)) >= 1)
@@ -569,12 +581,9 @@ object Multimodal {
         |CAST(10 + length(CAST(w AS VARCHAR)) + 24 * w AS INTEGER) AS byte_len,
         |w AS width, 8 AS height, 255 AS maxval,
         |CAST(w * 8 AS INTEGER) AS n_pixels,
-        |CAST(SUM(unicode(substr(text, CAST((3*i) % len AS INTEGER) + 1, 1)))
-        |  AS BIGINT) AS r_sum,
-        |CAST(SUM(unicode(substr(text, CAST((3*i+1) % len AS INTEGER) + 1, 1)))
-        |  AS BIGINT) AS g_sum,
-        |CAST(SUM(unicode(substr(text, CAST((3*i+2) % len AS INTEGER) + 1, 1)))
-        |  AS BIGINT) AS b_sum
+        |CAST(SUM(bts[CAST((3*i) % len AS INTEGER) + 1]) AS BIGINT) AS r_sum,
+        |CAST(SUM(bts[CAST((3*i+1) % len AS INTEGER) + 1]) AS BIGINT) AS g_sum,
+        |CAST(SUM(bts[CAST((3*i+2) % len AS INTEGER) + 1]) AS BIGINT) AS b_sum
         |FROM c, unnest(range(0, w * 8)) t(i)
         |GROUP BY doc_id, w, len ORDER BY doc_id""".stripMargin,
     // frame counts come from the genuinely parsed Y4M walk, whose synthesis
@@ -589,11 +598,12 @@ object Multimodal {
     // ((b-128)<<8), adjacent pairs averaged (exact in doubles), sequential
     // checksum via list_reduce — same fold order as the kernel loop
     "multimodal_resample" ->
-      """WITH c AS (SELECT doc_id,
+      s"""WITH c AS (SELECT doc_id,
         |  8000 + (doc_id % 8) * 1000 AS rate,
-        |  list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes,
-        |  least(length(text), 128) AS n FROM documents
-        |  WHERE octet_length(encode(text)) >= 1)
+        |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS codes
+        |  FROM documents WHERE octet_length(encode(text)) >= 1),
+        |m AS (SELECT doc_id, rate, codes,
+        |  least(len(codes), 128) AS n FROM c)
         |SELECT doc_id,
         |CAST(rate AS INTEGER) AS sample_rate_in,
         |CAST(rate // 2 AS INTEGER) AS sample_rate_out,
@@ -603,6 +613,6 @@ object Multimodal {
         |  list_transform(range(n // 2),
         |    k -> ((codes[2*k+1] - 128) * 256 + (codes[2*k+2] - 128) * 256) / 2.0)),
         |  (acc, x) -> acc + x) AS checksum
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -56,22 +56,24 @@ private[ext] object XxhashReplaySql {
     * (TextOps text_fingerprint_rolling, Dedup dedup_simhash), whose
     * engine kernel hashes UTF8String BYTES — a unicode(c) code-point
     * replay is correct only on ASCII. */
-  private[ext] def utf8BytesHugeint(s: String): String =
+  private[ext] def utf8Bytes(s: String, typ: String): String =
     s"""flatten(list_transform(string_split($s, ''), ch ->
-       |  CASE WHEN unicode(ch) < 128 THEN [unicode(ch)::HUGEINT]
+       |  CASE WHEN unicode(ch) < 128 THEN [unicode(ch)::$typ]
        |       WHEN unicode(ch) < 2048 THEN
-       |         [(192 + unicode(ch) // 64)::HUGEINT,
-       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |         [(192 + unicode(ch) // 64)::$typ,
+       |          (128 + unicode(ch) % 64)::$typ]
        |       WHEN unicode(ch) < 65536 THEN
-       |         [(224 + unicode(ch) // 4096)::HUGEINT,
-       |          (128 + (unicode(ch) // 64) % 64)::HUGEINT,
-       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |         [(224 + unicode(ch) // 4096)::$typ,
+       |          (128 + (unicode(ch) // 64) % 64)::$typ,
+       |          (128 + unicode(ch) % 64)::$typ]
        |       ELSE
-       |         [(240 + unicode(ch) // 262144)::HUGEINT,
-       |          (128 + (unicode(ch) // 4096) % 64)::HUGEINT,
-       |          (128 + (unicode(ch) // 64) % 64)::HUGEINT,
-       |          (128 + unicode(ch) % 64)::HUGEINT]
+       |         [(240 + unicode(ch) // 262144)::$typ,
+       |          (128 + (unicode(ch) // 4096) % 64)::$typ,
+       |          (128 + (unicode(ch) // 64) % 64)::$typ,
+       |          (128 + unicode(ch) % 64)::$typ]
        |  END))""".stripMargin
+
+  private[ext] def utf8BytesHugeint(s: String): String = utf8Bytes(s, "HUGEINT")
 
   /** (a * c) mod 2^64 — a: UBIGINT expr, c: unsigned-64 constant. */
   private def xmul(a: String, c: String): String =
