@@ -29,6 +29,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(shard), not O(table)); an OVERWRITE starts the list fresh (compaction
   * / delete / rewrite), while the superseded dirs remain on disk for
   * readers of older versions until a retention pass drops them.
+  *
+  * Writer contract: SINGLE WRITER per table (the same baseline as Delta
+  * without a commit service / Iceberg without a catalog's atomic swap) —
+  * readers are isolated by the manifest move, but two concurrent
+  * commits would race the version counter, and a POSIX rename silently
+  * REPLACES an existing file, so the loser's commit would vanish.
+  * [[publishManifest]] carries a best-effort guard (fail loudly if the
+  * target manifest already exists) that converts the common overlap
+  * into an error instead of a lost commit; a multi-writer deployment
+  * would put the version claim behind a catalog CAS.
   */
 class Snapshots(spark: SparkSession, root: String) {
 
@@ -45,10 +55,14 @@ class Snapshots(spark: SparkSession, root: String) {
     if (!Files.isDirectory(dir)) -1
     else {
       val s = Files.list(dir)
+      // toIntOption, not toInt: a stray non-numeric name shaped like a
+      // manifest (editor artifact, partial copy) must not crash every
+      // subsequent read of the table (r14 review find)
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+          n.stripPrefix("v").stripSuffix(".manifest") }
+        .flatMap(_.toIntOption)
         .foldLeft(-1)(math.max)
       finally s.close()
     }
@@ -62,6 +76,15 @@ class Snapshots(spark: SparkSession, root: String) {
 
   private def publishManifest(t: String, v: Int, dirs: Seq[String]): Unit = {
     Files.createDirectories(logDir(t))
+    // single-writer guard (see the class doc): a POSIX atomic rename
+    // silently REPLACES an existing target, so a racing writer pair
+    // would lose one commit without a trace — refuse loudly instead.
+    // (Check-then-move is best-effort, not a lock; the contract is one
+    // writer per table.)
+    if (Files.exists(manifest(t, v)))
+      throw new IllegalStateException(
+        s"concurrent commit detected: $t version $v already published " +
+          "(Snapshots is single-writer per table)")
     val tmp = logDir(t).resolve(s"v$v.manifest.tmp")
     Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest(t, v), StandardCopyOption.ATOMIC_MOVE)

@@ -105,6 +105,25 @@ class SnapshotsSpec extends AnyFunSuite {
     snap.drop(t)
   }
 
+  test("stray non-numeric manifest-shaped names neither crash latest() " +
+      "nor shift the version (r14 review find)") {
+    val snap = new Snapshots(spark, root)
+    val t = "spec_stray"
+    snap.drop(t)
+    snap.commitAppend(t, Tables.load(spark, SF, "region"))
+    // pre-fix, "v.manifest" (empty numeric part) threw NumberFormat-
+    // Exception inside latest(), breaking EVERY subsequent read of the
+    // table; a non-numeric "vabc.manifest" likewise
+    Files.write(Paths.get(s"$root/$t/_log/v.manifest"),
+      "garbage".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/$t/_log/vabc.manifest"),
+      "garbage".getBytes("UTF-8"))
+    assert(snap.latest(t) == 0)
+    assert(snap.readLatest(t).count() ==
+      Tables.load(spark, SF, "region").count())
+    snap.drop(t)
+  }
+
   test("vacuum: shared dirs survive, expired versions die, retained bytes intact") {
     val snap = new Snapshots(spark, root)
     val t = "spec_vacuum"
