@@ -578,13 +578,20 @@ object TextOps {
     val resolved = viaHead.filter(col("lp_e9").isNotNull)
       .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
         .join(lp.select("w", "lp_e9"), "w"))
+    // mean rounded in EXACT integer arithmetic, then ONE IEEE division:
+    // round(double, 9) after a double division diverges between engines
+    // when the true decimal lands exactly on a half (found by the r14
+    // non-ASCII gate run: doc with xent 43026947705 over 10 tokens =
+    // 4.3026947705 — Spark's BigDecimal-of-binary saw just-under-half,
+    // DuckDB's round saw half). (2a + b) div (2b) is decimal-exact
+    // half-up for the positive a = -xent; the final /1e9 is the same
+    // double in any engine.
     resolved.groupBy("doc_id")
       .agg(sum(col("lp_e9")).as("xent_e9"),
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(-col("xent_e9").cast("double") /
-          (col("n_tokens").cast("double") * lit(1000000000.0)), 9)
-          .as("mean_nll"))
+        (expr("(-2 * xent_e9 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / lit(1000000000.0)).as("mean_nll"))
       .orderBy("doc_id")
   }
 
@@ -779,13 +786,14 @@ object TextOps {
     val resolved = viaHead.filter(col("lp_e9").isNotNull)
       .unionByName(viaHead.filter(col("lp_e9").isNull).drop("lp_e9")
         .join(model.select("w1", "w2", "lp_e9"), Seq("w1", "w2")))
+    // integer-exact half-up rounding, then one IEEE division — the
+    // textUnigramNll round-boundary contract
     resolved.groupBy("doc_id")
       .agg(sum(col("tf") * col("lp_e9")).as("xent_e9"),
         sum(col("tf")).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("xent_e9").cast("double") /
-          (col("n_bigrams").cast("double") * lit(1000000000.0)), 9)
-          .as("mean_nll"))
+        (expr("(-2 * xent_e9 + n_bigrams) div (2 * n_bigrams)")
+          .cast("double") / lit(1000000000.0)).as("mean_nll"))
       .orderBy("doc_id")
   }
 
@@ -846,12 +854,17 @@ object TextOps {
     val resolved = viaHead.filter(col("ld_e9").isNotNull)
       .unionByName(viaHead.filter(col("ld_e9").isNull).drop("ld_e9")
         .join(model.select("w", "ld_e9"), "w"))
+    // integer-exact half-away-from-zero rounding to 6 dp (sign-split:
+    // div truncates toward zero in Spark but // floors in DuckDB, so
+    // each branch keeps its operands positive), then one IEEE division
+    // — the textUnigramNll round-boundary contract
     resolved.groupBy("doc_id")
       .agg(sum(col("tf") * col("ld_e9")).as("lw_e9"),
         sum(col("tf")).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("lw_e9").cast("double") / lit(1000000000.0), 6)
-          .as("log_weight"),
+        (expr("CASE WHEN lw_e9 >= 0 THEN (2 * lw_e9 + 1000) div 2000 " +
+          "ELSE -((-2 * lw_e9 + 1000) div 2000) END").cast("double")
+          / lit(1000000.0)).as("log_weight"),
         (col("lw_e9") > 0L).as("target_like"))
       .orderBy("doc_id")
   }
@@ -1715,9 +1728,12 @@ object TextOps {
         |lp AS (SELECT w, round(ln((c::DOUBLE + 1.0) /
         |         (t_tokens::DOUBLE + v_size::DOUBLE)) * 1000000000.0)::BIGINT AS lp_e9
         |       FROM v CROSS JOIN tot)
+        |-- integer-exact half-up mean, then one IEEE division (the r14
+        |-- round-boundary contract: round(double, 9) diverged on an
+        |-- exact decimal half)
         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        |  round(-(sum(tf * lp_e9)::DOUBLE) /
-        |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
+        |  ((-2 * sum(tf * lp_e9) + sum(tf)) // (2 * sum(tf)))::DOUBLE
+        |    / 1000000000.0 AS mean_nll
         |FROM tf JOIN lp USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the head-broadcast/tail-shuffle split is plan-level only; the
@@ -1746,8 +1762,8 @@ object TextOps {
         |       FROM bi JOIN uni c1 ON bi.w1 = c1.w
         |         JOIN uni c2 ON bi.w2 = c2.w CROSS JOIN tot)
         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-        |  round(-(sum(tf * lp_e9)::DOUBLE) /
-        |    (sum(tf)::DOUBLE * 1000000000.0), 9) AS mean_nll
+        |  ((-2 * sum(tf * lp_e9) + sum(tf)) // (2 * sum(tf)))::DOUBLE
+        |    / 1000000000.0 AS mean_nll
         |FROM btf JOIN lp USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // two Laplace models over the shared vocabulary; the per-word log
@@ -1774,8 +1790,13 @@ object TextOps {
         |           (t_all::DOUBLE + v_size::DOUBLE))) *
         |         1000000000.0)::BIGINT AS ld_e9
         |       FROM v CROSS JOIN tot)
+        |-- sign-split integer-exact half-away rounding to 6 dp (// floors,
+        |-- so each branch keeps operands positive), then one IEEE division
         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        |  round(sum(tf * ld_e9)::DOUBLE / 1000000000.0, 6) AS log_weight,
+        |  (CASE WHEN sum(tf * ld_e9) >= 0
+        |     THEN (2 * sum(tf * ld_e9) + 1000) // 2000
+        |     ELSE -((-2 * sum(tf * ld_e9) + 1000) // 2000) END)::DOUBLE
+        |    / 1000000.0 AS log_weight,
         |  sum(tf * ld_e9) > 0 AS target_like
         |FROM tf JOIN ld USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
