@@ -273,6 +273,11 @@ object Multimodal {
   def multimodalAudioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     load(s, d, "documents")
+      // NULL payload = no media: drop the row (the oracle's WHERE text IS
+      // NOT NULL). This is the one multimodal key whose metadata filter is
+      // not length >= 1 (empty docs flow through as the NULL-rms contract),
+      // so NULLs need their own guard — a NULL reaching wavBytes NPEs.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("textBytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, tb) => (id, wavBytes(id, tb)) })
@@ -553,7 +558,7 @@ object Multimodal {
     "multimodal_audio_features" ->
       s"""WITH b AS (SELECT doc_id,
         |  ${XxhashReplaySql.utf8Bytes("text", "BIGINT")} AS bts
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id,
         |  8000 + (doc_id % 8) * 1000 AS rate,
         |  len(bts) AS n,

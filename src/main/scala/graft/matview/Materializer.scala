@@ -82,11 +82,16 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
     * not just the swap. */
   private def stagedOverwrite(name: String, mkDf: () => DataFrame): Unit =
     lockFor(name).synchronized {
-      val df = mkDf()
       val tmp = java.nio.file.Paths.get(path(name) + "__stage")
       val old = java.nio.file.Paths.get(path(name) + "__old")
       val p = java.nio.file.Paths.get(path(name))
-      Materializer.deleteRecursively(old) // leftovers from a prior crash
+      // crash recovery FIRST (and before the thunk, which may read p): a
+      // crash between old-aside and stage-in leaves __old holding the ONLY
+      // copy — restore it; only then is a leftover __old mere garbage
+      if (!java.nio.file.Files.exists(p) && java.nio.file.Files.exists(old))
+        java.nio.file.Files.move(old, p)
+      else Materializer.deleteRecursively(old)
+      val df = mkDf()
       try {
         df.write.mode("overwrite").parquet(tmp.toString)
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.move(p, old)

@@ -71,14 +71,33 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Containment rewrite over ALL registered MVs; when several can answer
     * the aggregate, pick the cheapest by the optimizer's own size
-    * estimate (a pre-aggregated MV beats a denormalized one). */
+    * estimate (a pre-aggregated MV beats a denormalized one). Size ties
+    * break by the MV's GRAIN — fewer grouping columns = coarser = fewer
+    * stored rows (the reference's own View2-over-View1 reasoning): at
+    * kilobyte scale two MVs' parquet sizes are footer-dominated and can
+    * tie exactly, and a registration-order pick would be arbitrary. */
   private def bestContainment(agg: Aggregate): Option[LogicalPlan] = {
     val candidates = registry.values.flatMap { case (defining, read) =>
-      rollupFromMv(agg, defining, read)
+      rollupFromMv(agg, defining, read).map { p =>
+        val grain = defining match {
+          case a: Aggregate => a.groupingExpressions.size
+          case _ => Int.MaxValue
+        }
+        (p, grain)
+      }
     }.toSeq
     if (candidates.isEmpty) None
-    else Some(candidates.minBy(p =>
-      try p.stats.sizeInBytes catch { case _: Throwable => BigInt(Long.MaxValue) }))
+    else {
+      if (sys.props.contains("graft.mvrewrite.debug"))
+        candidates.foreach { case (p, g) => println(
+          s"[mvrw] candidate grain=$g size=${
+            try p.stats.sizeInBytes catch { case _: Throwable => -1 }} " +
+            s"plan=${p.simpleString(3)}") }
+      Some(candidates.minBy { case (p, grain) =>
+        (try p.stats.sizeInBytes catch { case _: Throwable => BigInt(Long.MaxValue) },
+          grain)
+      }._1)
+    }
   }
 
   /** Containment rewrite: answer `Aggregate(g2, a2, base')` from an MV
@@ -189,10 +208,26 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             }).map(m => Sum(m).toAggregateExpression())
           case Count(Seq(l)) if l.foldable =>
+            // count(*) over ZERO rows is 0, but sum(stored_n) over zero MV
+            // groups is NULL — reachable as a GLOBAL rollup whose filter
+            // matches nothing. Coalesce restores the exact count
+            // semantics, but ONLY on the global shape: a grouped rollup
+            // never sees an empty group (a group exists iff rows do), and
+            // wrapping the grouped form would break MV-on-MV chaining —
+            // a stored coalesce(sum(n), 0) column no longer pattern-
+            // matches as a re-aggregable Sum, which is exactly how a
+            // coarser MV whose defining was captured over a finer MV
+            // serves later queries (matview_cost_choice's narrow path).
             storedAgg(_.aggregateFunction match {
               case Count(Seq(l1)) => l1.foldable
               case _ => false
-            }).map(m => Sum(m).toAggregateExpression())
+            }).map { m =>
+              val s = Sum(m).toAggregateExpression()
+              if (query.groupingExpressions.isEmpty)
+                org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(s,
+                  org.apache.spark.sql.catalyst.expressions.Literal(0L)))
+              else s
+            }
           case Min(x) =>
             storedAgg(_.aggregateFunction match {
               case Min(x1) => canon(x1, baseIn) == canon(x, queryIn)
@@ -208,15 +243,23 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // base rows, so these are the rewrites where the MV stores a
           // sketch, not row aggregates: the add-merge counter vectors
           // (quantile histogram, CMS) by element-wise sum, the KMV
-          // minima set by k-bounded union
-          case qs: graft.functions.QuantileSketchAgg =>
+          // minima set by k-bounded union.
+          // The COUNTER sketches (quantile/CMS/HLL) are gated to grouped
+          // rollups: over ZERO input rows the original sketch evaluates
+          // to its fixed-geometry zero vector while VecSum/VecMax's empty
+          // sentinel evaluates to [], so a GLOBAL rollup whose filter
+          // matches nothing would diverge. KMV is exempt — its empty
+          // sketch IS the empty array on both paths.
+          case qs: graft.functions.QuantileSketchAgg
+              if query.groupingExpressions.nonEmpty =>
             storedAgg(_.aggregateFunction match {
               case q1: graft.functions.QuantileSketchAgg =>
                 canon(q1.child, baseIn) == canon(qs.child, queryIn)
               case _ => false
             }).map(m =>
               graft.functions.VecSumAgg(m).toAggregateExpression())
-          case cs: graft.functions.CmsAgg =>
+          case cs: graft.functions.CmsAgg
+              if query.groupingExpressions.nonEmpty =>
             storedAgg(_.aggregateFunction match {
               case c1: graft.functions.CmsAgg =>
                 // geometry must match: summing counters of different
@@ -234,7 +277,8 @@ final class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             }).map(m =>
               graft.functions.KmvUnionAgg(m, ks.k).toAggregateExpression())
           // ... and the max-merge HLL registers by element-wise max
-          case hs: graft.functions.HllAgg =>
+          case hs: graft.functions.HllAgg
+              if query.groupingExpressions.nonEmpty =>
             storedAgg(_.aggregateFunction match {
               case h1: graft.functions.HllAgg => h1.p == hs.p &&
                 canon(h1.child, baseIn) == canon(hs.child, queryIn)

@@ -80,6 +80,34 @@ class MaterializerSpec extends AnyFunSuite {
       == want.map(t => (t._1, t._2, BigDecimal(t._3), t._4, t._5, t._6)).toSeq)
   }
 
+  test("crash between old-aside and stage-in: the next refresh RESTORES " +
+      "__old instead of deleting the only copy") {
+    import graft.matview.Materializer.Measure
+    val m = freshMat("crashrec")
+    val o = graft.Tables.load(spark, SF, "orders")
+    m.createAggregated("mv_crash", o.filter(col("o_orderstatus") === "F"),
+      Seq("o_orderpriority"),
+      Seq(Measure.countAll("n")))
+    // simulate the crash window: live dir moved aside, stage never landed
+    val p = java.nio.file.Paths.get(
+      "/root/repo/target/scratch-test/crashrec/mv_crash")
+    val old = java.nio.file.Paths.get(p.toString + "__old")
+    java.nio.file.Files.move(p, old)
+    assert(!java.nio.file.Files.exists(p))
+    // the incremental refresh reads current storage — it must recover
+    // __old first (pre-fix: deleteRecursively(__old) destroyed the copy
+    // and the read of the missing live dir threw)
+    m.refreshIncremental("mv_crash", o.filter(col("o_orderstatus") === "O"))
+    val got = m.table("mv_crash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val want = o.filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(!java.nio.file.Files.exists(old))
+    m.dropCascade("mv_crash")
+  }
+
   test("re-create is a FULL refresh even under auto-rewrite (no self-scan " +
       "substitution), and stale incremental specs die with the old MV") {
     import spark.implicits._

@@ -218,6 +218,42 @@ class MvRewriteSpec extends AnyFunSuite {
     m.dropCascade("mv_cms_fine")
   }
 
+  test("zero-match global rollups: count coalesces to 0; counter-sketch " +
+      "rollups refuse the global grain (empty-vs-zero-vector divergence)") {
+    import graft.functions.CmsAgg
+    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvempty")
+      .enableAutoRewrite()
+    val seeds = Seq(0x9e3779b97f4a7c15L, 0x5851f42d4c957f2dL)
+    val fine = graft.Tables.load(spark, SF, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        CmsAgg.cms(col("o_custkey").cast("long"), seeds, 1024).as("cms"))
+    m.create("mv_empty_fine", fine)
+    // count(*) under a filter matching nothing: the rollup rewrite fires
+    // (sum of stored per-group counts) and must COALESCE the zero-group
+    // sum back to the exact count semantics — 0, not NULL
+    val q = graft.Tables.load(spark, SF, "orders")
+      .filter(col("o_orderpriority") === "9-NO-SUCH")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("mv_empty_fine"),
+      s"count rollup did not rewrite:\n$plan")
+    val row = q.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+    // a GLOBAL counter-sketch rollup must NOT rewrite: over zero rows the
+    // one-shot sketch is its fixed-geometry zero vector while VecSum's
+    // empty sentinel evaluates to [] — the grouped grain (covered by the
+    // CMS re-aggregation test above) is the only provably-exact one
+    val qs = graft.Tables.load(spark, SF, "orders")
+      .filter(col("o_orderpriority") === "9-NO-SUCH")
+      .agg(CmsAgg.cms(col("o_custkey").cast("long"), seeds, 1024).as("cms"))
+    val plan2 = qs.queryExecution.executedPlan.toString
+    assert(!plan2.contains("graft_vec_sum"), plan2)
+    val v = qs.collect().head.getSeq[Long](0)
+    assert(v.length == 2 * 1024 && v.forall(_ == 0L))
+    m.dropCascade("mv_empty_fine")
+  }
+
   test("after drop, the rewrite no longer fires") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw3")
       .enableAutoRewrite()

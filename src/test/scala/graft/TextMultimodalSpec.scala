@@ -80,6 +80,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the corpus genuinely contains near-dup images
   }
 
+  test("audio features: a NULL-text document is dropped, not a kernel NPE") {
+    // every other multimodal key drops NULLs via its length(text) >= 1
+    // metadata filter; audio_features processes empty docs (NULL-rms
+    // contract) so its guard must be an explicit isNotNull — a NULL
+    // payload reaching wavBytes dereferences text.length
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ext.Multimodal.multimodalAudioFeatures(spark, dir)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(got.find(_.getLong(0) == 3L).get.isNullAt(6)) // empty doc: NULL rms
+    graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
+  }
+
   test("token budget survives a degenerate single-score corpus") {
     // every document shares one score, so the whole corpus IS the
     // boundary class — the two-phase prefix scan must still produce
