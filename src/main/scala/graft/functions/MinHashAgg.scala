@@ -30,6 +30,18 @@ case class MinHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  require(numHashes >= 1, s"graft_minhash: numHashes=$numHashes (need >= 1)")
+
+  // analysis-time type gate, like every sibling aggregate: the SQL surface
+  // (graft_minhash) would otherwise fail with a runtime ClassCastException
+  // deep inside the aggregate exec instead of a resolvable error
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires a BIGINT column, got ${child.dataType.sql}")
+
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => MinHashAgg.GOLDEN * i)
 

@@ -36,14 +36,23 @@ object ReferentialActions {
     child.join(deletedKeys, fkMatch(child, fk, deletedKeys), "left_anti")
 
   /** ON DELETE SET NULL (SET DEFAULT with a default literal): FK columns
-    * of rows referencing a deleted parent are rewritten to `value`. */
+    * of rows referencing a deleted parent are rewritten to `value`.
+    * The key relation's columns are renamed into an internal namespace
+    * before the join: the reference's FK web names child FK and parent
+    * key IDENTICALLY (customerid ⟷ customerid), and a post-join
+    * drop(parent key names) would take the child's own FK column with
+    * it. */
   def onDeleteSet(child: DataFrame, fk: Seq[String],
       deletedKeys: DataFrame, value: Column): DataFrame = {
-    val marked = child.join(
-      deletedKeys.select(deletedKeys.columns.toIndexedSeq.map(col): _*)
-        .withColumn("__deleted", lit(true)),
-      fkMatch(child, fk, deletedKeys), "left")
-      .drop(deletedKeys.columns.toIndexedSeq: _*)
+    val renamed = deletedKeys.select(
+      deletedKeys.columns.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__ra_pk_$i") }: _*)
+      .withColumn("__deleted", lit(true))
+    val cond = fk.zipWithIndex
+      .map { case (c, i) => child(c) === renamed(s"__ra_pk_$i") }
+      .reduce(_ && _)
+    val marked = child.join(renamed, cond, "left")
+      .drop(deletedKeys.columns.indices.map(i => s"__ra_pk_$i"): _*)
     fk.foldLeft(marked) { case (df, c) =>
       df.withColumn(c, when(col("__deleted"), value).otherwise(col(c)))
     }.drop("__deleted")
@@ -58,12 +67,17 @@ object ReferentialActions {
 
   /** ON UPDATE CASCADE for a single-column FK: parent key changes (given
     * as an (old -> new) mapping relation) propagate into the child's FK
-    * column — one left join + coalesce. */
+    * column — one left join + coalesce. The mapping relation is renamed
+    * into an internal namespace first (same trap as [[onDeleteSet]]: a
+    * mapping whose old-key column shares the FK's name would be merged
+    * by withColumn and then dropped with it). */
   def onUpdateCascade(child: DataFrame, fk: String,
       keyMap: DataFrame): DataFrame = {
     val Array(oldK, newK) = keyMap.columns
-    child.join(keyMap, child(fk) === keyMap(oldK), "left")
-      .withColumn(fk, coalesce(keyMap(newK), child(fk)))
-      .drop(oldK, newK)
+    val renamed = keyMap.select(
+      col(oldK).as("__ra_old"), col(newK).as("__ra_new"))
+    child.join(renamed, child(fk) === renamed("__ra_old"), "left")
+      .withColumn(fk, coalesce(renamed("__ra_new"), child(fk)))
+      .drop("__ra_old", "__ra_new")
   }
 }
