@@ -34,10 +34,16 @@ object RangeJoin {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0)
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    // exact integer floor division (x - pmod(x, w)) div w, the same form
+    // as the rule-based rewrite (RangeJoinRule.floorDiv): floor(col / w)
+    // rounds through an IEEE double, which misbins longs past 2^53 —
+    // epoch-micros keys live within an order of magnitude of that edge
+    def binOf(x: String) =
+      expr(s"(($x - pmod($x, $binWidth)) div $binWidth)")
+    val p = points.withColumn("__bin", binOf(pointCol))
     val iv = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth),
-        floor((col(endCol) - 1) / binWidth))))
+      explode(sequence(binOf(startCol), expr(
+        s"((($endCol - 1) - pmod($endCol - 1, $binWidth)) div $binWidth)"))))
     p.join(iv, p("__bin") === iv("__bin") &&
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
