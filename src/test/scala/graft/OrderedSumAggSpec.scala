@@ -35,6 +35,39 @@ class OrderedSumAggSpec extends AnyFunSuite {
     }
   }
 
+  test("the in-place dual-array quicksort survives adversarial shapes " +
+      "(all-equal, sorted, reverse, few-distinct, NaN/-0.0 tie bits)") {
+    // the end-to-end tests stress the sort on RANDOM data; quicksort
+    // defects classically hide in degenerate patterns — the Sedgewick
+    // sentinel scheme's scans must terminate and stay in bounds on
+    // all-equal input, and the (key, value-bits) tiebreak must order
+    // -0.0 / NaN payloads canonically
+    def check(pairs: Seq[(Long, Double)]): Unit = {
+      val buf = new OrderedSumAgg.Buf(8)
+      pairs.foreach { case (k, v) => buf.append(k, v) }
+      buf.orderedSum() // sorts in place
+      val got = (0 until buf.size)
+        .map(i => (buf.ks(i), java.lang.Double.doubleToRawLongBits(buf.vs(i))))
+      val want = pairs
+        .map { case (k, v) => (k, java.lang.Double.doubleToRawLongBits(v)) }
+        .sorted
+      assert(got == want, s"shape of size ${pairs.size} mis-sorted")
+    }
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val shapes: Seq[Seq[(Long, Double)]] = Seq(
+      Seq.empty,
+      Seq((5L, 1.0)),
+      Seq.fill(1000)((7L, 3.25)),                       // all-equal
+      (0 until 1000).map(i => (i.toLong, i * 0.5)),     // sorted
+      (0 until 1000).map(i => ((999 - i).toLong, 1.0)), // reverse
+      (0 until 1000).map(i => ((i % 3).toLong, (i % 2).toDouble)), // few-distinct
+      (0 until 257).map(i => (42L, Seq(0.0, -0.0, Double.NaN, nan2,
+        Double.NegativeInfinity, -1.5)(i % 6))),        // tie-bit zoo
+      (0 until 17).map(i => (graft.functions.Mix64.mix(i.toLong),
+        math.pow(-2.0, i % 9))))                        // just past insertion cut
+    shapes.foreach(check)
+  }
+
   test("duplicate keys fold in one canonical order (value-bits tiebreak)") {
     import spark.implicits._
     // all pairs share one key; permuted input and any partitioning must
