@@ -243,9 +243,19 @@ object Similarity {
     * fixed [[NLISTS]] (their oracles and NPROBE tuning assume it);
     * [[dedupSemantic]] passes a corpus-derived count. */
   private[graft] def ivfListsK(s: SparkSession, d: String, nlists: Int)
+      : (DataFrame, DataFrame, Array[(Int, Array[Double])]) =
+    ivfListsOn(load(s, d, "embeddings"), nlists)
+
+  /** [[ivfListsK]] over an explicit (vec_id, embedding) source relation —
+    * the incremental-index key trains on a BASE slice of the corpus, so
+    * the quantizer must be buildable from something other than the whole
+    * embeddings table. The seed contract transfers: the SOURCE must
+    * contain vec_ids 0..nlists-1. */
+  private[graft] def ivfListsOn(e0: DataFrame, nlists: Int)
       : (DataFrame, DataFrame, Array[(Int, Array[Double])]) = {
+    val s = e0.sparkSession
     import s.implicits._
-    val e = load(s, d, "embeddings")
+    val e = e0
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     // Seed-contract assert (r14 review find): the engine seeds with the
     // first `nlists` rows ordered by vec_id and labels them by POSITION,
@@ -264,30 +274,7 @@ object Similarity {
         s"got ids ${seedRows.map(_._1).take(5).mkString(",")}...")
     val seed: Array[(Int, Array[Double])] = seedRows
       .map(_._2.map(_.toDouble)).zipWithIndex.map(_.swap)
-    // argmax over the centroid PAIRS, returning the winner's LABEL —
-    // positions and labels coincide for the seed pass, and for the
-    // refined pass the label mapping is what keeps an emptied list from
-    // shifting later cids off the oracle's numbering
-    // Array[Float], NOT Seq[Float]: the Seq signature hands the loop a
-    // boxed view (every emb(i) dereferences a java.lang.Float), measured
-    // ~48ns/element — 8.5s per corpus pass at sf10, the single largest
-    // cost in dedup_semantic (ProfSem). The primitive-array signature
-    // deserializes straight to float[]; identical double arithmetic
-    // (float operand widens exactly), so assignments — and the oracle —
-    // are bit-unchanged. Measured 8.5s -> 0.9s per pass at sf10.
-    def assignUdf(cents: Array[(Int, Array[Double])]) = udf { (emb: Array[Float]) =>
-      var best = 0; var bestDot = Double.MinValue
-      var c = 0
-      while (c < cents.length) {
-        var acc = 0.0; var i = 0
-        val cent = cents(c)._2
-        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
-        if (acc > bestDot) { bestDot = acc; best = c }
-        c += 1
-      }
-      cents(best)._1
-    }
-    val assigned0 = e.withColumn("cid", assignUdf(seed)(col("embedding")))
+    val assigned0 = e.withColumn("cid", assignTo(seed)(col("embedding")))
     val refined: Array[(Int, Array[Double])] = assigned0
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -301,8 +288,35 @@ object Similarity {
       .as[(Int, Array[Double])]
       .collect()
       .sortBy(_._1)
-    (e, e.withColumn("cid", assignUdf(refined)(col("embedding"))), refined)
+    (e, e.withColumn("cid", assignTo(refined)(col("embedding"))), refined)
   }
+
+  /** Nearest-centroid assignment by dot product: argmax over the centroid
+    * PAIRS, returning the winner's LABEL — positions and labels coincide
+    * for the seed pass, and for the refined pass the label mapping is
+    * what keeps an emptied list from shifting later cids off the oracle's
+    * numbering.
+    *
+    * Array[Float], NOT Seq[Float]: the Seq signature hands the loop a
+    * boxed view (every emb(i) dereferences a java.lang.Float), measured
+    * ~48ns/element — 8.5s per corpus pass at sf10, the single largest
+    * cost in dedup_semantic (ProfSem). The primitive-array signature
+    * deserializes straight to float[]; identical double arithmetic
+    * (float operand widens exactly), so assignments — and the oracle —
+    * are bit-unchanged. Measured 8.5s -> 0.9s per pass at sf10. */
+  private def assignTo(cents: Array[(Int, Array[Double])]) =
+    udf { (emb: Array[Float]) =>
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var acc = 0.0; var i = 0
+        val cent = cents(c)._2
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        if (acc > bestDot) { bestDot = acc; best = c }
+        c += 1
+      }
+      cents(best)._1
+    }
 
   def similarityIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -334,6 +348,85 @@ object Similarity {
         round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
       .distinct()
     topkExact(scored)
+  }
+
+  /** Clustered-shard count of the persisted incremental index. */
+  private val IDX_SHARDS = 4
+
+  /** Incremental ANN index maintenance — the production vector-ingestion
+    * pattern every large vector store runs: the IVF quantizer trains ONCE
+    * on the BASE corpus (the first 3/4 of vec_ids), the index persists as
+    * a cid-clustered table in the [[graft.matview.Snapshots]] commit log,
+    * and the arriving batch APPENDS as one commit of vectors assigned to
+    * the FROZEN centroids — no retrain, no rewrite of the base shards.
+    * Queries then serve from the persisted table alone.
+    *
+    * What the oracle proves: it replays base-only training, the
+    * frozen-centroid delta assignment, and the served top-k relationally
+    * — so a regression that retrains on the union, perturbs base
+    * assignments during the append, or serves from anything but
+    * base ∪ delta hash-fails. The physical facts ride as pinned columns:
+    * `n_versions` (base append, clustered rewrite, delta append),
+    * `delta_rows`, `probe_pruned` (a single probed list reads only the
+    * one clustered base shard whose cid range covers it, plus the delta
+    * dir — never the whole index; at 100 TB this is why the append
+    * pattern scales: queries touch O(probed lists), ingestion touches
+    * O(batch)), and `probe_rows_ok` (the pruned read returns exactly the
+    * full list's rows). */
+  def similarityIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = all.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val b = 3L * n / 4 // base/delta split; base carries the 0..NLISTS-1 seeds
+    val (_, baseLists, refined) =
+      ivfListsOn(all.filter(col("vec_id") < b), NLISTS)
+    val delta = all.filter(col("vec_id") >= b)
+      .withColumn("cid", assignTo(refined)(col("embedding")))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+
+    val snap = new graft.matview.Snapshots(s,
+      s"${graft.matview.Materializer.defaultScratch}/ivfidx")
+    val t = s"ivf_index_${dirKey(d)}"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      baseLists.select(col("cid"), col("vec_id"), col("embedding")),
+      Seq("cid"))
+    snap.compactClustered(t, "cid", IDX_SHARDS, Seq("cid"))
+    snap.commitAppendStats(t, delta, Seq("cid"))
+    val nVersions = snap.latest(t) + 1
+
+    // serve purely from the persisted index (base shards + delta dir)
+    val idx = snap.readLatest(t).withColumn("nrm", norm(col("embedding")))
+    val probeUdf = udf { (emb: Array[Float]) =>
+      refined.map { case (cid, cent) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).take(NPROBE).map(_._2)
+    }
+    val queries = idx.filter(col("vec_id") < NUM_QUERIES && col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cid"), col("nrm").as("qn"))
+    val scored = broadcast(queries)
+      .join(idx.filter(col("nrm") > 0), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+
+    // point-probe planning fact: the list holding vec 0 reads its ONE
+    // clustered base shard (cid ranges are disjoint by construction)
+    // plus at most the delta dir
+    val cid0 = baseLists.filter(col("vec_id") === 0)
+      .select(col("cid")).head().getInt(0)
+    val pr = snap.readPrunedEq(t, snap.latest(t), "cid", cid0.toString)
+    val listRows = pr.df.filter(col("cid") === cid0).count()
+    val fullRows = idx.filter(col("cid") === cid0).count()
+
+    topkExact(scored)
+      .withColumn("n_versions", lit(nVersions.toLong))
+      .withColumn("delta_rows", lit(n - b))
+      .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
+      .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
   }
 
   /** Semantic diversity cap — the SemDeDup-family selection step: bound
@@ -816,6 +909,7 @@ object Similarity {
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
+    "similarity_index_append"    -> (similarityIndexAppend _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
     "corpus_contrastive_pairs"   -> (corpusContrastivePairs _),
   )
@@ -857,27 +951,32 @@ object Similarity {
   /** The k-means assignment CTE chain with a pluggable seed-count bound:
     * the ANN oracles pin the fixed [[NLISTS]]; the semantic-dedup oracle
     * derives ceil(sqrt(count)) from the data, matching the Scala side. */
-  private def ivfAssignSqlFor(seedBound: String): String =
-    s"""seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $seedBound),
+  /** The IVF training/assignment replay over source relation `src` —
+    * "embeddings" for the whole-corpus ANN keys; the incremental-index
+    * key passes its base CTE so the quantizer provably trains on the
+    * base slice alone. */
+  private def ivfAssignSqlFor(seedBound: String,
+      src: String = "embeddings"): String =
+    s"""seeds AS (SELECT vec_id AS cid, embedding FROM $src WHERE vec_id < $seedBound),
        |assign1 AS (SELECT e.vec_id, s.cid,
        |  list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
        |    (acc, x) -> acc + x) AS dot
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |  FROM $src e CROSS JOIN seeds s),
        |a1 AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
        |  FROM assign1) WHERE rn = 1),
        |dimsums AS (SELECT a1.cid, i,
        |  list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i+1]::DOUBLE ORDER BY e.vec_id)),
        |    (acc, x) -> acc + x) / COUNT(*) AS c
-       |  FROM a1 JOIN embeddings e USING (vec_id), range($DIM) AS r(i)
+       |  FROM a1 JOIN $src e USING (vec_id), range($DIM) AS r(i)
        |  GROUP BY a1.cid, i),
        |cents AS (SELECT cid, list(c ORDER BY i) AS cent FROM dimsums GROUP BY cid),
        |assign2 AS (SELECT e.vec_id, c.cid,
        |  list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
        |    (acc, x) -> acc + x) AS dot
-       |  FROM embeddings e CROSS JOIN cents c),
+       |  FROM $src e CROSS JOIN cents c),
        |a2 AS (SELECT vec_id, cid, dot FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
        |  FROM assign2) WHERE rn = 1)""".stripMargin
@@ -1148,6 +1247,49 @@ object Similarity {
          |  JOIN nz q ON q.vec_id = c.query_id
          |  JOIN nz e ON e.vec_id = c.vec_id)
          |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    // incremental index: base-ONLY training (the ivfAssign CTEs run over
+    // the base CTE, never the full table), delta assigned to the frozen
+    // cents, top-k served over base ∪ delta. The physical facts are
+    // pinned structural constants: 3 versions (base append, clustered
+    // rewrite, delta append), delta_rows = n - 3n/4, and the two
+    // TRUE-literal planning facts that hash-fail if the clustered
+    // layout's point probe stops pruning or returns the wrong rows
+    "similarity_index_append" ->
+      s"""WITH nb AS (SELECT max(vec_id) + 1 AS n,
+         |  3 * (max(vec_id) + 1) // 4 AS b FROM embeddings),
+         |base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT b FROM nb)),
+         |${ivfAssignSqlFor(NLISTS.toString, "base")},
+         |ddots AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id >= (SELECT b FROM nb)),
+         |da AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM ddots) WHERE rn = 1),
+         |alla AS (SELECT vec_id, cid FROM a2
+         |  UNION ALL SELECT vec_id, cid FROM da),
+         |$nonZeroSql,
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probe p JOIN alla a USING (cid) WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score,
+         |  3::BIGINT AS n_versions,
+         |  (SELECT n - b FROM nb) AS delta_rows,
+         |  true AS probe_pruned, true AS probe_rows_ok FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,

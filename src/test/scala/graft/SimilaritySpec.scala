@@ -152,6 +152,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter(!col("kept")).count() > 0)
   }
 
+  test("incremental index append: centroids frozen (clustered base version " +
+      "unchanged by the append), point probe pruned, facts pinned") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.{spark, SF}
+    val rows = Similarity.similarityIndexAppend(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_versions") == 3L))
+    assert(rows.forall(_.getAs[Boolean]("probe_pruned")))
+    assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
+    // frozen-centroid invariant at the STORAGE level: the clustered base
+    // version (1) read back AFTER the delta append equals the base slice
+    // of the latest version — the append touched no base shard
+    val snap = new graft.matview.Snapshots(spark,
+      graft.matview.Materializer.defaultScratch + "/ivfidx")
+    val t = s"ivf_index_${Tables.dirKey(SF)}"
+    val n = Tables.load(spark, SF, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0) + 1
+    val b = 3L * n / 4
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val basePersisted = pairs(snap.read(t, 1))
+    val latestBase = pairs(snap.readLatest(t).filter(col("vec_id") < b))
+    assert(basePersisted == latestBase && basePersisted.nonEmpty)
+    // and the delta really is the rest of the corpus, assigned
+    assert(snap.readLatest(t).filter(col("vec_id") >= b).count() == n - b)
+  }
+
   test("dedup_semantic equals an un-checkpointed all-pairs rebuild " +
       "(the assignment checkpoint is a pure materialization)") {
     import org.apache.spark.sql.functions._
