@@ -264,9 +264,16 @@ final class Materializer(spark: SparkSession, scratchDir: String) {
       // only OUR catalog-backed MVs are dropped from the catalog — an
       // unrelated same-named user table or temp view is not ours to drop
       if (catalogBacked.remove(n)) spark.sql(s"DROP TABLE IF EXISTS $n")
-      // best-effort storage cleanup; the registry is the source of truth
-      val p = java.nio.file.Paths.get(path(n))
-      Materializer.deleteRecursively(p)
+      // best-effort storage cleanup; the registry is the source of truth.
+      // The crash siblings go too: a stale __old surviving the drop would
+      // be "restored" by the next create's crash recovery (then
+      // immediately overwritten — harmless but wasteful), and __stage is
+      // plain garbage
+      Materializer.deleteRecursively(java.nio.file.Paths.get(path(n)))
+      Materializer.deleteRecursively(
+        java.nio.file.Paths.get(path(n) + "__old"))
+      Materializer.deleteRecursively(
+        java.nio.file.Paths.get(path(n) + "__stage"))
     }
     order.toSeq
   }

@@ -105,7 +105,13 @@ class MaterializerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq == want.toSeq)
     assert(!java.nio.file.Files.exists(old))
+    // dropCascade reclaims crash siblings too, not just the live dir
+    val stage = java.nio.file.Paths.get(p.toString + "__stage")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.createDirectories(stage)
     m.dropCascade("mv_crash")
+    assert(!java.nio.file.Files.exists(p) &&
+      !java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(stage))
   }
 
   test("re-create is a FULL refresh even under auto-rewrite (no self-scan " +
