@@ -34,6 +34,12 @@ object RangeJoin {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0)
+    // a caller column named __bin would be clobbered by withColumn and
+    // deleted by the final drop — refuse loudly (the Merge.outer
+    // guard-column precedent)
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "RangeJoin: '__bin' is reserved for the binning machinery")
     // exact integer floor division (x - pmod(x, w)) div w, the same form
     // as the rule-based rewrite (RangeJoinRule.floorDiv): floor(col / w)
     // rounds through an IEEE double, which misbins longs past 2^53 —

@@ -39,6 +39,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Ranks {
 
+  /** Refuse an input already carrying one of the scratch names: the
+    * pipeline's withColumn would silently CLOBBER the caller's column
+    * and the final drop would delete it (the Merge.outer guard-column
+    * precedent — loud beats silent data loss). */
+  private def requireScratchFree(df: DataFrame): Unit = {
+    val clash = df.columns.find(_.startsWith("__rank_"))
+    require(clash.isEmpty,
+      s"Ranks: column '${clash.get}' collides with the operator's " +
+        "reserved __rank_* scratch namespace")
+  }
+
   private val PID = "__rank_pid"
   private val RN = "__rank_rn"
   private val RUN = "__rank_run"
@@ -93,6 +104,7 @@ object Ranks {
       order: Seq[Column],
       value: Column,
       out: String): DataFrame = {
+    requireScratchFree(df)
     val scanned =
       scanStagingMax(df, numPartitions, order, value.cast("long"))
         .localCheckpoint()
@@ -184,6 +196,7 @@ object Ranks {
       numPartitions: Int,
       order: Seq[Column],
       value: Column): DataFrame = {
+    requireScratchFree(df)
     val scanned = scanStaging(df, numPartitions, order, value).localCheckpoint()
     val counts = scanned.groupBy(col(PID))
       // the partition's total = its LAST running value (max_by on the

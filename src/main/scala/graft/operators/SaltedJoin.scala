@@ -43,6 +43,12 @@ object SaltedJoin {
       salts: Int,
       hotFactor: Int = 4): DataFrame = {
     require(salts >= 0 && hotFactor > 0)
+    // a caller column named __salt would be clobbered by withColumn and
+    // deleted by the final drop — refuse loudly (the Merge.outer
+    // guard-column precedent)
+    require(!skewed.columns.contains("__salt") &&
+      !compact.columns.contains("__salt"),
+      "SaltedJoin: '__salt' is reserved for the salting machinery")
     val spark = skewed.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions.max(1)
 

@@ -42,6 +42,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
   }
 
+  test("operators refuse inputs carrying their reserved scratch names " +
+      "instead of silently clobbering the caller's column") {
+    import spark.implicits._
+    val withSalt = Seq((1L, 2L)).toDF("k", "__salt")
+    val plainK = Seq((1L, 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedInner(withSalt, plainK, "k", "k", salts = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedInner(plainK, withSalt, "k", "k", salts = 4)
+    }
+    val withBin = Seq((1L, 0L, 5L)).toDF("p", "__bin", "x")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.pointInInterval(
+        withBin, "p", Seq((0L, 9L)).toDF("s", "e"), "s", "e", 4L)
+    }
+    val withRank = Seq((1L, 2L)).toDF("k", "__rank_pid")
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranks.rowNumberByRange(withRank, 4, Seq(col("k")), "rn")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranks.prefixMaxByRange(
+        withRank, 4, Seq(col("k")), col("k"), "pm")
+    }
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val m = new Materializer(spark, "/root/repo/target/scratch-test/bucketed")
     val orders = graft.Tables.load(spark, SF, "orders")
