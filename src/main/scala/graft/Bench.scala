@@ -102,6 +102,39 @@ object Bench {
     }
   }
 
+  /** Whole-tier second pass (r15 VERDICT item 1): the per-key re-run
+    * fires while the box may STILL be churned — r14's
+    * graph_triangle_sketch re-ran at 12.8s vs 12.2 orig (both ~2.2x its
+    * quiet baseline) and the driver record kept the contaminated
+    * reading. When, AFTER per-key adjudication, any key's median still
+    * exceeds 1.5x its quiet baseline, the rig re-probes the WHOLE tier
+    * once (one quiesce, every key, fresh samples) instead of deferring
+    * the drift adjudication, and each key reports whichever of its two
+    * sample sets has the LOWER median — contention only ever inflates a
+    * reading, so min-median is the honest merge. At most one extra tier
+    * pass per bench; a quiet box never triggers it. Returns the merged
+    * tier and the keys that forced the pass (empty = no pass ran). */
+  def tierSecondPass(
+      adjudicated: Seq[(String, Seq[Double])],
+      quiet: Map[String, Double],
+      median: Seq[Double] => Double,
+      baselinesOn: Boolean,
+      probeAll: () => Seq[(String, Seq[Double])])
+      : (Seq[(String, Seq[Double])], Seq[String]) = {
+    val unresolved =
+      if (!baselinesOn) Nil
+      else adjudicated.collect { case (k, s)
+        if quiet.get(k).exists(q => median(s) > 1.5 * q) => k }
+    if (unresolved.isEmpty) (adjudicated, Nil)
+    else {
+      val second = probeAll().toMap
+      val merged = adjudicated.map { case (k, s) =>
+        k -> second.get(k).filter(s2 => median(s2) < median(s)).getOrElse(s)
+      }
+      (merged, unresolved)
+    }
+  }
+
   /** Compact-line rerun budget (r13 ADVICE): the in-line `reruns` block
     * survives every degrade level by design, but unbounded it can sink
     * the line — on a fully churned box every probed key re-runs (13+ at
@@ -534,7 +567,7 @@ object Bench {
     // row widths is visible round-over-round.
     val shuffleCanarySf1 = shuffleCanarySec()
     val memCanarySf1 = memCanarySec()
-    val (sf1gen, sf1, triMemPair, sf1Brackets, sf1Reruns) = {
+    val (sf1gen, sf1, triMemPair, sf1Brackets, sf1Reruns, sf1Tier2) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 1.0)
@@ -610,7 +643,18 @@ object Bench {
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
         () => memCanarySec(),
         driftHotOf(tri ++ probed, quietMedians("sf1.")))
-      (genSec, adjudicated, (triPre, triPost), brackets, reruns)
+      // whole-tier second pass (r15): a key the per-key re-run could not
+      // recover (median still >1.5x quiet) forces ONE full re-probe of
+      // the tier rather than a deferred drift row
+      val (merged, tier2) = Bench.tierSecondPass(adjudicated,
+        quietMedians("sf1."), medianOf, baselinesOn,
+        () => {
+          quiesce()
+          (Seq("graph_triangle_sketch") ++ probe).map(k =>
+            probeTier("sf1.pass2", dir, Seq(k), reps = 2,
+              isolate = true).head)
+        })
+      (genSec, merged, (triPre, triPost), brackets, reruns, tier2)
     }
 
     var shuffleCanarySf10 = -1.0
@@ -621,7 +665,7 @@ object Bench {
     // at ~2.5 min of budget (dedup_semantic ~12s x 2 reps after the r9
     // assignUdf unboxing); SPARK_GRAFT_SF10=1 widens it to the full
     // 13-key tier (~4 min) for the ROADMAP curve.
-    val (sf10gen, sf10, sf10Brackets, sf10Reruns) = {
+    val (sf10gen, sf10, sf10Brackets, sf10Reruns, sf10Tier2) = {
       val sf10full = sys.env.get("SPARK_GRAFT_SF10") match {
         case Some(v) if v == "1" || v.equalsIgnoreCase("true") => true
         case Some(v) =>
@@ -692,7 +736,15 @@ object Bench {
         (t, k) => probeTier(t, dir, Seq(k), reps = 2, isolate = true).head._2,
         () => memCanarySec(),
         driftHotOf(probed, quietMedians("sf10.")))
-      (genSec, adjudicated, brackets, reruns)
+      // whole-tier second pass (r15) — same rule as the sf1 tier
+      val (merged, tier2) = Bench.tierSecondPass(adjudicated,
+        quietMedians("sf10."), medianOf, baselinesOn,
+        () => {
+          quiesce()
+          keys.map(k => probeTier("sf10.pass2", dir, Seq(k), reps = 2,
+            isolate = true).head)
+        })
+      (genSec, merged, brackets, reruns, tier2)
     }
 
     // physical plan node counts — the reference's secondary metric
@@ -1227,7 +1279,9 @@ object Bench {
         jmap(results.map { case (k, s) => k -> medianOf(s) })},"queries_sf1":${
         jmap(sf1.map { case (k, s) => k -> bestOf(s) })},"queries_sf1_median":${
         jmap(sf1.map { case (k, s) => k -> medianOf(s) })},"queries_sf1_samples":${
-        samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"disk_busy":${
+        samplesMap(sf1)},"sf1_brackets":${bracketsJson(sf1Brackets, 4)}$s10full,"tier_second_pass":{"sf1":${
+        sf1Tier2.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf10":${
+        sf10Tier2.map("\"" + _ + "\"").mkString("[", ",", "]")}},"disk_busy":${
         jmap(diskBusy.toSeq)},"cpu_busy":${jmap(cpuBusy.toSeq)},"cpu_steal":${
         jmap(cpuSteal.toSeq)},"cpu_ours":${jmap(cpuOurs.toSeq)},"reruns":${
         rerunsJsonOf(allReruns, 0, 4)},"drift":$driftJson,"drift_sf10":$driftJsonSf10,"board_drift":$boardDriftJson,"baselines":"${
@@ -1322,19 +1376,51 @@ object Bench {
         s""","drift":${driftT(driftRows, driftOmitted)},"drift_sf10":${
           driftT(driftRowsSf10, driftOmittedSf10)},"sf1_brackets":$flaggedBracketsSf1T,"sf10_brackets":$flaggedBracketsT,"board_drift":$boardDriftT"""
       else ""","drift_deferred":true"""
-      val boards = if (level < 1)
-        s""","mv_speedup":${jmapT(mvTriplet, 3)},"skew_join":${
-          jmapT(skewTriplet, 2)},"ann_recall":${jmapT(annRecall, 2)},"triangle_sketch":${
-          jmapT(triSketch, 3)},"lookup":${jmapT(lookupPair, 3)},"join_reorder":${
-          jmapT(joinReorder, 2)}"""
-      else ""","scoreboards_deferred":true"""
       val base = if (baselinesOn) "" else ""","baselines":"off""""
+      // tier2 counts survive every level (like reruns: the fact that a
+      // whole-tier second pass ran is adjudication, not detail); ~0
+      // bytes on a quiet box
+      val t2 = (if (sf1Tier2.nonEmpty)
+        s""","tier2_sf1":${sf1Tier2.size}""" else "") +
+        (if (sf10Tier2.nonEmpty)
+          s""","tier2_sf10":${sf10Tier2.size}""" else "")
       // reruns survive EVERY degrade level: the adjudicated reading is
       // the one thing a churned-box record must carry in-line (r12
       // VERDICT item 1 — drift detail may defer, the adjudication never)
-      f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
-        bestT(sf1)}$s10compact$d$base,"reruns":${rerunsJsonOf(rerunsInline,
-        rerunsOmitted, 2)},"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"${jstr(sfDir)}"}"""
+      def assemble(boards: String) =
+        f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
+          bestT(sf1)}$s10compact$d$base,"reruns":${rerunsJsonOf(rerunsInline,
+          rerunsOmitted, 2)}$t2,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"${jstr(sfDir)}"}"""
+      if (level < 1) {
+        // greedy-fit scoreboards (r15): the full 6-block set costs ~390
+        // bytes and the widened tiers pushed level 0 past the tail
+        // budget, deferring ALL boards (r14's scoreboards_deferred).
+        // Emit instead the longest priority-ordered prefix that fits —
+        // the BASELINE.md shape-invariant boards first (the MV ladder,
+        // the pruned lookup, the CBO re-plan) — and count the rest in
+        // boards_omitted. Each block keeps its exact name and shape, so
+        // a round-over-round parser sees either the block or the count,
+        // never a retyped field; bench_full always carries all six.
+        val blocks = Seq(
+          "mv_speedup" -> jmapT(mvTriplet, 3),
+          "lookup" -> jmapT(lookupPair, 3),
+          "join_reorder" -> jmapT(joinReorder, 2),
+          "skew_join" -> jmapT(skewTriplet, 2),
+          "ann_recall" -> jmapT(annRecall, 2),
+          "triangle_sketch" -> jmapT(triSketch, 3))
+        val blank = assemble("").length
+        var used = 0
+        val kept = blocks.takeWhile { case (k, v) =>
+          val len = k.length + v.length + 4 // ,"k":v
+          // +22: worst-case boards_omitted suffix stays payable
+          val fits = blank + used + len + 22 <= 1870
+          if (fits) used += len
+          fits
+        }
+        val omitted = blocks.size - kept.size
+        assemble(kept.map { case (k, v) => s""","$k":$v""" }.mkString +
+          (if (omitted > 0) s""","boards_omitted":$omitted""" else ""))
+      } else assemble(""","scoreboards_deferred":true""")
     }
     val out = (0 to 2).map(compactLine).find(_.length <= 1870)
       .getOrElse(compactLine(2))

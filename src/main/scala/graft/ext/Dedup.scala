@@ -1603,12 +1603,40 @@ object Dedup {
     // so the exact result is its oracle (both engines run the classic
     // unit-cost DP). The length >= D+1 predicate is the operator's
     // pinned contract, not a fixture assumption.
+    //
+    // Codepoint recode (r15, closing the r14-named oracle boundary):
+    // DuckDB's levenshtein is BYTE-level (lev('café','cafe') = 2) while
+    // the engine's is CODEPOINT-level, so non-ASCII corpora diverged by
+    // design. The recode maps every distinct multi-byte codepoint to an
+    // unused single-byte control char (translate() is codepoint-wise),
+    // after which byte-lev == codepoint-lev exactly. Scope-guarded the
+    // XXH64 way — the oracle query ABORTS via error() (never diverges
+    // silently) when the recode can't be a bijection: more than 31
+    // distinct non-ASCII codepoints, or text already carrying control
+    // chars. length() is codepoint-based in both engines and translate
+    // preserves character count, so the length-bucket predicate is
+    // untouched.
     "dedup_edit_distance" ->
       """WITH k AS (SELECT doc_id, substring(text, 1, 200) AS t
-        |           FROM documents WHERE length(substring(text, 1, 200)) >= 5)
+        |           FROM documents WHERE length(substring(text, 1, 200)) >= 5),
+        |cps AS (SELECT DISTINCT unnest(string_split(t, '')) AS ch FROM k),
+        |nacp AS (SELECT ch, ROW_NUMBER() OVER (ORDER BY unicode(ch)) AS r
+        |         FROM cps WHERE unicode(ch) > 127),
+        |gchk AS (SELECT CASE
+        |  WHEN (SELECT COUNT(*) FROM nacp) > 31
+        |    THEN error('edit-distance recode out of scope: > 31 distinct non-ASCII codepoints')
+        |  WHEN (SELECT COUNT(*) FROM nacp) > 0 AND EXISTS
+        |      (SELECT 1 FROM cps WHERE unicode(ch) BETWEEN 1 AND 31)
+        |    THEN error('edit-distance recode out of scope: corpus already carries control chars')
+        |  ELSE 1 END AS ok),
+        |dict AS (SELECT COALESCE(string_agg(ch, '' ORDER BY r), '') AS f,
+        |                COALESCE(string_agg(chr(r::INTEGER), '' ORDER BY r), '') AS s
+        |         FROM nacp),
+        |kr AS (SELECT doc_id, translate(t, d.f, d.s) AS t
+        |       FROM k, dict d, gchk g WHERE g.ok = 1)
         |SELECT ka.doc_id AS a, kb.doc_id AS b,
         |  CAST(levenshtein(ka.t, kb.t) AS BIGINT) AS dist
-        |FROM k ka, k kb
+        |FROM kr ka, kr kb
         |WHERE ka.doc_id < kb.doc_id
         |  AND abs(length(ka.t) - length(kb.t)) <= 4
         |  AND levenshtein(ka.t, kb.t) <= 4

@@ -257,21 +257,20 @@ object Similarity {
     import s.implicits._
     val e = e0
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // Seed-contract assert (r14 review find): the engine seeds with the
-    // first `nlists` rows ordered by vec_id and labels them by POSITION,
-    // while the oracles seed with `vec_id < nlists` and label by vec_id
-    // — the two coincide ONLY when the lowest vec_ids are exactly
-    // 0..nlists-1. On a gapped id space (a filtered or resharded corpus)
-    // the sides would silently train DIFFERENT quantizers and emit
-    // different cid labels; fail loudly instead (the XXH64 scope-guard
-    // pattern).
+    // Seeding is DENSE-RANK keyed on both sides (r15, replacing the r14
+    // refusal): the engine takes the first `nlists` rows ordered by
+    // vec_id and labels them by POSITION — which IS the dense rank of
+    // vec_id — and the oracles replay seeds as
+    // ROW_NUMBER() OVER (ORDER BY vec_id) - 1 < nlists, labeled by that
+    // same rank. The two coincide on ANY id space, gapped or contiguous
+    // (on contiguous fixtures rank == vec_id, so all recorded hashes are
+    // unchanged), so a filtered or resharded corpus trains the identical
+    // quantizer on both sides instead of failing a contract require.
     val seedRows = e.orderBy("vec_id").limit(nlists)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
-    require(seedRows.map(_._1).toSeq == (0L until nlists.toLong),
-      s"IVF seeding requires vec_ids 0..${nlists - 1} to exist (the oracle " +
-        s"replays seeds as vec_id < $nlists and labels clusters by vec_id); " +
-        s"got ids ${seedRows.map(_._1).take(5).mkString(",")}...")
+    require(seedRows.nonEmpty,
+      "IVF training requires a non-empty source relation")
     val seed: Array[(Int, Array[Double])] = seedRows
       .map(_._2.map(_.toDouble)).zipWithIndex.map(_.swap)
     val assigned0 = e.withColumn("cid", assignTo(seed)(col("embedding")))
@@ -318,10 +317,21 @@ object Similarity {
       cents(best)._1
     }
 
-  def similarityIvf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val NPROBE = Similarity.NPROBE
-    val (e, lists, refined) = ivfLists(s, d)
+  def similarityIvf(s: SparkSession, d: String): DataFrame =
+    similarityIvfWith(s, d, NLISTS, NPROBE)
+
+  /** [[similarityIvf]] with explicit geometry (r15, VERDICT item 7): the
+    * gate key pins the fixture geometry ([[NLISTS]]/[[NPROBE]] — its
+    * oracle and recall tuning assume it), but at 100x the corpus the
+    * list count must grow ~sqrt(N) or the probe degrades toward a scan —
+    * so the geometry is a parameter, not a constant, and
+    * [[ivfOracleSqlWith]] parameterizes the replay identically. Probed
+    * at sf10 with nlists=64 (ProfIvfGeom): recall and per-query cost on
+    * record in ROADMAP. */
+  private[graft] def similarityIvfWith(s: SparkSession, d: String,
+      nlists: Int, nprobe: Int): DataFrame = {
+    val NPROBE = nprobe
+    val (e, lists, refined) = ivfListsK(s, d, nlists)
 
     // probe: rank centroids per query, take NPROBE nearest lists
     // primitive signature for the same unboxing reason as assignUdf
@@ -375,7 +385,12 @@ object Similarity {
     * full list's rows). */
   def similarityIndexAppend(s: SparkSession, d: String): DataFrame = {
     val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = all.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // max over zero rows is NULL — read it guarded so an empty corpus
+    // fails with the contract, not an opaque NullPointerException
+    val maxRow = all.agg(max(col("vec_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "similarityIndexAppend requires a non-empty embeddings relation")
+    val n = maxRow.getLong(0) + 1
     val b = 3L * n / 4 // base/delta split; base carries the 0..NLISTS-1 seeds
     val (_, baseLists, refined) =
       ivfListsOn(all.filter(col("vec_id") < b), NLISTS)
@@ -425,6 +440,104 @@ object Similarity {
     topkExact(scored)
       .withColumn("n_versions", lit(nVersions.toLong))
       .withColumn("delta_rows", lit(n - b))
+      .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
+      .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
+  }
+
+  /** Delta-fold policy for the incremental ANN index (r15, VERDICT item
+    * 6): each append adds one delta dir, so N appends accumulate N dirs
+    * and a point probe's read cost grows O(N). The maintenance rule of
+    * every log-structured index applies — when the manifest carries more
+    * than `maxDeltas` dirs beyond the clustered shards, fold everything
+    * back into `shards` cid-clustered dirs with ONE compactClustered
+    * commit. Folding is a pure layout move (the quantizer is frozen and
+    * assignments ride IN the rows), so query results are invariant under
+    * any fold schedule; read cost is bounded at shards + maxDeltas dirs
+    * no matter how many appends arrive. Returns true when a fold ran. */
+  private[graft] def indexMaintain(snap: graft.matview.Snapshots, t: String,
+      maxDeltas: Int, shards: Int = IDX_SHARDS): Boolean = {
+    val dirs = snap.manifestDirs(t, snap.latest(t))
+    if (dirs > shards + maxDeltas) {
+      snap.compactClustered(t, "cid", shards, Seq("cid"))
+      true
+    } else false
+  }
+
+  /** Maintained incremental index — [[similarityIndexAppend]]'s pattern
+    * continued past one batch: the quantizer trains once on the base
+    * half, THREE delta batches append against the frozen centroids, and
+    * the [[indexMaintain]] policy (fold when deltas > 2) folds the
+    * accumulated deltas back into the clustered layout. With 3 appends
+    * the policy fires exactly once (5, 6 dirs pass; 7 folds to
+    * [[IDX_SHARDS]]), so the pinned facts are deterministic: `n_folds`
+    * = 1, `dirs_latest` = IDX_SHARDS, `rows_total_ok` (the fold lost
+    * nothing), `probe_pruned`/`probe_rows_ok` (a point probe of the
+    * folded layout reads 1 clustered shard and returns the full list).
+    * The oracle replays base-only training, the frozen-centroid delta
+    * assignments, and the served top-k — which must be IDENTICAL to the
+    * unfolded union, the invariant that makes fold scheduling a pure
+    * cost decision at 100 TB. */
+  def similarityIndexMaintain(s: SparkSession, d: String): DataFrame = {
+    val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val maxRow = all.agg(max(col("vec_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "similarityIndexMaintain requires a non-empty embeddings relation")
+    val n = maxRow.getLong(0) + 1
+    val b = n / 2
+    val r = n - b
+    val cuts = Seq(b, b + r / 3, b + 2 * r / 3, n)
+    val (_, baseLists, refined) =
+      ivfListsOn(all.filter(col("vec_id") < b), NLISTS)
+
+    val snap = new graft.matview.Snapshots(s,
+      s"${graft.matview.Materializer.defaultScratch}/ivfidx")
+    val t = s"ivf_maint_${dirKey(d)}"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      baseLists.select(col("cid"), col("vec_id"), col("embedding")),
+      Seq("cid"))
+    snap.compactClustered(t, "cid", IDX_SHARDS, Seq("cid"))
+    var folds = 0
+    (0 until 3).foreach { i =>
+      val delta = all
+        .filter(col("vec_id") >= cuts(i) && col("vec_id") < cuts(i + 1))
+        .withColumn("cid", assignTo(refined)(col("embedding")))
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      snap.commitAppendStats(t, delta, Seq("cid"))
+      if (indexMaintain(snap, t, maxDeltas = 2)) folds += 1
+    }
+    val dirsLatest = snap.manifestDirs(t, snap.latest(t))
+
+    // serve purely from the persisted (now folded) index
+    val idx = snap.readLatest(t).withColumn("nrm", norm(col("embedding")))
+    val rowsTotal = idx.count()
+    val probeUdf = udf { (emb: Array[Float]) =>
+      refined.map { case (cid, cent) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).take(NPROBE).map(_._2)
+    }
+    val queries = idx.filter(col("vec_id") < NUM_QUERIES && col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cid"), col("nrm").as("qn"))
+    val scored = broadcast(queries)
+      .join(idx.filter(col("nrm") > 0), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+
+    val cid0 = baseLists.filter(col("vec_id") === 0)
+      .select(col("cid")).head().getInt(0)
+    val pr = snap.readPrunedEq(t, snap.latest(t), "cid", cid0.toString)
+    val listRows = pr.df.filter(col("cid") === cid0).count()
+    val fullRows = idx.filter(col("cid") === cid0).count()
+
+    topkExact(scored)
+      .withColumn("n_folds", lit(folds.toLong))
+      .withColumn("dirs_latest", lit(dirsLatest.toLong))
+      .withColumn("rows_total_ok", lit(rowsTotal == n))
       .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
       .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
   }
@@ -601,13 +714,11 @@ object Similarity {
       require(seedRows.length >= PQ_KSUB,
         s"PQ training needs at least $PQ_KSUB vectors to seed the " +
           s"codebook, got ${seedRows.length}")
-      // seed-contract assert (r14 review find, the ivfListsK rationale):
-      // the oracle's seeds_m CTEs take vec_id < KSUB and key codewords by
-      // vec_id, the engine takes the first KSUB rows and keys by
-      // position — identical only when the lowest ids are 0..KSUB-1
-      require(seedRows.map(_._1).toSeq == (0L until PQ_KSUB.toLong),
-        s"PQ seeding requires vec_ids 0..${PQ_KSUB - 1} to exist (the " +
-          s"oracle replays seeds as vec_id < $PQ_KSUB keyed by vec_id)")
+      // codeword keys are the POSITION of the seed row in vec_id order —
+      // the dense rank — and the oracle's seeds_m CTEs replay exactly
+      // that (ROW_NUMBER() OVER (ORDER BY vec_id) - 1), so gapped id
+      // spaces train the identical codebook on both sides (r15; the r14
+      // 0..KSUB-1 contract require is gone)
       val rows = seedRows.map(_._2)
       Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
         rows(k)(m * PQ_SUBDIM + i).toDouble)
@@ -910,6 +1021,7 @@ object Similarity {
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
     "similarity_index_append"    -> (similarityIndexAppend _),
+    "similarity_index_maintain"  -> (similarityIndexMaintain _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
     "corpus_contrastive_pairs"   -> (corpusContrastivePairs _),
   )
@@ -954,10 +1066,15 @@ object Similarity {
   /** The IVF training/assignment replay over source relation `src` —
     * "embeddings" for the whole-corpus ANN keys; the incremental-index
     * key passes its base CTE so the quantizer provably trains on the
-    * base slice alone. */
+    * base slice alone. Seeds are keyed by DENSE RANK of vec_id (r15),
+    * matching the engine's position labels on any id space — on the
+    * contiguous fixtures rank == vec_id, so recorded hashes are
+    * unchanged. */
   private def ivfAssignSqlFor(seedBound: String,
       src: String = "embeddings"): String =
-    s"""seeds AS (SELECT vec_id AS cid, embedding FROM $src WHERE vec_id < $seedBound),
+    s"""seeds AS (SELECT cid, embedding FROM (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+       |  FROM $src) WHERE cid < $seedBound),
        |assign1 AS (SELECT e.vec_id, s.cid,
        |  list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * s.embedding[i+1]::DOUBLE)),
@@ -983,6 +1100,28 @@ object Similarity {
 
   private val ivfAssignSql = ivfAssignSqlFor(NLISTS.toString)
 
+  /** The similarity_ivf oracle parameterized by the same (nlists, nprobe)
+    * geometry as [[similarityIvfWith]] — the gate key instantiates it at
+    * the fixture geometry; geometry probes (ProfIvfGeom) replay wider
+    * configurations through the identical SQL. */
+  private[graft] def ivfOracleSqlWith(nlists: Int, nprobe: Int): String =
+    s"""WITH ${ivfAssignSqlFor(nlists.toString)},
+       |$nonZeroSql,
+       |probe AS (SELECT vec_id AS query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+       |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+       |  FROM probe p JOIN a2 USING (cid) WHERE a2.vec_id <> p.query_id),
+       |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+       |  FROM cand c
+       |  JOIN nz q ON q.vec_id = c.query_id
+       |  JOIN nz e ON e.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, rank, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** Per-subspace PQ training/encoding/LUT CTEs, program-generated per
     * subspace m: raw subvectors, seed codewords (first KSUB vectors),
     * squared-L2 nearest assignment (sequential fold, ties to lowest
@@ -997,8 +1136,9 @@ object Similarity {
          |      (acc, x) -> acc + x)""".stripMargin
     s"""sub_$m AS (SELECT vec_id, list_transform(range($PQ_SUBDIM),
        |    i -> embedding[$off + i + 1]::DOUBLE) AS sv FROM embeddings),
-       |seeds_$m AS (SELECT vec_id::INTEGER AS code, sv AS c FROM sub_$m
-       |  WHERE vec_id < $PQ_KSUB),
+       |seeds_$m AS (SELECT code, sv AS c FROM (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INTEGER AS code,
+       |    sv FROM sub_$m) WHERE code < $PQ_KSUB),
        |p1_$m AS (SELECT vec_id, code FROM (
        |  SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${l2("s", "c")} ASC, c.code) AS rn
@@ -1233,23 +1373,9 @@ object Similarity {
     // vec_id order, reassignment against the refined centroids, NPROBE
     // nearest lists per query, exact rerank. All dots are the same
     // sequential double fold as the Spark plan's imperative loops.
-    "similarity_ivf" ->
-      s"""WITH $ivfAssignSql,
-         |$nonZeroSql,
-         |probe AS (SELECT vec_id AS query_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
-         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
-         |  FROM probe p JOIN a2 USING (cid) WHERE a2.vec_id <> p.query_id),
-         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
-         |  FROM cand c
-         |  JOIN nz q ON q.vec_id = c.query_id
-         |  JOIN nz e ON e.vec_id = c.vec_id)
-         |SELECT query_id, neighbor_id, rank, score FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // Generated from the SAME (nlists, nprobe) parameters as the engine
+    // path (similarityIvfWith) — the gate pins the fixture geometry.
+    "similarity_ivf" -> ivfOracleSqlWith(NLISTS, NPROBE),
 
     // incremental index: base-ONLY training (the ivfAssign CTEs run over
     // the base CTE, never the full table), delta assigned to the frozen
@@ -1289,6 +1415,50 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, score,
          |  3::BIGINT AS n_versions,
          |  (SELECT n - b FROM nb) AS delta_rows,
+         |  true AS probe_pruned, true AS probe_rows_ok FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    // maintained index: base-HALF training, every delta batch assigned
+    // to the frozen centroids (the 3-batch split is invisible to the
+    // assignment, so ONE ddots CTE covers all of them), top-k served
+    // over base ∪ deltas — which the fold must leave IDENTICAL (folding
+    // is a layout move). The fold facts are pinned structural constants:
+    // with 3 appends and maxDeltas = 2 the policy fires exactly once and
+    // the latest manifest is back at the IDX_SHARDS clustered dirs.
+    "similarity_index_maintain" ->
+      s"""WITH nb AS (SELECT max(vec_id) + 1 AS n,
+         |  (max(vec_id) + 1) // 2 AS b FROM embeddings),
+         |base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT b FROM nb)),
+         |${ivfAssignSqlFor(NLISTS.toString, "base")},
+         |ddots AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id >= (SELECT b FROM nb)),
+         |da AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM ddots) WHERE rn = 1),
+         |alla AS (SELECT vec_id, cid FROM a2
+         |  UNION ALL SELECT vec_id, cid FROM da),
+         |$nonZeroSql,
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probe p JOIN alla a USING (cid) WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score,
+         |  1::BIGINT AS n_folds,
+         |  ${IDX_SHARDS}::BIGINT AS dirs_latest,
+         |  true AS rows_total_ok,
          |  true AS probe_pruned, true AS probe_rows_ok FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object ReferentialActions {
 
+  // a child already carrying one of the internal scratch names would be
+  // silently clobbered by withColumn and deleted by the final drop —
+  // refuse loudly (the Merge.outer guard-column precedent, applied to
+  // every public operator that rides scratch columns)
+  private def requireNoScratch(child: DataFrame): Unit = {
+    val clash = child.columns
+      .filter(c => c == "__deleted" || c.startsWith("__ra_"))
+    require(clash.isEmpty,
+      s"ReferentialActions: column(s) ${clash.mkString(", ")} collide " +
+        "with the '__deleted'/'__ra_*' scratch namespace")
+  }
+
   private def fkMatch(child: DataFrame, fk: Seq[String],
       deletedKeys: DataFrame): Column = {
     val pks = deletedKeys.columns
@@ -44,6 +56,7 @@ object ReferentialActions {
     * it. */
   def onDeleteSet(child: DataFrame, fk: Seq[String],
       deletedKeys: DataFrame, value: Column): DataFrame = {
+    requireNoScratch(child)
     val renamed = deletedKeys.select(
       deletedKeys.columns.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         col(c).as(s"__ra_pk_$i") }: _*)
@@ -73,6 +86,7 @@ object ReferentialActions {
     * by withColumn and then dropped with it). */
   def onUpdateCascade(child: DataFrame, fk: String,
       keyMap: DataFrame): DataFrame = {
+    requireNoScratch(child)
     val Array(oldK, newK) = keyMap.columns
     val renamed = keyMap.select(
       col(oldK).as("__ra_old"), col(newK).as("__ra_new"))

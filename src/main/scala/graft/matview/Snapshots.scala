@@ -40,7 +40,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into an error instead of a lost commit; a multi-writer deployment
   * would put the version claim behind a catalog CAS.
   */
-class Snapshots(spark: SparkSession, root: String) {
+class Snapshots(spark: SparkSession, root: String,
+    claim: Snapshots.VersionClaim = Snapshots.NoClaim) {
 
   private def tdir(t: String) = s"$root/$t"
   private def logDir(t: String) = Paths.get(tdir(t), "_log")
@@ -76,6 +77,13 @@ class Snapshots(spark: SparkSession, root: String) {
 
   private def publishManifest(t: String, v: Int, dirs: Seq[String]): Unit = {
     Files.createDirectories(logDir(t))
+    // version-claim seam (r15): a multi-writer deployment plugs a
+    // catalog compare-and-swap here — the claim must succeed BEFORE the
+    // manifest move, covering the window where the file-existence guard
+    // below is blind (a racing writer whose manifest is still in
+    // flight). The default NoClaim keeps the single-writer contract
+    // enforced by the guard alone.
+    claim.claimVersion(t, v)
     // single-writer guard (see the class doc): a POSIX atomic rename
     // silently REPLACES an existing target, so a racing writer pair
     // would lose one commit without a trace — refuse loudly instead.
@@ -572,6 +580,27 @@ class Snapshots(spark: SparkSession, root: String) {
   * ([[graft.plans.SnapshotSkippingRule]]) that applies the same pruning
   * to a plain `.filter(...)` over a snapshot scan. */
 object Snapshots {
+
+  /** The multi-writer seam (r15, making the single-writer contract
+    * explicit at the API instead of prose): before a commit's manifest
+    * move, the writer must CLAIM the version. A deployment fills this
+    * with its catalog's compare-and-swap (the Delta commit-service /
+    * Iceberg catalog-swap role): `claimVersion` returns normally only
+    * when the caller owns (table, version) exclusively, and throws
+    * otherwise — refusing the racing writer in the window where the
+    * manifest-exists guard cannot see it yet. Claims are consumed (a
+    * version is claimed at most once, ever); the data dir a refused
+    * commit already wrote stays invisible, exactly like a crashed
+    * writer's. */
+  trait VersionClaim {
+    def claimVersion(table: String, version: Int): Unit
+  }
+
+  /** Default: no external catalog — the single-writer contract, enforced
+    * by publishManifest's best-effort manifest-exists guard alone. */
+  object NoClaim extends VersionClaim {
+    def claimVersion(table: String, version: Int): Unit = ()
+  }
 
   private[graft] val statsFile = "_zstats"
   private[graft] val bloomFile = "_zbloom"

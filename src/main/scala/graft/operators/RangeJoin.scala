@@ -43,15 +43,22 @@ object RangeJoin {
     // exact integer floor division (x - pmod(x, w)) div w, the same form
     // as the rule-based rewrite (RangeJoinRule.floorDiv): floor(col / w)
     // rounds through an IEEE double, which misbins longs past 2^53 —
-    // epoch-micros keys live within an order of magnitude of that edge
-    def binOf(x: String) =
-      expr(s"(($x - pmod($x, $binWidth)) div $binWidth)")
+    // epoch-micros keys live within an order of magnitude of that edge.
+    // Names are backtick-quoted: a reserved-word or dotted/spaced column
+    // ("end", "event.ts") must parse as one identifier, not SQL syntax.
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    def binOf(x: String) = {
+      val c = q(x)
+      expr(s"(($c - pmod($c, $binWidth)) div $binWidth)")
+    }
+    val endQ = q(endCol)
     val p = points.withColumn("__bin", binOf(pointCol))
     val iv = intervals.withColumn("__bin",
       explode(sequence(binOf(startCol), expr(
-        s"((($endCol - 1) - pmod($endCol - 1, $binWidth)) div $binWidth)"))))
+        s"((($endQ - 1) - pmod($endQ - 1, $binWidth)) div $binWidth)"))))
+    // col() parses dots as struct access — quote here too
     p.join(iv, p("__bin") === iv("__bin") &&
-        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+        col(q(pointCol)) >= col(q(startCol)) && col(q(pointCol)) < col(q(endCol)))
       .drop("__bin")
   }
 }

@@ -83,9 +83,9 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       if (autoWidthMemo.size > 64) autoWidthMemo.clear()
       autoWidthMemo.computeIfAbsent(
         (intervals.canonicalized, s.canonicalized, e.canonicalized), _ => {
-          import org.apache.spark.sql.graftshim.{ColumnBridge, PlanBridge}
+          import org.apache.spark.sql.graftshim.{ColumnBridge, DatasetBridge}
           val len = ColumnBridge.column(Subtract(toLong(e), toLong(s)))
-          val row = PlanBridge.ofRows(spark, intervals)
+          val row = DatasetBridge.ofRows(spark, intervals)
             .agg(org.apache.spark.sql.functions.avg(len))
             .head()
           if (row.isNullAt(0)) 16L

@@ -2540,31 +2540,47 @@ object Lifecycle {
         |  FROM ref, tot
         |) ORDER BY action""".stripMargin,
     // golden instrumented plan of the frozen explainFixture: per-operator
-    // node count and actual rows produced (sf-determined, hence
-    // value-exact): 62000 rows enter from the 2 scans, the quantity
-    // filter keeps 31019 lineitem rows (+2000 part rows through the
-    // not-null filter), the broadcast join emits 31019, the FINAL-mode
-    // aggregate's 25 brand groups read 50 because the output sort's
-    // range sampler executes its child twice — a partition-invariant 2x
-    // (partial-mode aggregate output varies with the file-split count —
-    // core-count-dependent — so that node reports NULL);
-    // exchanges/sort/project expose no row metric
+    // node count and actual rows produced. The node counts and metric
+    // names are plan-shape constants (the fixture's plan is frozen by
+    // construction), but the ROW counts are SF-determined — r14's frozen
+    // sf0.01 literals failed on any other gate SF by construction — so
+    // the golden now DERIVES every count from the same tables: the 2
+    // scans emit |lineitem| + |part|, the filters keep the
+    // quantity/not-null survivors, the broadcast side is the filtered
+    // part count, the join emits the equi-match count, and the
+    // FINAL-mode aggregate's brand groups read 2x because the output
+    // sort's range sampler executes its child twice — a
+    // partition-invariant 2x (partial-mode aggregate output varies with
+    // the file-split count — core-count-dependent — so that node reports
+    // NULL); exchanges/sort/project expose no row metric
     "explain_analyze" ->
-      """SELECT * FROM (VALUES
-        |  ('BroadcastExchange', 1::BIGINT, 2000::BIGINT,
-        |   'broadcastTime+buildTime+collectTime'),
-        |  ('BroadcastHashJoin', 1::BIGINT, 31019::BIGINT, NULL::VARCHAR),
-        |  ('ColumnarToRow', 2::BIGINT, 62000::BIGINT, NULL::VARCHAR),
-        |  ('FileSourceScan', 2::BIGINT, 62000::BIGINT,
-        |   'metadataTime+scanTime'),
-        |  ('Filter', 2::BIGINT, 33019::BIGINT, NULL::VARCHAR),
-        |  ('HashAggregate', 2::BIGINT, 50::BIGINT, 'aggTime'),
-        |  ('Project', 2::BIGINT, NULL::BIGINT, NULL::VARCHAR),
-        |  ('ShuffleExchange', 2::BIGINT, NULL::BIGINT,
-        |   'fetchWaitTime+remoteMergedReqsDuration+remoteReqsDuration+shuffleWriteTime'),
-        |  ('Sort', 1::BIGINT, NULL::BIGINT, 'sortTime')
-        |) t(operator, n_nodes, rows_out, time_metrics)
-        |ORDER BY operator""".stripMargin,
+      """WITH li AS (SELECT COUNT(*) AS n FROM lineitem),
+        |pt AS (SELECT COUNT(*) AS n FROM part),
+        |fl AS (SELECT COUNT(*) AS n FROM lineitem
+        |       WHERE l_quantity >= 25 AND l_partkey IS NOT NULL),
+        |fp AS (SELECT COUNT(*) AS n FROM part WHERE p_partkey IS NOT NULL),
+        |j AS (SELECT COUNT(*) AS n, COUNT(DISTINCT p_brand) AS g
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_quantity >= 25)
+        |SELECT * FROM (
+        |  SELECT 'BroadcastExchange' AS operator, 1::BIGINT AS n_nodes,
+        |    (SELECT n FROM fp)::BIGINT AS rows_out,
+        |    'broadcastTime+buildTime+collectTime' AS time_metrics
+        |  UNION ALL SELECT 'BroadcastHashJoin', 1::BIGINT,
+        |    (SELECT n FROM j), NULL::VARCHAR
+        |  UNION ALL SELECT 'ColumnarToRow', 2::BIGINT,
+        |    (SELECT li.n + pt.n FROM li, pt), NULL::VARCHAR
+        |  UNION ALL SELECT 'FileSourceScan', 2::BIGINT,
+        |    (SELECT li.n + pt.n FROM li, pt), 'metadataTime+scanTime'
+        |  UNION ALL SELECT 'Filter', 2::BIGINT,
+        |    (SELECT fl.n + fp.n FROM fl, fp), NULL::VARCHAR
+        |  UNION ALL SELECT 'HashAggregate', 2::BIGINT,
+        |    (SELECT 2 * g FROM j), 'aggTime'
+        |  UNION ALL SELECT 'Project', 2::BIGINT, NULL::BIGINT, NULL::VARCHAR
+        |  UNION ALL SELECT 'ShuffleExchange', 2::BIGINT, NULL::BIGINT,
+        |    'fetchWaitTime+remoteMergedReqsDuration+remoteReqsDuration+shuffleWriteTime'
+        |  UNION ALL SELECT 'Sort', 1::BIGINT, NULL::BIGINT, 'sortTime'
+        |) t ORDER BY operator""".stripMargin,
     // golden operator multiset of the frozen explainFixture's initial
     // physical plan: one hint-pinned broadcast join, 2 scans with their
     // pushed filters, the partial+final HashAggregate pair, and the

@@ -170,4 +170,45 @@ class BenchFlagsSpec extends AnyFunSuite {
     assert(Bench.bracketHot((2.5, 1.1), floor))
     assert(!Bench.bracketHot((2.4, 2.4), floor))
   }
+
+  test("tierSecondPass (r15 VERDICT item 1): an unresolved drift key " +
+      "forces one whole-tier re-probe; min-median merge; quiet box or " +
+      "baselines-off never fire it") {
+    def med(s: Seq[Double]): Double = {
+      val x = s.sorted
+      if (x.size % 2 == 1) x(x.size / 2)
+      else (x(x.size / 2 - 1) + x(x.size / 2)) / 2.0
+    }
+    val quiet = Map("a" -> 1.0, "b" -> 2.0)
+    // the r14 shape: key a adjudicated but STILL 2.2x quiet; b is fine
+    val tier = Seq("a" -> Seq(2.2, 2.3), "b" -> Seq(1.9, 2.0))
+    var probes = 0
+    val (merged, keys) = Bench.tierSecondPass(tier, quiet, med,
+      baselinesOn = true, () => {
+        probes += 1
+        Seq("a" -> Seq(1.0, 1.1), "b" -> Seq(2.5, 2.6))
+      })
+    assert(keys == Seq("a") && probes == 1)
+    // a takes the quiet second reading; b keeps its ORIGINAL (its
+    // second-pass median was worse — min-median merge per key)
+    assert(merged.toMap.apply("a") == Seq(1.0, 1.1))
+    assert(merged.toMap.apply("b") == Seq(1.9, 2.0))
+    // quiet tier: no probe at all
+    var p2 = 0
+    val (same, none) = Bench.tierSecondPass(
+      Seq("a" -> Seq(1.0, 1.1)), quiet, med, baselinesOn = true,
+      () => { p2 += 1; Nil })
+    assert(none.isEmpty && p2 == 0 && same == Seq("a" -> Seq(1.0, 1.1)))
+    // baselines off: adjudication dark by declaration, never a re-probe
+    var p3 = 0
+    val (_, none3) = Bench.tierSecondPass(tier, quiet, med,
+      baselinesOn = false, () => { p3 += 1; Nil })
+    assert(none3.isEmpty && p3 == 0)
+    // a key with no baseline does not participate
+    var p4 = 0
+    val (_, none4) = Bench.tierSecondPass(
+      Seq("new_key" -> Seq(9.0, 9.0)), quiet, med, baselinesOn = true,
+      () => { p4 += 1; Nil })
+    assert(none4.isEmpty && p4 == 0)
+  }
 }

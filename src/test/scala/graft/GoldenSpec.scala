@@ -14,7 +14,7 @@ class GoldenSpec extends AnyFunSuite {
 
   private lazy val mart = new BookOrdersMart(
     spark, "src/test/resources/bookorders",
-    "/root/repo/target/scratch-test/bookorders")
+    s"${TestSpark.scratch}/bookorders")
 
   private def d(df: org.apache.spark.sql.DataFrame): BigDecimal =
     BigDecimal(df.collect().head.getDecimal(0))

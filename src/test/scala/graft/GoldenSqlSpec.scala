@@ -42,7 +42,7 @@ class GoldenSqlSpec extends AnyFunSuite
 
   private lazy val mart: BookOrdersMart = {
     val m = new BookOrdersMart(spark, "src/test/resources/bookorders",
-      "/root/repo/target/scratch-test/bookorders-sql")
+      s"${TestSpark.scratch}/bookorders-sql")
     m.sales.createOrReplaceTempView("sales")
     m.customer.createOrReplaceTempView("customer")
     FdRegistry.clear()

@@ -9,7 +9,7 @@ class MaterializerSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
 
   private def freshMat(tag: String) =
-    new Materializer(spark, s"/root/repo/target/scratch-test/$tag")
+    new Materializer(spark, s"${TestSpark.scratch}/$tag")
 
   test("create persists and table() reads back a file scan") {
     val m = freshMat("basic")
@@ -90,7 +90,7 @@ class MaterializerSpec extends AnyFunSuite {
       Seq(Measure.countAll("n")))
     // simulate the crash window: live dir moved aside, stage never landed
     val p = java.nio.file.Paths.get(
-      "/root/repo/target/scratch-test/crashrec/mv_crash")
+      s"${TestSpark.scratch}/crashrec/mv_crash")
     val old = java.nio.file.Paths.get(p.toString + "__old")
     java.nio.file.Files.move(p, old)
     assert(!java.nio.file.Files.exists(p))
@@ -119,7 +119,7 @@ class MaterializerSpec extends AnyFunSuite {
     import spark.implicits._
     val m = freshMat("recreate").enableAutoRewrite()
     try {
-      val baseDir = "/root/repo/target/scratch-test/recreate_base"
+      val baseDir = s"${TestSpark.scratch}/recreate_base"
       def rows(n: Int) = (0 until n).map(i => (i.toLong, i.toLong))
         .toDF("k", "v")
       rows(3).write.mode("overwrite").parquet(baseDir)

@@ -25,7 +25,7 @@ class MvContainmentSpec extends AnyFunSuite {
       max(col("o_totalprice")).as("max_price"))
 
   test("coarser count/min/max roll up from the finer MV") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont")
       .enableAutoRewrite()
     val direct = coarse.collect().map(_.toSeq.toList).sortBy(_.toString)
     m.create("mv_fine_cust_year", fine)
@@ -42,7 +42,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("avg does NOT roll up (the reference's avg-of-avg lesson)") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont2")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont2")
       .enableAutoRewrite()
     m.create("mv_fine2", fine)
     val avgQ = graft.Tables.load(spark, SF, "orders")
@@ -54,7 +54,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("extra filters block the rewrite (conservative containment)") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont3")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont3")
       .enableAutoRewrite()
     m.create("mv_fine3", fine)
     // o_orderstatus is NOT a stored grouping column of the MV — the
@@ -68,7 +68,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("filter on a stored grouping column maps onto the MV") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont4")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont4")
       .enableAutoRewrite()
     def q = graft.Tables.load(spark, SF, "orders")
       .filter(col("o_orderstatus") === "F")
@@ -87,7 +87,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("exact-average (sum/count composite) rolls up from stored parts") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont5")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont5")
       .enableAutoRewrite()
     def q = graft.Tables.load(spark, SF, "orders")
       .groupBy(col("o_orderpriority"))
@@ -106,7 +106,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("cost chooser picks the narrower MV when several answer") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont6")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont6")
       .enableAutoRewrite()
     m.create("mv_wide_t",
       graft.Tables.load(spark, SF, "lineitem")
@@ -126,7 +126,7 @@ class MvContainmentSpec extends AnyFunSuite {
   }
 
   test("derived grouping: year(g) rolls up from a date-grained MV") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont7")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont7")
       .enableAutoRewrite()
     def q = graft.Tables.load(spark, SF, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"))
@@ -146,7 +146,7 @@ class MvContainmentSpec extends AnyFunSuite {
     // (cast(sum(...))) must not map onto the stored column from inside a
     // coarser Aggregate — that would reference a non-grouping attribute
     // outside any aggregate and produce an unresolvable plan
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcont8")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcont8")
       .enableAutoRewrite()
     m.create("mv_castsum_t",
       graft.Tables.load(spark, SF, "orders")

@@ -18,7 +18,7 @@ class MvRewriteSpec extends AnyFunSuite {
       sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"))
 
   test("equivalent query is rewritten to scan the MV; results unchanged") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvrw")
       .enableAutoRewrite()
     val direct = revenueByPriority.collect().sortBy(_.getString(0))
     m.create("mv_rev_by_prio", revenueByPriority)
@@ -35,7 +35,7 @@ class MvRewriteSpec extends AnyFunSuite {
   }
 
   test("non-equivalent queries are untouched") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw2")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvrw2")
       .enableAutoRewrite()
     m.create("mv_rev_by_prio2", revenueByPriority)
     val different = graft.Tables.load(spark, SF, "orders")
@@ -200,7 +200,7 @@ class MvRewriteSpec extends AnyFunSuite {
   test("CMS sketches re-aggregate through the rewrite: a coarser-grain " +
       "CMS query is served by vector-summing the stored fine sketches") {
     import graft.functions.CmsAgg
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvcms")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvcms")
       .enableAutoRewrite()
     val seeds = Seq(0x9e3779b97f4a7c15L, 0x5851f42d4c957f2dL)
     def grain(cs: String*) = graft.Tables.load(spark, SF, "lineitem")
@@ -229,7 +229,7 @@ class MvRewriteSpec extends AnyFunSuite {
     // lands on the coarse scan. This chain is load-bearing: it is how
     // matview_cost_choice's narrow path resolves, and it constrains the
     // count rollup to stay a bare re-aggregable Sum on grouped shapes.
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvchain")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvchain")
       .enableAutoRewrite()
     val li = graft.Tables.load(spark, SF, "lineitem")
     m.create("mv_chain_fine",
@@ -258,7 +258,7 @@ class MvRewriteSpec extends AnyFunSuite {
   test("zero-match global rollups: count coalesces to 0; counter-sketch " +
       "rollups refuse the global grain (empty-vs-zero-vector divergence)") {
     import graft.functions.CmsAgg
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvempty")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvempty")
       .enableAutoRewrite()
     val seeds = Seq(0x9e3779b97f4a7c15L, 0x5851f42d4c957f2dL)
     val fine = graft.Tables.load(spark, SF, "orders")
@@ -292,7 +292,7 @@ class MvRewriteSpec extends AnyFunSuite {
   }
 
   test("after drop, the rewrite no longer fires") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/mvrw3")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/mvrw3")
       .enableAutoRewrite()
     m.create("mv_rev_tmp", revenueByPriority)
     m.dropCascade("mv_rev_tmp")

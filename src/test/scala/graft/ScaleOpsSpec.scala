@@ -66,10 +66,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       graft.operators.Ranks.prefixMaxByRange(
         withRank, 4, Seq(col("k")), col("k"), "pm")
     }
+    // ReferentialActions (r15, the r14-ADVICE gap): a child already
+    // carrying __deleted or __ra_* would be clobbered by onDeleteSet /
+    // onUpdateCascade's scratch machinery
+    val withDel = Seq((1L, true)).toDF("fk", "__deleted")
+    val keys = Seq(Tuple1(1L)).toDF("pk")
+    intercept[IllegalArgumentException] {
+      graft.ingest.ReferentialActions.onDeleteSet(
+        withDel, Seq("fk"), keys, lit(null))
+    }
+    val withRa = Seq((1L, 2L)).toDF("fk", "__ra_old")
+    intercept[IllegalArgumentException] {
+      graft.ingest.ReferentialActions.onUpdateCascade(
+        withRa, "fk", Seq((1L, 2L)).toDF("o", "n"))
+    }
+  }
+
+  test("RangeJoin binning handles reserved-word and dotted column names " +
+      "(r14 ADVICE: raw names interpolated into expr() SQL)") {
+    import spark.implicits._
+    // 'end' is a SQL reserved word; 'event.ts' needs quoting
+    val pts = Seq(5L, 12L).toDF("end")
+    val ivs = Seq((0L, 10L), (10L, 20L)).toDF("start", "event.ts")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      pts, "end", ivs, "start", "event.ts", 4L)
+    assert(out.count() == 2)
+    assert(out.select(col("end"), col("start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5L, 0L), (12L, 10L)))
   }
 
   test("same-bucketed tables join without a shuffle exchange") {
-    val m = new Materializer(spark, "/root/repo/target/scratch-test/bucketed")
+    val m = new Materializer(spark, s"${TestSpark.scratch}/bucketed")
     val orders = graft.Tables.load(spark, SF, "orders")
     val li = graft.Tables.load(spark, SF, "lineitem")
     m.createBucketed("b_orders", orders, Seq("o_orderkey"), 4)

@@ -89,32 +89,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
-  test("IVF seeding fails LOUDLY on a gapped vec_id space instead of " +
-      "silently diverging from the oracle (r14 review find)") {
+  test("IVF trains identically on a gapped vec_id space — dense-rank " +
+      "seeding replaces the r14 contract refusal (r15)") {
     // the engine seeds with the first K rows by vec_id labeled by
-    // POSITION; the oracles seed with vec_id < K labeled by vec_id —
-    // identical only when the lowest ids are exactly 0..K-1. A gapped
-    // corpus must hit the contract require, not train a different
-    // quantizer than its oracle replays.
+    // POSITION (the dense rank); since r15 the oracles replay exactly
+    // that (ROW_NUMBER() OVER (ORDER BY vec_id) - 1), so a filtered or
+    // resharded corpus trains green with the SAME quantizer as its
+    // densified twin instead of failing a require.
     val spark2 = TestSpark.spark
     import spark2.implicits._
+    def emb(i: Int): Array[Float] =
+      Array.tabulate(64)(j => 0.1f * ((i % 7) + 1) + 0.01f * (j % 3))
     val dir = java.nio.file.Files.createTempDirectory("ivf_gapped")
-    (0 until 30).map(i => (100L + i,
-        Array.fill(64)(0.1f * ((i % 7) + 1)), i % 3))
+    // gapped AND non-uniformly spaced ids (filtered-corpus shape)
+    val gappedIds = (0 until 30).map(i => 100L + 7L * i)
+    gappedIds.zipWithIndex.map { case (id, i) => (id, emb(i), i % 3) }
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.ivfListsK(spark2, dir.toString, 4)
-    }
-    assert(e.getMessage.contains("vec_ids 0..3"))
-    // contiguous ids from 0: trains normally
+    val (_, gapped, gCents) = Similarity.ivfListsK(spark2, dir.toString, 4)
+    // densified twin: same embeddings, ids 0..29
     val dir2 = java.nio.file.Files.createTempDirectory("ivf_contig")
-    (0 until 30).map(i => (i.toLong,
-        Array.fill(64)(0.1f * ((i % 7) + 1)), i % 3))
+    (0 until 30).map(i => (i.toLong, emb(i), i % 3))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
-    val (_, assigned, cents) = Similarity.ivfListsK(spark2, dir2.toString, 4)
-    assert(cents.nonEmpty && assigned.count() == 30)
+    val (_, contig, cCents) = Similarity.ivfListsK(spark2, dir2.toString, 4)
+    // identical refined centroids (labels AND values)...
+    assert(gCents.map(_._1).toSeq == cCents.map(_._1).toSeq)
+    assert(gCents.map(_._2.toSeq).toSeq == cCents.map(_._2.toSeq).toSeq)
+    // ...and identical assignments row-for-row under the id mapping
+    val gAsg = gapped.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val cAsg = contig.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gappedIds.zipWithIndex.forall { case (gid, i) =>
+      gAsg(gid) == cAsg(i.toLong) })
+    assert(gAsg.size == 30 && gCents.nonEmpty)
   }
 
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
@@ -178,6 +187,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(basePersisted == latestBase && basePersisted.nonEmpty)
     // and the delta really is the rest of the corpus, assigned
     assert(snap.readLatest(t).filter(col("vec_id") >= b).count() == n - b)
+  }
+
+  test("index maintenance: delta-fold bounds manifest dirs across " +
+      "repeated appends (r15) — read cost flat, nothing lost") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("idx_maint").toString
+    val snap = new graft.matview.Snapshots(spark2, root)
+    val t = "idx"
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i % 4, i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("cid", "vec_id", "embedding")
+    snap.commitAppendStats(t, batch(0, 64), Seq("cid"))
+    snap.compactClustered(t, "cid", 4, Seq("cid"))
+    var folds = 0
+    (0 until 6).foreach { k =>
+      snap.commitAppendStats(t, batch(64 + 8 * k, 64 + 8 * (k + 1)),
+        Seq("cid"))
+      if (Similarity.indexMaintain(snap, t, maxDeltas = 2, shards = 4))
+        folds += 1
+      // the policy's bound: after maintenance the manifest never carries
+      // more than shards + maxDeltas dirs, no matter how many appends
+      assert(snap.manifestDirs(t, snap.latest(t)) <= 6)
+    }
+    // 6 appends at maxDeltas=2 fold exactly twice (5,6 pass; 7 folds)
+    assert(folds == 2)
+    // folding lost nothing
+    assert(snap.readLatest(t).count() == 64 + 48)
+    // a point probe of the folded layout still prunes to one shard
+    val pr = snap.readPrunedEq(t, snap.latest(t), "cid", "1")
+    assert(pr.dirsRead < pr.dirsTotal)
+    assert(pr.df.filter(org.apache.spark.sql.functions.col("cid") === 1)
+      .count() === 112L / 4)
+  }
+
+  test("similarity_index_maintain: fold facts pinned, served top-k " +
+      "matches the unfolded union") {
+    import TestSpark.{spark, SF}
+    val rows = Similarity.similarityIndexMaintain(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_folds") == 1L))
+    assert(rows.forall(_.getAs[Long]("dirs_latest") == 4L))
+    assert(rows.forall(_.getAs[Boolean]("rows_total_ok")))
+    assert(rows.forall(_.getAs[Boolean]("probe_pruned")))
+    assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
+    // folding is a pure layout move: per query, 5 ranked neighbors
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { v =>
+      assert(v.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
   }
 
   test("dedup_semantic equals an un-checkpointed all-pairs rebuild " +

@@ -494,4 +494,40 @@ class SnapshotsSpec extends AnyFunSuite {
     val om = snap.readPrunedEq(t, v, "name", "omega")
     assert(om.df.filter(col("name") === "omega").count() == 1)
   }
+
+  test("version-claim seam (r15): a catalog CAS refuses the racing " +
+      "writer in the window the manifest-exists guard cannot see") {
+    import spark.implicits._
+    val casRoot = Files.createTempDirectory("snap_cas").toString
+    // an in-memory catalog CAS: each (table, version) claimable once
+    val cas = new Snapshots.VersionClaim {
+      private val owned = scala.collection.mutable.Set[(String, Int)]()
+      def claimVersion(t: String, v: Int): Unit = synchronized {
+        require(owned.add((t, v)),
+          s"version $v of $t already claimed by another writer")
+      }
+    }
+    val a = new Snapshots(spark, casRoot, cas)
+    val b = new Snapshots(spark, casRoot, cas)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    a.commitAppend("t", df) // claims (t, 0), publishes v0
+    assert(a.latest("t") == 0)
+    // writer B computes v1, but another writer already HOLDS v1 in the
+    // catalog (its manifest is still in flight — no file on disk, so
+    // the existence guard alone would let B through and the slower
+    // rename would silently replace the winner's manifest)
+    cas.claimVersion("t", 1)
+    intercept[IllegalArgumentException] { b.commitAppend("t", df) }
+    // the refused commit published nothing: latest is still v0 and the
+    // refused writer's data dir is invisible, like a crashed writer's
+    assert(b.latest("t") == 0)
+    assert(b.readLatest("t").count() == 1)
+    // the default NoClaim path (no catalog) still carries the
+    // best-effort guard: same-version double publish refuses loudly
+    val plain = new Snapshots(spark, casRoot + "_plain")
+    plain.commitAppend("t", df)
+    val m = Paths.get(casRoot + "_plain", "t", "_log", "v1.manifest")
+    Files.write(m, "phantom".getBytes) // another writer's manifest lands
+    intercept[IllegalStateException] { plain.commitAppend("t", df) }
+  }
 }
