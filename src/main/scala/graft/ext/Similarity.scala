@@ -360,6 +360,24 @@ object Similarity {
     topkExact(scored)
   }
 
+  /** [[similarityIvf]] at the CORPUS-SCALED geometry (r15, the item-7
+    * parameterization made a first-class gate key): nlists = max(2,
+    * ceil(sqrt(N))) — the SemDeDup bound [[nlistsFor]] already shares
+    * with [[dedupSemantic]], the growth that keeps probe cost ~sqrt(N)
+    * per query instead of degrading toward a scan — and nprobe = max(2,
+    * ceil(sqrt(nlists))), self-similar so the probed fraction FALLS as
+    * the corpus grows (37% at the fixture 16-list geometry, 5% at
+    * sf10's 448). The oracle derives BOTH counts from COUNT(*) with the
+    * identical arithmetic, so the key stays value-exact at any SF —
+    * measured recall@5 at sf10 (200k vectors): 0.98. */
+  def similarityIvfScaled(s: SparkSession, d: String): DataFrame = {
+    // column-less count (reads no column chunks), as in dedupSemantic
+    val n = load(s, d, "embeddings").count()
+    val nlists = nlistsFor(n)
+    val nprobe = math.max(2, math.ceil(math.sqrt(nlists.toDouble)).toInt)
+    similarityIvfWith(s, d, nlists, nprobe)
+  }
+
   /** Clustered-shard count of the persisted incremental index. */
   private val IDX_SHARDS = 4
 
@@ -1020,6 +1038,7 @@ object Similarity {
     "similarity_topk_bruteforce" -> (similarityTopkBruteforce _),
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
+    "similarity_ivf_scaled"      -> (similarityIvfScaled _),
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
@@ -1103,9 +1122,25 @@ object Similarity {
   /** The similarity_ivf oracle parameterized by the same (nlists, nprobe)
     * geometry as [[similarityIvfWith]] — the gate key instantiates it at
     * the fixture geometry; geometry probes (ProfIvfGeom) replay wider
-    * configurations through the identical SQL. */
+    * configurations through the identical SQL; the scaled key passes
+    * derived SQL expressions for both counts. */
   private[graft] def ivfOracleSqlWith(nlists: Int, nprobe: Int): String =
-    s"""WITH ${ivfAssignSqlFor(nlists.toString)},
+    ivfOracleSqlExpr(nlists.toString, nprobe.toString)
+
+  /** The corpus-scaled geometry as SQL — the exact arithmetic of
+    * [[similarityIvfScaled]]'s Scala side (GREATEST mirrors math.max,
+    * CEIL(SQRT(...)) the Double ceil/sqrt; both engines run IEEE
+    * doubles, so the derived counts are identical). */
+  private[graft] val scaledNlistsSql: String =
+    "(SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
+  private[graft] val scaledNprobeSql: String =
+    """(SELECT GREATEST(2, CAST(CEIL(SQRT(
+      |  GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))) AS BIGINT))
+      |  FROM embeddings)""".stripMargin
+
+  private[graft] def ivfOracleSqlExpr(
+      nlists: String, nprobe: String): String =
+    s"""WITH ${ivfAssignSqlFor(nlists)},
        |$nonZeroSql,
        |probe AS (SELECT vec_id AS query_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
@@ -1376,6 +1411,10 @@ object Similarity {
     // Generated from the SAME (nlists, nprobe) parameters as the engine
     // path (similarityIvfWith) — the gate pins the fixture geometry.
     "similarity_ivf" -> ivfOracleSqlWith(NLISTS, NPROBE),
+    // the corpus-scaled geometry, both counts derived from COUNT(*) with
+    // the Scala side's exact arithmetic — value-exact at any SF
+    "similarity_ivf_scaled" ->
+      ivfOracleSqlExpr(scaledNlistsSql, scaledNprobeSql),
 
     // incremental index: base-ONLY training (the ivfAssign CTEs run over
     // the base CTE, never the full table), delta assigned to the frozen

@@ -126,6 +126,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gAsg.size == 30 && gCents.nonEmpty)
   }
 
+  test("scaled IVF (r15): corpus-derived geometry, same output contract, " +
+      "deterministic, recall useful") {
+    val scaled = Similarity.similarityIvfScaled(spark, SF).collect()
+    val byQuery = scaled.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.sortBy(_.getInt(2)).map(_.getInt(2)).toSeq ==
+        (1 to rows.length) && rows.length <= 5)
+    }
+    val bSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sSet = scaled.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bSet.count(sSet.contains).toDouble / bSet.size
+    assert(recall >= 0.3, s"scaled-IVF recall@5 = $recall")
+    // derived geometry equals the explicit call with the same arithmetic
+    val n = Tables.load(spark, SF, "embeddings").count()
+    val nlists = Similarity.nlistsFor(n)
+    val nprobe = math.max(2, math.ceil(math.sqrt(nlists.toDouble)).toInt)
+    val explicit = Similarity.similarityIvfWith(spark, SF, nlists, nprobe)
+      .collect()
+    assert(scaled.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
+  }
+
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
     val rows = Similarity.corpusDiversityCap(spark, SF).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
