@@ -378,6 +378,57 @@ object Similarity {
     similarityIvfWith(s, d, nlists, nprobe)
   }
 
+  /** Filtered ANN (r15) — top-k under a metadata predicate, the
+    * production pattern every vector store serves (tenant/shard/language
+    * scoping): each query retrieves only neighbors sharing its `label`.
+    * The naive post-filter breaks IVF — a 10%-selective filter leaves a
+    * fixed-width probe with ~10% of its candidates and recall collapses
+    * — so the probe WIDENS by inverse selectivity: nprobe_f = min(L,
+    * ceil(NPROBE * N / count(label))), in EXACT integer arithmetic
+    * ((a + c - 1) div c) so the oracle replays it bit-for-bit. The label
+    * filter is pushed INTO the inverted-list scan — candidates drop
+    * BEFORE any dot product — which at 100 TB is the difference between
+    * scoring probed-lists x selectivity rows and scoring the probed
+    * lists whole. Selectivity comes from a label-count relation (tiny,
+    * broadcast); everything else is the [[similarityIvf]] machinery. */
+  def similarityFilteredAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
+    val lists = lists0.join(
+      load(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+    val lc = lists.groupBy("label").agg(count(lit(1)).as("lcnt"))
+    val nRow = lists.agg(count(lit(1)).as("n"))
+    // every centroid ranked per query; the per-query probe DEPTH is
+    // decided relationally from the label's selectivity
+    val probeAllUdf = udf { (emb: Array[Float]) =>
+      refined.map { case (cid, cent) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).map(_._2)
+    }
+    val queries = lists.filter(col("vec_id") < NUM_QUERIES)
+      .filter(col("nrm") > 0) // zero-norm contract (see norm())
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"),
+        posexplode(probeAllUdf(col("embedding"))).as(Seq("pos", "cid")))
+      .join(broadcast(lc.withColumnRenamed("label", "qlabel")), "qlabel")
+      .crossJoin(broadcast(nRow))
+      // ceil(NPROBE * n / lcnt) in exact integer math, capped at L —
+      // `div`, not `/`: Column./ is ALWAYS a double divide in Spark
+      .filter(expr(
+        s"pos < least($NLISTS, ($NPROBE * n + lcnt - 1) div lcnt)"))
+    val scored = broadcast(queries)
+      .join(lists.filter(col("nrm") > 0), Seq("cid"))
+      // the metadata filter, pushed BEFORE the dot product
+      .filter(col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+    topkExact(scored)
+  }
+
   /** Clustered-shard count of the persisted incremental index. */
   private val IDX_SHARDS = 4
 
@@ -1039,6 +1090,7 @@ object Similarity {
     "similarity_ann_lsh"         -> (similarityAnnLsh _),
     "similarity_ivf"             -> (similarityIvf _),
     "similarity_ivf_scaled"      -> (similarityIvfScaled _),
+    "similarity_filtered_ann"    -> (similarityFilteredAnn _),
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
@@ -1415,6 +1467,35 @@ object Similarity {
     // the Scala side's exact arithmetic — value-exact at any SF
     "similarity_ivf_scaled" ->
       ivfOracleSqlExpr(scaledNlistsSql, scaledNprobeSql),
+    // filtered ANN: the same assignment replay + the label predicate on
+    // candidates + the selectivity-widened probe depth in the identical
+    // integer arithmetic ((a + c - 1) // c == Spark's div for positives)
+    "similarity_filtered_ann" ->
+      s"""WITH $ivfAssignSql,
+         |$nonZeroSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |lc AS (SELECT label, COUNT(*) AS lcnt FROM embeddings GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pr0 AS (SELECT a.vec_id AS query_id, a.cid, ql.label AS qlabel,
+         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.dot DESC, a.cid) AS rn
+         |  FROM assign2 a JOIN lab ql ON ql.vec_id = a.vec_id
+         |  WHERE a.vec_id < $NUM_QUERIES),
+         |probe AS (SELECT query_id, cid, qlabel FROM pr0
+         |  JOIN lc ON lc.label = pr0.qlabel CROSS JOIN nt
+         |  WHERE rn <= LEAST($NLISTS, ($NPROBE * n + lcnt - 1) // lcnt)),
+         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+         |  FROM probe p JOIN a2 USING (cid)
+         |  JOIN lab nl ON nl.vec_id = a2.vec_id
+         |  WHERE a2.vec_id <> p.query_id AND nl.label = p.qlabel),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     // incremental index: base-ONLY training (the ivfAssign CTEs run over
     // the base CTE, never the full table), delta assigned to the frozen

@@ -148,6 +148,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scaled.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
   }
 
+  test("filtered ANN (r15): every neighbor shares its query's label; " +
+      "the widened probe recovers the label-filtered exact top-k") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.similarityFilteredAnn(spark, SF)
+    val lab = Tables.load(spark, SF, "embeddings").select(
+      col("vec_id"), col("label"))
+    // predicate honored: neighbor label == query label, always
+    val joined = out
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+    assert(joined.filter(col("ql") =!= col("nl")).isEmpty)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // exact label-filtered brute force as the recall reference
+    val e = Tables.load(spark, SF, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    import org.apache.spark.sql.expressions.Window
+    val exact = broadcast(q).join(e,
+        col("vec_id") =!= col("query_id") && col("label") === col("ql"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.VectorDot.vector_dot(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm"))).as("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("s").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    // a 10%-selective filter forces the probe to all 16 lists at this
+    // corpus size, so the filtered search IS the filtered brute force
+    assert(recall >= 0.99, s"filtered-ANN recall@5 = $recall")
+  }
+
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
     val rows = Similarity.corpusDiversityCap(spark, SF).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
