@@ -612,7 +612,12 @@ object Bench {
         "agg_quantile_sketch",
         // r11 addition: the PassJoin edit-distance dedup (probe-explosion
         // + segment-hash join — shuffle-volume sensitive by design)
-        "dedup_edit_distance")
+        "dedup_edit_distance",
+        // r15 additions, appended LAST (tier-position discipline: every
+        // existing key keeps its position and baseline): the two new ANN
+        // keys — corpus-scaled geometry and selectivity-widened filtered
+        // probe
+        "similarity_ivf_scaled", "similarity_filtered_ann")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)
