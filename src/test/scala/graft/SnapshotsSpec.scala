@@ -522,12 +522,25 @@ class SnapshotsSpec extends AnyFunSuite {
     // refused writer's data dir is invisible, like a crashed writer's
     assert(b.latest("t") == 0)
     assert(b.readLatest("t").count() == 1)
-    // the default NoClaim path (no catalog) still carries the
-    // best-effort guard: same-version double publish refuses loudly
-    val plain = new Snapshots(spark, casRoot + "_plain")
-    plain.commitAppend("t", df)
-    val m = Paths.get(casRoot + "_plain", "t", "_log", "v1.manifest")
-    Files.write(m, "phantom".getBytes) // another writer's manifest lands
+    // the manifest-exists guard itself, driven at its exact blind point:
+    // a manifest planted BEFORE a commit just advances latest() (the
+    // next version never collides), so the race window is only reachable
+    // from inside publishManifest — and the claim hook runs precisely
+    // there, between version computation and the move. A "claim" that
+    // plants the rival's manifest in that window must be refused by the
+    // guard, loudly.
+    val plantRoot = casRoot + "_plain"
+    val planter = new Snapshots.VersionClaim {
+      def claimVersion(t: String, v: Int): Unit =
+        if (v == 1) Files.write(
+          Paths.get(plantRoot, t, "_log", "v1.manifest"),
+          "rival".getBytes)
+    }
+    val plain = new Snapshots(spark, plantRoot, planter)
+    plain.commitAppend("t", df) // v0: nothing planted, commits clean
     intercept[IllegalStateException] { plain.commitAppend("t", df) }
+    // the winner's (planted) manifest survived untouched
+    assert(Files.readString(
+      Paths.get(plantRoot, "t", "_log", "v1.manifest")) == "rival")
   }
 }
