@@ -758,6 +758,18 @@ object Similarity {
   // ~750 probed candidates/query): 16 codes/width 32 -> 0.54; 256
   // codes/width 64 -> 0.92; 256/128 -> 1.00. Rerank cost stays trivial
   // (128 exact dots per query).
+  //
+  // r15: the FLOOR of an adaptive width. ADC noise displaces true
+  // neighbors by a roughly constant FRACTION of the candidate stream,
+  // so a fixed 128 collapses as the corpus grows: at sf1 (20k vectors,
+  // ~7.5k probed candidates/query) recall@5 read 0.68 at width 128 and
+  // was CODEBOOK-INSENSITIVE (0.62 at ksub=64, 0.66 at 1024 — the
+  // shortlist, not the quantizer, was the binding constraint), while
+  // widths 512/1024 read 0.98/1.00 at the same wall-clock (ProfPqGeom).
+  // The gate key therefore sizes the shortlist to the probed stream:
+  // max(128, ceil(N * NPROBE / (NLISTS * 8))) — 128 at every fixture SF
+  // (hashes unchanged), ~940 at sf1, growing with the corpus while
+  // staying a trivial number of exact dots per query.
   private val PQ_RERANK = 128
 
   /** PQ codebook training + corpus encoding over a coarse-assigned
@@ -770,18 +782,28 @@ object Similarity {
     * produced `cid`; the returned codes relation carries cid through.
     * Returns (refined codebooks [m][k][dim], codes(vec_id, cid, codes)). */
   private[graft] def pqTrainEncode(s: SparkSession, lists: DataFrame)
-      : (Array[Array[Array[Double]]], DataFrame) = {
+      : (Array[Array[Array[Double]]], DataFrame) =
+    pqTrainEncodeK(s, lists, PQ_KSUB)
+
+  /** [[pqTrainEncode]] with an explicit codeword count (r15: the last
+    * fixed ANN-geometry constant made a parameter — the gate keys keep
+    * [[PQ_KSUB]]=256, and a deployment sizes the codebook to the data's
+    * intrinsic diversity). The encode kernel derives every dimension
+    * from the codebook SHAPE, so the arithmetic is identical at any
+    * ksub and the fixture keys' hashes are unchanged. */
+  private[graft] def pqTrainEncodeK(s: SparkSession, lists: DataFrame,
+      ksub: Int): (Array[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
     // --- PQ training: seeds -> assign -> one Lloyd pass -> codebooks
     val seedCb: Array[Array[Array[Double]]] = {
-      val seedRows = lists.orderBy("vec_id").limit(PQ_KSUB)
+      val seedRows = lists.orderBy("vec_id").limit(ksub)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect()
       // fewer vectors than codewords would AIOOBE below with an
       // inscrutable index — fail with the contract instead (a corpus
-      // this small has no business training a 256-codeword PQ)
-      require(seedRows.length >= PQ_KSUB,
-        s"PQ training needs at least $PQ_KSUB vectors to seed the " +
+      // this small has no business training a ksub-codeword PQ)
+      require(seedRows.length >= ksub,
+        s"PQ training needs at least $ksub vectors to seed the " +
           s"codebook, got ${seedRows.length}")
       // codeword keys are the POSITION of the seed row in vec_id order —
       // the dense rank — and the oracle's seeds_m CTEs replay exactly
@@ -789,7 +811,7 @@ object Similarity {
       // spaces train the identical codebook on both sides (r15; the r14
       // 0..KSUB-1 contract require is gone)
       val rows = seedRows.map(_._2)
-      Array.tabulate(PQ_M, PQ_KSUB, PQ_SUBDIM)((m, k, i) =>
+      Array.tabulate(PQ_M, ksub, PQ_SUBDIM)((m, k, i) =>
         rows(k)(m * PQ_SUBDIM + i).toDouble)
     }
     // encoding runs as a typed Dataset map over primitive float arrays —
@@ -799,15 +821,20 @@ object Similarity {
     // a val lambda, not a local def: a nested def compiles to a method on
     // the (non-serializable) enclosing object and task closures calling
     // it would capture Similarity$ itself
+    // every dimension derived from the codebook shape (cb.length
+    // subspaces, cb(m).length codewords, cb(m)(k).length sub-dims):
+    // the identical loop order and arithmetic at any geometry
     val encode = (cb: Array[Array[Array[Double]]], emb: Array[Float]) =>
-      Array.tabulate(PQ_M) { m =>
+      Array.tabulate(cb.length) { m =>
+        val cws = cb(m)
+        val subdim = cws(0).length
         var best = 0; var bestDist = Double.MaxValue
-        val base = m * PQ_SUBDIM
+        val base = m * subdim
         var k = 0
-        while (k < PQ_KSUB) {
-          val cw = cb(m)(k)
+        while (k < cws.length) {
+          val cw = cws(k)
           var acc = 0.0; var i = 0
-          while (i < PQ_SUBDIM) {
+          while (i < subdim) {
             val dd = emb(base + i) - cw(i)
             acc += dd * dd; i += 1
           }
@@ -838,9 +865,9 @@ object Similarity {
              |      (a, x) -> a + CAST(x AS DOUBLE))),
              |  t -> t / size(vs))""".stripMargin).as("cent"))
         .as[(Int, Int, Array[Double])].collect()
-      require(rows.length == PQ_M * PQ_KSUB,
-        s"PQ refine lost a codeword: ${rows.length} of ${PQ_M * PQ_KSUB}")
-      val cb = Array.ofDim[Array[Double]](PQ_M, PQ_KSUB)
+      require(rows.length == PQ_M * ksub,
+        s"PQ refine lost a codeword: ${rows.length} of ${PQ_M * ksub}")
+      val cb = Array.ofDim[Array[Double]](PQ_M, ksub)
       rows.foreach { case (m, k, c) => cb(m)(k) = c }
       cb
     }
@@ -877,6 +904,21 @@ object Similarity {
     * and the refine fold indexes codewords by id. Holds here and in
     * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
   def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+    // adaptive shortlist width (see the PQ_RERANK note): exact integer
+    // ceil, replayed by the oracle from COUNT(*)
+    val n = load(s, d, "embeddings").count()
+    val denom = NLISTS.toLong * 8
+    val rerank = math.max(PQ_RERANK.toLong,
+      (n * NPROBE + denom - 1) / denom).toInt
+    similarityIvfPqWith(s, d, PQ_KSUB, rerank)
+  }
+
+  /** [[similarityIvfPq]] with an explicit codeword count — the gate key
+    * pins the fixture PQ8x256; geometry probes (ProfPqGeom) measure
+    * recall/cost at other codebook sizes through the identical
+    * pipeline. */
+  private[graft] def similarityIvfPqWith(s: SparkSession, d: String,
+      ksub: Int, rerank: Int = PQ_RERANK): DataFrame = {
     import s.implicits._
     // the coarse-assigned relation has four consumers (seed collect, seed
     // encode, final encode, query probe); re-derivation is deterministic
@@ -884,7 +926,7 @@ object Similarity {
     // buys nothing at sf1 once encoding is unboxed — at 100 TB the list
     // assignment is a persisted index artifact either way
     val (_, lists, coarse) = ivfLists(s, d)
-    val (refinedCb, codes) = pqTrainEncode(s, lists)
+    val (refinedCb, codes) = pqTrainEncodeK(s, lists, ksub)
 
     // --- query side: coarse probe + ADC lookup table
     // primitive signatures (the assignUdf unboxing rationale) — these
@@ -898,8 +940,8 @@ object Similarity {
       }.sortBy(-_._1).take(NPROBE).map(_._2)
     }
     val lutUdf = udf { (emb: Array[Float]) =>
-      Array.tabulate(PQ_M * PQ_KSUB) { j =>
-        val m = j / PQ_KSUB; val k = j % PQ_KSUB
+      Array.tabulate(PQ_M * ksub) { j =>
+        val m = j / ksub; val k = j % ksub
         var acc = 0.0; var i = 0
         while (i < PQ_SUBDIM) {
           acc += emb(m * PQ_SUBDIM + i) * refinedCb(m)(k)(i); i += 1
@@ -920,11 +962,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), expr(
         s"""aggregate(sequence(0, ${PQ_M - 1}), CAST(0 AS DOUBLE),
-           |  (acc, m) -> acc + lut[m * $PQ_KSUB + codes[m]])"""
+           |  (acc, m) -> acc + lut[m * $ksub + codes[m]])"""
           .stripMargin).as("ascore"))
     val cand = approx.groupBy("query_id")
       .agg(graft.functions.TopKAgg
-        .top_k(col("ascore"), col("vec_id"), PQ_RERANK).as("top"))
+        .top_k(col("ascore"), col("vec_id"), rerank).as("top"))
       .select(col("query_id"), explode(col("top.neighbor_id")).as("vec_id"))
 
     // --- stage 2: exact float rerank of the ADC shortlist; the rerank
@@ -1215,7 +1257,11 @@ object Similarity {
     * code), one Lloyd pass with vec_id-ordered per-dim mean folds,
     * re-assignment, and the query-side codeword dot table — each the
     * exact arithmetic of the Spark UDFs/folds. */
-  private def pqCtes: String = (0 until PQ_M).map { m =>
+  private def pqCtes: String = pqCtesFor(PQ_KSUB)
+
+  /** The per-subspace PQ replay with an explicit codeword count — the
+    * oracle-side twin of [[pqTrainEncodeK]]'s parameterization. */
+  private[graft] def pqCtesFor(ksub: Int): String = (0 until PQ_M).map { m =>
     val off = m * PQ_SUBDIM
     def l2(s: String, c: String) =
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($PQ_SUBDIM),
@@ -1225,7 +1271,7 @@ object Similarity {
        |    i -> embedding[$off + i + 1]::DOUBLE) AS sv FROM embeddings),
        |seeds_$m AS (SELECT code, sv AS c FROM (
        |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INTEGER AS code,
-       |    sv FROM sub_$m) WHERE code < $PQ_KSUB),
+       |    sv FROM sub_$m) WHERE code < $ksub),
        |p1_$m AS (SELECT vec_id, code FROM (
        |  SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${l2("s", "c")} ASC, c.code) AS rn
@@ -1305,7 +1351,9 @@ object Similarity {
          |short AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY ascore DESC, vec_id) AS rn FROM adc)
-         |  WHERE rn <= $PQ_RERANK),
+         |  WHERE rn <= GREATEST($PQ_RERANK, (SELECT
+         |    (COUNT(*) * $NPROBE + ${NLISTS * 8} - 1) // ${NLISTS * 8}
+         |    FROM embeddings))),
          |$nonZeroSql,
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[],
