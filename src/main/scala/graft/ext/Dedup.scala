@@ -758,6 +758,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split (r15) — the eval-contamination
+    * guard every training pipeline needs composed from two existing
+    * primitives: a naive per-doc hash split puts near-duplicate pairs on
+    * OPPOSITE sides (a test doc whose near-dup sits in train leaks the
+    * answer into evaluation), so the split key is the near-dup CLUSTER,
+    * not the document — every doc inherits the md5 bucket of its
+    * cluster representative (the component's min doc_id, from
+    * [[minLabelComponents]] over the exact-Jaccard near-dup graph).
+    * Singletons are their own representative, so their assignment is
+    * IDENTICAL to the plain corpus_split_assign cut (240/8/8);
+    * clustering only MOVES near-dup members onto their representative's
+    * side, flagged in `moved` as the audit trail. The leakage guarantee
+    * is structural — one split per cluster_id by construction — and the
+    * oracle replays components, bucket, and cut exactly. 100 TB shape:
+    * the component loop runs on the near-dup pair graph (tiny relative
+    * to the corpus); everything else is a per-row projection plus one
+    * left join of the corpus against the label relation. */
+  def corpusSplitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // one jaccard run, not one per component round
+    val (labels, _) = minLabelComponents(edges)
+    val docs = load(s, d, "documents").select(col("doc_id"))
+    val clustered = docs
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    def splitOf(c: Column) = {
+      val b = graft.Tables.md5Bucket(c, 2).cast("int")
+      when(b < 240, "train").when(b < 248, "val").otherwise("test")
+    }
+    clustered.select(col("doc_id"), col("cluster_id"),
+        splitOf(col("cluster_id")).as("split"),
+        (splitOf(col("cluster_id")) =!= splitOf(col("doc_id"))).as("moved"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank over the part–supplier supply graph (who supplies what,
     * from distinct lineitem pairs; undirected, so rank flows both ways) —
     * the iterative-graph-analytics operator beyond [[dedupCluster]]'s
@@ -1299,6 +1338,7 @@ object Dedup {
   val entries: Map[String, Q] = Map(
     "corpus_clean_plan"      -> (corpusCleanPlan _),
     "dedup_cluster"          -> (dedupCluster _),
+    "corpus_split_leakage_safe" -> (corpusSplitLeakageSafe _),
     "dedup_keep_best"        -> (dedupKeepBest _),
     "dedup_source_matrix"    -> (dedupSourceMatrix _),
     "dedup_block_ratio"      -> (dedupBlockRatio _),
@@ -1528,6 +1568,36 @@ object Dedup {
          |FROM b JOIN m ON m.cluster_id = b.cluster_id
          |              AND m.packed = b.best_packed
          |ORDER BY b.cluster_id""".stripMargin,
+    // components replayed recursively (the dedup_cluster CTEs), every
+    // doc joined to its representative (own id for singletons), then the
+    // corpus_split_assign md5-byte cut applied to the CLUSTER id; moved
+    // compares against the naive own-id cut
+    "corpus_split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r
+         |                JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |cl AS (SELECT d.doc_id,
+         |         COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+         |bk AS (SELECT doc_id, cluster_id,
+         |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2))
+         |    AS INTEGER) AS cb,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+         |    AS INTEGER) AS db
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN cb < 240 THEN 'train'
+         |       WHEN cb < 248 THEN 'val' ELSE 'test' END AS split,
+         |  (CASE WHEN cb < 240 THEN 'train'
+         |        WHEN cb < 248 THEN 'val' ELSE 'test' END) <>
+         |  (CASE WHEN db < 240 THEN 'train'
+         |        WHEN db < 248 THEN 'val' ELSE 'test' END) AS moved
+         |FROM bk ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($exactJaccardSql) jac),
          |edges AS (SELECT a AS src, b AS dst FROM pairs

@@ -290,4 +290,34 @@ class DedupSpec extends AnyFunSuite {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.9, s"embedding-dedup recall $recall below contract")
   }
+
+  test("leakage-safe split (r15): one split per cluster, singletons " +
+      "match the naive cut, moved flags exactly the relocated members") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.corpusSplitLeakageSafe(spark, SF)
+    // structural leakage guarantee: no cluster straddles a split
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).isEmpty)
+    // covers the whole corpus, one row per doc
+    val n = Tables.load(spark, SF, "documents").count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    // singletons (cluster_id == doc_id): never moved — identical to the
+    // plain corpus_split_assign hash cut by construction
+    assert(out.filter(col("cluster_id") === col("doc_id") && col("moved"))
+      .isEmpty)
+    // moved is exactly "own-id cut differs from cluster cut"
+    def cut(c: org.apache.spark.sql.Column) = {
+      val b = Tables.md5Bucket(c, 2).cast("int")
+      when(b < 240, "train").when(b < 248, "val").otherwise("test")
+    }
+    assert(out.filter(
+      col("moved") =!= (cut(col("cluster_id")) =!= cut(col("doc_id"))))
+      .isEmpty)
+    // the guard is non-vacuous at gate SF: some near-dup member actually
+    // relocated (the planted near-dup clusters make this deterministic)
+    assert(out.filter(col("moved")).count() > 0 ||
+      out.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+  }
 }
