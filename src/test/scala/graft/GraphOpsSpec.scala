@@ -17,7 +17,7 @@ class GraphOpsSpec extends AnyFunSuite {
     val pairs = for {
       u <- 0L until n; v <- (u + 1) until n
       // non-linear hash — a linear-mod generator admits no triangles
-      if math.floorMod(scala.util.hashing.MurmurHash3.productHash((u, v)), 4) == 0
+      if math.floorMod(scala.util.hashing.MurmurHash3.caseClassHash((u, v)), 4) == 0
     } yield (u, v)
     val got = Dedup.triangleCounts(pairs.toDF("u", "v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -68,7 +68,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // token logprob, -ln(1 / (T + V)) <= ln(2T)
     val rows = out.collect()
     assert(rows.forall(_.getDouble(2) > 0))
-    val t = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val t = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
     val bound = math.log(2.0 * t)
     assert(rows.forall(_.getDouble(2) <= bound))
   }
@@ -156,7 +156,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val rows = graft.ext.TextOps.textVocabCoverage(spark, SF).collect()
     assert(rows.nonEmpty)
     val docs = Tables.load(spark, SF, "documents")
-    val totTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val totTok = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
     // per-lang token counts partition the corpus token stream exactly
     assert(rows.map(_.getLong(1)).sum == totTok)
     rows.foreach { r =>
@@ -256,7 +256,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("n_kept") < col("n_lines") &&
       length(col("cleaned_text")) >= length(col("text"))).isEmpty)
     // the generator's planted near-dup spans make the operator non-vacuous
-    assert(out.agg(sum(col("n_lines") - col("n_kept"))).head.getLong(0) > 0)
+    assert(out.agg(sum(col("n_lines") - col("n_kept"))).head().getLong(0) > 0)
   }
 
   test("line dedup drops exactly the planted boilerplate, goldens pinned") {
@@ -369,7 +369,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // the fitted model separates SOMETHING: every class is predicted at
     // least once at gate SF, and train-set accuracy beats 1/#classes
     assert(out.select("predicted").distinct().count() == langs.size)
-    val acc = out.agg(avg(col("correct").cast("double"))).head.getDouble(0)
+    val acc = out.agg(avg(col("correct").cast("double"))).head().getDouble(0)
     assert(acc > 1.0 / langs.size, s"train accuracy $acc")
   }
 
