@@ -809,15 +809,22 @@ object Dedup {
     * src order (aggregate over array_sort(collect_list(...))), which the
     * oracle replays with list(c ORDER BY src) + list_reduce — the same
     * fold order, hence bit-identical ranks after every round. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    // part-node id offset: 2^40 keeps part and supplier ids disjoint well
-    // past the 100 TB design point (suppkeys reach ~10M around sf1000; a
-    // 10M offset would silently collide there)
-    val P = 1L << 40
-    val e0 = load(s, d, "lineitem")
+  // part-node id offset: 2^40 keeps part and supplier ids disjoint well
+  // past the 100 TB design point (suppkeys reach ~10M around sf1000; a
+  // 10M offset would silently collide there)
+  private val PR_OFFSET = 1L << 40
+
+  /** The raw directed supply-graph edge relation (supplier -> offset
+    * part), shared by [[graphPagerank]] and the decade profiler. */
+  private[graft] def pagerankEdges0(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
       .select(col("l_suppkey").cast("long").as("src"),
-        (col("l_partkey").cast("long") + P).as("dst"))
+        (col("l_partkey").cast("long") + PR_OFFSET).as("dst"))
       .distinct()
+
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val P = PR_OFFSET
+    val e0 = pagerankEdges0(s, d)
     // SERIALIZED checkpoint (the dedup_semantic / triangle-sketch
     // lesson, hit live here at sf10: the default deserialized level
     // pins ~2x|lineitem| edge ROW OBJECTS on the heap across all 10
@@ -841,43 +848,89 @@ object Dedup {
     //     round, so the edge corpus is probed once, with a shuffle-hash
     //     hint (the build side is |nodes|/parts per task; an SMJ would
     //     re-sort 112M edge rows per round instead).
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true, SER)
-    val nodes = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(true, SER)
-    val nNodes = nodes.count()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true, SER)
+    val (edges, nodes, deg, nNodes) = pagerankRelations(e0, SER)
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to 10) {
-      val rd = ranks.join(deg, col("id") === col("src"))
-        .select(col("id"), (col("rank") / col("deg")).as("c"))
-      val contrib = edges.join(rd.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst"), col("src"), col("c"))
-      // deterministic double fold in ascending src order — native
-      // OrderedSumAgg (primitive pair buffers, sort-at-eval) instead of
-      // aggregate(array_sort(collect_list(struct))): same fold order the
-      // oracle replays, ~half the per-iteration agg cost and a GC-flat
-      // buffer instead of a struct object per edge (ProfPR, round 11)
-      val summed = contrib.groupBy("dst")
-        .agg(graft.functions.OrderedSumAgg
-          .ordered_sum(col("src"), col("c")).as("in_sum"))
-      // SER here too: 10 iteration checkpoints coexist (nothing
-      // unpersists the previous one until the loop ends), so the
-      // deserialized level would stack |nodes| x 10 row objects
-      ranks = nodes.join(summed, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(0.15 / nNodes) +
-            lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      // the EAGER checkpoint materializes the new ranks here, truncating
+      // lineage — after which the previous iteration's checkpoint has no
+      // referents and is unpersisted immediately (r16, the decade
+      // finding of VERDICT item 5: the r15 loop kept all 10 iteration
+      // checkpoints alive, ~10 x |nodes| SER blocks — at sf10 that
+      // storage pressure squeezed unified execution memory until the
+      // shuffle-hash build OOMed an 8g one-box heap; live checkpoints
+      // are now bounded at 2 regardless of iteration count). SER level
+      // for the same reason as the base relations: flat GC-invisible
+      // buffers, spill-to-disk beyond the storage pool.
+      val next = pagerankStep(edges, nodes, deg, ranks, nNodes)
         .localCheckpoint(true, SER)
+      prevCkpt.foreach(unpersistCheckpoint)
+      prevCkpt = Some(next)
+      ranks = next
     }
     ranks
       .select(col("id"),
         when(col("id") >= P, "part").otherwise("supplier").as("node_type"),
         round(col("rank") * nNodes, 9).as("rank_scaled"))
       .orderBy("id")
+  }
+
+  /** Release a localCheckpoint's persisted blocks: the checkpointed
+    * DataFrame's plan is a LogicalRDD over the materialized RDD —
+    * unpersist exactly that RDD (non-blocking), nothing else. Shared by
+    * [[graphPagerank]]'s loop and the decade profiler. */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
+  /** The checkpointed PageRank base relations — (edges, nodes, deg,
+    * |nodes|) — factored from [[graphPagerank]] (r16, VERDICT item 5) so
+    * the decade profiler (ProfPrDecade) and the PlanSpec pin drive the
+    * EXACT production relations, not a spec-local copy that silently
+    * drifts. Edges are hash-partitioned on src before the checkpoint;
+    * nodes/deg are |nodes|-sized rollups built once on that layout. */
+  private[graft] def pagerankRelations(e0: DataFrame,
+      level: org.apache.spark.storage.StorageLevel)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true, level)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true, level)
+    val nNodes = nodes.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true, level)
+    (edges, nodes, deg, nNodes)
+  }
+
+  /** One PageRank superstep over the checkpointed relations — factored
+    * (r16, VERDICT item 5) so PlanSpec pins the iteration plan shape the
+    * 100 TB argument rests on: the edge corpus is probed IN PLACE (its
+    * checkpoint partitioning satisfies the src-keyed join — zero
+    * edge-scale exchange per superstep; only |nodes|-sized relations
+    * move), the rank side joins shuffle-hash (an SMJ would re-sort the
+    * full edge side every round), and the per-node fold is the native
+    * [[graft.functions.OrderedSumAgg]] — deterministic double fold in
+    * ascending src order (same order the oracle replays, ~half the
+    * per-iteration agg cost of aggregate(array_sort(collect_list)),
+    * GC-flat primitive buffers — ProfPR, round 11). Every superstep is
+    * therefore O(E) work: one in-place edge probe + one dst-keyed
+    * aggregate + two |nodes|-sized joins. */
+  private[graft] def pagerankStep(edges: DataFrame, nodes: DataFrame,
+      deg: DataFrame, ranks: DataFrame, nNodes: Long): DataFrame = {
+    val rd = ranks.join(deg, col("id") === col("src"))
+      .select(col("id"), (col("rank") / col("deg")).as("c"))
+    val contrib = edges.join(rd.hint("shuffle_hash"),
+        col("src") === col("id"))
+      .select(col("dst"), col("src"), col("c"))
+    val summed = contrib.groupBy("dst")
+      .agg(graft.functions.OrderedSumAgg
+        .ordered_sum(col("src"), col("c")).as("in_sum"))
+    nodes.join(summed, col("id") === col("dst"), "left")
+      .select(col("id"),
+        (lit(0.15 / nNodes) +
+          lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
   }
 
   // -- co-purchase graph analytics ------------------------------------
@@ -1678,30 +1731,36 @@ object Dedup {
     // DuckDB's levenshtein is BYTE-level (lev('café','cafe') = 2) while
     // the engine's is CODEPOINT-level, so non-ASCII corpora diverged by
     // design. The recode maps every distinct multi-byte codepoint to an
-    // unused single-byte control char (translate() is codepoint-wise),
-    // after which byte-lev == codepoint-lev exactly. Scope-guarded the
-    // XXH64 way — the oracle query ABORTS via error() (never diverges
-    // silently) when the recode can't be a bijection: more than 31
-    // distinct non-ASCII codepoints, or text already carrying control
-    // chars. length() is codepoint-based in both engines and translate
-    // preserves character count, so the length-bucket predicate is
-    // untouched.
+    // UNUSED single-byte control char (translate() is codepoint-wise),
+    // after which byte-lev == codepoint-lev exactly. The target alphabet
+    // is the control range 1..31 MINUS whatever control chars the corpus
+    // actually carries (r16, r15 ADVICE: the r15 form aborted whenever
+    // non-ASCII text coexisted with ANY control char — including the
+    // \t/\n/\r present in virtually all real multi-line text — so the
+    // common case stayed out of scope; excluding only the OCCUPIED slots
+    // keeps the map a bijection and widens the scope to every corpus
+    // whose distinct non-ASCII codepoints fit the free slots).
+    // Scope-guarded the XXH64 way — the oracle query ABORTS via error()
+    // (never diverges silently) when they don't fit. length() is
+    // codepoint-based in both engines and translate preserves character
+    // count, so the length-bucket predicate is untouched.
     "dedup_edit_distance" ->
       """WITH k AS (SELECT doc_id, substring(text, 1, 200) AS t
         |           FROM documents WHERE length(substring(text, 1, 200)) >= 5),
         |cps AS (SELECT DISTINCT unnest(string_split(t, '')) AS ch FROM k),
         |nacp AS (SELECT ch, ROW_NUMBER() OVER (ORDER BY unicode(ch)) AS r
         |         FROM cps WHERE unicode(ch) > 127),
+        |avail AS (SELECT c AS slot, ROW_NUMBER() OVER (ORDER BY c) AS r
+        |          FROM range(1, 32) AS t(c)
+        |          WHERE c NOT IN (SELECT unicode(ch) FROM cps
+        |                          WHERE unicode(ch) BETWEEN 1 AND 31)),
         |gchk AS (SELECT CASE
-        |  WHEN (SELECT COUNT(*) FROM nacp) > 31
-        |    THEN error('edit-distance recode out of scope: > 31 distinct non-ASCII codepoints')
-        |  WHEN (SELECT COUNT(*) FROM nacp) > 0 AND EXISTS
-        |      (SELECT 1 FROM cps WHERE unicode(ch) BETWEEN 1 AND 31)
-        |    THEN error('edit-distance recode out of scope: corpus already carries control chars')
+        |  WHEN (SELECT COUNT(*) FROM nacp) > (SELECT COUNT(*) FROM avail)
+        |    THEN error('edit-distance recode out of scope: more distinct non-ASCII codepoints than free control-char slots')
         |  ELSE 1 END AS ok),
-        |dict AS (SELECT COALESCE(string_agg(ch, '' ORDER BY r), '') AS f,
-        |                COALESCE(string_agg(chr(r::INTEGER), '' ORDER BY r), '') AS s
-        |         FROM nacp),
+        |dict AS (SELECT COALESCE(string_agg(n.ch, '' ORDER BY n.r), '') AS f,
+        |                COALESCE(string_agg(chr(a.slot::INTEGER), '' ORDER BY n.r), '') AS s
+        |         FROM nacp n JOIN avail a ON a.r = n.r),
         |kr AS (SELECT doc_id, translate(t, d.f, d.s) AS t
         |       FROM k, dict d, gchk g WHERE g.ok = 1)
         |SELECT ka.doc_id AS a, kb.doc_id AS b,

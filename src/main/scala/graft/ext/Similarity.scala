@@ -249,8 +249,10 @@ object Similarity {
   /** [[ivfListsK]] over an explicit (vec_id, embedding) source relation —
     * the incremental-index key trains on a BASE slice of the corpus, so
     * the quantizer must be buildable from something other than the whole
-    * embeddings table. The seed contract transfers: the SOURCE must
-    * contain vec_ids 0..nlists-1. */
+    * embeddings table. Seeding is dense-rank positional (r15): the first
+    * `nlists` rows of the SOURCE in vec_id order, labeled by position —
+    * any id space trains, gapped or contiguous; there is no
+    * ids-must-be-0..nlists-1 contract. */
   private[graft] def ivfListsOn(e0: DataFrame, nlists: Int)
       : (DataFrame, DataFrame, Array[(Int, Array[Double])]) = {
     val s = e0.sparkSession
@@ -368,15 +370,29 @@ object Similarity {
     * ceil(sqrt(nlists))), self-similar so the probed fraction FALLS as
     * the corpus grows (37% at the fixture 16-list geometry, 5% at
     * sf10's 448). The oracle derives BOTH counts from COUNT(*) with the
-    * identical arithmetic, so the key stays value-exact at any SF —
-    * measured recall@5 at sf10 (200k vectors): 0.98. */
+    * identical arithmetic, so the key stays value-exact at any SF.
+    *
+    * nprobe carries a 1.1x overdrive on the sqrt (r16, VERDICT item 3):
+    * the bare ceil(sqrt(L)) default read recall@5 = 0.920 at sf10 (448
+    * lists x 22 probes, ProfAnnRecall) while every sibling ANN key
+    * delivers 1.00 — and ProfIvfGeom showed nprobe 24 reads 0.98 at the
+    * same geometry. ceil(1.1 * sqrt(L)) lands exactly there (24 at
+    * L=448) while keeping the probed fraction falling with the corpus
+    * (~1.1/sqrt(L)); the oracle replays the same IEEE-double arithmetic
+    * (1.1 and sqrt round identically in both engines), so the key stays
+    * value-exact. */
   def similarityIvfScaled(s: SparkSession, d: String): DataFrame = {
     // column-less count (reads no column chunks), as in dedupSemantic
     val n = load(s, d, "embeddings").count()
     val nlists = nlistsFor(n)
-    val nprobe = math.max(2, math.ceil(math.sqrt(nlists.toDouble)).toInt)
+    val nprobe = scaledNprobeFor(nlists)
     similarityIvfWith(s, d, nlists, nprobe)
   }
+
+  /** The scaled key's probe depth: max(2, ceil(1.1 * sqrt(L))) — shared
+    * with its spec so the derived-geometry assertion can't drift. */
+  private[graft] def scaledNprobeFor(nlists: Int): Int =
+    math.max(2, math.ceil(1.1 * math.sqrt(nlists.toDouble)).toInt)
 
   /** Filtered ANN (r15) — top-k under a metadata predicate, the
     * production pattern every vector store serves (tenant/shard/language
@@ -392,7 +408,6 @@ object Similarity {
     * lists whole. Selectivity comes from a label-count relation (tiny,
     * broadcast); everything else is the [[similarityIvf]] machinery. */
   def similarityFilteredAnn(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
     val lists = lists0.join(
       load(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
@@ -400,13 +415,7 @@ object Similarity {
     val nRow = lists.agg(count(lit(1)).as("n"))
     // every centroid ranked per query; the per-query probe DEPTH is
     // decided relationally from the label's selectivity
-    val probeAllUdf = udf { (emb: Array[Float]) =>
-      refined.map { case (cid, cent) =>
-        var acc = 0.0; var i = 0
-        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
-        (acc, cid)
-      }.sortBy(-_._1).map(_._2)
-    }
+    val probeAllUdf = rankAllListsUdf(refined)
     val queries = lists.filter(col("vec_id") < NUM_QUERIES)
       .filter(col("nrm") > 0) // zero-norm contract (see norm())
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -429,8 +438,96 @@ object Similarity {
     topkExact(scored)
   }
 
+  /** Every centroid ranked per query by dot product — the probe-depth
+    * decision is applied DOWNSTREAM, relationally, by the filtered-ANN
+    * keys (shared by the single-label and conjunctive variants). */
+  private def rankAllListsUdf(refined: Array[(Int, Array[Double])]) =
+    udf { (emb: Array[Float]) =>
+      refined.map { case (cid, cent) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).map(_._2)
+    }
+
+  /** Filtered ANN under a CONJUNCTIVE predicate (r16, VERDICT item 6) —
+    * [[similarityFilteredAnn]]'s selectivity-widened probe extended to a
+    * two-column conjunction: label equality AND an ingestion-window
+    * range (the middle half of the corpus by vec_id RANK — ids arrive in
+    * ingestion order, so the rank window is this schema's date-range
+    * analog, and rank — not id value — keeps the window exactly half
+    * the rows on gapped id spaces). The widening arithmetic is the same
+    * exact integer form, and it stays relational: the count relation is
+    * ONE group-by over the windowed slice, so the measured selectivity
+    * reflects the WHOLE conjunction — a label thin inside the window
+    * widens the probe further than its global count would. Both
+    * conjuncts are pushed INTO the inverted-list scan, so candidates
+    * drop before any dot product, exactly like the single-label key. A
+    * query whose label has no row inside the window drops out (inner
+    * join against the count relation); the oracle replays the same
+    * join. */
+  def similarityFilteredAnnConj(s: SparkSession, d: String): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    val n = emb.count()
+    require(n >= 4,
+      "similarityFilteredAnnConj needs >= 4 vectors to cut the rank window")
+    // window = ranks (n/4, 3n/4]: lo = id at rank n/4 + 1 (inclusive),
+    // hi = id at rank 3n/4 + 1 (exclusive)
+    val winRanks = Seq(n / 4 + 1, 3 * n / 4 + 1)
+    val winIds = idsAtRanks(emb.select(col("vec_id")), winRanks)
+    val lo = winIds(n / 4 + 1)
+    val hi = winIds(3 * n / 4 + 1)
+    val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
+    val lists = lists0.join(
+      emb.select(col("vec_id"), col("label")), "vec_id")
+    // the CONJUNCTION's count relation: one group-by over the windowed
+    // slice (tiny, broadcast)
+    val lc = lists.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .groupBy("label").agg(count(lit(1)).as("lcnt"))
+    val probeAllUdf = rankAllListsUdf(refined)
+    val queries = lists.filter(col("vec_id") < NUM_QUERIES)
+      .filter(col("nrm") > 0) // zero-norm contract (see norm())
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"),
+        posexplode(probeAllUdf(col("embedding"))).as(Seq("pos", "cid")))
+      .join(broadcast(lc.withColumnRenamed("label", "qlabel")), "qlabel")
+      // ceil(NPROBE * n / lcnt) in exact integer math, capped at L — n
+      // was already read for the window cut, so it rides as a literal
+      .filter(expr(
+        s"pos < least($NLISTS, ($NPROBE * $n + lcnt - 1) div lcnt)"))
+    val scored = broadcast(queries)
+      .join(lists.filter(col("nrm") > 0), Seq("cid"))
+      // BOTH conjuncts pushed BEFORE the dot product
+      .filter(col("label") === col("qlabel") &&
+        col("vec_id") >= lo && col("vec_id") < hi &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+    topkExact(scored)
+  }
+
   /** Clustered-shard count of the persisted incremental index. */
   private val IDX_SHARDS = 4
+
+  /** The vec_id values at the given 1-based global ranks of the corpus'
+    * vec_id order — the rank-keyed split points the incremental-index
+    * keys cut base/delta batches at (r16, r15 ADVICE: value-keyed cuts
+    * `vec_id < (max+1)*3/4` silently mis-size every batch on a gapped
+    * id space — the exact corpora the dense-rank seeding supports).
+    * Runs the [[graft.operators.Ranks]] two-phase prefix scan over the
+    * ids alone (8 bytes/row through one range exchange — no global
+    * single-partition window, no embedding bytes moved); only the
+    * requested boundary rows reach the driver. On a contiguous 0..n-1
+    * id space the id at rank k is k-1, so the fixture splits — and all
+    * recorded hashes — are unchanged. */
+  private def idsAtRanks(ids: DataFrame, ranks: Seq[Long]): Map[Long, Long] = {
+    val ranked = graft.operators.Ranks.rowNumberByRange(
+      ids.select(col("vec_id")), 32, Seq(col("vec_id")), "rk")
+    ranked.filter(col("rk").isin(ranks: _*))
+      .collect()
+      .map(r => r.getAs[Int]("rk").toLong -> r.getAs[Long]("vec_id")).toMap
+  }
 
   /** Incremental ANN index maintenance — the production vector-ingestion
     * pattern every large vector store runs: the IVF quantizer trains ONCE
@@ -454,16 +551,19 @@ object Similarity {
     * full list's rows). */
   def similarityIndexAppend(s: SparkSession, d: String): DataFrame = {
     val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    // max over zero rows is NULL — read it guarded so an empty corpus
-    // fails with the contract, not an opaque NullPointerException
-    val maxRow = all.agg(max(col("vec_id"))).head()
-    require(!maxRow.isNullAt(0),
+    val n = all.count()
+    require(n > 0,
       "similarityIndexAppend requires a non-empty embeddings relation")
-    val n = maxRow.getLong(0) + 1
-    val b = 3L * n / 4 // base/delta split; base carries the 0..NLISTS-1 seeds
+    // base/delta split by RANK, not id value (r16, r15 ADVICE): base =
+    // the first 3n/4 ROWS in vec_id order, so a gapped/filtered corpus
+    // splits 3:1 by row count exactly like the contiguous fixture (where
+    // the cut id equals 3n/4 and every recorded hash is unchanged), and
+    // delta_rows below is a true row count on any id space
+    val b = 3L * n / 4
+    val cut = idsAtRanks(all, Seq(b + 1))(b + 1)
     val (_, baseLists, refined) =
-      ivfListsOn(all.filter(col("vec_id") < b), NLISTS)
-    val delta = all.filter(col("vec_id") >= b)
+      ivfListsOn(all.filter(col("vec_id") < cut), NLISTS)
+    val delta = all.filter(col("vec_id") >= cut)
       .withColumn("cid", assignTo(refined)(col("embedding")))
       .select(col("cid"), col("vec_id"), col("embedding"))
 
@@ -548,15 +648,23 @@ object Similarity {
     * cost decision at 100 TB. */
   def similarityIndexMaintain(s: SparkSession, d: String): DataFrame = {
     val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val maxRow = all.agg(max(col("vec_id"))).head()
-    require(!maxRow.isNullAt(0),
+    val n = all.count()
+    require(n > 0,
       "similarityIndexMaintain requires a non-empty embeddings relation")
-    val n = maxRow.getLong(0) + 1
+    // base + 3 delta batches cut by RANK, not id value (r16, r15
+    // ADVICE): value-ranged cuts on a gapped id space could leave a
+    // delta batch EMPTY — breaking the pinned n_folds = 1 — and made
+    // rows_total_ok compare against max(vec_id)+1 instead of the true
+    // row count. Rank cuts guarantee every batch carries ~r/3 rows on
+    // any id space (for r >= 3), and on the contiguous fixture the cut
+    // ids equal the old values, so recorded hashes are unchanged.
     val b = n / 2
     val r = n - b
-    val cuts = Seq(b, b + r / 3, b + 2 * r / 3, n)
+    val rankCuts = Seq(b, b + r / 3, b + 2 * r / 3)
+    val cutIds = idsAtRanks(all, rankCuts.map(_ + 1))
+    val cuts = rankCuts.map(c => cutIds(c + 1)) :+ Long.MaxValue
     val (_, baseLists, refined) =
-      ivfListsOn(all.filter(col("vec_id") < b), NLISTS)
+      ivfListsOn(all.filter(col("vec_id") < cuts.head), NLISTS)
 
     val snap = new graft.matview.Snapshots(s,
       s"${graft.matview.Materializer.defaultScratch}/ivfidx")
@@ -905,11 +1013,17 @@ object Similarity {
     * SfGen; the gated key hash-mismatches loudly if it ever breaks. */
   def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
     // adaptive shortlist width (see the PQ_RERANK note): exact integer
-    // ceil, replayed by the oracle from COUNT(*)
+    // ceil, replayed by the oracle from COUNT(*). Clamped to Int range
+    // BEFORE the truncation (r15 ADVICE): at ~1.7e10 vectors the Long
+    // width exceeds Int.MaxValue and a bare .toInt would wrap negative,
+    // silently emptying every shortlist — the clamp keeps the width at
+    // the widest representable value instead (the oracle carries the
+    // identical LEAST), and TopKAgg degrades to keep-everything, never
+    // to keep-nothing.
     val n = load(s, d, "embeddings").count()
     val denom = NLISTS.toLong * 8
-    val rerank = math.max(PQ_RERANK.toLong,
-      (n * NPROBE + denom - 1) / denom).toInt
+    val rerank = math.min(Int.MaxValue.toLong, math.max(PQ_RERANK.toLong,
+      (n * NPROBE + denom - 1) / denom)).toInt
     similarityIvfPqWith(s, d, PQ_KSUB, rerank)
   }
 
@@ -1133,6 +1247,7 @@ object Similarity {
     "similarity_ivf"             -> (similarityIvf _),
     "similarity_ivf_scaled"      -> (similarityIvfScaled _),
     "similarity_filtered_ann"    -> (similarityFilteredAnn _),
+    "similarity_filtered_ann_conj" -> (similarityFilteredAnnConj _),
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
@@ -1228,7 +1343,7 @@ object Similarity {
   private[graft] val scaledNlistsSql: String =
     "(SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
   private[graft] val scaledNprobeSql: String =
-    """(SELECT GREATEST(2, CAST(CEIL(SQRT(
+    """(SELECT GREATEST(2, CAST(CEIL(1.1::DOUBLE * SQRT(
       |  GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))) AS BIGINT))
       |  FROM embeddings)""".stripMargin
 
@@ -1351,9 +1466,9 @@ object Similarity {
          |short AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY ascore DESC, vec_id) AS rn FROM adc)
-         |  WHERE rn <= GREATEST($PQ_RERANK, (SELECT
+         |  WHERE rn <= LEAST(2147483647, GREATEST($PQ_RERANK, (SELECT
          |    (COUNT(*) * $NPROBE + ${NLISTS * 8} - 1) // ${NLISTS * 8}
-         |    FROM embeddings))),
+         |    FROM embeddings)))),
          |$nonZeroSql,
          |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
          |  round(list_cosine_similarity(q.embedding::DOUBLE[],
@@ -1544,6 +1659,42 @@ object Similarity {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // conjunctive filtered ANN (r16): the same assignment replay, the
+    // rank-cut ingestion window, the windowed label-count relation, the
+    // identical widening arithmetic, and BOTH conjuncts on candidates
+    "similarity_filtered_ann_conj" ->
+      s"""WITH $ivfAssignSql,
+         |$nonZeroSql,
+         |nb AS (SELECT COUNT(*) AS n FROM embeddings),
+         |rks AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |win AS (SELECT
+         |  (SELECT vec_id FROM rks WHERE rn = (SELECT n // 4 FROM nb) + 1) AS lo,
+         |  (SELECT vec_id FROM rks WHERE rn = (SELECT 3 * n // 4 FROM nb) + 1) AS hi),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |lc AS (SELECT label, COUNT(*) AS lcnt FROM embeddings, win
+         |  WHERE vec_id >= win.lo AND vec_id < win.hi GROUP BY label),
+         |pr0 AS (SELECT a.vec_id AS query_id, a.cid, ql.label AS qlabel,
+         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.dot DESC, a.cid) AS rn
+         |  FROM assign2 a JOIN lab ql ON ql.vec_id = a.vec_id
+         |  WHERE a.vec_id < $NUM_QUERIES),
+         |probe AS (SELECT query_id, cid, qlabel FROM pr0
+         |  JOIN lc ON lc.label = pr0.qlabel CROSS JOIN nb
+         |  WHERE rn <= LEAST($NLISTS, ($NPROBE * n + lcnt - 1) // lcnt)),
+         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+         |  FROM probe p JOIN a2 USING (cid)
+         |  JOIN lab nl ON nl.vec_id = a2.vec_id CROSS JOIN win
+         |  WHERE a2.vec_id <> p.query_id AND nl.label = p.qlabel
+         |    AND a2.vec_id >= win.lo AND a2.vec_id < win.hi),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     // incremental index: base-ONLY training (the ivfAssign CTEs run over
     // the base CTE, never the full table), delta assigned to the frozen
@@ -1553,17 +1704,21 @@ object Similarity {
     // TRUE-literal planning facts that hash-fail if the clustered
     // layout's point probe stops pruning or returns the wrong rows
     "similarity_index_append" ->
-      s"""WITH nb AS (SELECT max(vec_id) + 1 AS n,
-         |  3 * (max(vec_id) + 1) // 4 AS b FROM embeddings),
+      s"""WITH nb AS (SELECT COUNT(*) AS n,
+         |  3 * COUNT(*) // 4 AS b FROM embeddings),
+         |rks AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |cutv AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT b FROM nb) + 1),
          |base AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT b FROM nb)),
+         |  WHERE vec_id < (SELECT c FROM cutv)),
          |${ivfAssignSqlFor(NLISTS.toString, "base")},
          |ddots AS (SELECT e.vec_id, c.cid,
          |  list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
          |    (acc, x) -> acc + x) AS dot
          |  FROM embeddings e CROSS JOIN cents c
-         |  WHERE e.vec_id >= (SELECT b FROM nb)),
+         |  WHERE e.vec_id >= (SELECT c FROM cutv)),
          |da AS (SELECT vec_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM ddots) WHERE rn = 1),
@@ -1596,17 +1751,21 @@ object Similarity {
     // with 3 appends and maxDeltas = 2 the policy fires exactly once and
     // the latest manifest is back at the IDX_SHARDS clustered dirs.
     "similarity_index_maintain" ->
-      s"""WITH nb AS (SELECT max(vec_id) + 1 AS n,
-         |  (max(vec_id) + 1) // 2 AS b FROM embeddings),
+      s"""WITH nb AS (SELECT COUNT(*) AS n,
+         |  COUNT(*) // 2 AS b FROM embeddings),
+         |rks AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |cutv AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT b FROM nb) + 1),
          |base AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT b FROM nb)),
+         |  WHERE vec_id < (SELECT c FROM cutv)),
          |${ivfAssignSqlFor(NLISTS.toString, "base")},
          |ddots AS (SELECT e.vec_id, c.cid,
          |  list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
          |    (acc, x) -> acc + x) AS dot
          |  FROM embeddings e CROSS JOIN cents c
-         |  WHERE e.vec_id >= (SELECT b FROM nb)),
+         |  WHERE e.vec_id >= (SELECT c FROM cutv)),
          |da AS (SELECT vec_id, cid FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM ddots) WHERE rn = 1),

@@ -211,4 +211,33 @@ class BenchFlagsSpec extends AnyFunSuite {
       () => { p4 += 1; Nil })
     assert(none4.isEmpty && p4 == 0)
   }
+
+  test("canaryGate (r16 VERDICT item 1): a quiet box pays nothing; a hot " +
+      "box sleeps-and-reprobes bounded; a never-quiet box self-classifies " +
+      "unusable; baselines off never gates") {
+    // quiet: no sleep, no re-probe, usable
+    var sleeps = 0; var probes = 0
+    val (w0, hot0) = Bench.canaryGate(hot0 = false,
+      () => { probes += 1; false }, baselinesOn = true, maxWaits = 3,
+      () => sleeps += 1)
+    assert(w0 == 0 && !hot0 && sleeps == 0 && probes == 0)
+    // hot, recovers on the second re-probe: 2 waits, usable
+    var s1 = 0; var p1 = 0
+    val (w1, hot1) = Bench.canaryGate(hot0 = true,
+      () => { p1 += 1; p1 < 2 }, baselinesOn = true, maxWaits = 3,
+      () => s1 += 1)
+    assert(w1 == 2 && !hot1 && s1 == 2 && p1 == 2)
+    // never quiets: exactly maxWaits sleeps, then unusable — the tier
+    // still runs, but the record carries the verdict
+    var s2 = 0
+    val (w2, hot2) = Bench.canaryGate(hot0 = true, () => true,
+      baselinesOn = true, maxWaits = 3, () => s2 += 1)
+    assert(w2 == 3 && hot2 && s2 == 3)
+    // baselines off: the gate is declared dark — no sleep, never
+    // "unusable" (the adjudication surface is off, not clean)
+    var s3 = 0
+    val (w3, hot3) = Bench.canaryGate(hot0 = true, () => true,
+      baselinesOn = false, maxWaits = 3, () => s3 += 1)
+    assert(w3 == 0 && !hot3 && s3 == 0)
+  }
 }

@@ -191,6 +191,58 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank superstep: edge corpus probed in place — shuffle-hash " +
+      "join, no SMJ edge re-sort, no exchange above the edge scan (r16)") {
+    // the 100 TB iteration contract (VERDICT r15 item 5): per superstep,
+    // ONLY |nodes|-sized relations move. The checkpointed edges'
+    // HashPartitioning(src) must satisfy the contrib join in place —
+    // an Exchange above the edge scan, or a SortMergeJoin (re-sorting
+    // 112M edge rows per round at sf10), is the regression this pins.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    graft.Tables.withConf(spark, "spark.sql.adaptive.enabled" -> "false") {
+      val SER = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val (edges, nodes, deg, nNodes) = graft.ext.Dedup.pagerankRelations(
+        graft.ext.Dedup.pagerankEdges0(spark, SF), SER)
+      val ranks = nodes.withColumn(
+        "rank", org.apache.spark.sql.functions.lit(1.0 / nNodes))
+      val step = graft.ext.Dedup.pagerankStep(edges, nodes, deg, ranks, nNodes)
+      val exec = step.queryExecution.executedPlan
+      // the edge scan is the RDDScanExec emitting exactly (src, dst) —
+      // nodes/deg/ranks checkpoints have different shapes
+      def hasEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case s: org.apache.spark.sql.execution.RDDScanExec
+          if s.output.map(_.name) == Seq("src", "dst") => s }.nonEmpty
+      // no Sort may run at EDGE cardinality: walk each SortExec's input,
+      // stopping at aggregates (their output is |nodes|-sized) — a sort
+      // that reaches the edge scan without crossing one is the full
+      // per-round edge re-sort this pins against (the final |nodes|-sized
+      // SMJ above the dst aggregate is fine and expected)
+      def edgeBeforeAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case s: org.apache.spark.sql.execution.RDDScanExec =>
+            s.output.map(_.name) == Seq("src", "dst")
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            false
+          case other => other.children.exists(edgeBeforeAgg)
+        }
+      val sorts = exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(!sorts.exists(s => edgeBeforeAgg(s.child)),
+        s"a sort runs at edge cardinality:\n$exec")
+      // the contrib join (streamed side scans the checkpointed edges) is
+      // a shuffle-hash join with ZERO exchange on the edge side
+      val shj = exec.collect { case j: ShuffledHashJoinExec => j }
+      val edgeProbe = shj.filter { j =>
+        hasEdgeScan(j.left) &&
+        j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      }
+      assert(edgeProbe.nonEmpty,
+        s"edge corpus not probed in place (no exchange-free shuffle-hash " +
+          s"probe of the edge scan):\n$exec")
+    }
+  }
+
   test("triangle sketch: one keyed aggregate, no window, no join before the pair build") {
     // the sketch's whole point is plan shape: the bottom-k fold happens
     // INSIDE the part-keyed aggregate (TopKAgg partials map-side), pairs

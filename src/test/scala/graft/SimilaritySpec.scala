@@ -140,9 +140,14 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = bSet.count(sSet.contains).toDouble / bSet.size
     assert(recall >= 0.3, s"scaled-IVF recall@5 = $recall")
     // derived geometry equals the explicit call with the same arithmetic
+    // (r16: nprobe = max(2, ceil(1.1 * sqrt(L))) — the recall-parity
+    // overdrive, shared via scaledNprobeFor)
     val n = Tables.load(spark, SF, "embeddings").count()
     val nlists = Similarity.nlistsFor(n)
-    val nprobe = math.max(2, math.ceil(math.sqrt(nlists.toDouble)).toInt)
+    val nprobe = Similarity.scaledNprobeFor(nlists)
+    // the overdrive is live at the gate geometry (L=23 -> 6 probes, not
+    // the bare ceil(sqrt) = 5)
+    assert(nprobe >= math.ceil(math.sqrt(nlists.toDouble)).toInt)
     val explicit = Similarity.similarityIvfWith(spark, SF, nlists, nprobe)
       .collect()
     assert(scaled.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
@@ -187,6 +192,57 @@ class SimilaritySpec extends AnyFunSuite {
     // a 10%-selective filter forces the probe to all 16 lists at this
     // corpus size, so the filtered search IS the filtered brute force
     assert(recall >= 0.99, s"filtered-ANN recall@5 = $recall")
+  }
+
+  test("conjunctive filtered ANN (r16): both conjuncts honored (label AND " +
+      "rank window); widened probe recovers the conjunctive exact top-k") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.similarityFilteredAnnConj(spark, SF)
+    val emb = Tables.load(spark, SF, "embeddings")
+    val n = emb.count()
+    // the same rank window the key cuts (contiguous fixture: id == rank-1)
+    val ids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val lo = ids((n / 4).toInt)
+    val hi = ids((3 * n / 4).toInt)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val joined = out
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+    // conjunct 1: neighbor label == query label, always
+    assert(joined.filter(col("ql") =!= col("nl")).isEmpty)
+    // conjunct 2: every neighbor inside the ingestion window
+    assert(out.filter(col("neighbor_id") < lo ||
+      col("neighbor_id") >= hi).isEmpty)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // exact CONJUNCTIVE brute force as the recall reference
+    val e = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    import org.apache.spark.sql.expressions.Window
+    val exact = broadcast(q).join(e,
+        col("vec_id") =!= col("query_id") && col("label") === col("ql") &&
+          col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.VectorDot.vector_dot(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm"))).as("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("s").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    // the ~5%-selective conjunction widens the probe to all 16 lists at
+    // this corpus size, so the filtered search IS the filtered brute
+    // force — the recall pin the r15 VERDICT asked for
+    assert(recall >= 0.99, s"conjunctive filtered-ANN recall@5 = $recall")
   }
 
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
@@ -300,6 +356,34 @@ class SimilaritySpec extends AnyFunSuite {
     byQuery.values.foreach { v =>
       assert(v.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
     }
+  }
+
+  test("index maintain on a GAPPED vec_id space (r16, r15 ADVICE): rank " +
+      "cuts keep every delta batch non-empty and rows_total_ok counts " +
+      "true rows, so the pinned fold facts hold off the contiguous fixture") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def emb(i: Int): Array[Float] =
+      Array.tabulate(64)(j => 0.1f * ((i % 7) + 1) + 0.01f * ((i + j) % 5))
+    val dir = java.nio.file.Files.createTempDirectory("idx_gapped")
+    // gapped, non-uniform ids (queries 0..9 kept contiguous so the
+    // served top-k is non-empty): value-ranged cuts on (max+1)-derived
+    // boundaries would put nearly every row in "base" and
+    // rows_total_ok compared 60 against max+1 = 444 (always false)
+    val ids = (0L until 10L) ++ (0 until 50).map(i => 100L + 7L * i)
+    ids.zipWithIndex.map { case (id, i) => (id, emb(i), i % 3) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.similarityIndexMaintain(spark2, dir.toString)
+      .collect()
+    assert(rows.nonEmpty)
+    // the fold facts the oracle pins — on the gapped space they hold
+    // only under rank cuts (n_folds = 1 needs all three batches
+    // non-empty; rows_total_ok compares against COUNT(*), not max+1)
+    assert(rows.forall(_.getAs[Long]("n_folds") == 1L))
+    assert(rows.forall(_.getAs[Long]("dirs_latest") == 4L))
+    assert(rows.forall(_.getAs[Boolean]("rows_total_ok")))
+    assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
   }
 
   test("dedup_semantic equals an un-checkpointed all-pairs rebuild " +

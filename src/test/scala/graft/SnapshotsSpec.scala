@@ -543,4 +543,64 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Files.readString(
       Paths.get(plantRoot, "t", "_log", "v1.manifest")) == "rival")
   }
+
+  test("file claim (r16): the DEFAULT atomic-create CAS refuses the " +
+      "racing writer on a real scratch dir; the loser's retry advances") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_fileclaim").toString
+    // two independent writer instances over the same root, both on the
+    // default claim (no explicit VersionClaim anywhere)
+    val a = new Snapshots(spark, root)
+    val b = new Snapshots(spark, root)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    a.commitAppend("t", df) // claims (t, 0) via the file CAS, publishes v0
+    assert(Files.exists(Paths.get(root, "_claims", "t", "v0.claim")))
+    // the race window: another writer HOLDS v1 (claim file created, its
+    // manifest still in flight — nothing in _log yet, so the
+    // manifest-exists guard alone would let b through)
+    val rival = new Snapshots.FileClaim(s"$root/_claims")
+    rival.claimVersion("t", 1)
+    intercept[IllegalStateException] { b.commitAppend("t", df) }
+    // the refused commit published nothing
+    assert(b.latest("t") == 0)
+    assert(b.readLatest("t").count() == 1)
+    // the rival publishes; the loser's RETRY path is just re-running the
+    // commit: it recomputes latest (now 1), claims v2, succeeds
+    Files.createDirectories(Paths.get(root, "t", "_log"))
+    val winnerDir = s"$root/t/d0" // reuse v0's dir: content irrelevant here
+    Files.writeString(Paths.get(root, "t", "_log", "v1.manifest"), winnerDir)
+    assert(b.commitAppend("t", df) == 2)
+    assert(b.latest("t") == 2)
+  }
+
+  test("file claim (r16): kill-mid-claim crash — orphan claim refuses " +
+      "the next writer loudly until the operator breaks it, then the " +
+      "retry commits clean") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_crash").toString
+    val w = new Snapshots(spark, root)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    w.commitAppend("t", df) // v0
+    // a writer claims v1 and DIES before its manifest move (its data dir
+    // may or may not exist — either way, no manifest, so v1 is invisible)
+    val crashed = new Snapshots.FileClaim(s"$root/_claims")
+    crashed.claimVersion("t", 1)
+    // latest is still 0, so the next writer computes v1 — and the orphan
+    // claim refuses it LOUDLY (never a lost commit, never a deadlock the
+    // operator can't see)
+    val ex = intercept[IllegalStateException] { w.commitAppend("t", df) }
+    assert(ex.getMessage.contains("already claimed"))
+    assert(w.latest("t") == 0)
+    // recovery is an explicit operator decision: the holder is known
+    // dead and v1 has no manifest, so the claim is an orphan — break it
+    assert(crashed.breakClaim("t", 1))
+    // the retry path: the same commit now claims v1 and publishes
+    assert(w.commitAppend("t", df) == 1)
+    assert(w.latest("t") == 1)
+    assert(w.readLatest("t").count() == 2)
+    // and drop() releases consumed claims with the history: the table is
+    // re-creatable from v0 (the re-run contract every gate key relies on)
+    w.drop("t")
+    assert(w.commitAppend("t", df) == 0)
+  }
 }
