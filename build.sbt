@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g (was 8g): the sf10 bench tier's graph workload (120M directed
+  // edges checkpointed + probed under 32 concurrent tasks) sits at the
+  // 8g unified-memory edge — one run passes, the next dies in unroll
+  // acquisition or a heap OOM that takes the whole JVM (and the round's
+  // bench record) with it. The box has 125 GiB; sizing the one-box heap
+  // to its largest tier is the same knob class as shuffle.partitions.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

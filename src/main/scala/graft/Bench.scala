@@ -608,6 +608,31 @@ object Bench {
         (if (stillHot) " — BOX UNUSABLE, tier runs flagged" else " — recovered"))
       (Gate(waits, stillHot, preShuf, preMem), shuf, mem)
     }
+    // mid-tier boundary gate (r16, extending the start gate): the start
+    // gate samples ONE instant, and the round's close record showed
+    // churn arriving MID-tier — brackets went hot, 10 keys re-ran, 5
+    // forced a second pass. The boundary canary between keys is already
+    // measured, so it doubles as a re-gating point: when the reading
+    // before the NEXT key is hot and the tier's wait budget remains,
+    // sleep and re-probe. The re-probed value becomes the next key's
+    // PRE (the state it actually ran under); the original reading stays
+    // the previous key's POST — once a gate slept between them, the two
+    // sides of a boundary describe different instants. Bounded at
+    // GATE_WAITS sleeps per tier; a quiet tier pays nothing.
+    final class MidGate(canary: () => Double) {
+      var waits = 0
+      def gate(last: Double): Double = {
+        var v = last
+        while (baselinesOn && v > 2 * memExpected && waits < GATE_WAITS) {
+          Thread.sleep(GATE_SLEEP_MS)
+          waits += 1
+          v = canary()
+          System.err.println(f"[bench] mid-tier gate: boundary canary " +
+            f"$last%.2f hot, re-probed $v%.2f after wait $waits")
+        }
+        v
+      }
+    }
 
     // ---- true-sf1 scale probe ------------------------------------------
     // The shuffle-heavy queries re-run at a genuinely generated sf1
@@ -620,6 +645,7 @@ object Bench {
     // row widths is visible round-over-round.
     val (gateSf1, shuffleCanarySf1, memCanarySf1) =
       gateTier(() => (shuffleCanarySec(), memCanarySec()))
+    val midGateSf1 = new MidGate(() => memCanarySec())
     val (sf1gen, sf1, triMemPair, sf1Brackets, sf1Reruns, sf1Tier2) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
       val g0 = System.nanoTime()
@@ -687,15 +713,22 @@ object Bench {
       // the chain. ~3.5s per boundary on a quiet box.
       val bounds = scala.collection.mutable.ArrayBuffer[Double]()
       bounds += triPost
+      // pre-side readings: same chain, except a hot boundary may be
+      // re-gated (slept + re-probed) before the next key starts — see
+      // MidGate; the post side always keeps the un-gated reading
+      val pres = scala.collection.mutable.ArrayBuffer[Double](triPost)
       val probed = probe.map { k =>
+        pres(pres.length - 1) = midGateSf1.gate(pres.last)
         val r = probeTier("sf1", dir, Seq(k), reps = 2, isolate = true).head
-        bounds += memCanarySec()
+        val b = memCanarySec()
+        bounds += b
+        pres += b
         r
       }
       val brackets =
         ("graph_triangle_sketch", (triPre, triPost)) +:
           probe.zipWithIndex.map { case (k, i) =>
-            (k, (bounds(i), bounds(i + 1)))
+            (k, (pres(i), bounds(i + 1)))
           }
       // self-adjudication: hot-bracketed OR drift-flagged keys get one
       // in-record re-run
@@ -721,6 +754,7 @@ object Bench {
     var shuffleCanarySf10 = -1.0
     var memCanarySf10 = -1.0
     var gateSf10 = Gate(0, unusable = false, -1.0, -1.0)
+    val midGateSf10 = new MidGate(() => memCanarySec())
     // Third decade (scale=10 — 60M-row lineitem, 500k docs): the default
     // 7-key subset (3 legacy curve keys + the 4 r8-claim keys) keeps the
     // scaling curve in every round's driver-visible BENCH (queries_sf10)
@@ -786,13 +820,18 @@ object Bench {
       // i+1's pre (~3.5s per boundary, ~30s for the default 8-key tier).
       val bounds = scala.collection.mutable.ArrayBuffer[Double]()
       bounds += memCanarySec()
+      // pre side may be re-gated on a hot boundary — see MidGate (sf1)
+      val pres = scala.collection.mutable.ArrayBuffer[Double](bounds.head)
       val probed = keys.map { k =>
+        pres(pres.length - 1) = midGateSf10.gate(pres.last)
         val r = probeTier("sf10", dir, Seq(k), reps = 2, isolate = true).head
-        bounds += memCanarySec()
+        val b = memCanarySec()
+        bounds += b
+        pres += b
         r
       }
       val brackets = keys.zipWithIndex.map { case (k, i) =>
-        k -> (bounds(i), bounds(i + 1))
+        k -> (pres(i), bounds(i + 1))
       }
       // self-adjudication: hot-bracketed OR drift-flagged keys get one
       // in-record re-run
@@ -1223,15 +1262,17 @@ object Bench {
     // degrade level.
     val boxUnusable =
       gateSf1.unusable || gateSf10.unusable || gateBoard.unusable
-    val gateWaitsTotal = gateSf1.waits + gateSf10.waits + gateBoard.waits
+    val gateWaitsTotal = gateSf1.waits + gateSf10.waits + gateBoard.waits +
+      midGateSf1.waits + midGateSf10.waits
     // gate evidence: [waits, still_hot, pre_shuffle, pre_mem] per gated
     // phase (pre_* = the FIRST reading, before any wait; the recovered
-    // readings replace the tier canaries in the canary block itself)
+    // readings replace the tier canaries in the canary block itself),
+    // plus the mid-tier boundary-gate wait counts [sf1, sf10]
     def gateJson(dp: Int): String = {
       def one(g: Gate) = s"[${g.waits},${if (g.unusable) 1 else 0}," +
         s"${s"%.${dp}f".format(g.preShuffle)},${s"%.${dp}f".format(g.preMem)}]"
       s"""{"sf1":${one(gateSf1)},"sf10":${one(gateSf10)},"board":${
-        one(gateBoard)}}"""
+        one(gateBoard)},"mid":[${midGateSf1.waits},${midGateSf10.waits}]}"""
     }
     def canary(dp: Int) =
       jmap(Seq("sf1_gen_sec" -> sf1gen, "sf10_gen_sec" -> sf10gen,
@@ -1431,20 +1472,28 @@ object Bench {
         "\"" + k + s"""\":[${trim(b, 2)},${trim(m, 2)},${trim(q, 2)}]"""
       } ++ (if (omitted > 0) Seq(s""""omitted":$omitted""") else Nil))
         .mkString("{", ",", "}")
-    // slim canary: measured values + flags only — the expected constants
-    // are static (bench-baselines.properties and bench_full), not round
-    // data. tri_mem is the sketch-bracketing pair (see canary(dp)).
-    val canaryT = jmapT(Seq("sf1_gen_sec" -> sf1gen,
-      "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
-      "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
-      "mem_sf10_sec" -> memCanarySf10, "tri_mem_pre" -> triMemPair._1,
-      "tri_mem_post" -> triMemPair._2, "board_mem_pre" -> boardMemPre,
-      "board_mem_post" -> boardMemPost), 2).dropRight(1) +
-      s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"box_unusable":$boxUnusable}""" +
-      // gate detail rides next to the canary block only when the gate
-      // actually did something (~0 bytes on a quiet box)
-      (if (gateWaitsTotal > 0 || boxUnusable)
-        s""","canary_gate":${gateJson(2)}""" else "")
+    // compact canary: measured values + flags only — the expected
+    // constants are static (bench-baselines.properties and bench_full),
+    // not round data. tri_mem is the sketch-bracketing pair (see
+    // canary(dp)). The SLIM form (last degrade level) drops the four
+    // phase-bracket pairs too — they are in bench_full, and at the r16
+    // tier width the full canary block alone pushed the last level 15B
+    // past the tail budget (the first budget overrun since r7).
+    def canaryCompact(slim: Boolean): String = {
+      val fields = Seq("sf1_gen_sec" -> sf1gen,
+        "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
+        "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
+        "mem_sf10_sec" -> memCanarySf10) ++
+        (if (slim) Nil else Seq("tri_mem_pre" -> triMemPair._1,
+          "tri_mem_post" -> triMemPair._2, "board_mem_pre" -> boardMemPre,
+          "board_mem_post" -> boardMemPost))
+      jmapT(fields, 2).dropRight(1) +
+        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"box_unusable":$boxUnusable}""" +
+        // gate detail rides next to the canary block only when the gate
+        // actually did something (~0 bytes on a quiet box)
+        (if (gateWaitsTotal > 0 || boxUnusable)
+          s""","canary_gate":${gateJson(2)}""" else "")
+    }
     val s10compact = if (sf10.isEmpty) "" else
       ""","queries_sf10":""" + bestT(sf10)
     // degrade levels: 0 = everything; 1 = scoreboard blocks deferred to
@@ -1510,9 +1559,14 @@ object Bench {
         s""","tier2_sf1":${sf1Tier2.size}""" else "") +
         (if (sf10Tier2.nonEmpty)
           s""","tier2_sf10":${sf10Tier2.size}""" else "")
+      // last level: slim canary, and the static bench_full path goes too
+      // (fixed string, nothing lost) — the tier maps themselves never shed
+      val canaryT = canaryCompact(slim = level >= 3)
+      val bf = if (level < 3)
+        ""","bench_full":"target/bench_full.json"""" else ""
       def assemble(boards: String) =
         f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
-          bestT(sf1)}$s10compact$d$base$rr$t2,"contention_canary":$canaryT$boards,"bench_full":"target/bench_full.json","sf":"${jstr(sfDir)}"}"""
+          bestT(sf1)}$s10compact$d$base$rr$t2,"contention_canary":$canaryT$boards$bf,"sf":"${jstr(sfDir)}"}"""
       if (level < 1) {
         // greedy-fit scoreboards (r15): the full 6-block set costs ~390
         // bytes and the widened tiers pushed level 0 past the tail
