@@ -162,6 +162,25 @@ object Bench {
       (waits, hot)
     }
 
+  /** Mid-tier boundary re-gate kernel (r16, extending [[canaryGate]] to
+    * the window it cannot see: the start gate samples one instant, and
+    * churn arriving MID-tier previously ran every remaining key hot —
+    * adjudicated only after the fact). Given the boundary canary
+    * reading taken after the previous key, sleep-and-re-probe while it
+    * reads hot (>2x the quiet expectation) and budget remains; the
+    * returned reading is the state the NEXT key actually starts under.
+    * Object-level so a spec drives it with synthetic probes. Returns
+    * (reading, waits consumed). */
+  def midGate(last: Double, memExpected: Double, baselinesOn: Boolean,
+      budget: Int, canary: () => Double, sleep: () => Unit): (Double, Int) = {
+    var v = last
+    var w = 0
+    while (baselinesOn && v > 2 * memExpected && w < budget) {
+      sleep(); w += 1; v = canary()
+    }
+    (v, w)
+  }
+
   /** Compact-line rerun budget (r13 ADVICE): the in-line `reruns` block
     * survives every degrade level by design, but unbounded it can sink
     * the line — on a fully churned box every probed key re-runs (13+ at
@@ -622,14 +641,11 @@ object Bench {
     final class MidGate(canary: () => Double) {
       var waits = 0
       def gate(last: Double): Double = {
-        var v = last
-        while (baselinesOn && v > 2 * memExpected && waits < GATE_WAITS) {
-          Thread.sleep(GATE_SLEEP_MS)
-          waits += 1
-          v = canary()
-          System.err.println(f"[bench] mid-tier gate: boundary canary " +
-            f"$last%.2f hot, re-probed $v%.2f after wait $waits")
-        }
+        val (v, w) = Bench.midGate(last, memExpected, baselinesOn,
+          GATE_WAITS - waits, canary, () => Thread.sleep(GATE_SLEEP_MS))
+        if (w > 0) System.err.println(f"[bench] mid-tier gate: boundary " +
+          f"canary $last%.2f hot, $w wait(s), re-probed $v%.2f")
+        waits += w
         v
       }
     }

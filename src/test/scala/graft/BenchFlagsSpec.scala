@@ -240,4 +240,35 @@ class BenchFlagsSpec extends AnyFunSuite {
       baselinesOn = false, maxWaits = 3, () => s3 += 1)
     assert(w3 == 0 && !hot3 && s3 == 0)
   }
+
+  test("midGate (r16): quiet boundary passes through untouched; a hot " +
+      "boundary sleeps-and-reprobes within budget; an exhausted budget " +
+      "returns the hot reading (brackets then adjudicate); off is dark") {
+    val memExpected = 1.2
+    // quiet boundary: no sleep, no probe, value unchanged
+    var s0 = 0; var p0 = 0
+    val (v0, w0) = Bench.midGate(1.3, memExpected, baselinesOn = true,
+      budget = 3, () => { p0 += 1; 1.0 }, () => s0 += 1)
+    assert(v0 == 1.3 && w0 == 0 && s0 == 0 && p0 == 0)
+    // hot boundary, recovers on the second re-probe: the NEXT key's pre
+    // is the recovered reading, two waits consumed
+    var p1 = 0
+    val (v1, w1) = Bench.midGate(5.0, memExpected, baselinesOn = true,
+      budget = 3, () => { p1 += 1; if (p1 < 2) 4.0 else 1.1 }, () => ())
+    assert(v1 == 1.1 && w1 == 2)
+    // budget exhausted while hot: the hot reading is returned (the key
+    // runs; its hot PRE bracket feeds the rerun/second-pass machinery)
+    val (v2, w2) = Bench.midGate(5.0, memExpected, baselinesOn = true,
+      budget = 2, () => 4.0, () => ())
+    assert(v2 == 4.0 && w2 == 2)
+    // zero budget (an earlier boundary spent it): pure passthrough
+    var s3 = 0
+    val (v3, w3) = Bench.midGate(5.0, memExpected, baselinesOn = true,
+      budget = 0, () => 1.0, () => s3 += 1)
+    assert(v3 == 5.0 && w3 == 0 && s3 == 0)
+    // baselines off: dark, passthrough
+    val (v4, w4) = Bench.midGate(5.0, memExpected, baselinesOn = false,
+      budget = 3, () => 1.0, () => ())
+    assert(v4 == 5.0 && w4 == 0)
+  }
 }

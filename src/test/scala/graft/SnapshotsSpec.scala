@@ -603,4 +603,24 @@ class SnapshotsSpec extends AnyFunSuite {
     w.drop("t")
     assert(w.commitAppend("t", df) == 0)
   }
+
+  test("file claim (r16): N threads race one version — the filesystem's " +
+      "atomic create lets exactly one through") {
+    val root = Files.createTempDirectory("claim_race").toString
+    val fc = new Snapshots.FileClaim(root)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val losses = new java.util.concurrent.atomic.AtomicInteger
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      start.await()
+      try { fc.claimVersion("t", 7); wins.incrementAndGet(); () }
+      catch { case _: IllegalStateException => losses.incrementAndGet(); () }
+    }))
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    assert(wins.get == 1 && losses.get == 7)
+    // a different version is independently claimable
+    fc.claimVersion("t", 8)
+  }
 }
