@@ -162,6 +162,28 @@ object Bench {
       (waits, hot)
     }
 
+  /** Drift-row selection kernel (r16 lift for spec coverage, closing
+    * the r15 ADVICE ordering item structurally): given a tier's
+    * (key, samples) pairs — by the emission contract these are the
+    * FULLY MERGED samples, post per-key rerun AND post tier second
+    * pass, i.e. the exact samples the queries_* maps report — keep
+    * every key whose median exceeds 1.5x its quiet baseline as
+    * (key, best, median, quiet), ordered worst-ratio first, capped at
+    * `cap` with the overflow counted. A key with no baseline does not
+    * participate. */
+  def driftRowsOf(tier: Seq[(String, Seq[Double])],
+      quiet: Map[String, Double], best: Seq[Double] => Double,
+      median: Seq[Double] => Double, cap: Int)
+      : (Seq[(String, Double, Double, Double)], Int) = {
+    val all = tier.flatMap { case (k, s) =>
+      quiet.get(k).flatMap { q =>
+        val m = median(s)
+        if (m > 1.5 * q) Some((k, best(s), m, q)) else None
+      }
+    }.sortBy { case (_, _, m, q) => -(m / q) }
+    (all.take(cap), (all.size - cap).max(0))
+  }
+
   /** Mid-tier boundary re-gate kernel (r16, extending [[canaryGate]] to
     * the window it cannot see: the start gate samples one instant, and
     * churn arriving MID-tier previously ran every remaining key hot —
@@ -1326,15 +1348,8 @@ object Bench {
     // later, never baselined) just doesn't participate.
     val DRIFT_CAP = 8
     def driftRowsFor(tier: Seq[(String, Seq[Double])],
-        quiet: Map[String, Double]): (Seq[(String, Double, Double, Double)], Int) = {
-      val all = tier.flatMap { case (k, s) =>
-        quiet.get(k).flatMap { q =>
-          val m = medianOf(s)
-          if (m > 1.5 * q) Some((k, bestOf(s), m, q)) else None
-        }
-      }.sortBy { case (_, _, m, q) => -(m / q) }
-      (all.take(DRIFT_CAP), (all.size - DRIFT_CAP).max(0))
-    }
+        quiet: Map[String, Double]): (Seq[(String, Double, Double, Double)], Int) =
+      Bench.driftRowsOf(tier, quiet, bestOf, medianOf, DRIFT_CAP)
     // Ordering contract (r15 ADVICE): these drift rows are computed on
     // the FULLY MERGED tiers — after the per-key rerun adjudication AND
     // after any whole-tier second pass (sf1/sf10 here are tierSecondPass

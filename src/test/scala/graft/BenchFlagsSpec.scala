@@ -271,4 +271,28 @@ class BenchFlagsSpec extends AnyFunSuite {
       budget = 3, () => 1.0, () => ())
     assert(v4 == 5.0 && w4 == 0)
   }
+
+  test("driftRowsOf (r16): rows come from the GIVEN (merged) samples, " +
+      "worst ratio first, capped with overflow counted; no-baseline keys " +
+      "do not participate") {
+    def best(s: Seq[Double]) = s.min
+    def med(s: Seq[Double]) = s.sorted.apply(s.size / 2)
+    val quiet = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0)
+    val tier = Seq(
+      "a" -> Seq(1.4, 1.6, 1.7),   // med 1.6 = 1.6x -> drift
+      "b" -> Seq(2.1, 2.2, 2.3),   // med 2.2 = 1.1x -> quiet
+      "c" -> Seq(4.0, 5.0, 6.0),   // med 5.0 = 5.0x -> drift, worst
+      "d" -> Seq(2.0, 2.0, 2.0),   // med 2.0 = 2.0x -> drift
+      "new_key" -> Seq(9.0, 9.0, 9.0)) // no baseline: absent
+    val (rows, omitted) = Bench.driftRowsOf(tier, quiet, best, med, cap = 2)
+    // worst-ratio order, cap 2, third row counted not dropped silently
+    assert(rows.map(_._1) == Seq("c", "d") && omitted == 1)
+    // each row is (key, best, median, quiet) OF THE SAMPLES GIVEN — the
+    // emission contract: callers pass the fully merged tier, so a drift
+    // row always describes the reported samples (r15 ADVICE ordering)
+    assert(rows.head == (("c", 4.0, 5.0, 1.0)))
+    // uncapped: all three drift keys, nothing omitted
+    val (all3, om0) = Bench.driftRowsOf(tier, quiet, best, med, cap = 8)
+    assert(all3.map(_._1) == Seq("c", "d", "a") && om0 == 0)
+  }
 }
