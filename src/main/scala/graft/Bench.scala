@@ -260,6 +260,60 @@ object Bench {
         .sum
     } catch { case _: Throwable => -1L }
 
+  /** Memory-bandwidth canary structure (r17, VERDICT item 1): a
+    * deterministic FULL-CYCLE permutation — Sattolo's algorithm over a
+    * SplitMix64 stream (both public algorithms) — so a pointer chase
+    * starting anywhere visits every slot before repeating. The chase is
+    * data-DEPENDENT (each load's address is the previous load's value),
+    * which is what makes it a latency probe: the CPU cannot overlap the
+    * misses, so the reading is ~hops × (DRAM + TLB miss cost) — exactly
+    * the resource the r16 box mode degraded 5× while every CPU witness
+    * (busy/steal/disk) read identical to the healthy profile and all
+    * three existing canaries (gen: CPU+write, shuffle: exchange+sort,
+    * mem: hash-agg object churn) stayed quiet. Deterministic by
+    * construction so the spec can pin the cycle property and the chase
+    * checksum. */
+  def bwCycle(slots: Int, seed: Long): Array[Int] = {
+    require(slots > 1, s"bwCycle needs > 1 slots, got $slots")
+    val a = Array.tabulate(slots)(identity)
+    var state = seed
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // Sattolo: swap i with j < i (strictly) — yields a single cycle
+    var i = slots - 1
+    while (i > 0) {
+      val j = java.lang.Math.floorMod(next(), i.toLong).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  /** One thread's pointer chase over the shared cycle: `hops`
+    * data-dependent loads from `start`. Returns the fold of visited
+    * indices so the loads cannot be dead-code-eliminated. */
+  def bwChase(cycle: Array[Int], start: Int, hops: Int): Long = {
+    var cur = start
+    var acc = 0L
+    var i = 0
+    while (i < hops) { cur = cycle(cur); acc += cur; i += 1 }
+    acc
+  }
+
+  /** The `bw_contended` predicate, extracted for specs like its three
+    * siblings: any bandwidth-canary reading of the run — tier gates,
+    * board gate, or the graph-key bracket — above 2x the quiet
+    * expectation marks the record. Sentinel readings (< 0 — tier not
+    * reached) never flag. */
+  def bwContendedFlag(readings: Seq[Double], expected: Double,
+      baselinesOn: Boolean): Boolean =
+    baselinesOn && readings.exists(v => v > 2 * expected)
+
   /** Headline subset: one per operator family, weighted toward the
     * scale-critical paths (shuffle-heavy joins/windows, LSH dedup, ANN). */
   val headline: Seq[String] = Seq(
@@ -493,6 +547,39 @@ object Bench {
       }.sorted
       samples(1)
     }
+    // memory-bandwidth/latency canary (r17, VERDICT item 1) — the mode
+    // NONE of the three probes above can see: r16's graph_pagerank sf10
+    // read 5.09x its quiet baseline with busy/steal/disk witnesses
+    // IDENTICAL to the healthy profile and gen/shuffle/mem canaries all
+    // quiet — the cycles retired, they just moved ~5x less data (host
+    // NUMA/THP state degrading random access over a multi-GB live
+    // heap). Adjudicating it needed a manual worktree control
+    // experiment; this probe lets the record self-classify instead. A
+    // 64M-slot (256 MiB — 4-8x any L3, 64k 4K-pages >> the TLB) shared
+    // cycle, chased data-dependently by 16 threads from spread starts:
+    // pure DRAM/TLB latency, no allocation in the timed window, zero
+    // Spark machinery. Median of 3. The cycle array is built ONCE and
+    // kept (building it is itself seconds of random writes); 256 MiB of
+    // stable old-gen is noise against the 16g fork heap.
+    val BW_SLOTS = 1 << 26
+    val BW_THREADS = 16
+    val BW_HOPS = 1 << 21
+    lazy val bwCycleArr: Array[Int] = Bench.bwCycle(BW_SLOTS, 42L)
+    val bwSink = new java.util.concurrent.atomic.AtomicLong
+    def bwCanarySec(): Double = {
+      val arr = bwCycleArr
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ts = (0 until BW_THREADS).map { t =>
+          val th = new Thread(() => bwSink.addAndGet(
+            Bench.bwChase(arr, t * (BW_SLOTS / BW_THREADS), BW_HOPS)))
+          th.setDaemon(true); th.start(); th
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      samples(1)
+    }
 
     def bestOf(s: Seq[Double]): Double = s.min
     // true median: even-n tiers (sf1/sf10 run reps=2) average the two
@@ -587,6 +674,7 @@ object Bench {
     val genExpected = baseline("canary.gen_sec", 8.3)
     val shufExpected = baseline("canary.shuffle_sec", 1.8)
     val memExpected = baseline("canary.mem_sec", 1.2)
+    val bwExpected = baseline("canary.bw_sec", 1.2)
 
     // ---- bracket self-adjudication (r12 VERDICT item 1) -----------------
     // A key whose mem-canary bracket read >2x the quiet floor gets ONE
@@ -635,19 +723,35 @@ object Bench {
     // fields whenever a wait happened.
     val GATE_WAITS = 3
     val GATE_SLEEP_MS = 120000L
+    // preBw (r17): the bandwidth canary reads AT every gate point and
+    // rides in the gate evidence — but it deliberately does NOT feed the
+    // gate's hot predicate or box_unusable. The sleep-and-reprobe ladder
+    // exists for TRANSIENT co-tenant churn (something else is using the
+    // box; waiting works — r16's mid gate recovered 2.45 -> 1.30 in one
+    // 120s wait). The bw mode is persistent host state (NUMA/THP):
+    // r16's lasted the whole day, r17 opened with it still on (~330
+    // ns/hop single-thread chase vs ~60 in-cache), and it degrades ONE
+    // key population while 40 of 42 baselined key-tiers read at/under
+    // quiet — sleeping on it burns the wait budget for nothing and
+    // box_unusable would condemn a record that is fine outside the
+    // graph tier. It self-classifies instead: `bw_contended` + the
+    // graph-key bracket + the drift row adjudicate exactly the keys the
+    // mode touches.
     final case class Gate(waits: Int, unusable: Boolean,
-      preShuffle: Double, preMem: Double)
-    def gateTier(measure: () => (Double, Double)): (Gate, Double, Double) = {
-      var (shuf, mem) = measure()
-      val (preShuf, preMem) = (shuf, mem)
+      preShuffle: Double, preMem: Double, preBw: Double)
+    def gateTier(measure: () => (Double, Double, Double))
+        : (Gate, Double, Double, Double) = {
+      var (shuf, mem, bw) = measure()
+      val (preShuf, preMem, preBw) = (shuf, mem, bw)
       def hot = shuf > 2 * shufExpected || mem > 2 * memExpected
       val (waits, stillHot) = Bench.canaryGate(hot,
-        () => { val m = measure(); shuf = m._1; mem = m._2; hot },
+        () => { val m = measure(); shuf = m._1; mem = m._2; bw = m._3; hot },
         baselinesOn, GATE_WAITS, () => Thread.sleep(GATE_SLEEP_MS))
       if (waits > 0) System.err.println(s"[bench] canary gate: $waits " +
-        s"wait(s), shuffle $preShuf -> $shuf, mem $preMem -> $mem" +
+        s"wait(s), shuffle $preShuf -> $shuf, mem $preMem -> $mem, " +
+        s"bw $preBw -> $bw" +
         (if (stillHot) " — BOX UNUSABLE, tier runs flagged" else " — recovered"))
-      (Gate(waits, stillHot, preShuf, preMem), shuf, mem)
+      (Gate(waits, stillHot, preShuf, preMem, preBw), shuf, mem, bw)
     }
     // mid-tier boundary gate (r16, extending the start gate): the start
     // gate samples ONE instant, and the round's close record showed
@@ -681,8 +785,8 @@ object Bench {
     // distinct-agg and dedup-candidate costs. The generated tier grows
     // every cardinality with the data, so shuffle-bound behavior at real
     // row widths is visible round-over-round.
-    val (gateSf1, shuffleCanarySf1, memCanarySf1) =
-      gateTier(() => (shuffleCanarySec(), memCanarySec()))
+    val (gateSf1, shuffleCanarySf1, memCanarySf1, bwCanarySf1) =
+      gateTier(() => (shuffleCanarySec(), memCanarySec(), bwCanarySec()))
     val midGateSf1 = new MidGate(() => memCanarySec())
     val (sf1gen, sf1, triMemPair, sf1Brackets, sf1Reruns, sf1Tier2) = {
       val dir = graft.matview.Materializer.defaultScratch + "/sf1"
@@ -791,7 +895,16 @@ object Bench {
 
     var shuffleCanarySf10 = -1.0
     var memCanarySf10 = -1.0
-    var gateSf10 = Gate(0, unusable = false, -1.0, -1.0)
+    var bwCanarySf10 = -1.0
+    // the graph-key bandwidth bracket (r17): graph_pagerank is the ONE
+    // key whose r16 5x drift only this canary's resource explains, so
+    // when the full sf10 tier runs it, the bw canary reads immediately
+    // before and after — the drift row arrives with the machine state
+    // that adjudicates it (the tri_mem pattern, pointed at the right
+    // resource)
+    var prBwPre = -1.0
+    var prBwPost = -1.0
+    var gateSf10 = Gate(0, unusable = false, -1.0, -1.0, -1.0)
     val midGateSf10 = new MidGate(() => memCanarySec())
     // Third decade (scale=10 — 60M-row lineitem, 500k docs): the default
     // 7-key subset (3 legacy curve keys + the 4 r8-claim keys) keeps the
@@ -839,10 +952,12 @@ object Bench {
         else Seq("dedup_ngram_jaccard") ++ r9Sf10 ++
           Seq("join_natural_5way", "agg_sum_group3") ++ r14Sf10
       quiesce()
-      val (g10, s10, m10) = gateTier(() => (shuffleCanarySec(), memCanarySec()))
+      val (g10, s10, m10, b10) =
+        gateTier(() => (shuffleCanarySec(), memCanarySec(), bwCanarySec()))
       gateSf10 = g10
       shuffleCanarySf10 = s10
       memCanarySf10 = m10
+      bwCanarySf10 = b10
       val dir = graft.matview.Materializer.defaultScratch + "/sf10"
       val g0 = System.nanoTime()
       graft.tools.SfGen.generate(spark, dir, scale = 10.0, files = 64)
@@ -862,7 +977,10 @@ object Bench {
       val pres = scala.collection.mutable.ArrayBuffer[Double](bounds.head)
       val probed = keys.map { k =>
         pres(pres.length - 1) = midGateSf10.gate(pres.last)
+        // bandwidth bracket around the graph key (r17): see prBwPre doc
+        if (k == "graph_pagerank") prBwPre = bwCanarySec()
         val r = probeTier("sf10", dir, Seq(k), reps = 2, isolate = true).head
+        if (k == "graph_pagerank") prBwPost = bwCanarySec()
         val b = memCanarySec()
         bounds += b
         pres += b
@@ -912,17 +1030,21 @@ object Bench {
     // doubles as the board phase's canary gate (r16): the r13 board
     // drift incident was box-state too, so the boards wait out a hot box
     // exactly like the scale tiers do.
-    val (gateBoard, boardMemPre) = {
+    val (gateBoard, boardMemPre, boardBwPre) = {
       var mem = memCanarySec()
-      val preMem = mem
+      var bw = bwCanarySec()
+      val (preMem, preBw) = (mem, bw)
+      // bw reads and rides in the evidence; hot keys off mem alone (the
+      // bw mode is persistent host state — see the gateTier doc)
       def hot = mem > 2 * memExpected
       val (waits, stillHot) = Bench.canaryGate(hot,
-        () => { mem = memCanarySec(); hot }, baselinesOn, GATE_WAITS,
+        () => { mem = memCanarySec(); bw = bwCanarySec(); hot },
+        baselinesOn, GATE_WAITS,
         () => Thread.sleep(GATE_SLEEP_MS))
       if (waits > 0) System.err.println(s"[bench] board canary gate: " +
-        s"$waits wait(s), mem $preMem -> $mem" +
+        s"$waits wait(s), mem $preMem -> $mem, bw $preBw -> $bw" +
         (if (stillHot) " — BOX UNUSABLE, boards run flagged" else " — recovered"))
-      (Gate(waits, stillHot, -1.0, preMem), mem)
+      (Gate(waits, stillHot, -1.0, preMem, preBw), mem, bw)
     }
 
     // the reference's Q4 ordering invariant at bench scale: the same
@@ -1293,6 +1415,16 @@ object Bench {
     // quiet mem floor flips it.
     val bracketContended = Bench.bracketContendedFlag(
       sf1Brackets ++ sf10Brackets, memExpected, baselinesOn)
+    // the bandwidth mode's own flag (r17, VERDICT item 1): any bw-canary
+    // reading of the run — tier gates, board gate, or the graph-key
+    // bracket — above 2x its quiet expectation. Kept separate from
+    // contended/mem_contended for the same reason those are separate:
+    // it adjudicates a different key population (the sustained-random-
+    // access workloads, graph_pagerank first among them). -1 sentinels
+    // (tier not reached / bracket not run) never flag.
+    val bwContended = Bench.bwContendedFlag(
+      Seq(bwCanarySf1, bwCanarySf10, boardBwPre, prBwPre, prBwPost),
+      bwExpected, baselinesOn)
     // the gate's verdict (r16, VERDICT item 1): true when any gated
     // phase was STILL hot after the bounded sleep-and-re-probe — the
     // box never quieted, so its tier readings are self-classified
@@ -1306,11 +1438,18 @@ object Bench {
     // phase (pre_* = the FIRST reading, before any wait; the recovered
     // readings replace the tier canaries in the canary block itself),
     // plus the mid-tier boundary-gate wait counts [sf1, sf10]
+    // gate arrays grew a 5th element in r17 (pre_bw); "mid_watch" names
+    // the surface the mid-tier boundary gate samples (r16 ADVICE: the
+    // boundary chain is the mem canary only — shuffle- or bw-only churn
+    // arriving mid-tier is adjudicated after the fact by brackets and
+    // reruns, not slept on; the note makes that asymmetry readable in
+    // the record instead of implicit)
     def gateJson(dp: Int): String = {
       def one(g: Gate) = s"[${g.waits},${if (g.unusable) 1 else 0}," +
-        s"${s"%.${dp}f".format(g.preShuffle)},${s"%.${dp}f".format(g.preMem)}]"
+        s"${s"%.${dp}f".format(g.preShuffle)},${s"%.${dp}f".format(g.preMem)},${
+          s"%.${dp}f".format(g.preBw)}]"
       s"""{"sf1":${one(gateSf1)},"sf10":${one(gateSf10)},"board":${
-        one(gateBoard)},"mid":[${midGateSf1.waits},${midGateSf10.waits}]}"""
+        one(gateBoard)},"mid":[${midGateSf1.waits},${midGateSf10.waits}],"mid_watch":"mem"}"""
     }
     def canary(dp: Int) =
       jmap(Seq("sf1_gen_sec" -> sf1gen, "sf10_gen_sec" -> sf10gen,
@@ -1331,9 +1470,18 @@ object Bench {
         // row now arrives with machine state read on each side of the
         // whole board phase
         "board_mem_pre_sec" -> boardMemPre,
-        "board_mem_post_sec" -> boardMemPost), dp)
+        "board_mem_post_sec" -> boardMemPost,
+        // the bandwidth canary (r17, VERDICT item 1): tier-gate
+        // readings, the board-gate reading, and the graph-key bracket
+        // (-1 when the full sf10 tier didn't run)
+        "bw_sec" -> bwCanarySf1,
+        "bw_sf10_sec" -> bwCanarySf10,
+        "bw_expected_sec" -> bwExpected,
+        "bw_board_sec" -> boardBwPre,
+        "pr_bw_pre_sec" -> prBwPre,
+        "pr_bw_post_sec" -> prBwPost), dp)
         .dropRight(1) +
-        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"box_unusable":$boxUnusable}"""
+        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"bw_contended":$bwContended,"box_unusable":$boxUnusable}"""
     // Per-key drift surface (r8 VERDICT item 4, r9 item 1): any scale-
     // tier key whose THIS-RUN median exceeds 1.5x the recorded quiet-box
     // median is carried in the compact line as [best, median,
@@ -1514,12 +1662,14 @@ object Bench {
       val fields = Seq("sf1_gen_sec" -> sf1gen,
         "sf10_gen_sec" -> sf10gen, "shuffle_sec" -> shuffleCanarySf1,
         "shuffle_sf10_sec" -> shuffleCanarySf10, "mem_sec" -> memCanarySf1,
-        "mem_sf10_sec" -> memCanarySf10) ++
+        "mem_sf10_sec" -> memCanarySf10, "bw_sec" -> bwCanarySf1,
+        "bw_sf10_sec" -> bwCanarySf10) ++
         (if (slim) Nil else Seq("tri_mem_pre" -> triMemPair._1,
           "tri_mem_post" -> triMemPair._2, "board_mem_pre" -> boardMemPre,
-          "board_mem_post" -> boardMemPost))
+          "board_mem_post" -> boardMemPost, "pr_bw_pre" -> prBwPre,
+          "pr_bw_post" -> prBwPost))
       jmapT(fields, 2).dropRight(1) +
-        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"box_unusable":$boxUnusable}""" +
+        s""","contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"bw_contended":$bwContended,"box_unusable":$boxUnusable}""" +
         // gate detail rides next to the canary block only when the gate
         // actually did something (~0 bytes on a quiet box)
         (if (gateWaitsTotal > 0 || boxUnusable)

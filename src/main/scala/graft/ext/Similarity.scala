@@ -408,25 +408,32 @@ object Similarity {
     * lists whole. Selectivity comes from a label-count relation (tiny,
     * broadcast); everything else is the [[similarityIvf]] machinery. */
   def similarityFilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    // the count relation is label-keyed only (every vector sits in
+    // exactly one list, so counting over the assignment adds nothing) —
+    // derived straight from the corpus, it also yields the one scalar
+    // the generate bound needs without re-running the assignment UDF
+    val n = emb.count()
+    val lc = emb.groupBy("label").agg(count(lit(1)).as("lcnt"))
+    val maxDepth = maxWidenedDepth(n, minLcntOf(lc))
     val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
     val lists = lists0.join(
-      load(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
-    val lc = lists.groupBy("label").agg(count(lit(1)).as("lcnt"))
-    val nRow = lists.agg(count(lit(1)).as("n"))
-    // every centroid ranked per query; the per-query probe DEPTH is
-    // decided relationally from the label's selectivity
-    val probeAllUdf = rankAllListsUdf(refined)
+      emb.select(col("vec_id"), col("label")), "vec_id")
+    // centroids ranked per query, generate bounded at the global max
+    // widened depth (r17); the per-query probe DEPTH is decided
+    // relationally from the label's selectivity
+    val probeAllUdf = rankAllListsUdf(refined, maxDepth)
     val queries = lists.filter(col("vec_id") < NUM_QUERIES)
       .filter(col("nrm") > 0) // zero-norm contract (see norm())
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("label").as("qlabel"),
         posexplode(probeAllUdf(col("embedding"))).as(Seq("pos", "cid")))
       .join(broadcast(lc.withColumnRenamed("label", "qlabel")), "qlabel")
-      .crossJoin(broadcast(nRow))
       // ceil(NPROBE * n / lcnt) in exact integer math, capped at L —
-      // `div`, not `/`: Column./ is ALWAYS a double divide in Spark
+      // `div`, not `/`: Column./ is ALWAYS a double divide in Spark;
+      // n rides as a literal (already read for the generate bound)
       .filter(expr(
-        s"pos < least($NLISTS, ($NPROBE * n + lcnt - 1) div lcnt)"))
+        s"pos < least($NLISTS, ($NPROBE * $n + lcnt - 1) div lcnt)"))
     val scored = broadcast(queries)
       .join(lists.filter(col("nrm") > 0), Seq("cid"))
       // the metadata filter, pushed BEFORE the dot product
@@ -438,17 +445,49 @@ object Similarity {
     topkExact(scored)
   }
 
-  /** Every centroid ranked per query by dot product — the probe-depth
-    * decision is applied DOWNSTREAM, relationally, by the filtered-ANN
-    * keys (shared by the single-label and conjunctive variants). */
-  private def rankAllListsUdf(refined: Array[(Int, Array[Double])]) =
-    udf { (emb: Array[Float]) =>
+  /** Centroids ranked per query by dot product, truncated at `maxDepth`
+    * — the per-query probe-depth decision stays DOWNSTREAM, relational
+    * (shared by the single-label and conjunctive variants), but the
+    * GENERATE is bounded at the global maximum widened depth (r17,
+    * r16 VERDICT item 6): every per-label depth is
+    * min(L, ceil(NPROBE·n/lcnt)) ≤ min(L, ceil(NPROBE·n/min lcnt)), so
+    * emitting more than that many ranked lists per query row can never
+    * survive the downstream filter. Unbounded, the generate emitted ALL
+    * L lists per query — O(Q×L) rows at √N lists on a 1e10-vector
+    * corpus (~1e5 emitted to keep dozens); capped, it scales with the
+    * measured selectivity instead of the list count. Results are
+    * unchanged by construction (the cap dominates every kept pos), so
+    * both keys' recorded hashes hold. [[rankAllLists]] is the kernel,
+    * exposed for the spec pin on the bound. */
+  private[graft] def rankAllLists(refined: Array[(Int, Array[Double])],
+      maxDepth: Int): Array[Float] => Seq[Int] =
+    (emb: Array[Float]) =>
       refined.map { case (cid, cent) =>
         var acc = 0.0; var i = 0
         while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
         (acc, cid)
-      }.sortBy(-_._1).map(_._2)
-    }
+      }.sortBy(-_._1).take(maxDepth).map(_._2).toSeq
+
+  private def rankAllListsUdf(refined: Array[(Int, Array[Double])],
+      maxDepth: Int) = udf(rankAllLists(refined, maxDepth))
+
+  /** The global maximum widened probe depth, in the same exact integer
+    * arithmetic as the per-label filter: min(L, ceil(NPROBE·n/minLcnt)).
+    * A degenerate count relation (no labels at all) degrades to L —
+    * harmless, the downstream inner join against it is empty anyway. */
+  private def maxWidenedDepth(n: Long, minLcnt: Option[Long]): Int =
+    minLcnt.filter(_ > 0)
+      .map(m => math.min(NLISTS.toLong, (NPROBE * n + m - 1) / m).toInt)
+      .getOrElse(NLISTS)
+
+  /** Smallest per-label count of a (label, lcnt) relation, driver-side —
+    * the one scalar [[maxWidenedDepth]] needs (the relation is
+    * label-bounded, so this is a tiny aggregate, not a data-scale
+    * collect). */
+  private def minLcntOf(lc: DataFrame): Option[Long] = {
+    val r = lc.agg(min(col("lcnt"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
 
   /** Filtered ANN under a CONJUNCTIVE predicate (r16, VERDICT item 6) —
     * [[similarityFilteredAnn]]'s selectivity-widened probe extended to a
@@ -474,17 +513,19 @@ object Similarity {
     // window = ranks (n/4, 3n/4]: lo = id at rank n/4 + 1 (inclusive),
     // hi = id at rank 3n/4 + 1 (exclusive)
     val winRanks = Seq(n / 4 + 1, 3 * n / 4 + 1)
-    val winIds = idsAtRanks(emb.select(col("vec_id")), winRanks)
+    val winIds = idsAtRanks(emb.select(col("vec_id")), winRanks, n)
     val lo = winIds(n / 4 + 1)
     val hi = winIds(3 * n / 4 + 1)
+    // the CONJUNCTION's count relation: one group-by over the windowed
+    // slice (tiny, broadcast) — label-keyed only, so it derives straight
+    // from the corpus and doubles as the generate-bound scalar's source
+    val lc = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .groupBy("label").agg(count(lit(1)).as("lcnt"))
+    val maxDepth = maxWidenedDepth(n, minLcntOf(lc))
     val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
     val lists = lists0.join(
       emb.select(col("vec_id"), col("label")), "vec_id")
-    // the CONJUNCTION's count relation: one group-by over the windowed
-    // slice (tiny, broadcast)
-    val lc = lists.filter(col("vec_id") >= lo && col("vec_id") < hi)
-      .groupBy("label").agg(count(lit(1)).as("lcnt"))
-    val probeAllUdf = rankAllListsUdf(refined)
+    val probeAllUdf = rankAllListsUdf(refined, maxDepth)
     val queries = lists.filter(col("vec_id") < NUM_QUERIES)
       .filter(col("nrm") > 0) // zero-norm contract (see norm())
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -520,8 +561,21 @@ object Similarity {
     * single-partition window, no embedding bytes moved); only the
     * requested boundary rows reach the driver. On a contiguous 0..n-1
     * id space the id at rank k is k-1, so the fixture splits — and all
-    * recorded hashes — are unchanged. */
-  private def idsAtRanks(ids: DataFrame, ranks: Seq[Long]): Map[Long, Long] = {
+    * recorded hashes — are unchanged.
+    *
+    * `n` (the corpus row count, which every caller has already read) is
+    * required below Int.MaxValue LOUDLY (r17, r16 ADVICE): the rank
+    * column is emitted as INT, and while the engine's default ANSI mode
+    * makes an overflowing cast throw, a deployment running with ANSI off
+    * would wrap it silently — and a wrapped rank can collide with a
+    * requested boundary and mis-cut every batch. The guard makes the
+    * 2^31-row limit a stated contract instead of a mode-dependent one
+    * (the same design point that Int-clamps the PQ rerank width). */
+  private def idsAtRanks(ids: DataFrame, ranks: Seq[Long],
+      n: Long): Map[Long, Long] = {
+    require(n < Int.MaxValue,
+      s"idsAtRanks: $n rows exceed the INT rank space — lift " +
+        "Ranks.rowNumberByRange's int cast before numbering past 2^31")
     val ranked = graft.operators.Ranks.rowNumberByRange(
       ids.select(col("vec_id")), 32, Seq(col("vec_id")), "rk")
     ranked.filter(col("rk").isin(ranks: _*))
@@ -560,7 +614,7 @@ object Similarity {
     // the cut id equals 3n/4 and every recorded hash is unchanged), and
     // delta_rows below is a true row count on any id space
     val b = 3L * n / 4
-    val cut = idsAtRanks(all, Seq(b + 1))(b + 1)
+    val cut = idsAtRanks(all, Seq(b + 1), n)(b + 1)
     val (_, baseLists, refined) =
       ivfListsOn(all.filter(col("vec_id") < cut), NLISTS)
     val delta = all.filter(col("vec_id") >= cut)
@@ -661,7 +715,7 @@ object Similarity {
     val b = n / 2
     val r = n - b
     val rankCuts = Seq(b, b + r / 3, b + 2 * r / 3)
-    val cutIds = idsAtRanks(all, rankCuts.map(_ + 1))
+    val cutIds = idsAtRanks(all, rankCuts.map(_ + 1), n)
     val cuts = rankCuts.map(c => cutIds(c + 1)) :+ Long.MaxValue
     val (_, baseLists, refined) =
       ivfListsOn(all.filter(col("vec_id") < cuts.head), NLISTS)
@@ -715,6 +769,136 @@ object Similarity {
       .withColumn("n_folds", lit(folds.toLong))
       .withColumn("dirs_latest", lit(dirsLatest.toLong))
       .withColumn("rows_total_ok", lit(rowsTotal == n))
+      .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
+      .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
+  }
+
+  /** Deletion in the incremental ANN index (r17, r16 VERDICT item 4) —
+    * the takedown/contamination-purge path every production vector store
+    * must serve, the one index operation [[similarityIndexAppend]] /
+    * [[similarityIndexMaintain]] (grow and fold) cannot express.
+    * Log-structured delete in three moves: (1) tombstones commit as ONE
+    * O(deleted) append — rows (cid, vec_id, tomb=true), never a rewrite
+    * of the immutable shards (at 100 TB a takedown touches O(takedown),
+    * not O(index)); (2) reads are MERGE-ON-READ — live = non-tombstone
+    * rows anti-joined against the tombstoned ids; (3) the next
+    * maintenance fold RESOLVES them — [[graft.matview.Snapshots
+    * .compactClustered]]'s resolve hook (the deletion-vector-apply role
+    * of a lakehouse OPTIMIZE) rewrites only the survivors back into the
+    * clustered layout, and the tombstones vanish with the superseded
+    * dirs. The deleted slice is rank-keyed — ranks (n/4, 3n/8] of the
+    * vec_id order, inside the BASE half — via [[idsAtRanks]], so a
+    * gapped id space deletes the same row count as the contiguous
+    * fixture (the r16 rank-cut spec, extended to deletes).
+    *
+    * What the oracle proves: base-only training, frozen-centroid delta
+    * assignment, and the served top-k over exactly the SURVIVING corpus
+    * — serving a deleted vector, or dropping a survivor, hash-fails.
+    * Physical facts pinned: `n_versions` (base, clustered rewrite,
+    * delta, tombstone, fold = 5), `deleted_rows` (an exact rank-window
+    * count on any id space), `rows_total_ok` (post-fold rows = n −
+    * deleted), `tomb_gone` (no tombstone survives the fold), `mor_ok`
+    * (the merge-on-read serve BEFORE the fold equals the post-fold
+    * serve — deletes are visible immediately and the fold stays a pure
+    * layout move), `dirs_latest` (the fold restored the [[IDX_SHARDS]]
+    * clustered layout), and the point-probe pruning pair of the sibling
+    * keys (probed at the id of RANK 1, which is always in base and
+    * never deleted). */
+  def similarityIndexDelete(s: SparkSession, d: String): DataFrame = {
+    val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    require(n >= 8,
+      "similarityIndexDelete needs >= 8 vectors to cut base/delta/delete")
+    val b = 3L * n / 4
+    val dLo = n / 4
+    val dHi = 3L * n / 8
+    val ids = idsAtRanks(all, Seq(1L, dLo + 1, dHi + 1, b + 1), n)
+    val cut = ids(b + 1)
+    val delLo = ids(dLo + 1)
+    val delHi = ids(dHi + 1)
+    val probeId = ids(1L)
+    val (_, baseLists, refined) =
+      ivfListsOn(all.filter(col("vec_id") < cut), NLISTS)
+
+    val snap = new graft.matview.Snapshots(s,
+      s"${graft.matview.Materializer.defaultScratch}/ivfidx")
+    val t = s"ivf_del_${dirKey(d)}"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      baseLists.select(col("cid"), col("vec_id"), col("embedding"),
+        lit(false).as("tomb")),
+      Seq("cid"))
+    snap.compactClustered(t, "cid", IDX_SHARDS, Seq("cid"))
+    snap.commitAppendStats(t,
+      all.filter(col("vec_id") >= cut)
+        .withColumn("cid", assignTo(refined)(col("embedding")))
+        .select(col("cid"), col("vec_id"), col("embedding"),
+          lit(false).as("tomb")),
+      Seq("cid"))
+    // the tombstone commit: O(deleted) rows, key + list id only — the
+    // embedding does NOT travel (a takedown carries no payload)
+    snap.commitAppendStats(t,
+      baseLists.filter(col("vec_id") >= delLo && col("vec_id") < delHi)
+        .select(col("cid"), col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(true).as("tomb")),
+      Seq("cid"))
+
+    // merge-on-read resolution, shared verbatim between the read path
+    // and the fold (the whole point: the fold applies exactly what every
+    // reader was already applying)
+    def resolve(idx: DataFrame): DataFrame =
+      idx.filter(!col("tomb")).join(
+        idx.filter(col("tomb")).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    // serve purely from a live (tombstone-resolved) index relation
+    def serve(live: DataFrame): DataFrame = {
+      val idx = live.withColumn("nrm", norm(col("embedding")))
+      val probeUdf = udf { (emb: Array[Float]) =>
+        refined.map { case (cid, cent) =>
+          var acc = 0.0; var i = 0
+          while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+          (acc, cid)
+        }.sortBy(-_._1).take(NPROBE).map(_._2)
+      }
+      val queries = idx.filter(col("vec_id") < NUM_QUERIES && col("nrm") > 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(probeUdf(col("embedding"))).as("cid"), col("nrm").as("qn"))
+      val scored = broadcast(queries)
+        .join(idx.filter(col("nrm") > 0), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9)
+            .as("score"))
+        .distinct()
+      topkExact(scored)
+    }
+    // the merge-on-read serve, BEFORE the fold (NUM_QUERIES × K rows)
+    val morRows = serve(resolve(snap.readLatest(t))).collect().toSeq
+    // the fold: one clustered rewrite of the SURVIVORS
+    snap.compactClustered(t, "cid", IDX_SHARDS, Seq("cid"),
+      resolve = resolve)
+    val nVersions = snap.latest(t) + 1
+    val dirsLatest = snap.manifestDirs(t, snap.latest(t))
+    val idxF = snap.readLatest(t)
+    val rowsTotal = idxF.count()
+    val tombLeft = idxF.filter(col("tomb")).count()
+    val served = serve(idxF)
+    val morOk = served.collect().toSeq == morRows
+
+    val cid0 = baseLists.filter(col("vec_id") === probeId)
+      .select(col("cid")).head().getInt(0)
+    val pr = snap.readPrunedEq(t, snap.latest(t), "cid", cid0.toString)
+    val listRows = pr.df.filter(col("cid") === cid0).count()
+    val fullRows = idxF.filter(col("cid") === cid0).count()
+
+    served
+      .withColumn("n_versions", lit(nVersions.toLong))
+      .withColumn("deleted_rows", lit(dHi - dLo))
+      .withColumn("rows_total_ok", lit(rowsTotal == n - (dHi - dLo)))
+      .withColumn("tomb_gone", lit(tombLeft == 0L))
+      .withColumn("mor_ok", lit(morOk))
+      .withColumn("dirs_latest", lit(dirsLatest.toLong))
       .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
       .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
   }
@@ -1250,6 +1434,7 @@ object Similarity {
     "similarity_filtered_ann_conj" -> (similarityFilteredAnnConj _),
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
+    "similarity_index_delete"    -> (similarityIndexDelete _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
     "corpus_contrastive_pairs"   -> (corpusContrastivePairs _),
   )
@@ -1786,6 +1971,71 @@ object Similarity {
          |  1::BIGINT AS n_folds,
          |  ${IDX_SHARDS}::BIGINT AS dirs_latest,
          |  true AS rows_total_ok,
+         |  true AS probe_pruned, true AS probe_rows_ok FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    // deleted index: the append key's base-3/4 training + delta
+    // assignment, MINUS the rank-windowed tombstone slice ((n/4, 3n/8]
+    // of the vec_id order) — queries and candidates are BOTH drawn from
+    // the survivors, so a served deleted vector (or a dropped survivor)
+    // hash-fails. The storage facts are pinned structural constants:
+    // 5 versions (base, clustered rewrite, delta, tombstone, fold),
+    // deleted_rows = 3n/8 - n/4 exactly, and the TRUE-literal facts —
+    // rows_total_ok / tomb_gone / mor_ok (merge-on-read == post-fold) /
+    // the probe-pruning pair — that hash-fail if the fold loses rows,
+    // leaks tombstones, diverges from the MOR serve, or stops pruning
+    "similarity_index_delete" ->
+      s"""WITH nb AS (SELECT COUNT(*) AS n,
+         |  3 * COUNT(*) // 4 AS b,
+         |  COUNT(*) // 4 AS dlo,
+         |  3 * COUNT(*) // 8 AS dhi FROM embeddings),
+         |rks AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |cutv AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT b FROM nb) + 1),
+         |dlov AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT dlo FROM nb) + 1),
+         |dhiv AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT dhi FROM nb) + 1),
+         |base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT c FROM cutv)),
+         |${ivfAssignSqlFor(NLISTS.toString, "base")},
+         |ddots AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id >= (SELECT c FROM cutv)),
+         |da AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM ddots) WHERE rn = 1),
+         |alla AS (SELECT vec_id, cid FROM a2
+         |  UNION ALL SELECT vec_id, cid FROM da),
+         |live AS (SELECT vec_id, cid FROM alla
+         |  WHERE NOT (vec_id >= (SELECT c FROM dlov)
+         |         AND vec_id < (SELECT c FROM dhiv))),
+         |$nonZeroSql,
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES
+         |    AND NOT (vec_id >= (SELECT c FROM dlov)
+         |         AND vec_id < (SELECT c FROM dhiv))) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probe p JOIN live a USING (cid) WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score,
+         |  5::BIGINT AS n_versions,
+         |  (SELECT dhi - dlo FROM nb) AS deleted_rows,
+         |  true AS rows_total_ok,
+         |  true AS tomb_gone,
+         |  true AS mor_ok,
+         |  ${IDX_SHARDS}::BIGINT AS dirs_latest,
          |  true AS probe_pruned, true AS probe_rows_ok FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t

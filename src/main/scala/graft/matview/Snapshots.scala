@@ -51,7 +51,11 @@ class Snapshots(spark: SparkSession, root: String,
   // rename. Pass NoClaim explicitly to opt out (trusted-single-writer
   // deployments), or any catalog-backed VersionClaim to swap the CAS.
   private val claim: Snapshots.VersionClaim = claim0 match {
-    case Snapshots.DefaultClaim => new Snapshots.FileClaim(s"$root/_claims")
+    // the published-version probe (r17, r16 ADVICE): the claim layer
+    // can refuse breakClaim on a version whose manifest exists without
+    // knowing the log layout itself
+    case Snapshots.DefaultClaim => new Snapshots.FileClaim(s"$root/_claims",
+      (t, v) => Files.exists(manifest(t, v)))
     case c => c
   }
 
@@ -232,13 +236,23 @@ class Snapshots(spark: SparkSession, root: String,
     * invisible dirs, never a torn version). Absorbed ingestion txn ids
     * travel into the first shard, as in [[compact]]. This fixture-scale
     * writer re-scans per shard; a deployment would repartitionByRange
-    * once and commit the written files directly. */
+    * once and commit the written files directly.
+    *
+    * `resolve` (r17) is the merge-on-read resolution hook — the
+    * deletion-vector-apply role a lakehouse OPTIMIZE performs: a table
+    * whose readers resolve tombstones at read time passes the SAME
+    * resolution function here, and the rewrite folds it in — survivors
+    * land clustered, tombstones vanish with the superseded dirs, and
+    * every reader of the new version reads the resolution's result
+    * directly. Identity (the default) keeps the pure layout-move
+    * contract of the plain compaction. */
   def compactClustered(t: String, clusterCol: String, shards: Int,
-      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      resolve: DataFrame => DataFrame = identity): Int = {
     require(shards >= 1, s"shards=$shards")
     val absorbed = readManifest(t, latest(t))
       .flatMap(Snapshots.dirTxns).distinct
-    val cur = readLatest(t)
+    val cur = resolve(readLatest(t))
     import org.apache.spark.sql.functions.{broadcast, col => fcol, count,
       lit, min => sqlMin}
     val isString = cur.schema(clusterCol).dataType ==
@@ -570,6 +584,10 @@ class Snapshots(spark: SparkSession, root: String,
       finally w.close()
     }
     (0 until retainFrom).foreach(v => Files.deleteIfExists(manifest(t, v)))
+    // claim janitor (r17): the dropped manifests' claims go with them —
+    // version numbering never re-enters the pruned range, so the files
+    // were pure garbage accumulating one per (table, version) forever
+    claim.pruneBelow(t, retainFrom)
     (dead.size, live.size)
   }
 
@@ -613,6 +631,15 @@ object Snapshots {
       * restarts at 0 after [[Snapshots.drop]], so its consumed claims
       * must go with its history (a no-op for stateless claims). */
     def dropTable(table: String): Unit = ()
+    /** Retention janitor (r17, r16 ADVICE): release claims for versions
+      * STRICTLY below the retained floor — their manifests are gone
+      * ([[Snapshots.vacuum]] calls this after dropping them), version
+      * numbering never descends back into that range (latest() still
+      * sees the retained manifests), so the claim files are pure
+      * garbage that would otherwise accumulate one per version forever
+      * on a live table. Returns the number released (0 for stateless
+      * claims). */
+    def pruneBelow(table: String, floor: Int): Int = 0
   }
 
   /** Opt-out: no claim at all — the original single-writer contract,
@@ -651,7 +678,9 @@ object Snapshots {
     * RACER (the winner did publish) needs no recovery at all: its retry
     * recomputes latest(), claims the NEXT version, and succeeds —
     * SnapshotsSpec drives both paths. */
-  final class FileClaim(claimRoot: String) extends VersionClaim {
+  final class FileClaim(claimRoot: String,
+      published: (String, Int) => Boolean = (_, _) => false)
+      extends VersionClaim {
     private def claimFile(table: String, version: Int): java.nio.file.Path =
       Paths.get(claimRoot, table, s"v$version.claim")
 
@@ -660,9 +689,19 @@ object Snapshots {
       Files.createDirectories(f.getParent)
       try { Files.createFile(f); () }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
+        // in-band recovery evidence (r17, r16 VERDICT item "what's
+        // missing 3"): the refusal carries the standing claim's age, so
+        // the operator's dead-holder judgement has a reading to anchor
+        // on — a seconds-old claim is a live racer, an hours-old one a
+        // likely crash — instead of requiring an out-of-band stat(2)
+        val age = try {
+          val ms = System.currentTimeMillis() -
+            Files.getLastModifiedTime(f).toMillis
+          s", held for ${ms / 1000}s"
+        } catch { case _: Throwable => "" } // claim raced away: no age
         throw new IllegalStateException(
           s"version $version of $table already claimed by another writer " +
-            s"(claim file $f exists; if its holder is known dead, " +
+            s"(claim file $f exists$age; if its holder is known dead, " +
             "break the orphan claim and retry)")
       }
     }
@@ -670,10 +709,40 @@ object Snapshots {
     /** Operator-initiated recovery from a kill-mid-claim crash: delete
       * the orphaned claim so the version becomes claimable again. Only
       * safe once the original holder is known dead AND no manifest for
-      * the version exists (a published version must keep its claim
-      * consumed forever). Returns whether a claim was actually broken. */
-    def breakClaim(table: String, version: Int): Boolean =
+      * the version exists — and the second precondition is now ENFORCED
+      * (r17, r16 ADVICE): breaking a consumed claim on a published
+      * version would let a stale writer re-claim it and fail later at
+      * the rename guard, so the probe refuses loudly instead. Returns
+      * whether a claim was actually broken. */
+    def breakClaim(table: String, version: Int): Boolean = {
+      require(!published(table, version),
+        s"refusing to break the claim for $table version $version: its " +
+          "manifest exists (published versions keep their claim " +
+          "consumed forever; this claim is not an orphan)")
       Files.deleteIfExists(claimFile(table, version))
+    }
+
+    /** Delete claim files for versions strictly below `floor` — see
+      * [[VersionClaim.pruneBelow]]. The deletion set is computed from
+      * the claim file NAMES alone (never ages/mtimes), mirroring the
+      * manifest-driven discipline of [[Snapshots.vacuum]] itself. */
+    override def pruneBelow(table: String, floor: Int): Int = {
+      val dir = Paths.get(claimRoot, table)
+      if (!Files.isDirectory(dir)) 0
+      else {
+        val s = Files.list(dir)
+        val stale =
+          try s.iterator().asScala.toList.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("v") && n.endsWith(".claim") &&
+              n.stripPrefix("v").stripSuffix(".claim").toIntOption
+                .exists(_ < floor)
+          }
+          finally s.close()
+        stale.foreach(Files.deleteIfExists(_))
+        stale.size
+      }
+    }
 
     override def dropTable(table: String): Unit = {
       val dir = Paths.get(claimRoot, table)

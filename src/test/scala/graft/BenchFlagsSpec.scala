@@ -295,4 +295,49 @@ class BenchFlagsSpec extends AnyFunSuite {
     val (all3, om0) = Bench.driftRowsOf(tier, quiet, best, med, cap = 8)
     assert(all3.map(_._1) == Seq("c", "d", "a") && om0 == 0)
   }
+
+  test("bwCycle (r17, VERDICT item 1): a single full cycle — every slot " +
+      "visited exactly once before the chase repeats — and deterministic") {
+    val slots = 4096
+    val cycle = Bench.bwCycle(slots, 42L)
+    // permutation: every value in [0, slots) exactly once
+    assert(cycle.sorted.toSeq == (0 until slots))
+    // SINGLE cycle (Sattolo's guarantee): walking from slot 0 returns to
+    // 0 only after visiting all slots — the property that makes a chase
+    // of `hops` loads touch min(hops, slots) DISTINCT lines, so the
+    // probe measures memory, not a short loop in cache
+    var cur = 0
+    var steps = 0
+    do { cur = cycle(cur); steps += 1 } while (cur != 0 && steps <= slots)
+    assert(steps == slots)
+    // no fixed point anywhere (a cycle of length n > 1 has none)
+    assert(cycle.zipWithIndex.forall { case (v, i) => v != i })
+    // deterministic: the canary's reading differences are machine state,
+    // never structure
+    assert(Bench.bwCycle(slots, 42L).toSeq == cycle.toSeq)
+  }
+
+  test("bwChase: deterministic checksum, hop count honored, distinct " +
+      "starts chase distinct segments of the shared cycle") {
+    val cycle = Bench.bwCycle(1 << 12, 42L)
+    val a = Bench.bwChase(cycle, 0, 1000)
+    assert(a == Bench.bwChase(cycle, 0, 1000)) // pure
+    assert(Bench.bwChase(cycle, 0, 0) == 0L)   // zero hops fold nothing
+    // different starts read different prefixes (same cycle, spread
+    // segments — the multi-thread layout of the canary)
+    assert(Bench.bwChase(cycle, 2048, 1000) != a)
+  }
+
+  test("bwContendedFlag: strict 2x bar, sentinel readings never flag, " +
+      "baselines off forces dark") {
+    val expected = 1.2
+    assert(!Bench.bwContendedFlag(Seq(1.1, 1.3, 2.4), expected, true))
+    // the r16 box mode shape: ~5x the quiet expectation
+    assert(Bench.bwContendedFlag(Seq(1.1, 6.1), expected, true))
+    // -1 sentinels (tier not reached / bracket not run) are not readings
+    assert(!Bench.bwContendedFlag(Seq(-1.0, -1.0), expected, true))
+    // exactly at the bar does not flip (strict >, like its siblings)
+    assert(!Bench.bwContendedFlag(Seq(2.4), expected, true))
+    assert(!Bench.bwContendedFlag(Seq(99.0), expected, false))
+  }
 }

@@ -386,6 +386,96 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
   }
 
+  test("similarity_index_delete (r17, r16 VERDICT item 4): storage facts " +
+      "pinned, no deleted vector served, survivors all reachable, " +
+      "merge-on-read equals the post-fold serve") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.{spark, SF}
+    val rows = Similarity.similarityIndexDelete(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_versions") == 5L))
+    assert(rows.forall(_.getAs[Long]("dirs_latest") == 4L))
+    assert(rows.forall(_.getAs[Boolean]("rows_total_ok")))
+    assert(rows.forall(_.getAs[Boolean]("tomb_gone")))
+    assert(rows.forall(_.getAs[Boolean]("mor_ok")))
+    assert(rows.forall(_.getAs[Boolean]("probe_pruned")))
+    assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
+    // the deleted slice: ranks (n/4, 3n/8] of the vec_id order
+    val emb = Tables.load(spark, SF, "embeddings")
+    val n = emb.count()
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val delLo = ids((n / 4).toInt)      // id at rank n/4 + 1
+    val delHi = ids((3 * n / 8).toInt)  // id at rank 3n/8 + 1
+    assert(rows.forall(_.getAs[Long]("deleted_rows") == 3 * n / 8 - n / 4))
+    // NO deleted vector is ever served — as neighbor or as query
+    assert(rows.forall { r =>
+      val nb = r.getAs[Long]("neighbor_id")
+      val q = r.getAs[Long]("query_id")
+      (nb < delLo || nb >= delHi) && (q < delLo || q >= delHi)
+    })
+    // per surviving query: 5 ranked neighbors (the fold lost no list)
+    rows.groupBy(_.getLong(0)).values.foreach { v =>
+      assert(v.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    // and the persisted index holds exactly the survivors
+    val snap = new graft.matview.Snapshots(spark,
+      graft.matview.Materializer.defaultScratch + "/ivfidx")
+    val t = s"ivf_del_${Tables.dirKey(SF)}"
+    val persisted = snap.readLatest(t).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(id => id < delLo || id >= delHi).toSet
+    assert(persisted == expected)
+  }
+
+  test("index delete on a GAPPED vec_id space (r17): rank-keyed " +
+      "tombstones delete the same row count as the contiguous fixture " +
+      "and every pinned fact holds") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def emb(i: Int): Array[Float] =
+      Array.tabulate(64)(j => 0.1f * ((i % 7) + 1) + 0.01f * ((i + j) % 5))
+    val dir = java.nio.file.Files.createTempDirectory("idx_del_gapped")
+    // the maintain gapped corpus: queries 0..9 contiguous, rest gapped
+    // (the deleted window sits at ranks 16..22 — ids 135..177 — so the
+    // query ids survive; a value-ranged cut would delete a different
+    // COUNT of rows entirely)
+    val ids = (0L until 10L) ++ (0 until 50).map(i => 100L + 7L * i)
+    ids.zipWithIndex.map { case (id, i) => (id, emb(i), i % 3) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.similarityIndexDelete(spark2, dir.toString)
+      .collect()
+    assert(rows.nonEmpty)
+    // n = 60: deleted_rows = 3*60/8 - 60/4 = 22 - 15 = 7, exactly —
+    // on any id space
+    assert(rows.forall(_.getAs[Long]("deleted_rows") == 7L))
+    assert(rows.forall(_.getAs[Long]("n_versions") == 5L))
+    assert(rows.forall(_.getAs[Boolean]("rows_total_ok")))
+    assert(rows.forall(_.getAs[Boolean]("tomb_gone")))
+    assert(rows.forall(_.getAs[Boolean]("mor_ok")))
+    assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
+  }
+
+  test("filtered-ANN generate bound (r17, r16 VERDICT item 6): the " +
+      "ranked-list kernel emits min(maxDepth, L) entries — never all L — " +
+      "and the prefix is exactly the unbounded ranking's prefix") {
+    val refined = (0 until 16).map(c =>
+      (c, Array.tabulate(64)(j => math.sin(c * 64.0 + j)))).toArray
+    val query = Array.tabulate(64)(j => math.cos(j / 3.0).toFloat)
+    val unbounded = Similarity.rankAllLists(refined, 16)(query)
+    assert(unbounded.length == 16)
+    val bounded = Similarity.rankAllLists(refined, 5)(query)
+    // the cap bounds the GENERATE: 5 entries, not L
+    assert(bounded.length == 5)
+    // and truncation is pure: the bounded output is the unbounded prefix,
+    // so every pos the downstream per-label filter can keep is identical
+    assert(bounded == unbounded.take(5))
+    // a cap at or past L degrades to the full ranking (the degenerate
+    // no-labels path)
+    assert(Similarity.rankAllLists(refined, 99)(query) == unbounded)
+  }
+
   test("dedup_semantic equals an un-checkpointed all-pairs rebuild " +
       "(the assignment checkpoint is a pure materialization)") {
     import org.apache.spark.sql.functions._

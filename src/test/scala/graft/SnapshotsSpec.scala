@@ -623,4 +623,108 @@ class SnapshotsSpec extends AnyFunSuite {
     // a different version is independently claimable
     fc.claimVersion("t", 8)
   }
+
+  test("file claim (r17, r16 VERDICT): the refusal carries the standing " +
+      "claim's age — in-band evidence for the operator's dead-holder call") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("claim_age").toString
+    val w = new Snapshots(spark, root)
+    w.commitAppend("t", Seq((1L, "x")).toDF("k", "v")) // v0
+    val crashed = new Snapshots.FileClaim(s"$root/_claims")
+    crashed.claimVersion("t", 1)
+    // make the orphan visibly old (an operator reading "held for 7200s"
+    // on a minutes-long pipeline knows the holder is dead)
+    Files.setLastModifiedTime(
+      Paths.get(root, "_claims", "t", "v1.claim"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200 * 1000L))
+    val ex = intercept[IllegalStateException] {
+      w.commitAppend("t", Seq((2L, "y")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("already claimed"))
+    assert(ex.getMessage.contains("held for"))
+    // the reported age reflects the claim's mtime, not a fresh file
+    val secs = "held for (\\d+)s".r.findFirstMatchIn(ex.getMessage)
+      .map(_.group(1).toLong)
+    assert(secs.exists(s => s >= 7200 && s < 7260), s"age read $secs")
+  }
+
+  test("file claim (r17, r16 ADVICE): breakClaim REFUSES a published " +
+      "version — a consumed claim is not an orphan, and breaking it " +
+      "would hand the version back to a stale writer") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("claim_guard").toString
+    val w = new Snapshots(spark, root)
+    w.commitAppend("t", Seq((1L, "x")).toDF("k", "v")) // v0, published
+    // the same probe wiring Snapshots itself passes to its FileClaim
+    val fc = new Snapshots.FileClaim(s"$root/_claims",
+      (t, v) => Files.exists(Paths.get(root, t, "_log", s"v$v.manifest")))
+    val ex = intercept[IllegalArgumentException] { fc.breakClaim("t", 0) }
+    assert(ex.getMessage.contains("manifest exists"))
+    // the claim file survived the refused break
+    assert(Files.exists(Paths.get(root, "_claims", "t", "v0.claim")))
+    // an UNPUBLISHED version's claim stays breakable (the orphan path)
+    fc.claimVersion("t", 1)
+    assert(fc.breakClaim("t", 1))
+  }
+
+  test("claim janitor (r17, r16 ADVICE): vacuum prunes claim files below " +
+      "the retained floor with their manifests — a live table no longer " +
+      "accumulates one claim per version forever") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("claim_janitor").toString
+    val snap = new Snapshots(spark, root)
+    val t = "t"
+    (0 until 5).foreach { i =>
+      snap.commitAppend(t, Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    }
+    val claimDir = Paths.get(root, "_claims", t)
+    def claims: Set[String] = {
+      val s = Files.list(claimDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(claims == (0 until 5).map(v => s"v$v.claim").toSet)
+    snap.vacuum(t, retainFrom = 3)
+    // claims 0-2 went with their manifests; 3-4 stay consumed (their
+    // versions are retained and must never be re-claimable)
+    assert(claims == Set("v3.claim", "v4.claim"))
+    // the table still reads, and the next commit claims v5 normally
+    assert(snap.readLatest(t).count() == 5)
+    assert(snap.commitAppend(t, Seq((9L, "z")).toDF("k", "v")) == 5)
+  }
+
+  test("compactClustered resolve hook (r17): the merge-on-read resolution " +
+      "folds in — survivors land clustered, tombstones vanish, history " +
+      "stays readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("snap_resolve").toString
+    val snap = new Snapshots(spark, root)
+    val t = "t"
+    snap.commitAppendStats(t,
+      (0 until 40).map(i => (i.toLong, i % 4, false)).toDF("k", "c", "tomb"),
+      Seq("c"))
+    // tombstone ks 10-19 as an O(deleted) append
+    snap.commitAppendStats(t,
+      (10 until 20).map(i => (i.toLong, i % 4, true)).toDF("k", "c", "tomb"),
+      Seq("c"))
+    def resolve(df: DataFrame): DataFrame =
+      df.filter(!col("tomb")).join(
+        df.filter(col("tomb")).select(col("k")), Seq("k"), "left_anti")
+    val vPre = snap.latest(t)
+    snap.compactClustered(t, "c", 4, Seq("c"), resolve = resolve)
+    val cur = snap.readLatest(t)
+    assert(cur.count() == 30)
+    assert(cur.filter(col("tomb")).count() == 0)
+    assert(cur.filter(col("k") >= 10 && col("k") < 20).count() == 0)
+    // clustered: 4 dirs, a point probe prunes
+    assert(snap.manifestDirs(t, snap.latest(t)) == 4)
+    val pr = snap.readPrunedEq(t, snap.latest(t), "c", "2")
+    assert(pr.dirsRead < pr.dirsTotal)
+    // the pre-fold version still reads whole (tombstones and all) —
+    // old manifests are never modified
+    assert(snap.read(t, vPre).count() == 50)
+  }
 }
