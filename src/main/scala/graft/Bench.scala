@@ -841,7 +841,11 @@ object Bench {
         "similarity_ivf_scaled", "similarity_filtered_ann",
         // r16 addition: the conjunctive filtered probe (label AND rank
         // window), appended last like its siblings
-        "similarity_filtered_ann_conj")
+        "similarity_filtered_ann_conj",
+        // r17 addition: the scaled-geometry filtered probe (the corpus-
+        // derived L with the selectivity-widened depth and the capped
+        // generate), appended last like its siblings
+        "similarity_filtered_ann_scaled")
       // best-of-2: a single cold shot can't tell a real scaling cliff from
       // a machine-load burst (r3's driver run reported 66s for a query
       // that reproduces at 17s — one bad sample, n=1)

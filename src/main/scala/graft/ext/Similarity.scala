@@ -407,7 +407,38 @@ object Similarity {
     * scoring probed-lists x selectivity rows and scoring the probed
     * lists whole. Selectivity comes from a label-count relation (tiny,
     * broadcast); everything else is the [[similarityIvf]] machinery. */
-  def similarityFilteredAnn(s: SparkSession, d: String): DataFrame = {
+  def similarityFilteredAnn(s: SparkSession, d: String): DataFrame =
+    filteredAnnWith(s, d, NLISTS, NPROBE)
+
+  /** [[similarityFilteredAnn]] at the CORPUS-SCALED geometry (r17 —
+    * completing the filtered x scaled matrix the two r15/r16 keys left
+    * open): nlists = max(2, ceil(sqrt(N))) and nprobe = max(2,
+    * ceil(1.1 * sqrt(L))) exactly as [[similarityIvfScaled]], with the
+    * selectivity-widened probe and the label filter pushed into the
+    * list scan exactly as the fixture-geometry key. This is the
+    * geometry where the r17 generate bound MATTERS: at the sf10 probe
+    * tier (200k vectors, L = 448, nprobe = 24, min lcnt = 19.8k) the
+    * bound lands at min(448, ceil(24·n/min lcnt)) = 243, so the capped
+    * generate emits 243 ranked lists per query instead of all 448 —
+    * and the gap widens with the corpus: at 1e10 vectors (L = 1e5,
+    * nprobe = 348, ten equal labels) the emit is ~3.5k, a 29x
+    * reduction, because the widened depth grows ~sqrt(L)/selectivity
+    * while L grows linearly in list count. The oracle derives BOTH
+    * counts from COUNT(*) with identical IEEE arithmetic, so the key
+    * is value-exact at any SF. */
+  def similarityFilteredAnnScaled(s: SparkSession, d: String): DataFrame = {
+    // column-less count (reads no column chunks), as in dedupSemantic
+    val n = load(s, d, "embeddings").count()
+    val nlists = nlistsFor(n)
+    filteredAnnWith(s, d, nlists, scaledNprobeFor(nlists))
+  }
+
+  /** The filtered-ANN machinery with explicit (nlists, nprobe) geometry
+    * — the fixture key pins ([[NLISTS]], [[NPROBE]]) (its oracle and
+    * recall tuning assume them); the scaled key passes the
+    * corpus-derived counts. */
+  private[graft] def filteredAnnWith(s: SparkSession, d: String,
+      nlists: Int, nprobe: Int): DataFrame = {
     val emb = load(s, d, "embeddings")
     // the count relation is label-keyed only (every vector sits in
     // exactly one list, so counting over the assignment adds nothing) —
@@ -415,8 +446,8 @@ object Similarity {
     // the generate bound needs without re-running the assignment UDF
     val n = emb.count()
     val lc = emb.groupBy("label").agg(count(lit(1)).as("lcnt"))
-    val maxDepth = maxWidenedDepth(n, minLcntOf(lc))
-    val (_, lists0, refined) = ivfListsK(s, d, NLISTS)
+    val maxDepth = maxWidenedDepth(n, minLcntOf(lc), nlists, nprobe)
+    val (_, lists0, refined) = ivfListsK(s, d, nlists)
     val lists = lists0.join(
       emb.select(col("vec_id"), col("label")), "vec_id")
     // centroids ranked per query, generate bounded at the global max
@@ -429,11 +460,11 @@ object Similarity {
         col("nrm").as("qn"), col("label").as("qlabel"),
         posexplode(probeAllUdf(col("embedding"))).as(Seq("pos", "cid")))
       .join(broadcast(lc.withColumnRenamed("label", "qlabel")), "qlabel")
-      // ceil(NPROBE * n / lcnt) in exact integer math, capped at L —
+      // ceil(nprobe * n / lcnt) in exact integer math, capped at L —
       // `div`, not `/`: Column./ is ALWAYS a double divide in Spark;
       // n rides as a literal (already read for the generate bound)
       .filter(expr(
-        s"pos < least($NLISTS, ($NPROBE * $n + lcnt - 1) div lcnt)"))
+        s"pos < least($nlists, ($nprobe * $n + lcnt - 1) div lcnt)"))
     val scored = broadcast(queries)
       .join(lists.filter(col("nrm") > 0), Seq("cid"))
       // the metadata filter, pushed BEFORE the dot product
@@ -472,13 +503,14 @@ object Similarity {
       maxDepth: Int) = udf(rankAllLists(refined, maxDepth))
 
   /** The global maximum widened probe depth, in the same exact integer
-    * arithmetic as the per-label filter: min(L, ceil(NPROBE·n/minLcnt)).
+    * arithmetic as the per-label filter: min(L, ceil(nprobe·n/minLcnt)).
     * A degenerate count relation (no labels at all) degrades to L —
     * harmless, the downstream inner join against it is empty anyway. */
-  private def maxWidenedDepth(n: Long, minLcnt: Option[Long]): Int =
+  private def maxWidenedDepth(n: Long, minLcnt: Option[Long],
+      nlists: Int = NLISTS, nprobe: Int = NPROBE): Int =
     minLcnt.filter(_ > 0)
-      .map(m => math.min(NLISTS.toLong, (NPROBE * n + m - 1) / m).toInt)
-      .getOrElse(NLISTS)
+      .map(m => math.min(nlists.toLong, (nprobe * n + m - 1) / m).toInt)
+      .getOrElse(nlists)
 
   /** Smallest per-label count of a (label, lcnt) relation, driver-side —
     * the one scalar [[maxWidenedDepth]] needs (the relation is
@@ -1431,6 +1463,7 @@ object Similarity {
     "similarity_ivf"             -> (similarityIvf _),
     "similarity_ivf_scaled"      -> (similarityIvfScaled _),
     "similarity_filtered_ann"    -> (similarityFilteredAnn _),
+    "similarity_filtered_ann_scaled" -> (similarityFilteredAnnScaled _),
     "similarity_filtered_ann_conj" -> (similarityFilteredAnnConj _),
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
@@ -1531,6 +1564,38 @@ object Similarity {
     """(SELECT GREATEST(2, CAST(CEIL(1.1::DOUBLE * SQRT(
       |  GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))) AS BIGINT))
       |  FROM embeddings)""".stripMargin
+
+  /** The similarity_filtered_ann oracle parameterized by the same
+    * (nlists, nprobe) geometry as [[filteredAnnWith]] — the fixture key
+    * instantiates it at ([[NLISTS]], [[NPROBE]]); the scaled key passes
+    * the derived-count SQL expressions. */
+  private[graft] def filteredAnnOracleSqlExpr(
+      nlists: String, nprobe: String): String =
+    s"""WITH ${ivfAssignSqlFor(nlists)},
+       |$nonZeroSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |lc AS (SELECT label, COUNT(*) AS lcnt FROM embeddings GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pr0 AS (SELECT a.vec_id AS query_id, a.cid, ql.label AS qlabel,
+       |  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.dot DESC, a.cid) AS rn
+       |  FROM assign2 a JOIN lab ql ON ql.vec_id = a.vec_id
+       |  WHERE a.vec_id < $NUM_QUERIES),
+       |probe AS (SELECT query_id, cid, qlabel FROM pr0
+       |  JOIN lc ON lc.label = pr0.qlabel CROSS JOIN nt
+       |  WHERE rn <= LEAST($nlists, ($nprobe * n + lcnt - 1) // lcnt)),
+       |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
+       |  FROM probe p JOIN a2 USING (cid)
+       |  JOIN lab nl ON nl.vec_id = a2.vec_id
+       |  WHERE a2.vec_id <> p.query_id AND nl.label = p.qlabel),
+       |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+       |  FROM cand c
+       |  JOIN nz q ON q.vec_id = c.query_id
+       |  JOIN nz e ON e.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, rank, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   private[graft] def ivfOracleSqlExpr(
       nlists: String, nprobe: String): String =
@@ -1819,31 +1884,12 @@ object Similarity {
     // candidates + the selectivity-widened probe depth in the identical
     // integer arithmetic ((a + c - 1) // c == Spark's div for positives)
     "similarity_filtered_ann" ->
-      s"""WITH $ivfAssignSql,
-         |$nonZeroSql,
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |lc AS (SELECT label, COUNT(*) AS lcnt FROM embeddings GROUP BY 1),
-         |nt AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pr0 AS (SELECT a.vec_id AS query_id, a.cid, ql.label AS qlabel,
-         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.dot DESC, a.cid) AS rn
-         |  FROM assign2 a JOIN lab ql ON ql.vec_id = a.vec_id
-         |  WHERE a.vec_id < $NUM_QUERIES),
-         |probe AS (SELECT query_id, cid, qlabel FROM pr0
-         |  JOIN lc ON lc.label = pr0.qlabel CROSS JOIN nt
-         |  WHERE rn <= LEAST($NLISTS, ($NPROBE * n + lcnt - 1) // lcnt)),
-         |cand AS (SELECT DISTINCT p.query_id, a2.vec_id
-         |  FROM probe p JOIN a2 USING (cid)
-         |  JOIN lab nl ON nl.vec_id = a2.vec_id
-         |  WHERE a2.vec_id <> p.query_id AND nl.label = p.qlabel),
-         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
-         |  FROM cand c
-         |  JOIN nz q ON q.vec_id = c.query_id
-         |  JOIN nz e ON e.vec_id = c.vec_id)
-         |SELECT query_id, neighbor_id, rank, score FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      filteredAnnOracleSqlExpr(NLISTS.toString, NPROBE.toString),
+    // filtered ANN at the corpus-scaled geometry (r17): the same replay
+    // with BOTH counts derived from COUNT(*) in the identical IEEE
+    // arithmetic the similarity_ivf_scaled oracle proved out
+    "similarity_filtered_ann_scaled" ->
+      filteredAnnOracleSqlExpr(scaledNlistsSql, scaledNprobeSql),
     // conjunctive filtered ANN (r16): the same assignment replay, the
     // rank-cut ingestion window, the windowed label-count relation, the
     // identical widening arithmetic, and BOTH conjuncts on candidates

@@ -245,6 +245,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.99, s"conjunctive filtered-ANN recall@5 = $recall")
   }
 
+  test("scaled filtered ANN (r17): corpus-derived geometry, label " +
+      "conjunct honored, widened probe recovers the label-filtered " +
+      "exact top-k, deterministic") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.{spark, SF}
+    val out = Similarity.similarityFilteredAnnScaled(spark, SF)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // determinism (seeded quantizer, exact widening arithmetic)
+    assert(Similarity.similarityFilteredAnnScaled(spark, SF)
+      .collect().toSeq == rows.toSeq)
+    val emb = Tables.load(spark, SF, "embeddings")
+    val lab = emb.select(col("vec_id"), col("label"))
+    // conjunct: every neighbor shares its query's label
+    assert(out
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl")).isEmpty)
+    // recall vs the label-filtered exact top-k: at gate SF the widened
+    // probe saturates the scaled list count (lcnt ~ n/|labels| makes
+    // ceil(nprobe*n/lcnt) >= L), so the filtered search IS the filtered
+    // brute force — the same pin the fixture-geometry key carries
+    val e = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    import org.apache.spark.sql.expressions.Window
+    val exact = broadcast(q).join(e,
+        col("vec_id") =!= col("query_id") && col("label") === col("ql"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.VectorDot.vector_dot(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm"))).as("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("s").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.99, s"scaled filtered-ANN recall@5 = $recall")
+  }
+
   test("diversity cap: <= 8 per list, contiguous ranks, central-first") {
     val rows = Similarity.corpusDiversityCap(spark, SF).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
