@@ -805,6 +805,142 @@ object Similarity {
       .withColumn("probe_rows_ok", lit(listRows == fullRows && listRows > 0))
   }
 
+  /** Streaming vector ingestion into the incremental ANN index (r17) —
+    * the continuous face of [[similarityIndexMaintain]], completing the
+    * index lifecycle (append / maintain / delete / STREAM): vectors
+    * arrive as time-ordered micro-batches (Structured Streaming file
+    * source, one chunk per trigger), each batch is assigned to the
+    * FROZEN base-trained centroids inside `foreachBatch` and committed
+    * as one exactly-once append (the txn guard of the log format — a
+    * replayed batch is a no-op, not a duplicate), and the
+    * [[indexMaintain]] fold policy runs AFTER EVERY COMMIT, so read
+    * cost stays bounded at shards + maxDeltas dirs no matter how long
+    * the stream runs. The replay probe fires AFTER the fold — the
+    * absorbed txn ids must survive compaction for streaming ingest +
+    * maintenance to compose (the guard-survives-compaction property,
+    * exercised on the index itself).
+    *
+    * The batch split is the SAME rank-keyed thirds as the batch-mode
+    * maintain key, and folding is a pure layout move — so the served
+    * top-k, and therefore the oracle, are IDENTICAL to the batch key's:
+    * the stream is an execution strategy, not a semantics change, which
+    * is exactly the property worth pinning. Extra fact vs the batch
+    * key: `replay_skipped` (the re-delivered batch changed nothing). */
+  def similarityIndexStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val all = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    require(n >= 6,
+      "similarityIndexStream needs >= 6 vectors for 3 non-empty batches")
+    val b = n / 2
+    val r = n - b
+    val rankCuts = Seq(b, b + r / 3, b + 2 * r / 3)
+    val cutIds = idsAtRanks(all, rankCuts.map(_ + 1), n)
+    val cuts = rankCuts.map(c => cutIds(c + 1)) :+ Long.MaxValue
+    val (_, baseLists, refined) =
+      ivfListsOn(all.filter(col("vec_id") < cuts.head), NLISTS)
+
+    // stage the arriving half as 3 time-ordered chunk files (the
+    // streaming-key staging discipline: one file per micro-batch,
+    // mtime-ordered so the file source delivers them in arrival order)
+    val scratch = graft.matview.Materializer.defaultScratch
+    val staged = Paths.get(s"$scratch/idx_stream_src_${dirKey(d)}")
+    val ckpt = Paths.get(s"$scratch/idx_stream_ckpt_${dirKey(d)}")
+    Seq(staged, ckpt).foreach(graft.streaming.StreamingOps.del)
+    Files.createDirectories(staged)
+    (0 until 3).foreach { i =>
+      val tmp = staged.resolve(s"tmp_$i")
+      all.filter(col("vec_id") >= cuts(i) && col("vec_id") < cuts(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dest = staged.resolve(f"chunk_${i + 1}%02d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+      graft.streaming.StreamingOps.del(tmp)
+    }
+
+    val snap = new graft.matview.Snapshots(s, s"$scratch/ivfidx")
+    val t = s"ivf_stream_${dirKey(d)}"
+    snap.drop(t)
+    snap.commitAppendStats(t,
+      baseLists.select(col("cid"), col("vec_id"), col("embedding")),
+      Seq("cid"))
+    snap.compactClustered(t, "cid", IDX_SHARDS, Seq("cid"))
+    var folds = 0
+    val assign = assignTo(refined)
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = s.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snap.commitAppendStats(t,
+          batch.withColumn("cid", assign(col("embedding")))
+            .select(col("cid"), col("vec_id"), col("embedding")),
+          Seq("cid"), txn = Some(s"vec-$batchId"))
+        if (indexMaintain(snap, t, maxDeltas = 2)) folds += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val committed = snap.latest(t) + 1
+    // at-least-once re-delivery, AFTER the fold absorbed the ingestion
+    // txn ids into the clustered shards: batch 1's data under its
+    // original id must still be a no-op
+    val afterReplay = {
+      val chunk2 = s.read.schema(vecSchema)
+        .parquet(staged.resolve("chunk_02.parquet").toString)
+      snap.commitAppendStats(t,
+        chunk2.withColumn("cid", assign(col("embedding")))
+          .select(col("cid"), col("vec_id"), col("embedding")),
+        Seq("cid"), txn = Some("vec-1"))
+      snap.latest(t) + 1
+    }
+    val dirsLatest = snap.manifestDirs(t, snap.latest(t))
+
+    // serve purely from the persisted (streamed, folded) index
+    val idx = snap.readLatest(t).withColumn("nrm", norm(col("embedding")))
+    val rowsTotal = idx.count()
+    val probeUdf = udf { (emb: Array[Float]) =>
+      refined.map { case (cid, cent) =>
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += emb(i) * cent(i); i += 1 }
+        (acc, cid)
+      }.sortBy(-_._1).take(NPROBE).map(_._2)
+    }
+    val queries = idx.filter(col("vec_id") < NUM_QUERIES && col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cid"), col("nrm").as("qn"))
+    val scored = broadcast(queries)
+      .join(idx.filter(col("nrm") > 0), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 9).as("score"))
+      .distinct()
+
+    topkExact(scored)
+      .withColumn("n_folds", lit(folds.toLong))
+      .withColumn("dirs_latest", lit(dirsLatest.toLong))
+      .withColumn("rows_total_ok", lit(rowsTotal == n))
+      .withColumn("replay_skipped", lit(afterReplay == committed))
+  }
+
   /** Deletion in the incremental ANN index (r17, r16 VERDICT item 4) —
     * the takedown/contamination-purge path every production vector store
     * must serve, the one index operation [[similarityIndexAppend]] /
@@ -1468,6 +1604,7 @@ object Similarity {
     "similarity_index_append"    -> (similarityIndexAppend _),
     "similarity_index_maintain"  -> (similarityIndexMaintain _),
     "similarity_index_delete"    -> (similarityIndexDelete _),
+    "similarity_index_stream"    -> (similarityIndexStream _),
     "corpus_diversity_cap"       -> (corpusDiversityCap _),
     "corpus_contrastive_pairs"   -> (corpusContrastivePairs _),
   )
@@ -1659,6 +1796,53 @@ object Similarity {
        |  FROM sub_$m q CROSS JOIN pc_$m c WHERE q.vec_id < $NUM_QUERIES)"""
       .stripMargin
   }.mkString(",\n")
+
+  /** The maintained-index oracle body, shared between the batch key and
+    * the streamed key (r17): base-HALF training, one frozen-centroid
+    * delta CTE covering every batch, served top-k over base ∪ deltas,
+    * the fold facts as structural constants — with the key-specific
+    * pinned facts passed in (the batch key pins the point-probe pair,
+    * the streamed key pins the exactly-once replay). */
+  private def maintainStyleOracleSql(facts: String): String =
+    s"""WITH nb AS (SELECT COUNT(*) AS n,
+         |  COUNT(*) // 2 AS b FROM embeddings),
+         |rks AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |cutv AS (SELECT vec_id AS c FROM rks
+         |  WHERE rn = (SELECT b FROM nb) + 1),
+         |base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT c FROM cutv)),
+         |${ivfAssignSqlFor(NLISTS.toString, "base")},
+         |ddots AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id >= (SELECT c FROM cutv)),
+         |da AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM ddots) WHERE rn = 1),
+         |alla AS (SELECT vec_id, cid FROM a2
+         |  UNION ALL SELECT vec_id, cid FROM da),
+         |$nonZeroSql,
+         |probe AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probe p JOIN alla a USING (cid) WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+         |  FROM cand c
+         |  JOIN nz q ON q.vec_id = c.query_id
+         |  JOIN nz e ON e.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score,
+         |  1::BIGINT AS n_folds,
+         |  ${IDX_SHARDS}::BIGINT AS dirs_latest,
+         |  true AS rows_total_ok,
+         |$facts FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the assignment CTEs with the corpus-derived cluster count (same
@@ -1982,45 +2166,15 @@ object Similarity {
     // with 3 appends and maxDeltas = 2 the policy fires exactly once and
     // the latest manifest is back at the IDX_SHARDS clustered dirs.
     "similarity_index_maintain" ->
-      s"""WITH nb AS (SELECT COUNT(*) AS n,
-         |  COUNT(*) // 2 AS b FROM embeddings),
-         |rks AS (SELECT vec_id,
-         |  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings),
-         |cutv AS (SELECT vec_id AS c FROM rks
-         |  WHERE rn = (SELECT b FROM nb) + 1),
-         |base AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT c FROM cutv)),
-         |${ivfAssignSqlFor(NLISTS.toString, "base")},
-         |ddots AS (SELECT e.vec_id, c.cid,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range($DIM), i -> e.embedding[i+1]::DOUBLE * c.cent[i+1])),
-         |    (acc, x) -> acc + x) AS dot
-         |  FROM embeddings e CROSS JOIN cents c
-         |  WHERE e.vec_id >= (SELECT c FROM cutv)),
-         |da AS (SELECT vec_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM ddots) WHERE rn = 1),
-         |alla AS (SELECT vec_id, cid FROM a2
-         |  UNION ALL SELECT vec_id, cid FROM da),
-         |$nonZeroSql,
-         |probe AS (SELECT vec_id AS query_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
-         |  FROM assign2 WHERE vec_id < $NUM_QUERIES) WHERE rn <= $NPROBE),
-         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
-         |  FROM probe p JOIN alla a USING (cid) WHERE a.vec_id <> p.query_id),
-         |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
-         |  FROM cand c
-         |  JOIN nz q ON q.vec_id = c.query_id
-         |  JOIN nz e ON e.vec_id = c.vec_id)
-         |SELECT query_id, neighbor_id, rank, score,
-         |  1::BIGINT AS n_folds,
-         |  ${IDX_SHARDS}::BIGINT AS dirs_latest,
-         |  true AS rows_total_ok,
-         |  true AS probe_pruned, true AS probe_rows_ok FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank FROM scored) t
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+      maintainStyleOracleSql(
+        "  true AS probe_pruned, true AS probe_rows_ok"),
+    // streamed index (r17): the batch split, frozen-centroid
+    // assignment, fold schedule, and served top-k are IDENTICAL to the
+    // batch-mode maintain key by construction — the stream is an
+    // execution strategy, not a semantics change — so the replay is the
+    // same SQL; the one extra pinned fact is the exactly-once replay
+    "similarity_index_stream" ->
+      maintainStyleOracleSql("  true AS replay_skipped"),
 
     // deleted index: the append key's base-3/4 training + delta
     // assignment, MINUS the rank-windowed tombstone slice ((n/4, 3n/8]

@@ -433,6 +433,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("probe_rows_ok")))
   }
 
+  test("similarity_index_stream (r17): exactly-once micro-batch ingestion " +
+      "with the fold policy riding the stream — served top-k IDENTICAL " +
+      "to the batch-mode maintain key, replay a no-op even after the fold") {
+    import TestSpark.{spark, SF}
+    val rows = Similarity.similarityIndexStream(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_folds") == 1L))
+    assert(rows.forall(_.getAs[Long]("dirs_latest") == 4L))
+    assert(rows.forall(_.getAs[Boolean]("rows_total_ok")))
+    assert(rows.forall(_.getAs[Boolean]("replay_skipped")))
+    // the stream is an execution strategy, not a semantics change: the
+    // served (query, neighbor, rank, score) set equals the batch-mode
+    // maintain key's exactly
+    val batch = Similarity.similarityIndexMaintain(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val streamed = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("similarity_index_delete (r17, r16 VERDICT item 4): storage facts " +
       "pinned, no deleted vector served, survivors all reachable, " +
       "merge-on-read equals the post-fold serve") {
