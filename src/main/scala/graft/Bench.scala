@@ -1647,8 +1647,8 @@ object Bench {
     def jmapT(xs: Seq[(String, Double)], dp: Int): String =
       xs.map { case (k, v) => "\"" + k + "\":" + trim(v, dp) }
         .mkString("{", ",", "}")
-    def bestT(xs: Seq[(String, Seq[Double])]): String =
-      jmapT(xs.map { case (k, s) => k -> bestOf(s) }, 2)
+    def bestT(xs: Seq[(String, Seq[Double])], dp: Int = 2): String =
+      jmapT(xs.map { case (k, s) => k -> bestOf(s) }, dp)
     def driftT(rows: Seq[(String, Double, Double, Double)],
         omitted: Int): String =
       (rows.map { case (k, b, m, q) =>
@@ -1679,8 +1679,8 @@ object Bench {
         (if (gateWaitsTotal > 0 || boxUnusable)
           s""","canary_gate":${gateJson(2)}""" else "")
     }
-    val s10compact = if (sf10.isEmpty) "" else
-      ""","queries_sf10":""" + bestT(sf10)
+    def s10compact(dp: Int) = if (sf10.isEmpty) "" else
+      ""","queries_sf10":""" + bestT(sf10, dp)
     // degrade levels: 0 = everything; 1 = scoreboard blocks deferred to
     // the full file; 2 = drift detail deferred too (metric/tiers/canary
     // always survive — a future tier growth can cost detail, never the
@@ -1717,7 +1717,8 @@ object Bench {
       // the rerun count; the full sets are always in bench_full).
       // Level order: 1 = scoreboards defer; 2 = rerun + bracket detail
       // defer, drift caps at 4; 3 = board_drift defers too, drift caps
-      // at 2 — drift itself never defers.
+      // at 2; 4 = canary VALUES defer (flags always survive) — drift
+      // itself never defers.
       val driftCap =
         if (level < 2) DRIFT_CAP else if (level < 3) 4 else 2
       def capDrift(rows: Seq[(String, Double, Double, Double)],
@@ -1746,12 +1747,25 @@ object Bench {
           s""","tier2_sf10":${sf10Tier2.size}""" else "")
       // last level: slim canary, and the static bench_full path goes too
       // (fixed string, nothing lost) — the tier maps themselves never shed
-      val canaryT = canaryCompact(slim = level >= 3)
+      // level 4 (r17): the canary VALUES defer too — the round's close
+      // run showed the widened tier maps (a 36-char key name joined the
+      // always-surviving queries_sf1) plus the bw fields pushing even
+      // level 3 to 1936B, the first every-level overflow since r7. The
+      // FLAGS always survive (they are the adjudication verdicts); the
+      // readings live in bench_full like every other deferred detail.
+      val canaryT =
+        if (level >= 4)
+          s"""{"contended":$contended,"mem_contended":$memContended,"bracket_contended":$bracketContended,"bw_contended":$bwContended,"box_unusable":$boxUnusable,"values_deferred":true}"""
+        else canaryCompact(slim = level >= 3)
       val bf = if (level < 3)
         ""","bench_full":"target/bench_full.json"""" else ""
+      // level 4 also trims the tier maps to 1 decimal — the last-resort
+      // level trades sub-100ms resolution (bench_full keeps 4dp) for
+      // ~50B of headroom, so a drift-heavy run still parses
+      val tierDp = if (level >= 4) 1 else 2
       def assemble(boards: String) =
         f"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries_sf1":${
-          bestT(sf1)}$s10compact$d$base$rr$t2,"contention_canary":$canaryT$boards$bf,"sf":"${jstr(sfDir)}"}"""
+          bestT(sf1, tierDp)}${s10compact(tierDp)}$d$base$rr$t2,"contention_canary":$canaryT$boards$bf,"sf":"${jstr(sfDir)}"}"""
       if (level < 1) {
         // greedy-fit scoreboards (r15): the full 6-block set costs ~390
         // bytes and the widened tiers pushed level 0 past the tail
@@ -1783,8 +1797,8 @@ object Bench {
           (if (omitted > 0) s""","boards_omitted":$omitted""" else ""))
       } else assemble(""","scoreboards_deferred":true""")
     }
-    val out = (0 to 3).map(compactLine).find(_.length <= 1870)
-      .getOrElse(compactLine(3))
+    val out = (0 to 4).map(compactLine).find(_.length <= 1870)
+      .getOrElse(compactLine(4))
     if (out.length > 1870)
       System.err.println(s"[bench] compact line ${out.length}B exceeds the " +
         "tail budget at every degrade level — driver parse at risk")
