@@ -505,8 +505,8 @@ object Dedup {
     val docs = load(s, d, "documents")
     val hist = minhashGroupedFrom(docs.filter(col("doc_id") % 2 === 0))
       .localCheckpoint()
-    val histBands = bandBuckets(hist).withColumnRenamed("doc_id", "hist_id")
-    val histSets = hist.select(col("doc_id").as("hist_id"), col("hs").as("hhs"))
+    val histBands = bandBuckets(hist)
+    val histSets = hist.select(col("doc_id"), col("hs"))
 
     docs.filter(col("doc_id") % 2 === 1)
       .repartition(2)
@@ -522,22 +522,9 @@ object Dedup {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val g = minhashGroupedFrom(batch).localCheckpoint()
-        val cand = bandBuckets(g)
-          .join(histBands, "bh")
-          .select(col("doc_id"), col("hist_id")).distinct()
-        val hits = cand
-          .join(g.select(col("doc_id"), col("hs")), "doc_id")
-          .join(histSets, "hist_id")
-          .select(col("doc_id"), col("hist_id"),
-            graft.functions.SortedIntersectSize
-              .sorted_intersect_size(col("hs"), col("hhs")).as("ix"),
-            size(col("hs")).as("na"), size(col("hhs")).as("nb"))
-          .select(col("doc_id"), col("hist_id"),
-            (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
-          .filter(col("jaccard") >= JACCARD_THRESHOLD)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hist_dups"),
-            max(col("jaccard")).as("max_jaccard"))
+        // the shared per-batch verification kernel — one body for the
+        // stream filter and the persisted-index keys (histDupReport)
+        val hits = histDupReport(g, bandBuckets(g), histBands, histSets)
         // write unconditionally — a head(1) emptiness probe would execute
         // the whole band-join + verify once, then write would recompute it
         hits.write.mode("append").parquet(sink.toString)
@@ -554,6 +541,148 @@ object Dedup {
         StructField("n_hist_dups", LongType),
         StructField("max_jaccard", DoubleType))))
       .parquet(sink.toString).orderBy("doc_id")
+  }
+
+  /** Clustered-shard count of the persisted dedup index (the ANN index
+    * family's IDX_SHARDS analog). */
+  private val MH_SHARDS = 4
+
+  /** The doc_id at the given 1-based global rank of the corpus' doc_id
+    * order — the dedup-index family's rank-keyed split point, mirroring
+    * the ANN index keys' idsAtRanks (r16: value-keyed cuts mis-size
+    * every batch on a gapped id space). Runs the
+    * [[graft.operators.Ranks]] two-phase prefix scan over the ids alone;
+    * only the one boundary row reaches the driver. The INT rank space is
+    * required loudly below 2^31 rows, the same stated contract as the
+    * ANN family's guard. */
+  private def docIdAtRank(ids: DataFrame, rank: Long, n: Long): Long = {
+    require(n < Int.MaxValue,
+      s"docIdAtRank: $n rows exceed the INT rank space — lift " +
+        "Ranks.rowNumberByRange's int cast before numbering past 2^31")
+    val ranked = graft.operators.Ranks.rowNumberByRange(
+      ids.select(col("doc_id")), 32, Seq(col("doc_id")), "rk")
+    ranked.filter(col("rk") === rank).head().getAs[Long]("doc_id")
+  }
+
+  /** (doc_id, n_hist_dups, max_jaccard) per flagged arriving doc: the
+    * shared verification kernel of the persisted-index keys — band-key
+    * candidates against a historical band relation, exact merge-walk
+    * Jaccard against the historical sorted shingle sets, grouped per
+    * arriving doc. Exactly [[dedupStreamMinhash]]'s per-batch body, so
+    * the three keys can never drift onto different dedup semantics. */
+  private def histDupReport(gBatch: DataFrame, batchBands: DataFrame,
+      histBands: DataFrame, histSets: DataFrame): DataFrame = {
+    // parquet round-trips lose the element non-nullability the merge-walk
+    // intersect requires (the build writes none), so a persisted history
+    // restores it here: coalesce inside transform re-marks the element
+    // type containsNull = false without touching any value
+    def nonNullElems(c: Column): Column =
+      transform(c, e => coalesce(e, lit(Long.MinValue)))
+    val cand = batchBands
+      .join(histBands.withColumnRenamed("doc_id", "hist_id"), "bh")
+      .select(col("doc_id"), col("hist_id")).distinct()
+    cand
+      .join(gBatch.select(col("doc_id"), col("hs")), "doc_id")
+      .join(histSets.select(col("doc_id").as("hist_id"),
+        nonNullElems(col("hs")).as("hhs")), "hist_id")
+      .select(col("doc_id"), col("hist_id"),
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("hs"), col("hhs")).as("ix"),
+        size(col("hs")).as("na"), size(col("hhs")).as("nb"))
+      .select(col("doc_id"), col("hist_id"),
+        (col("ix") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_THRESHOLD)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hist_dups"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Persisted incremental dedup index — the artifact
+    * [[dedupStreamMinhash]]'s scaladoc promises ("in production a
+    * bucketed table keyed on bh") made REAL, completing the dedup
+    * story the way the ANN index keys completed the similarity story:
+    * a 100 TB pipeline does not re-minhash its corpus per arriving
+    * crawl; it persists the band index ONCE and each day's batch pays
+    * |batch| signatures plus one band join against it.
+    *
+    * Two artifacts in the [[graft.matview.Snapshots]] commit log: the
+    * band index (doc_id, bh) committed with zone stats AND a bloom
+    * filter on `bh`, then rewritten as MH_SHARDS bh-clustered dirs (a
+    * band probe zone-prunes to the one shard whose bh range covers it;
+    * the bloom lets it skip unclustered delta dirs too); and the
+    * verification sets (doc_id, sorted shingle-hash array) keyed by
+    * doc_id. The corpus splits base/batch 3:1 by doc_id RANK (gapped-id
+    * honest, the ANN-family discipline); the arriving batch's dup
+    * report is served purely from the PERSISTED pre-append index — read
+    * AS OF explicit versions, so the subsequent append provably cannot
+    * leak into it — and then the batch appends as one O(batch) commit
+    * per artifact, no base rewrite.
+    *
+    * What the oracle proves: it replays the banding bit-for-bit (the
+    * shared minhash-pipeline CTEs) restricted to batch-vs-base pairs
+    * and the exact-Jaccard verification — so a regression that dedups
+    * against the wrong split, retrains signatures, or serves from
+    * base ∪ batch hash-fails. The physical facts ride as pinned
+    * columns: `n_versions` (base append, clustered rewrite, batch
+    * append), `index_rows_ok` (the post-append index carries exactly
+    * BANDS rows per signed doc and one set row each — the append lost
+    * nothing), `probe_pruned` (a point band probe reads fewer dirs than
+    * the manifest lists — zone + bloom planning, never the whole
+    * index), and `probe_rows_ok` (the pruned read returns exactly the
+    * full index's rows for that band key). */
+  def dedupIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val n = docs.count()
+    require(n >= 4, "dedupIndexAppend needs >= 4 documents to cut base/batch")
+    val b = 3L * n / 4
+    val cut = docIdAtRank(docs, b + 1, n)
+    val gBase = minhashGroupedFrom(docs.filter(col("doc_id") < cut))
+      .localCheckpoint()
+    val gBatch = minhashGroupedFrom(docs.filter(col("doc_id") >= cut))
+      .localCheckpoint()
+    val baseBands = bandBuckets(gBase)
+    val batchBands = bandBuckets(gBatch)
+
+    val snap = new graft.matview.Snapshots(s,
+      s"${graft.matview.Materializer.defaultScratch}/mhidx")
+    val tb = s"mh_bands_${dirKey(d)}"
+    val ts = s"mh_sets_${dirKey(d)}"
+    snap.drop(tb)
+    snap.drop(ts)
+    snap.commitAppendStats(tb, baseBands, Seq("bh"), Seq("bh"))
+    snap.compactClustered(tb, "bh", MH_SHARDS, Seq("bh"), Seq("bh"))
+    snap.commitAppendStats(ts, gBase.select(col("doc_id"), col("hs")),
+      Seq("doc_id"))
+
+    // the dup report, served purely from the PERSISTED pre-append index:
+    // version-pinned reads (clustered base bands = v1, base sets = v0)
+    // resolve their manifests NOW, so the appends below cannot reach it
+    val report = histDupReport(gBatch, batchBands,
+      snap.read(tb, 1), snap.read(ts, 0))
+
+    // the incremental step: one O(batch) append per artifact
+    snap.commitAppendStats(tb, batchBands, Seq("bh"), Seq("bh"))
+    snap.commitAppendStats(ts, gBatch.select(col("doc_id"), col("hs")),
+      Seq("doc_id"))
+
+    val nVersions = snap.latest(tb) + 1
+    val nDocs = gBase.count() + gBatch.count()
+    val rowsOk = snap.readLatest(tb).count() == BANDS.toLong * nDocs &&
+      snap.readLatest(ts).count() == nDocs
+
+    // point band probe: the smallest base band key lives in the first
+    // clustered shard; shards 2..MH_SHARDS always zone-prune, and the
+    // bloom usually skips the batch delta dir too
+    val bh0 = baseBands.agg(min(col("bh"))).head().getLong(0)
+    val pr = snap.readPrunedEq(tb, snap.latest(tb), "bh", bh0.toString)
+    val probeRows = pr.df.filter(col("bh") === bh0).count()
+    val fullRows = snap.readLatest(tb).filter(col("bh") === bh0).count()
+
+    report.orderBy("doc_id")
+      .withColumn("n_versions", lit(nVersions.toLong))
+      .withColumn("index_rows_ok", lit(rowsOk))
+      .withColumn("probe_pruned", lit(pr.dirsRead < pr.dirsTotal))
+      .withColumn("probe_rows_ok", lit(probeRows == fullRows && probeRows > 0))
   }
 
   /** SimHash near-dup pairs: 64-bit signature from tf-weighted token hash
@@ -1407,6 +1536,7 @@ object Dedup {
     "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_stream_minhash"   -> (dedupStreamMinhash _),
+    "dedup_index_append"     -> (dedupIndexAppend _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
   )
@@ -1426,6 +1556,40 @@ object Dedup {
       |JOIN n nb ON nb.doc_id = b
       |WHERE ix * 1.0 / (na.cnt + nb.cnt - ix) >= 0.8
       |ORDER BY a, b""".stripMargin
+
+  /** The shared dup-report replay: banding CTEs (bit-for-bit the
+    * engine's minhash pipeline), batch-vs-history band-collision
+    * candidates under the given split predicates, exact-Jaccard
+    * verification, grouped per arriving doc. One body for the stream
+    * key and the persisted-index keys — the SQL face of
+    * [[histDupReport]], so neither side of an oracle pair can drift
+    * onto different dedup semantics. `extraCtes` prepends split-point
+    * CTEs (empty for the parity split); `pinCols` appends the pinned
+    * structural constants (empty for the stream key, whose recorded
+    * hashes this refactor therefore leaves unchanged). */
+  private def histDupOracleSql(extraCtes: String, batchPred: String,
+      histPred: String, pinCols: String): String =
+    s"""WITH ${XxhashReplaySql.minhashPipelineCtes(
+           NUM_HASHES, BANDS, ROWS_PER_BAND)},$extraCtes
+      |cand AS (SELECT DISTINCT l.doc_id AS sid, r.doc_id AS hid
+      |  FROM bands l JOIN bands r ON l.bh = r.bh
+      |  WHERE $batchPred AND $histPred),
+      |ixr AS (SELECT c.sid AS isid, c.hid AS ihid, COUNT(*) AS ix
+      |  FROM cand c JOIN gsets ga ON ga.doc_id = c.sid
+      |  JOIN gsets gb ON gb.doc_id = c.hid AND gb.gh = ga.gh
+      |  GROUP BY 1, 2),
+      |j AS (SELECT c.sid, c.hid,
+      |    COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
+      |      AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN ixr ON ixr.isid = c.sid AND ixr.ihid = c.hid
+      |  JOIN gn ns ON ns.doc_id = c.sid
+      |  JOIN gn nh ON nh.doc_id = c.hid
+      |  WHERE COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
+      |    >= 0.8)
+      |SELECT sid AS doc_id, COUNT(*) AS n_hist_dups,
+      |       MAX(jaccard) AS max_jaccard$pinCols
+      |FROM j GROUP BY sid ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // 10 unrolled damped-PageRank rounds; each round replays the Spark
@@ -1805,27 +1969,28 @@ object Dedup {
     // to the parity split), so the probabilistic banding-miss chance is
     // gone here too
     "dedup_stream_minhash" ->
-      s"""WITH ${XxhashReplaySql.minhashPipelineCtes(
-             NUM_HASHES, BANDS, ROWS_PER_BAND)},
-        |cand AS (SELECT DISTINCT l.doc_id AS sid, r.doc_id AS hid
-        |  FROM bands l JOIN bands r ON l.bh = r.bh
-        |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
-        |ixr AS (SELECT c.sid AS isid, c.hid AS ihid, COUNT(*) AS ix
-        |  FROM cand c JOIN gsets ga ON ga.doc_id = c.sid
-        |  JOIN gsets gb ON gb.doc_id = c.hid AND gb.gh = ga.gh
-        |  GROUP BY 1, 2),
-        |j AS (SELECT c.sid, c.hid,
-        |    COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
-        |      AS jaccard
-        |  FROM cand c
-        |  LEFT JOIN ixr ON ixr.isid = c.sid AND ixr.ihid = c.hid
-        |  JOIN gn ns ON ns.doc_id = c.sid
-        |  JOIN gn nh ON nh.doc_id = c.hid
-        |  WHERE COALESCE(ix, 0) * 1.0 / (ns.cnt + nh.cnt - COALESCE(ix, 0))
-        |    >= 0.8)
-        |SELECT sid AS doc_id, COUNT(*) AS n_hist_dups,
-        |       MAX(jaccard) AS max_jaccard
-        |FROM j GROUP BY sid ORDER BY doc_id""".stripMargin,
+      histDupOracleSql("", "l.doc_id % 2 = 1", "r.doc_id % 2 = 0", ""),
+    // the persisted-index key is the SAME replay over the rank-keyed
+    // 3:1 base/batch split (batch docs vs base docs only), plus the
+    // pinned structural constants: 3 versions (base append, clustered
+    // rewrite, batch append) and the TRUE-literal storage facts that
+    // hash-fail if the append loses rows or the band probe stops
+    // pruning. Sharing histDupOracleSql with the stream key (whose
+    // recorded hashes are unchanged by the refactor) pins both keys to
+    // one dedup semantics.
+    "dedup_index_append" ->
+      histDupOracleSql(
+        s"""
+        |nb AS (SELECT 3 * COUNT(*) // 4 AS b FROM documents),
+        |rks AS (SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents),
+        |cutv AS (SELECT doc_id AS c FROM rks
+        |  WHERE rn = (SELECT b FROM nb) + 1),""".stripMargin,
+        "l.doc_id >= (SELECT c FROM cutv)",
+        "r.doc_id < (SELECT c FROM cutv)",
+        """,
+        |  3::BIGINT AS n_versions, true AS index_rows_ok,
+        |  true AS probe_pruned, true AS probe_rows_ok""".stripMargin),
     // Replays the token hash (61-bit Rabin poly → SplitMix64 finalizer,
     // wrap-around multiplies emulated via HUGEINT split multiplication),
     // then the tf-weighted bit sums and exact all-pairs Hamming. Banding

@@ -272,6 +272,62 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected, s"stream $got != batch ppjoin $expected")
   }
 
+  test("persisted dedup index (r17): report equals the PPJoin cross-cut " +
+      "relation and every storage pin holds") {
+    // algorithm-independent witness, the stream test's shape at the
+    // index key's rank-keyed 3:1 split: the report served from the
+    // PERSISTED band index must equal the batch PPJoin operator's
+    // jaccard pairs restricted to batch-vs-base, grouped per arriving
+    // doc — different candidate generation, different storage, same
+    // exact verify
+    val ids = graft.Tables.load(spark, SF, "documents")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(3 * ids.length / 4)
+    val jac = Dedup.dedupNgramJaccard(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = jac.flatMap { case (a, b, j) =>
+      if (a >= cut && b < cut) Seq((a, j))
+      else if (b >= cut && a < cut) Seq((b, j))
+      else Seq.empty
+    }.groupBy(_._1).map { case (id, v) =>
+      (id, v.size.toLong, v.map(_._2).max)
+    }.toSet
+    val out = Dedup.dedupIndexAppend(spark, SF).collect()
+    assert(out.nonEmpty)
+    val got = out
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"index $got != batch ppjoin $expected")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_versions") == 3L)
+      assert(r.getAs[Boolean]("index_rows_ok"))
+      assert(r.getAs[Boolean]("probe_pruned"))
+      assert(r.getAs[Boolean]("probe_rows_ok"))
+    }
+  }
+
+  test("persisted dedup index splits by RANK on a gapped id space") {
+    // id map 10x+3 preserves rank order, so base/batch membership — and
+    // therefore the whole report — must be invariant modulo the map; a
+    // value-keyed cut (3/4 of max id) would mis-place batch docs and fail
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mhidxgap").toString
+    graft.Tables.load(spark, SF, "documents")
+      .withColumn("doc_id", col("doc_id") * 10 + 3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gapped = Dedup.dedupIndexAppend(spark, dir).collect()
+    val want = Dedup.dedupIndexAppend(spark, SF).collect()
+      .map(r => (r.getLong(0) * 10 + 3, r.getLong(1), r.getDouble(2))).toSet
+    val got = gapped
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"gapped $got != mapped fixture $want")
+    gapped.foreach { r =>
+      assert(r.getAs[Long]("n_versions") == 3L &&
+        r.getAs[Boolean]("index_rows_ok") &&
+        r.getAs[Boolean]("probe_pruned") && r.getAs[Boolean]("probe_rows_ok"))
+    }
+    graft.streaming.StreamingOps.del(java.nio.file.Paths.get(dir))
+  }
+
   test("embedding-dedup recall contract: ~1.0 at the design point, >= 0.9 measured") {
     // design point (true near-dups, cosine >= 0.9): analytic pair-miss
     // probability of the 6-bit x 40-table family is (1 - p^b)^t < 1e-5
