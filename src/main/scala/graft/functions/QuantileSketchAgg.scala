@@ -153,4 +153,12 @@ object QuantileSketchAgg {
   val midSql: String =
     "CASE WHEN idx < 32 THEN CAST(idx AS BIGINT) " +
       "ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width + (width - 1) div 2 END"
+  /** The bucket's LOWEST member value (midSql minus the half-width) —
+    * with `width`, gives the bucket's exact value range [lo, lo+width-1],
+    * which is what lets a caller turn a bucket id back into a pushable
+    * range predicate over the raw values (the agg_quantile_sketch
+    * bucket-scan exact side, r17 optimization round). */
+  val loSql: String =
+    "CASE WHEN idx < 32 THEN CAST(idx AS BIGINT) " +
+      "ELSE CAST(32 + (idx - 32) % 32 AS BIGINT) * width END"
 }

@@ -528,17 +528,41 @@ object Extras {
     * floor(log2) — every arithmetic step is integer, so est/exact/err
     * hash-match exactly.
     *
-    * 100 TB shape: one corpus pass through an ordinary partial aggregate
-    * (map-side combine folds each partition into a 15 KiB buffer; the
-    * shuffle moves |groups| x 15 KiB, never rows); the bucket relation
-    * everything downstream touches is sketch-sized (<= 1888 rows/group),
-    * where a per-group window is post-aggregation safe. */
-  def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    * 100 TB shape (r17 optimization round): the sketch folds in one
+    * corpus pass through an ordinary partial aggregate (map-side combine
+    * folds each partition into a 15 KiB buffer; the shuffle moves
+    * |groups| x 15 KiB, never rows), and the EXACT side now rides the
+    * sketch instead of a corpus-scale prefix scan. The former
+    * formulation aggregated per-(flag, value) counts — near-distinct on
+    * this data (26.7M of 60M rows at the sf10 probe tier), so its
+    * groupBy exchange plus the Ranks range exchange + localCheckpoint
+    * moved TWO corpus-scale shuffles and a corpus-scale materialization
+    * per run. The sketch's counters are exact longs, so each target
+    * rank's BUCKET is known exactly from the 1888-row bucket relation;
+    * the exact quantile is then the (rank - cum_before)-th smallest
+    * value INSIDE that one bucket, recovered by a second corpus scan
+    * filtered to the <= |flags| x |qs| target bucket ranges (a broadcast
+    * 9-row range join — guide §2.3: shuffle a selected fraction, not the
+    * corpus). Measured (ProfQSk/ProfKey, same box session): the old
+    * exact side alone read 3.8s at the sf1 probe tier where the whole
+    * new key reads ~2.0s; full key sf10 21.5s -> 7.5s. Shuffle volume
+    * drops from O(N) (all distinct values, twice) to O(rows in 9
+    * buckets' distinct values), and nothing corpus-scale is
+    * checkpointed. Every arithmetic step stays integer, so est/exact/
+    * err hash-match the unchanged oracle exactly (the within-bucket
+    * rank walk is pinned against a brute-force quantile in ExtrasSpec). */
+  def aggQuantileSketch(s: SparkSession, d: String): DataFrame =
+    aggQuantileSketchOf(s,
+      load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v")))
+
+  /** [[aggQuantileSketch]] over an explicit (flag, v BIGINT) frame — the
+    * fixture-testable core (the lineDedupOf / nbClassifierOf pattern). */
+  private[graft] def aggQuantileSketchOf(
+      s: SparkSession, li: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val qs = Seq(0.5, 0.9, 0.99)
-    val li = load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
-      round(col("l_extendedprice") * 100).cast("long").as("v"))
     val targets = broadcast(qs.toDF("q"))
     val sk = li.groupBy("flag").agg(
       graft.functions.QuantileSketchAgg.quantile_sketch(col("v")).as("sk"),
@@ -548,36 +572,49 @@ object Extras {
       .filter(col("cnt") > 0)
       .withColumn("width", expr(graft.functions.QuantileSketchAgg.widthSql))
       .withColumn("mid", expr(graft.functions.QuantileSketchAgg.midSql))
+      .withColumn("lo", expr(graft.functions.QuantileSketchAgg.loSql))
       .withColumn("cum",
         sum(col("cnt")).over(Window.partitionBy("flag").orderBy("idx")))
+      // sketch-sized (<= 1888 rows/flag) with TWO consumers below (est +
+      // the target-bucket relation): checkpoint so the corpus fold runs
+      // exactly once whatever the planner does with the shared subtree
+      .localCheckpoint()
     // bucket midpoints are monotone in idx, so the estimate is the least
     // mid whose cumulative count covers the target rank (3-row broadcast
     // theta join — the statApproxQuantiles pattern)
     val est = buckets.join(targets, col("cum") >= ceil(col("q") * col("n")))
       .groupBy("flag", "q").agg(min(col("mid")).as("est_cents"))
-    // exact per-flag quantiles, scale-shaped: per-value counts, ONE
-    // global range-prefix scan over (flag, v), then per-flag cumulative
-    // = global cumulative - the flag's 3-row exclusive offset. The
-    // offsets and totals derive FROM the scan itself (per-flag max of
-    // the global running sum — monotone over the flag order, so the
-    // previous flag's max IS this flag's exclusive offset): deriving
-    // them from a separate rollup of `counts` re-ran the 60M-row
-    // groupBy a second time (ProfQSk sf10: full key 28.4s before ->
-    // 19.6s after, against a 16.6s floor for the single counts+Ranks
-    // pass; the Ranks phase-1 checkpoint makes the extra 3-row
-    // consumers free).
-    val counts = li.groupBy("flag", "v").agg(count(lit(1)).as("c"))
-    val fcum0 = graft.operators.Ranks.runningSumByRange(
-      counts, 32, Seq(col("flag"), col("v")), col("c"), "gcum")
-    val fmax = fcum0.groupBy("flag").agg(max(col("gcum")).as("gmax"))
-    val off = fmax.as("a")
-      .join(fmax.as("b"), col("b.flag") < col("a.flag"), "left")
-      .groupBy(col("a.flag").as("flag"), col("a.gmax").as("gmax"))
-      .agg(coalesce(max(col("b.gmax")), lit(0L)).as("off"))
-      .select(col("flag"), (col("gmax") - col("off")).as("tot"), col("off"))
-    val fcum = fcum0.join(broadcast(off), "flag")
-      .withColumn("cum", col("gcum") - col("off"))
-    val exact = fcum.join(targets, col("cum") >= ceil(col("q") * col("tot")))
+    // exact per-flag quantiles from the sketch's EXACT integer counters:
+    // the target bucket for rank r = ceil(q*n) is the least idx with
+    // cum >= r (bucket value ranges are disjoint and increasing in idx,
+    // so every row in earlier buckets has a smaller v — cum(b-1) < r <=
+    // cum(b) puts the r-th smallest v inside b), and within the bucket
+    // the quantile is the (r - cum_before)-th smallest value. tgt is
+    // <= |flags| x |qs| rows; min(struct(idx, ...)) picks the least
+    // covering bucket with its range and exclusive prefix in one pass.
+    val tgt = buckets
+      .join(targets, col("cum") >= ceil(col("q") * col("n")))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+      .groupBy(col("flag").as("tflag"), col("q"), col("rank"))
+      .agg(min(struct(col("idx"), col("lo"),
+        (col("lo") + col("width") - 1).as("hi"),
+        (col("cum") - col("cnt")).as("cumb"))).as("t"))
+      .select(col("tflag"), col("q"), col("rank"),
+        col("t.lo").as("lo"), col("t.hi").as("hi"), col("t.cumb").as("cumb"))
+    // second corpus scan, filtered to the target bucket ranges by a
+    // broadcast range join: only the 9 buckets' rows survive to the
+    // (flag, q, v) aggregate, so the exchange is bucket-sized, not
+    // corpus-sized; the per-(flag, q) window below runs over <= one
+    // bucket's distinct values per group
+    val inb = li.join(broadcast(tgt),
+        col("flag") === col("tflag") &&
+          col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("flag", "q", "rank", "cumb", "v")
+      .agg(count(lit(1)).as("c"))
+    val exact = inb
+      .withColumn("lc",
+        sum(col("c")).over(Window.partitionBy("flag", "q").orderBy("v")))
+      .filter(col("cumb") + col("lc") >= col("rank"))
       .groupBy("flag", "q").agg(min(col("v")).as("exact_cents"))
     est.join(exact, Seq("flag", "q"))
       .select(col("flag"), col("q"),

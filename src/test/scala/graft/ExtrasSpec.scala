@@ -22,6 +22,41 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_quantile_sketch bucket-scan exact side equals the brute-force " +
+      "rank quantile on a gnarly planted distribution (r17 rewrite)") {
+    import spark.implicits._
+    // heavy ties, octave boundaries, small exact cells, a far outlier —
+    // the shapes the target-bucket walk must cut correctly
+    val vals: Seq[(String, Long)] =
+      (0 until 4000).map { i =>
+        val m = graft.functions.Mix64.mix(i.toLong)
+        val flag = Seq("A", "B", "C")(i % 3)
+        val v = (i % 7) match {
+          case 0 => (m & 31L).abs            // exact small cells
+          case 1 => 32L + (m & 31L).abs      // first octave
+          case 2 => (1L << (5 + (i % 20))) - 1 // octave upper edges
+          case 3 => 1L << (5 + (i % 20))     // octave lower edges
+          case 4 => 123456789L               // hot tie
+          case _ => (m & ((1L << 36) - 1)).abs
+        }
+        (flag, v)
+      }
+    val got = Extras.aggQuantileSketchOf(spark, vals.toDF("flag", "v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val byFlag = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (flag <- Seq("A", "B", "C"); q <- Seq(0.5, 0.9, 0.99)) {
+      val sorted = byFlag(flag)
+      val exact = sorted((math.ceil(q * sorted.length) - 1).toInt)
+      val (est, gotExact) = got((flag, q))
+      assert(gotExact == exact / 100.0,
+        s"$flag q=$q: exact ${gotExact} != brute-force ${exact / 100.0}")
+      // the sketch's documented <=1/64 relative-error contract
+      assert(math.abs(est - gotExact) <= gotExact / 64.0 + 1e-9,
+        s"$flag q=$q: est $est vs exact $gotExact")
+    }
+  }
+
   test("markov transition probabilities sum to 1 per from_type") {
     val rows = graft.ext.EventOps.eventsMarkovTransitions(spark, SF)
       .collect()

@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only: split agg_quantile_sketch's cost between the SKETCH pass
-  * (the production path — one corpus scan into 15 KiB buffers) and the
-  * exact-quantile verification side (per-value counts + Ranks scan),
-  * which exists for the oracle-pinned error contract and would be
-  * dropped in a real 100 TB deployment.
+  * (one corpus scan into 15 KiB buffers) and the r16-era exact-quantile
+  * formulation (per-value counts + Ranks range scan) — kept here as the
+  * A/B baseline for the r17 bucket-scan rewrite, which replaced it in
+  * the key itself (the exact side now locates each target bucket from
+  * the sketch's exact counters and scans only those buckets' rows:
+  * ProfKey sf1 4.88 -> 2.14, sf10 21.5 -> 8.2 same-session).
   *
   *   sbt "Test/runMain graft.tools.ProfQSk [dir]"
   */
