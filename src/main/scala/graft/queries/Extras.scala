@@ -1390,7 +1390,8 @@ object Extras {
         graft.functions.CmsAgg.cms(col("k"), CMS_SEEDS.toSeq, CMS_W).as("sk"),
         count(lit(1)).as("total"))
     val drained = graft.streaming.StreamingOps
-      .runToCompletion(s, agg, "verify_stream_hh")
+      .runToCompletion(s, agg, "verify_stream_hh",
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
     val cand = s.range(150).select(
         when(col("id") < 45, pmod(col("id"), lit(7L)))
           .otherwise(col("id")).as("k"))
@@ -1433,7 +1434,8 @@ object Extras {
       .agg(graft.functions.QuantileSketchAgg.quantile_sketch(col("v")).as("sk"),
         count(lit(1)).as("n"))
     val drained = graft.streaming.StreamingOps
-      .runToCompletion(s, agg, "verify_stream_quantiles")
+      .runToCompletion(s, agg, "verify_stream_quantiles",
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
     val targets = broadcast(qs.toDF("q"))
     val buckets = drained
       .select(col("w.start").as("win_start"), col("n"),
@@ -1487,7 +1489,8 @@ object Extras {
     val agg = ev.groupBy(window(col("ts"), "3 days").as("w"))
       .agg(KmvAgg.kmv_sketch(col("h")).as("sk"))
     val drained = graft.streaming.StreamingOps
-      .runToCompletion(s, agg, "verify_stream_distinct")
+      .runToCompletion(s, agg, "verify_stream_distinct",
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
     drained
       .select(col("w.start").as("win_start"), size(col("sk")).as("n_sketch"),
         col("sk"))
@@ -1527,7 +1530,8 @@ object Extras {
     val agg = ev.groupBy(window(col("ts"), "3 days").as("w"))
       .agg(HllAgg.hll_sketch(col("h")).as("regs"))
     val drained = graft.streaming.StreamingOps
-      .runToCompletion(s, agg, "verify_stream_hll")
+      .runToCompletion(s, agg, "verify_stream_hll",
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
     drained
       .select(col("w.start").as("win_start"),
         HllAgg.nZero("regs").as("n_zero"),
