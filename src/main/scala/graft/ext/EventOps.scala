@@ -293,28 +293,46 @@ object EventOps {
     * user's pair count quadratic inside a single task (10⁴ touches x
     * 10³ purchases = 10⁷ rows through one hash cell) — the one
     * data-dependent skew hazard every other hot-key-exposed operator in
-    * the tree already guards. The guard: add the touch's UTC day bucket
-    * to the equi-join key. A purchase's 7-day lookback spans at most 8
-    * calendar days (unix(p_ts - 7d) div 86400 = pday - 7 exactly), so
-    * the purchase side — a small fraction of events — replicates x8
-    * while a whale's pair work both spreads across its active days and
-    * shrinks per cell to (touches that day) x (purchases probing it).
-    * The pair SET is unchanged: each touch lives in exactly one bucket,
-    * each (purchase, touch) pair meets only in the touch's bucket, and
-    * the exact window predicate still runs — so the oracle (a plain
-    * windowed join) replays identically. Whale bound pinned by
-    * ExtrasSpec's planted-whale fixture. */
+    * the tree already guards. The guard: add the touch's UTC
+    * [[ATTR_BUCKET_DAYS]]-day bucket to the equi-join key. The purchase
+    * side replicates into every bucket its 7-day lookback overlaps
+    * while a whale's pair work both spreads across its active buckets
+    * and shrinks per cell to (touches that bucket) x (purchases probing
+    * it); the width constant prices replication volume against the
+    * per-cell bound (see its doc). The pair SET is unchanged: each
+    * touch lives in exactly one bucket, each (purchase, touch) pair
+    * meets only in the touch's bucket, and the exact window predicate
+    * still runs — so the oracle (a plain windowed join) replays
+    * identically. Whale bound pinned by ExtrasSpec's planted-whale
+    * fixture. */
+  /** Bucket width (days) for the lookback join key. The trade (r17
+    * optimization round): a purchase's 7-day lookback spans 8 calendar
+    * days, so with width b it replicates to ceil spans of at most
+    * floor(pday/b) - floor((pday-7)/b) + 1 <= ceil(7/b) + 1 buckets —
+    * x8 at b=1, x3 at b=4 — while a whale's per-cell fan-out grows with
+    * b (touches in b days x purchases probing the bucket). Purchases
+    * are HALF the touch count on this corpus shape, so at b=1 the
+    * replicated purchase side outweighed the touch side 4:1 (16M vs 4M
+    * rows at the sf10 tier) — the join shuffled more guard replicas
+    * than data. b=4 halves the shuffled rows and keeps the whale bound
+    * within 4x of the per-day guard (ExtrasSpec's planted-whale fixture
+    * still pins an order-of-magnitude cut vs the user-only join).
+    * Measured (ProfKey, interleaved same-box A/B, best-of-3): sf1
+    * 3.60 -> 2.99, sf10 9.27 -> 8.61. */
+  private[graft] val ATTR_BUCKET_DAYS = 4
+
   private[graft] def touchWindowPairs(
       purchases: DataFrame, touches: DataFrame): DataFrame = {
-    val pDay = expr("unix_timestamp(p_ts) div 86400")
-    val pb = purchases.withColumn("__day",
-      explode(sequence(pDay - 7, pDay)))
-    val tb = touches.withColumn("__day",
-      expr("unix_timestamp(t_ts) div 86400"))
-    pb.join(tb, Seq("user_id", "__day"))
+    val b = ATTR_BUCKET_DAYS
+    val pb = purchases.withColumn("__bk",
+      explode(expr("sequence((unix_timestamp(p_ts) div 86400 - 7) div " +
+        s"$b, unix_timestamp(p_ts) div 86400 div $b)")))
+    val tb = touches.withColumn("__bk",
+      expr(s"unix_timestamp(t_ts) div 86400 div $b"))
+    pb.join(tb, Seq("user_id", "__bk"))
       .filter(col("t_ts") <= col("p_ts") &&
         col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
-      .drop("__day")
+      .drop("__bk")
   }
 
   def eventsAttribution(s: SparkSession, d: String): DataFrame = {

@@ -328,11 +328,13 @@ class ExtrasSpec extends AnyFunSuite {
     // active days shrink each cell to ~1 day of touches x the <=8-day
     // probe window, an order of magnitude less pre-filter work.
     val naivePre = purchases.join(touches, Seq("user_id")).count()
-    val pDay = expr("unix_timestamp(p_ts) div 86400")
+    val b = graft.ext.EventOps.ATTR_BUCKET_DAYS
     val guardedPre = purchases
-      .withColumn("__day", explode(sequence(pDay - 7, pDay)))
-      .join(touches.withColumn("__day",
-        expr("unix_timestamp(t_ts) div 86400")), Seq("user_id", "__day"))
+      .withColumn("__bk",
+        explode(expr("sequence((unix_timestamp(p_ts) div 86400 - 7) div " +
+          s"$b, unix_timestamp(p_ts) div 86400 div $b)")))
+      .join(touches.withColumn("__bk",
+        expr(s"unix_timestamp(t_ts) div 86400 div $b")), Seq("user_id", "__bk"))
       .count()
     assert(guardedPre * 5 < naivePre,
       s"guard did not bound fan-out: $guardedPre vs naive $naivePre")
