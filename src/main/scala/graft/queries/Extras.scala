@@ -1433,7 +1433,8 @@ object Extras {
         count(lit(1)).as("total"))
     val drained = graft.streaming.StreamingOps
       .runToCompletion(s, agg, "verify_stream_hh",
-        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s),
+        noDataBatches = false)
     val cand = s.range(150).select(
         when(col("id") < 45, pmod(col("id"), lit(7L)))
           .otherwise(col("id")).as("k"))
@@ -1477,7 +1478,8 @@ object Extras {
         count(lit(1)).as("n"))
     val drained = graft.streaming.StreamingOps
       .runToCompletion(s, agg, "verify_stream_quantiles",
-        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s),
+        noDataBatches = false)
     val targets = broadcast(qs.toDF("q"))
     val buckets = drained
       .select(col("w.start").as("win_start"), col("n"),
@@ -1532,7 +1534,8 @@ object Extras {
       .agg(KmvAgg.kmv_sketch(col("h")).as("sk"))
     val drained = graft.streaming.StreamingOps
       .runToCompletion(s, agg, "verify_stream_distinct",
-        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s),
+        noDataBatches = false)
     drained
       .select(col("w.start").as("win_start"), size(col("sk")).as("n_sketch"),
         col("sk"))
@@ -1573,7 +1576,8 @@ object Extras {
       .agg(HllAgg.hll_sketch(col("h")).as("regs"))
     val drained = graft.streaming.StreamingOps
       .runToCompletion(s, agg, "verify_stream_hll",
-        statePartitions = graft.streaming.StreamingOps.windowStateParts(s))
+        statePartitions = graft.streaming.StreamingOps.windowStateParts(s),
+        noDataBatches = false)
     drained
       .select(col("w.start").as("win_start"),
         HllAgg.nZero("regs").as("n_zero"),

@@ -322,10 +322,19 @@ object StreamingOps {
     * count-invariant (the oracle gate pins it bit-exactly). */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete",
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      noDataBatches: Boolean = true): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    // no-data micro-batches exist to advance the watermark so APPEND-mode
+    // windows finalize and timed-out state flushes without new input; a
+    // COMPLETE-mode sketch drain re-emits its full state every batch, so
+    // the trailing no-data batch only re-runs the plan to produce the
+    // same table. The window-sketch keys opt out (~0.4s/run measured);
+    // append-mode and timeout-dependent callers keep the default.
+    if (!noDataBatches) spark.conf
+      .set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = agg.writeStream
         .outputMode(mode)
@@ -334,8 +343,12 @@ object StreamingOps {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally statePartitions.foreach(_ =>
-      spark.conf.set("spark.sql.shuffle.partitions", prev))
+    } finally {
+      statePartitions.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev))
+      if (!noDataBatches) spark.conf
+        .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
     spark.table(name)
   }
 
